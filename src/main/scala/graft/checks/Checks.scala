@@ -1,0 +1,168 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.tables.Tables
+
+/** Lake-native meanings of the reference's DBCC commands (SURVEY.md §7.3,
+  * design risk #1). Each check is a SQL-expressible validation query so it
+  * stays oracle-checkable:
+  *
+  *  - CHECKTABLE  → full-scan validation aggregate: count + per-column
+  *    null/min/max/sum profile (ref IntegrityChecks_VLDB.sql:683-687).
+  *  - DATA_PURITY → domain predicates per column (ref IC:685-686).
+  *  - CHECKCATALOG → cross-table referential containment: every FK-style
+  *    key resolves (ref ola/DatabaseIntegrityCheck.sql:1682-1695, catalog
+  *    consistency re-read as lake-metadata consistency).
+  *  - CHECKALLOC  → every storage unit is present and countable: per-table
+  *    row counts vs expectations (file/footer level checks live in
+  *    graft.checks.Alloc — not SQL-expressible, rows-only gate).
+  *
+  * All of these are single-pass scans or broadcast/shuffle-light joins:
+  * at 100 TB a CHECKTABLE is exactly one pass over the table with partial
+  * aggregation (no shuffle beyond the 1-row final combine), and the
+  * containment checks are shuffle joins on the key — the minimal plan shape
+  * for the semantics.
+  */
+object Checks {
+
+  /** CHECKTABLE on lineitem: one scan, all column profiles at once.
+    * Map-side partial agg → single final row; zero shuffle of data rows. */
+  val checkTableLineitem: Q = Q(
+    "check_table_lineitem",
+    """SELECT count(*) AS n_rows,
+      |  count(*) - count(l_orderkey) AS null_orderkey,
+      |  count(*) - count(l_quantity) AS null_quantity,
+      |  count(*) - count(l_shipdate) AS null_shipdate,
+      |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+      |  round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  count(DISTINCT l_returnflag) AS n_flags
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("l_orderkey"))).as("null_orderkey"),
+      (count(lit(1)) - count(col("l_quantity"))).as("null_quantity"),
+      (count(lit(1)) - count(col("l_shipdate"))).as("null_shipdate"),
+      min("l_orderkey").as("min_orderkey"), max("l_orderkey").as("max_orderkey"),
+      round(min("l_quantity"), 2).as("min_qty"),
+      round(max("l_quantity"), 2).as("max_qty"),
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(sum("l_extendedprice"), 2).as("sum_price"),
+      min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
+      countDistinct("l_returnflag").as("n_flags"))
+  }
+
+  /** CHECKALLOC (logical tier): per-table row counts in one result — the
+    * "every allocation unit is readable and countable" probe. */
+  val checkRowcounts: Q = Q(
+    "check_rowcounts",
+    Tables.all.map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")) { (s, d) =>
+    Tables.all.map { t =>
+      Tables(s, d, t).agg(count(lit(1)).as("n_rows"))
+        .withColumn("table_name", lit(t))
+        .select("table_name", "n_rows")
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  /** CHECKCATALOG analog: referential containment. Each arm is an anti-join
+    * count on the key (shuffle join on key only; at scale the dimension side
+    * of custkey/partkey broadcasts). */
+  val checkFkContainment: Q = Q(
+    "check_fk_containment",
+    """SELECT 'lineitem.l_orderkey->orders' AS check_name,
+      |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_violations
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part',
+      |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier',
+      |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+      |    (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+      |UNION ALL
+      |SELECT 'customer.c_nationkey->nation',
+      |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+      |    (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+      |UNION ALL
+      |SELECT 'nation.n_regionkey->region',
+      |  (SELECT count(*) FROM nation WHERE NOT EXISTS
+      |    (SELECT 1 FROM region WHERE r_regionkey = n_regionkey))
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    def arm(name: String, child: DataFrame, parent: DataFrame,
+        ck: String, pk: String): DataFrame =
+      child.join(parent, col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .withColumn("check_name", lit(name))
+        .select("check_name", "n_violations")
+    Seq(
+      arm("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+        Tables.orders(s, d), "l_orderkey", "o_orderkey"),
+      arm("orders.o_custkey->customer", Tables.orders(s, d),
+        Tables.customer(s, d), "o_custkey", "c_custkey"),
+      arm("lineitem.l_partkey->part", Tables.lineitem(s, d),
+        Tables.part(s, d), "l_partkey", "p_partkey"),
+      arm("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+        Tables.supplier(s, d), "l_suppkey", "s_suppkey"),
+      arm("customer.c_nationkey->nation", Tables.customer(s, d),
+        Tables.nation(s, d), "c_nationkey", "n_nationkey"),
+      arm("nation.n_regionkey->region", Tables.nation(s, d),
+        Tables.region(s, d), "n_regionkey", "r_regionkey"))
+      .reduce(_.unionByName(_)).orderBy("check_name")
+  }
+
+  /** DATA_PURITY analog: column-domain predicates, all evaluated in ONE
+    * scan per table via conditional counts (ref IC:685-686). */
+  val checkDomains: Q = Q(
+    "check_domains",
+    """SELECT 'lineitem' AS table_name,
+      |  count(CASE WHEN l_quantity < 0 OR l_quantity > 100 THEN 1 END) AS bad_range,
+      |  count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS bad_ratio,
+      |  count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS bad_enum,
+      |  count(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01 00:00:00'
+      |             OR l_shipdate > TIMESTAMP '2030-01-01 00:00:00' THEN 1 END) AS bad_ts
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders',
+      |  count(CASE WHEN o_totalprice < 0 THEN 1 END),
+      |  count(CASE WHEN o_custkey < 0 THEN 1 END),
+      |  count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END),
+      |  count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+      |             OR o_orderdate > TIMESTAMP '2030-01-01 00:00:00' THEN 1 END)
+      |FROM orders
+      |ORDER BY table_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).agg(
+      count(when(col("l_quantity") < 0 || col("l_quantity") > 100, 1))
+        .as("bad_range"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+        .as("bad_ratio"),
+      count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("bad_enum"),
+      count(when(col("l_shipdate") < lit("1990-01-01 00:00:00").cast("timestamp")
+        || col("l_shipdate") > lit("2030-01-01 00:00:00").cast("timestamp"), 1))
+        .as("bad_ts"))
+      .withColumn("table_name", lit("lineitem"))
+    val o = Tables.orders(s, d).agg(
+      count(when(col("o_totalprice") < 0, 1)).as("bad_range"),
+      count(when(col("o_custkey") < 0, 1)).as("bad_ratio"),
+      count(when(!col("o_orderstatus").isin("F", "O", "P"), 1)).as("bad_enum"),
+      count(when(col("o_orderdate") < lit("1990-01-01 00:00:00").cast("timestamp")
+        || col("o_orderdate") > lit("2030-01-01 00:00:00").cast("timestamp"), 1))
+        .as("bad_ts"))
+      .withColumn("table_name", lit("orders"))
+    li.unionByName(o)
+      .select("table_name", "bad_range", "bad_ratio", "bad_enum", "bad_ts")
+      .orderBy("table_name")
+  }
+
+  val queries: Seq[Q] = Seq(
+    checkTableLineitem, checkRowcounts, checkFkContainment, checkDomains)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+/** Every registered query must execute at sf0.001 and (except known-empty
+  * results) produce rows; names must be unique and oracles well-formed. */
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("query names are unique") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size === names.size)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // Queries whose correct result can legitimately be empty at sf0.001.
+  private val mayBeEmpty = Set("q09_anti_join")
+
+  SparkEntry.allQueries.foreach { q =>
+    test(s"${q.name} executes at sf0.001") {
+      val n = q.run(spark, sfDir).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Reads <out>/oracle_sql.json, registers each parquet table from <sf_dir> as a
+DuckDB view, runs every oracle SQL, and compares against the Spark result
+parquet in <out>/<name>/ — columns sorted by name, rows sorted by all
+columns, values hashed. Dev-only tooling (driver-side python libs); not part
+of the Scala library.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def norm_cell(v):
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def digest(df: pd.DataFrame) -> int:
+    rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort(key=repr)
+    return hash(tuple(rows))
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        want_c, got_c = canon(want), canon(got)
+        if list(want_c.columns) != list(got_c.columns):
+            print(f"FAIL {name}: columns want={list(want_c.columns)} got={list(got_c.columns)}")
+            n_fail += 1
+            continue
+        if len(want_c) != len(got_c):
+            print(f"FAIL {name}: rows want={len(want_c)} got={len(got_c)}")
+            n_fail += 1
+            continue
+        if digest(want_c) != digest(got_c):
+            print(f"FAIL {name}: value hash mismatch")
+            # show first differing rows
+            for i in range(min(len(want_c), 2000)):
+                wr = tuple(norm_cell(v) for v in want_c.iloc[i])
+                gr = tuple(norm_cell(v) for v in got_c.iloc[i])
+                if repr(wr) != repr(gr):
+                    print(f"  row {i}: want={wr}")
+                    print(f"  row {i}:  got={gr}")
+                    break
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(want_c)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
