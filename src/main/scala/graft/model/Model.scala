@@ -1,0 +1,99 @@
+package graft.model
+
+import java.sql.{Date, Timestamp}
+import java.time.Instant
+
+/** Durable + config schemas of the engine (SURVEY.md §7.1 step 1).
+  *
+  * `CheckObject` mirrors the reference's persistent check-history table
+  * `dbo.CheckTableObjects` (ref IntegrityChecks_VLDB.sql:42-65);
+  * `CommandLogEntry` mirrors `dbo.CommandLog` (ref ola/CommandLog.sql:7-28).
+  */
+final case class CheckObject(
+    id: Long,
+    database_name: String,
+    dbtype: String, // 'S' system / 'U' user (ref IC:256-263)
+    schema_name: String,
+    object_name: String,
+    object_type: String, // 'U' table / 'V' view
+    used_page_count: Long, // lake analog: total file bytes of the table
+    start_time: Option[Timestamp],
+    end_time: Option[Timestamp],
+    run_duration_ms: Long,
+    command: String,
+    number_of_executions: Long,
+    avg_run_duration_ms: Long, // incremental mean (ref IC:706)
+    previous_run_date: Option[Timestamp],
+    previous_run_duration_ms: Long,
+    last_check_date: Date, // sentinel 1900-01-01 (ref IC:62)
+    active: Boolean) // soft delete via MERGE (ref IC:482-483)
+
+object CheckObject {
+  val SentinelDate: Date = Date.valueOf("1900-01-01")
+
+  def fresh(id: Long, db: String, dbtype: String, schema: String,
+      name: String, objType: String, size: Long): CheckObject =
+    CheckObject(id, db, dbtype, schema, name, objType, size,
+      None, None, 0L, "", 0L, 0L, None, 0L, SentinelDate, active = true)
+}
+
+final case class CommandLogEntry(
+    id: String, // UUID (reference used int IDENTITY, ref D7)
+    database_name: String,
+    schema_name: String,
+    object_name: String,
+    object_type: String,
+    extended_info: String, // JSON string (reference: opaque xml)
+    command: String,
+    command_type: String, // e.g. DBCC_CHECKTABLE analog
+    start_time: Timestamp,
+    end_time: Option[Timestamp],
+    error_number: Option[Int], // None while running / dry-run (ref CE:246)
+    error_message: Option[String])
+
+/** The check vocabulary (ref ola/DatabaseIntegrityCheck.sql:720). */
+sealed trait CheckCommand { def name: String }
+object CheckCommand {
+  case object CheckDb extends CheckCommand { val name = "CHECKDB" }
+  case object CheckAlloc extends CheckCommand { val name = "CHECKALLOC" }
+  case object CheckCatalog extends CheckCommand { val name = "CHECKCATALOG" }
+  case object CheckTable extends CheckCommand { val name = "CHECKTABLE" }
+  case object CheckFileGroup extends CheckCommand { val name = "CHECKFILEGROUP" }
+  val all: Seq[CheckCommand] =
+    Seq(CheckDb, CheckAlloc, CheckCatalog, CheckTable, CheckFileGroup)
+}
+
+/** Engine configuration (the reference's parameter surface, ref IC:22-29 +
+  * DIC:12-30 extras). Validated like ref IC:355-402. */
+final case class CheckConfig(
+    databases: String = "ALL_DATABASES", // selection DSL
+    objects: Option[String] = None, // 3-part object DSL (ref DIC:645-692)
+    physicalOnly: Boolean = false, // ref IC:24
+    dataPurity: Boolean = true, // ref IC:685-686
+    maxDop: Int = 0, // ref IC:25 (0 = engine default)
+    timeLimitSeconds: Option[Long] = None, // ref IC:26
+    execute: Boolean = true, // dry-run when false (ref IC:29 / CE:197)
+    logToTable: Boolean = true) { // ref IC:28
+
+  def validate(): Either[String, CheckConfig] =
+    if (maxDop < 0 || maxDop > 64)
+      Left(s"maxDop must be in [0,64], got $maxDop") // ref IC:363-369
+    else if (timeLimitSeconds.exists(_ < 0))
+      Left(s"timeLimit must be >= 0") // ref IC:371-377
+    else if (databases == null || databases.trim.isEmpty)
+      Left("databases selection must be non-empty") // ref IC:379-385
+    else Right(this)
+}
+
+/** Injectable clock — everything time-dependent in the scheduler takes one
+  * (SURVEY.md §7.4 hard-problem #2; ref GETDATE() at IC:71,505,644,677). */
+trait Clock { def now(): Instant }
+object SystemClock extends Clock { def now(): Instant = Instant.now() }
+
+/** Deterministic test clock: starts at `start`, advances `tickMs` per call
+  * plus any manual `advance`. */
+final class ManualClock(start: Instant, tickMs: Long = 0L) extends Clock {
+  private var current: Instant = start
+  def now(): Instant = { val r = current; current = current.plusMillis(tickMs); r }
+  def advance(ms: Long): Unit = current = current.plusMillis(ms)
+}

@@ -1,0 +1,186 @@
+package graft.scheduler
+
+import java.time.Instant
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.{Inventory, InventoryRow}
+import graft.checks.LakeChecks
+import graft.executor.{CommandExecutor, CommandLog}
+import graft.model.{CheckConfig, CheckObject, Clock}
+import graft.selector.Selector
+import graft.state.StateStore
+
+/** The reference's main loop (SURVEY.md §3.1 stages 5-13;
+  * ref IntegrityChecks_VLDB.sql:505-744), re-expressed with an injectable
+  * clock so priority/admission behavior is deterministic under test.
+  *
+  * Policy, faithfully reproduced:
+  *  - Phase 1: CHECKALLOC + CHECKCATALOG per database, deadline-gated
+  *    (ref IC:505-577).
+  *  - Phase 2: databases by oldest MIN(LastCheckDate) first (ref IC:583-595);
+  *    within a database, tables least-recently-checked first; after HALF the
+  *    budget, smallest-first (ref IC:647-668); skip a table whose predicted
+  *    duration (persisted incremental average) would overrun the deadline
+  *    plus a 1-minute grace (ref IC:677-680); a table already checked today
+  *    is not re-checked (ref IC:664-665).
+  *
+  * Each check is one Spark action; the cluster is the parallelism inside
+  * the action (the reference's MAXDOP analog, SURVEY §3.1). The driver loop
+  * only schedules — it never iterates over data rows.
+  */
+final case class SchedulerReport(
+    executedCommands: Seq[String],
+    skipped: Seq[(String, String)], // (object, reason)
+    state: Seq[CheckObject],
+    violations: Long)
+
+final class Scheduler(
+    spark: SparkSession,
+    inventory: Inventory,
+    stateStore: StateStore,
+    log: CommandLog,
+    config: CheckConfig,
+    clock: Clock) {
+
+  private val HalfwayDivisor = 2 // ref IC:647-649
+  private val GraceMs = 60L * 1000 // ref IC:677-680 "+ 1 minute"
+
+  def run(): SchedulerReport = {
+    config.validate().left.foreach(e => throw new IllegalArgumentException(e))
+    val jobStart = clock.now() // captured ONCE (ref IC:71)
+    val deadline = config.timeLimitSeconds.map(s => jobStart.plusSeconds(s))
+    val halfway = config.timeLimitSeconds
+      .map(s => jobStart.plusMillis(s * 1000 / HalfwayDivisor))
+
+    val executor = new CommandExecutor(log, clock, config.execute)
+    val executed = mutable.ArrayBuffer.empty[String]
+    val skipped = mutable.ArrayBuffer.empty[(String, String)]
+    var violations = 0L
+
+    // Stage 5-7: resolve the database selection DSL against the catalog.
+    val catalog = inventory.databases().map(n => Selector.DbInfo(n))
+    val selectedDbs = Selector.selectedNames(catalog, config.databases)
+
+    // Stage 8: full inventory scan per database — state tracks EVERY object
+    // (ref IC:429-447); the objects DSL narrows only the scheduled work.
+    val scan: Seq[InventoryRow] = selectedDbs.flatMap(inventory.objects)
+    val workKeys: Set[(String, String, String)] = config.objects match {
+      case None => scan.map(o =>
+        (o.database_name, o.schema_name, o.object_name)).toSet
+      case Some(dsl) =>
+        val refs = scan.map(o =>
+          Selector.ObjectRef(o.database_name, o.schema_name, o.object_name))
+        Selector.resolveObjects(refs, dsl)
+          .fold(e => throw new IllegalArgumentException(e), identity)
+          .map(r => (r.db, r.schema, r.name)).toSet
+    }
+
+    // Stage 9: reconcile into persistent state (3-clause MERGE).
+    var state = StateStore.reconcile(stateStore.load(), scan)
+
+    def pastDeadline(): Boolean =
+      deadline.exists(d => !clock.now().isBefore(d))
+
+    // Stage 10 — Phase 1: coarse per-database checks, deadline-gated.
+    val scanByDb = scan.groupBy(_.database_name)
+    selectedDbs.foreach { db =>
+      if (!pastDeadline()) {
+        val tables = scanByDb.getOrElse(db, Seq.empty)
+        val (allocCmd, allocAction) =
+          LakeChecks.checkAlloc(spark, db, tables, config.maxDop)
+        val r1 = executor.run(db, "", "", "DB", allocCmd, "DBCC_CHECKALLOC")(
+          allocAction())
+        violations += math.max(0L, r1.violations)
+        executed += allocCmd
+        val (catCmd, catAction) = LakeChecks.checkCatalog(spark, db, tables)
+        val r2 = executor.run(db, "", "", "DB", catCmd, "DBCC_CHECKCATALOG")(
+          catAction())
+        violations += math.max(0L, r2.violations)
+        executed += catCmd
+      } else skipped += ((db, "time limit reached before phase 1"))
+    }
+
+    // Stage 11 — Phase 2 priority: oldest MIN(LastCheckDate) database first
+    // (ref IC:583-595).
+    val stateByKey = mutable.Map.empty[(String, String, String), CheckObject]
+    state.foreach(o =>
+      stateByKey((o.database_name, o.schema_name, o.object_name)) = o)
+    // objects handled this run (checked or admission-skipped) — a skipped
+    // object keeps its unchecked state (ref: the reference leaves the work
+    // row pending, IC:677-680) but is not re-picked in the same run.
+    val handled = mutable.Set.empty[(String, String, String)]
+    def activeDue(db: String): Seq[CheckObject] =
+      stateByKey.values.toSeq.filter(o =>
+        o.database_name == db && o.active &&
+          workKeys((o.database_name, o.schema_name, o.object_name)) &&
+          !handled((o.database_name, o.schema_name, o.object_name)) &&
+          StateStore.isDueOn(o, jobStart))
+
+    // First-run heuristic (ref IC:602-604): when most objects have never
+    // been checked, go smallest-first immediately to maximize coverage.
+    val allActive = state.filter(_.active)
+    val firstRunMode =
+      allActive.count(_.number_of_executions == 0) >
+        allActive.count(_.number_of_executions > 0)
+
+    val dbOrder = selectedDbs
+      .map(db => (db, state.filter(o => o.database_name == db && o.active)
+        .map(_.last_check_date.toLocalDate)
+        .minOption.getOrElse(java.time.LocalDate.of(1900, 1, 1))))
+      .sortBy { case (db, minDate) => (minDate, db) }
+      .map(_._1)
+
+    // Stage 12 — Phase 2 nested loop.
+    dbOrder.foreach { db =>
+      var remaining = true
+      while (remaining && !pastDeadline()) {
+        val now = clock.now()
+        val smallestFirst = firstRunMode ||
+          halfway.exists(h => !now.isBefore(h)) // ref IC:647-649 flip
+        val due = activeDue(db)
+        if (due.isEmpty) remaining = false
+        else {
+          // argmin work pick (ref IC:651-668): least-recently-checked, then
+          // smallest-or-name per the flip flag, objectname as tiebreaker.
+          val pick = due.minBy(o => (o.last_check_date.toLocalDate,
+            if (smallestFirst) o.used_page_count else 0L,
+            o.object_name))
+          // admission control (ref IC:677-680).
+          val predictedEnd = now.plusMillis(pick.avg_run_duration_ms)
+          val admit = deadline.forall(d =>
+            !predictedEnd.isAfter(d.plusMillis(GraceMs)))
+          val key = (pick.database_name, pick.schema_name, pick.object_name)
+          if (!admit) {
+            skipped += ((s"${pick.database_name}.${pick.schema_name}." +
+              pick.object_name, "predicted duration exceeds time limit"))
+            handled += key
+          } else {
+            handled += key
+            val t = scanByDb.getOrElse(db, Seq.empty)
+              .find(x => x.schema_name == pick.schema_name &&
+                x.object_name == pick.object_name).get
+            val (cmd, action) = LakeChecks.checkTable(spark, t,
+              config.physicalOnly, config.dataPurity, config.maxDop)
+            val start = clock.now()
+            val r = executor.run(t.database_name, t.schema_name,
+              t.object_name, "U", cmd, "DBCC_CHECKTABLE")(action())
+            violations += math.max(0L, r.violations)
+            executed += cmd
+            val end = clock.now()
+            stateByKey(key) = StateStore.recordRun(pick, cmd, start, end)
+          }
+        }
+      }
+      if (pastDeadline() && activeDue(db).nonEmpty)
+        skipped += ((db, "time limit reached"))
+    }
+
+    // Stage 13: persist state + flush the audit log.
+    state = stateByKey.values.toSeq.sortBy(_.id)
+    if (config.logToTable) { stateStore.save(state); log.flush() }
+    SchedulerReport(executed.toSeq, skipped.toSeq, state, violations)
+  }
+}

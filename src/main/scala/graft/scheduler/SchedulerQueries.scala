@@ -1,0 +1,70 @@
+package graft.scheduler
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.catalog.DirInventory
+import graft.executor.CommandLog
+import graft.model.{CheckConfig, ManualClock}
+import graft.state.StateStore
+
+/** The engine's own behavior exposed as driver-checkable queries (rows-only
+  * gate — the scheduler is not SQL-expressible). Deterministic: fixed clock,
+  * throwaway state, dry-run or in-memory log. */
+object SchedulerQueries {
+
+  private val FixedStart = Instant.parse("2026-01-01T00:00:00Z")
+
+  /** Dry-run over the sf dir as database "testdb": returns the exact
+    * command list the reference would print with @Execute='N'
+    * (ref IntegrityChecks_VLDB.sql:29, ola/CommandExecute.sql:197,231). */
+  val schedulerDryrun: Q = Q.noOracle("scheduler_dryrun") { (s, d) =>
+    import s.implicits._
+    val r = runScheduler(s, d, execute = false)
+    r.executedCommands.zipWithIndex
+      .map { case (c, i) => (i + 1, c) }
+      .toDF("seq", "command")
+  }
+
+  /** Real run: per-object state after one scheduled pass — execution
+    * counts, durations recorded, zero violations on the clean fixtures. */
+  val schedulerStateAfterRun: Q = Q.noOracle("scheduler_state_after_run") {
+    (s, d) =>
+      import s.implicits._
+      val r = runScheduler(s, d, execute = true)
+      r.state.map(o => (o.object_name, o.number_of_executions,
+          o.active, o.last_check_date.toString, o.command))
+        .toDF("object_name", "number_of_executions", "active",
+          "last_check_date", "command")
+        .orderBy("object_name")
+  }
+
+  /** Audit log produced by a real run (the CommandExecute contract,
+    * ref ola/CommandExecute.sql:170-255). */
+  val schedulerCommandLog: Q = Q.noOracle("scheduler_command_log") { (s, d) =>
+    import s.implicits._
+    val log = new CommandLog(s, None)
+    runScheduler(s, d, execute = true, log = Some(log))
+    log.entries.map(e => (e.command_type, e.command, e.error_number,
+        e.error_message.getOrElse("")))
+      .toDF("command_type", "command", "error_number", "error_message")
+      .orderBy("command")
+  }
+
+  private def runScheduler(s: SparkSession, sfDir: String, execute: Boolean,
+      log: Option[CommandLog] = None): SchedulerReport = {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-schedq").toString + "/state"
+    val cfg = CheckConfig(databases = "testdb", execute = execute,
+      logToTable = false)
+    new Scheduler(s, new DirInventory(s, Map("testdb" -> sfDir)),
+      new StateStore(s, statePath), log.getOrElse(new CommandLog(s, None)),
+      cfg, new ManualClock(FixedStart, tickMs = 10)).run()
+  }
+
+  val queries: Seq[Q] = Seq(
+    schedulerDryrun, schedulerStateAfterRun, schedulerCommandLog)
+}

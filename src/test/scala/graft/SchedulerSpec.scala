@@ -1,0 +1,134 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.DirInventory
+import graft.executor.CommandLog
+import graft.model.{CheckConfig, ManualClock}
+import graft.scheduler.Scheduler
+import graft.state.StateStore
+
+/** End-to-end scheduler behavior with a deterministic clock
+  * (SURVEY.md §7.2 minimum slice + §7.4 #2): dry-run command goldens,
+  * daily idempotence on re-run, time-budget admission, halfway flip. */
+class SchedulerSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  val sfDir = "/root/testdata/sf0.001"
+  val t0: Instant = Instant.parse("2026-08-12T10:00:00Z")
+
+  def newScheduler(config: CheckConfig, clock: ManualClock,
+      statePath: String): Scheduler =
+    new Scheduler(spark, new DirInventory(spark, Map("testdb" -> sfDir)),
+      new StateStore(spark, statePath), new CommandLog(spark, None),
+      config, clock)
+
+  def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-sched").toString + "/state"
+
+  test("dry-run golden: exact command list for a 2-object selection") {
+    val cfg = CheckConfig(databases = "testdb",
+      objects = Some("testdb.main.lineitem, testdb.main.orders"),
+      execute = false, logToTable = false, maxDop = 4)
+    val r = newScheduler(cfg, new ManualClock(t0, tickMs = 10), tmp()).run()
+    // never-checked objects trigger the first-run heuristic (ref IC:602-604)
+    // -> smallest table first: orders.parquet < lineitem.parquet in bytes
+    assert(r.executedCommands === Seq(
+      "CHECKALLOC [testdb] WITH NO_INFOMSGS, ALL_ERRORMSGS, MAXDOP = 4",
+      "CHECKCATALOG [testdb] WITH NO_INFOMSGS",
+      "CHECKTABLE [testdb].[main].[orders] WITH NO_INFOMSGS, " +
+        "ALL_ERRORMSGS, DATA_PURITY, MAXDOP = 4",
+      "CHECKTABLE [testdb].[main].[lineitem] WITH NO_INFOMSGS, " +
+        "ALL_ERRORMSGS, DATA_PURITY, MAXDOP = 4"))
+    assert(r.violations === 0L)
+  }
+
+  test("real run on clean fixtures: zero violations, stats recorded") {
+    val statePath = tmp()
+    val cfg = CheckConfig(databases = "testdb",
+      objects = Some("testdb.main.lineitem"))
+    val r = newScheduler(cfg, new ManualClock(t0, tickMs = 10), statePath).run()
+    assert(r.violations === 0L)
+    val li = r.state.find(_.object_name == "lineitem").get
+    assert(li.number_of_executions === 1)
+    assert(li.last_check_date.toLocalDate.toString === "2026-08-12")
+    assert(li.command.startsWith("CHECKTABLE [testdb].[main].[lineitem]"))
+    // state persisted: all 10 objects inventoried, 1 checked
+    val persisted = new StateStore(spark, statePath).load()
+    assert(persisted.size === 10)
+    assert(persisted.count(_.number_of_executions > 0) === 1)
+  }
+
+  test("daily idempotence: same-day re-run does no table work (ref IC:665)") {
+    val statePath = tmp()
+    val cfg = CheckConfig(databases = "testdb",
+      objects = Some("testdb.main.region"))
+    newScheduler(cfg, new ManualClock(t0, tickMs = 10), statePath).run()
+    val r2 = newScheduler(cfg,
+      new ManualClock(t0.plusSeconds(3600), tickMs = 10), statePath).run()
+    assert(!r2.executedCommands.exists(_.startsWith("CHECKTABLE")))
+    // next day it is due again
+    val r3 = newScheduler(cfg,
+      new ManualClock(t0.plusSeconds(86400), tickMs = 10), statePath).run()
+    assert(r3.executedCommands.exists(_.startsWith("CHECKTABLE")))
+  }
+
+  test("admission control skips work predicted to overrun (ref IC:677-680)") {
+    val statePath = tmp()
+    val store = new StateStore(spark, statePath)
+    // seed state: one object with a 10-minute average, checked yesterday
+    val seeded = StateStore.recordRun(
+      graft.model.CheckObject.fresh(1, "testdb", "U", "main", "nation", "U", 5),
+      "C", t0.minusSeconds(86400), t0.minusSeconds(86400).plusMillis(600000))
+      .copy(avg_run_duration_ms = 600000L)
+    store.save(Seq(seeded))
+    val cfg = CheckConfig(databases = "testdb",
+      objects = Some("testdb.main.nation"),
+      timeLimitSeconds = Some(120)) // 2-min budget << 10-min predicted
+    val r = newScheduler(cfg, new ManualClock(t0, tickMs = 10), statePath).run()
+    assert(!r.executedCommands.exists(_.startsWith("CHECKTABLE")))
+    assert(r.skipped.exists(_._2.contains("predicted duration")))
+    // and the object stays unchecked (due tomorrow), not falsely marked
+    val after = new StateStore(spark, statePath).load()
+      .find(_.object_name == "nation").get
+    assert(after.number_of_executions === 1) // unchanged from seed
+  }
+
+  test("halfway point flips to smallest-first (ref IC:647-668)") {
+    val statePath = tmp()
+    val store = new StateStore(spark, statePath)
+    // majority of REAL inventory objects checked yesterday so the first-run
+    // heuristic does NOT trigger; part + supplier stay never-checked
+    val base = t0.minusSeconds(86400)
+    val checkedOld = Seq("region", "nation", "customer", "orders", "lineitem",
+      "events", "documents", "embeddings").zipWithIndex.map { case (n, i) =>
+      StateStore.recordRun(
+        graft.model.CheckObject.fresh(i + 1, "testdb", "U", "main", n, "U", 1),
+        "C", base, base.plusMillis(1))
+    }
+    store.save(checkedOld)
+    val cfg = CheckConfig(databases = "testdb",
+      objects = Some("testdb.main.part, testdb.main.supplier"),
+      timeLimitSeconds = Some(300))
+    // clock: each now() call advances 30s; phase 1 consumes enough calls
+    // that the first table pick happens past the 150s halfway mark ->
+    // smallest-first ordering must apply: supplier (smaller) before part,
+    // whereas name order would pick part first.
+    val clock = new ManualClock(t0, tickMs = 30000)
+    val r = newScheduler(cfg, clock, statePath).run()
+    val tableCmds = r.executedCommands.filter(_.startsWith("CHECKTABLE"))
+    assert(tableCmds.nonEmpty)
+    assert(tableCmds.head.contains("[supplier]"),
+      s"expected smallest-first pick, got $tableCmds")
+  }
+
+  test("config validation rejects bad maxDop (ref IC:363-369)") {
+    val cfg = CheckConfig(maxDop = 65)
+    assert(cfg.validate().isLeft)
+    intercept[IllegalArgumentException] {
+      newScheduler(cfg, new ManualClock(t0), tmp()).run()
+    }
+  }
+}
