@@ -13,7 +13,11 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     operators.Relational.queries ++
       checks.Checks.queries ++
-      scheduler.SchedulerQueries.queries
+      scheduler.SchedulerQueries.queries ++
+      pipeline.Dedup.queries ++
+      pipeline.Similarity.queries ++
+      pipeline.TextAnalysis.queries ++
+      pipeline.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

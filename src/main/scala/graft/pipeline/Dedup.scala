@@ -1,0 +1,222 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.tables.Tables
+
+/** Deduplication operators for training-data pipelines (north-star surface;
+  * absent from the reference — SURVEY.md §2.10/§2.12 reserves
+  * documents/embeddings for exactly this).
+  *
+  * Every variant is formulated RELATIONALLY (explode → shuffle-join on the
+  * token/signature key) rather than with per-row list UDFs: that is the
+  * shape that scales — the join key partitions the work, Catalyst handles
+  * skew via AQE, and no driver-side state exists. Hashing is md5 (bitwise
+  * identical in Spark and DuckDB) so every operator stays oracle-checkable.
+  *
+  * Scale narrative per operator:
+  *  - exact:    one shuffle on the 128-bit content hash. At 100 TB this is
+  *              the cheapest possible dedup (combine-heavy groupBy).
+  *  - jaccard:  shingle-join is quadratic in docs-per-shingle — usable for
+  *              verification of candidate pairs, not all-pairs at scale.
+  *  - minhash:  the scale path — O(docs × shingles) signature pass, then a
+  *              groupBy on (band, bandkey): only docs agreeing on a whole
+  *              band collide, so the candidate join is tiny.
+  *  - simhash:  fixed-width signature via one explode + two groupBys;
+  *              near-dup candidates compared by hamming distance inside
+  *              signature buckets.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Distinct (doc_id, word) pairs — the base relation for everything. */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+
+  private val tokensSql =
+    """SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |FROM documents""".stripMargin
+
+  /** Exact dedup: hash-groupBy on content hash (keep lowest doc_id). */
+  val dd01ExactDedup: Q = Q(
+    "dd01_exact_dedup",
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fingerprint")
+  }
+
+  /** Word-bigram Jaccard near-dup pairs: |A∩B| via shingle self-join,
+    * |A∪B| = |A|+|B|-|A∩B|. Threshold 0.5, deterministic rounding. */
+  val dd02NgramJaccard: Q = Q(
+    "dd02_ngram_jaccard",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS shingle
+      |       FROM toks),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b,
+      |  round(CAST(p.shared AS DOUBLE) / (na.n_sh + nb.n_sh - p.shared), 4)
+      |    AS jaccard
+      |FROM pairs p
+      |  JOIN n na ON na.doc_id = p.doc_a
+      |  JOIN n nb ON nb.doc_id = p.doc_b
+      |WHERE CAST(p.shared AS DOUBLE) / (na.n_sh + nb.n_sh - p.shared) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
+        .as("shingle"))
+      .distinct()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val pairs = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val na = n.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val nb = n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    pairs.join(na, "doc_a").join(nb, "doc_b")
+      .withColumn("jac",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding over word-bigram shingles: k=8 hash functions
+    * (seeded md5), 2 bands × 4 rows; candidate pairs = docs agreeing on an
+    * entire band. The banding groupBy is the scale trick: no all-pairs
+    * comparison ever happens — only same-bucket docs meet in the join. */
+  val dd03MinhashLsh: Q = Q(
+    "dd03_minhash_lsh",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |         range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS tok
+       |       FROM toks),
+       |seeds AS (SELECT unnest(range(8)) AS seed),
+       |sig AS (SELECT doc_id, seed,
+       |          min(md5(seed::VARCHAR || '|' || tok)) AS mh
+       |        FROM sh, seeds GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed // 4 AS band,
+       |            string_agg(mh, '|' ORDER BY seed) AS band_key
+       |          FROM sig GROUP BY doc_id, seed // 4)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_key = b.band_key
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val sh = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
+        .as("tok"))
+      .distinct()
+    val seeds = broadcast((0 until 8).toDF("seed"))
+    val sig = sh.crossJoin(seeds)
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("tok"))))
+        .as("mh"))
+    val bands = sig
+      .withColumn("band", col("seed") / 4 cast "int")
+      .groupBy("doc_id", "band")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+        "|").as("band_key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (16-bit): bit b of md5's leading hex digits votes ±1 per
+    * distinct token; near-dup pairs have hamming distance <= 2. */
+  val dd04Simhash: Q = Q(
+    "dd04_simhash",
+    s"""WITH toks AS ($tokensSql),
+       |bits AS (SELECT unnest(range(16)) AS b),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN
+       |      ((instr('0123456789abcdef',
+       |              substr(md5(tok), 1 + b // 4, 1)) - 1) >> (b % 4)) & 1 = 1
+       |      THEN 1 ELSE -1 END) AS v
+       |  FROM toks, bits GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id,
+       |         sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS simhash
+       |       FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bits = broadcast((0 until 16).toDF("b"))
+    val votes = tokens(s, d).crossJoin(bits)
+      .withColumn("digit",
+        expr("instr('0123456789abcdef', substr(md5(tok), 1 + CAST(b / 4 AS INT), 1)) - 1"))
+      .withColumn("bit", expr("shiftright(digit, b % 4) & 1"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("v"))
+    val sh = votes.groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1, b)")).otherwise(0))
+        .as("simhash"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs within a label block (blocking keeps
+    * the pair space linear-ish; the all-pairs fallback is sim01). */
+  val dd05EmbeddingDup: Q = Q(
+    "dd05_embedding_dup",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_dot_product(a.embedding, b.embedding) /
+      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.embedding, b.embedding) /
+      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |     sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Seq[Q] = Seq(
+    dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
+    dd05EmbeddingDup)
+}

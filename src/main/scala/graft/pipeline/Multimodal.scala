@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.tables.Tables
+
+/** Multimodal-column plumbing (north-star surface): image/audio/video as
+  * opaque `binary` columns with typed metadata. The image/audio codec libs
+  * are not in this container, so the DECODE step is a clearly-marked
+  * deterministic fake — but the Spark-side plumbing is real and tested:
+  * binary payloads, per-partition batch iteration (the Scala analog of a
+  * Pandas-UDF `mapInPandas` batch), an explicit output schema, and a
+  * frame-sampling explode.
+  *
+  * Scale shape: decode is embarrassingly parallel per partition (no
+  * shuffle); frame sampling is a generator (one explode), so downstream
+  * operators see rows, not blobs.
+  */
+object Multimodal {
+
+  private case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** DETERMINISTIC FAKE decoder — stands in for an image/video codec.
+    * Derives pseudo-metadata from payload bytes only, so results are
+    * stable across engines/runs. A real deployment swaps this body for
+    * JNI/codec calls; the partition-batch shape stays identical. */
+  private def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    val checksum = payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
+    val fmt = java.lang.Math.floorMod(checksum, 3L) match {
+      case 0L => "jpeg"; case 1L => "png"; case _ => "webm"
+    }
+    MediaMeta(docId, n, fmt,
+      width = 16 + java.lang.Math.floorMod(checksum, 64L).toInt,
+      height = 16 + java.lang.Math.floorMod(checksum / 64, 64L).toInt,
+      n_frames = if (fmt == "webm") 1 + (n % 5) else 1)
+  }
+
+  /** Decode/feature-extract over an opaque binary column via typed
+    * mapPartitions (batched per partition — no per-row task overhead). */
+  val mm01DecodeMeta: Q = Q.noOracle("mm01_decode_meta") { (s, d) =>
+    import s.implicits._
+    val bin = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { batch =>
+      // one iterator per partition == one "batch" in mapInPandas terms
+      batch.map { case (id, payload) => fakeDecode(id, payload) }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: one row per sampled frame (explode over the decoded
+    * frame count) with a deterministic per-frame timestamp/offset. */
+  val mm02FrameSample: Q = Q.noOracle("mm02_frame_sample") { (s, d) =>
+    import s.implicits._
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => fakeDecode(id, p) })
+      .toDF()
+    meta.filter(col("n_frames") > 1)
+      .select(col("doc_id"), col("format"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("frame_ts_ms", col("frame_idx") * 40) // 25 fps fake
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Resize plumbing: metadata-level resize planning (target boxes per
+    * aspect ratio) — the shape of a batched image transform without the
+    * codec. */
+  val mm03ResizePlan: Q = Q.noOracle("mm03_resize_plan") { (s, d) =>
+    import s.implicits._
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => fakeDecode(id, p) })
+      .toDF()
+    meta.withColumn("scale",
+        least(lit(224.0) / col("width"), lit(224.0) / col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("width") * col("scale")).cast("int").as("out_w"),
+        round(col("height") * col("scale")).cast("int").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan)
+}

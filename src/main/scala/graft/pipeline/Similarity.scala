@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.tables.Tables
+
+/** Approximate-nearest-neighbor search over the `embedding` column
+  * (north-star surface). Two tiers:
+  *
+  *  - brute force: exact top-k via a blocked cross join — the baseline and
+  *    the verifier for any ANN index. O(queries × corpus).
+  *  - IVF: k-means-style inverted file with deterministic centroids —
+  *    every vector is assigned to its nearest centroid once (one pass),
+  *    and a query probes only its own cluster: the corpus side of the
+  *    join shrinks by the number of clusters, which is what makes 100 TB
+  *    of vectors searchable.
+  *
+  * The dot product stays in codegen-able built-ins (`zip_with` +
+  * `aggregate`) — no UDF, no driver loop. Ranking uses the ROUNDED cosine
+  * with vec_id tiebreaks so float ulps can't flip cross-engine order.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y,
+        (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private val cosineSql = (a: String, b: String) =>
+    s"""list_dot_product($a, $b) /
+       |  (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+      .stripMargin
+
+  /** Exact top-5 neighbors for query vectors (vec_id < 10). */
+  val sim01BruteForceTopK: Q = Q(
+    "sim01_bruteforce_topk",
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${cosineSql("q.embedding", "c.embedding")}, 4) AS cosine
+       |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("qe"), col("ce")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "rk", "neighbor_id", "cosine")
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF-style ANN: centroids = vec_id % 50 == 0 (deterministic stand-in
+    * for trained centroids); assign each vector to its nearest centroid;
+    * a query searches only its own cluster (top-3). */
+  val sim02IvfTopK: Q = Q(
+    "sim02_ivf_topk",
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_e
+       |             FROM embeddings WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cent_id, embedding FROM (
+       |    SELECT e.vec_id, c.cent_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosineSql("e.embedding", "c.cent_e")}, 4) DESC,
+       |                 c.cent_id) AS rk
+       |    FROM embeddings e, cent c) WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, cent_id, embedding AS qe
+       |      FROM assigned WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round(${cosineSql("q.qe", "a.embedding")}, 4) AS cosine
+       |  FROM q JOIN assigned a
+       |    ON q.cent_id = a.cent_id AND a.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+       |SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cc").desc, col("cent_id"))
+    val assigned = e.crossJoin(cent)
+      .withColumn("cc", round(cosine(col("embedding"), col("cent_e")), 4))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cent_id", "embedding")
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("embedding").as("qe"))
+    val scored = broadcast(q)
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qe"), col("embedding")), 4))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select("query_id", "rk", "neighbor_id", "cosine")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Norm/dimension profile of the embedding corpus — the CHECKTABLE of a
+    * vector column (dim uniformity + norm stats + NaN probe). */
+  val sim03EmbeddingProfile: Q = Q(
+    "sim03_embedding_profile",
+    """SELECT len(embedding) AS dim, count(*) AS n,
+      |  round(min(sqrt(list_dot_product(embedding, embedding))), 4) AS min_norm,
+      |  round(max(sqrt(list_dot_product(embedding, embedding))), 4) AS max_norm
+      |FROM embeddings GROUP BY 1 ORDER BY dim""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val norm = sqrt(aggregate(expr(
+      "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
+      lit(0.0), (acc, v) => acc + v))
+    e.withColumn("nrm", norm)
+      .groupBy(size(col("embedding")).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"))
+      .orderBy("dim")
+  }
+
+  val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
+    sim03EmbeddingProfile)
+}

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.tables.Tables
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * surface): language ID, quality scoring, token counting, document
+  * fingerprinting. All relational single-pass shapes: explode → groupBy on
+  * doc_id; the stopword lexicon is a broadcast dimension. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lexicon for the n-gram/stopword heuristic
+    * (deterministic; embedded in both engines' queries). */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "en" -> "to", "en" -> "in",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "est", "fr" -> "un",
+    "es" -> "el", "es" -> "los", "es" -> "es", "es" -> "y", "es" -> "una")
+
+  private def lexValues: String =
+    lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  /** Language ID: argmax stopword-hit ratio per language; docs with no
+    * hits are 'und'. */
+  val tx01LangId: Q = Q(
+    "tx01_lang_id",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |lex(lang_guess, w) AS (VALUES $lexValues),
+       |hits AS (SELECT t.doc_id, l.lang_guess, count(*) AS n_hits
+       |         FROM toks t JOIN lex l ON t.tok = l.w
+       |         GROUP BY 1, 2),
+       |best AS (SELECT doc_id, lang_guess, n_hits,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY n_hits DESC, lang_guess) AS rk
+       |         FROM hits)
+       |SELECT d.doc_id, coalesce(b.lang_guess, 'und') AS predicted,
+       |  coalesce(b.n_hits, 0) AS n_hits, d.lang AS labeled
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lex = broadcast(lexicon.toDF("lang_guess", "w"))
+    val hits = toks.join(lex, col("tok") === col("w"))
+      .groupBy("doc_id", "lang_guess").agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_hits").desc, col("lang_guess"))
+    val best = hits.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_guess"), lit("und")).as("predicted"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("lang").as("labeled"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/type-token-ratio features folded
+    * into one bounded score (single scan + one token groupBy). */
+  val tx02QualityScore: Q = Q(
+    "tx02_quality_score",
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |lex(lang_guess, w) AS (VALUES $lexValues),
+       |tstats AS (
+       |  SELECT t.doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT t.tok) AS n_distinct,
+       |    round(avg(length(t.tok)), 4) AS avg_tok_len,
+       |    count(l.w) AS n_stop
+       |  FROM toks t LEFT JOIN (SELECT DISTINCT w FROM lex) l ON t.tok = l.w
+       |  GROUP BY 1)
+      |SELECT d.doc_id, t.n_tokens, t.n_distinct, t.avg_tok_len,
+      |  round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 4) AS ttr,
+      |  round(CAST(t.n_stop AS DOUBLE) / t.n_tokens, 4) AS stop_ratio,
+      |  round(0.4 * (CAST(t.n_distinct AS DOUBLE) / t.n_tokens)
+      |    + 0.3 * least(1.0, t.n_tokens / 100.0)
+      |    + 0.3 * (CAST(t.n_stop AS DOUBLE) / t.n_tokens), 4) AS quality
+      |FROM documents d JOIN tstats t ON t.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lex = broadcast(lexicon.map(_._2).distinct.toDF("w"))
+    val tstats = toks
+      .join(lex, col("tok") === col("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct"),
+        round(avg(length(col("tok"))), 4).as("avg_tok_len"),
+        count(col("w")).as("n_stop"))
+    Tables.documents(s, d).select("doc_id")
+      .join(tstats, "doc_id")
+      .withColumn("ttr_raw", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_raw", col("n_stop").cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("avg_tok_len"),
+        round(col("ttr_raw"), 4).as("ttr"),
+        round(col("stop_raw"), 4).as("stop_ratio"),
+        round(col("ttr_raw") * 0.4
+          + least(lit(1.0), col("n_tokens") / 100.0) * 0.3
+          + col("stop_raw") * 0.3, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, regex word tokens (BPE-ish
+    * alnum-run pre-tokenizer), characters — one projection, no shuffle. */
+  val tx03TokenCount: Q = Q(
+    "tx03_token_count",
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS ws_tokens,
+      |  len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+      |      x -> x <> '')) AS word_tokens,
+      |  length(text) AS n_chars_measured, n_chars AS n_chars_labeled
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).as("ws_tokens"),
+      size(expr("filter(split(text, '[^a-zA-Z0-9]+'), x -> x != '')"))
+        .as("word_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      col("n_chars").as("n_chars_labeled"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: bottom-4 sketch over word-trigram md5s (a
+    * deterministic winnowing analog; fingerprint equality ≈ near-dup). */
+  val tx04Fingerprint: Q = Q(
+    "tx04_fingerprint",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         range(1, len(l) - 1),
+      |         i -> md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS h
+      |       FROM toks),
+      |ranked AS (SELECT doc_id, h,
+      |             row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+      |           FROM sh)
+      |SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+      |FROM ranked WHERE rk <= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 3), " +
+            "i -> md5(concat(l[i], ' ', l[i+1], ' ', l[i+2])))")).as("h"))
+        .distinct()
+      val w = Window.partitionBy("doc_id").orderBy("h")
+      sh.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .groupBy("doc_id")
+        .agg(array_join(sort_array(collect_list("h")), "|").as("fingerprint"))
+        .orderBy("doc_id")
+  }
+
+  val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
+    tx04Fingerprint)
+}
