@@ -17,7 +17,8 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
-      pipeline.Multimodal.queries
+      pipeline.Multimodal.queries ++
+      streaming.EventQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.tables.Tables
+
+/** Event-stream processing (streaming north-star; the reference has no
+  * streaming — SURVEY.md §2.10 — so this is the Structured-Streaming
+  * extension over the `events` fixture).
+  *
+  * Each operator exists in BOTH forms with identical semantics:
+  *  - batch DataFrame (below, oracle-checked against DuckDB), and
+  *  - `readStream` form (graft.streaming.Streams) whose output is proven
+  *    equal to the batch result in StreamingSpec — the standard
+  *    batch/stream parity argument of Structured Streaming.
+  *
+  * Scale: all three are single-shuffle shapes — tumbling windows partition
+  * by (window, type); sessionization partitions by user. Watermarks bound
+  * streaming state at real scale.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour windows per event type (the streaming hello-world,
+    * batch-expressed via date_trunc so the oracle can reproduce it). */
+  val ev01TumblingWindow: Q = Q(
+    "ev01_tumbling_window",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("window_start", "event_type")
+  }
+
+  /** Stream dedup analog: first event per (user, type) by time —
+    * `dropDuplicates` semantics made deterministic via row_number. */
+  val ev02FirstPerKey: Q = Q(
+    "ev02_first_per_key",
+    """SELECT user_id, event_type, event_id, ts FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rk
+      |  FROM events) WHERE rk = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap): the batch
+    * formulation of `flatMapGroupsWithState` session windows — lag + gap
+    * flag + running sum = session id; one shuffle on user_id. */
+  val ev03Sessionize: Q = Q(
+    "ev03_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM g)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value), 2) AS session_value
+      |FROM s GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wCum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum("new_session").over(wCum))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** JSON property extraction from the opaque props column (the lake-native
+    * upgrade of the reference's opaque-xml pass-through, ref
+    * ola/CommandLog.sql:17 / SURVEY §1.2). */
+  val ev04JsonProps: Q = Q(
+    "ev04_json_props",
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+      |  event_type
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"))
+      .orderBy("event_id")
+  }
+
+  val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
+    ev03Sessionize, ev04JsonProps)
+}

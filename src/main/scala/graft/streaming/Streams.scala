@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the event operators (SURVEY.md §2.10:
+  * the reference has no streaming, so this is the extension surface —
+  * `readStream` → the same declarative transforms → `writeStream`).
+  *
+  * Streaming semantics notes:
+  *  - the parquet file source replays the fixture as a bounded stream, so
+  *    specs can prove stream == batch with `processAllAvailable`;
+  *  - watermarks are declared on ts so state stays bounded on a real
+  *    unbounded source;
+  *  - the custom-state path (`mapGroupsWithState`) carries a typed state
+  *    object per user — the Spark-native form of "resumable per-key
+  *    bookkeeping" (the closest streaming analog of the reference's
+  *    persistent per-object stats, ref IntegrityChecks_VLDB.sql:700-722).
+  */
+object Streams {
+
+  /** Bounded stream over events.parquet (ns timestamps read as long then
+    * truncated to µs — same as graft.tables.Tables.events). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source wants a directory: glob-filter the sf dir down to
+    // the events table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-key earliest-event aggregation (the deterministic core of
+    * streaming dedup-by-key). */
+  def firstSeenPerKey(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id", "event_type")
+      .agg(min("ts").as("first_ts"), count(lit(1)).as("n"))
+
+  /** Typed running state per user via mapGroupsWithState. */
+  final case class UserRunning(user_id: Long, n_events: Long,
+      total_value: Double, last_ts: java.sql.Timestamp)
+
+  def runningUserState(spark: SparkSession, events: DataFrame)
+      : Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(
+            UserRunning(uid, 0L, 0.0, new java.sql.Timestamp(0L)))
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          val next = sorted.foldLeft(prev) { (acc, r) =>
+            UserRunning(uid, acc.n_events + 1, acc.total_value + r._3,
+              if (r._2.after(acc.last_ts)) r._2 else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a bounded streaming query into a memory sink; returns the sink
+    * contents after all input is processed. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

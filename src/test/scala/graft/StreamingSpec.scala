@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EventQueries, Streams}
+import graft.tables.Tables
+
+/** Stream == batch parity for the event operators (Structured Streaming's
+  * core guarantee, exercised over the bounded parquet source). */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("streaming tumbling window equals batch date_trunc aggregation") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.tumblingCounts(Streams.eventsStream(spark, sfDir)),
+      "tumbling_sink", OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventQueries.ev01TumblingWindow.run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
+  test("streaming first-seen-per-key equals batch groupBy min") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.firstSeenPerKey(Streams.eventsStream(spark, sfDir)),
+      "firstseen_sink", OutputMode.Complete())
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(min("ts").as("first_ts"), count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
+  test("mapGroupsWithState running totals equal batch per-user aggregates") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.runningUserState(spark,
+        Streams.eventsStream(spark, sfDir)).toDF(),
+      "running_sink", OutputMode.Update())
+    // final state per user (last update wins)
+    val finalState = streamed
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max("last_ts").as("last_ts"))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("ts").as("last_ts"))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(finalState === batch)
+  }
+
+  test("session_window built-in agrees with the lag-based sessionization") {
+    // two independent implementations of 30-min-gap sessions must agree on
+    // (user, session_start, session_end, n_events)
+    val viaBuiltin = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    val viaLag = EventQueries.ev03Sessionize.run(spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuiltin === viaLag)
+  }
+}
