@@ -17,10 +17,13 @@ import graft.tables.Tables
   * shuffle); frame sampling is a generator (one explode), so downstream
   * operators see rows, not blobs.
   */
-object Multimodal {
+/** Decoded-media metadata row. Top-level + public so Spark's generated
+  * code (whole-stage codegen / encoder) can instantiate it — a private
+  * nested case class forces interpreted-mode fallback. */
+case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
+    width: Int, height: Int, n_frames: Int)
 
-  private case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
-      width: Int, height: Int, n_frames: Int)
+object Multimodal {
 
   /** DETERMINISTIC FAKE decoder — stands in for an image/video codec.
     * Derives pseudo-metadata from payload bytes only, so results are
