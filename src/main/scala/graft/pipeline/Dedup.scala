@@ -77,25 +77,68 @@ object Dedup {
       |  JOIN n nb ON nb.doc_id = p.doc_b
       |WHERE CAST(p.shared AS DOUBLE) / (na.n_sh + nb.n_sh - p.shared) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // Exact all-pairs Jaccard is inherently quadratic (a naive join on
+    // shingle emits Σ df² rows — 73M at sf0.1 — because this corpus has a
+    // tiny, uniform shingle vocabulary where prefix/frequency filtering
+    // cannot prune). So do the quadratic work at memory-bandwidth speed
+    // instead of through a shuffle: encode each doc's shingle set as a
+    // fixed-width BITMAP over the global shingle dictionary, then a
+    // broadcast nested-loop self-join computes |A∩B| with bit_count on
+    // longs — zero shuffle on the pair space, fully codegen'd. This is the
+    // small/medium-N exact tier; the 100 TB path is dd03 (MinHash+LSH),
+    // with this operator verifying LSH candidate pairs exactly.
+    val t = 0.5
     val sh = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
         .as("shingle"))
       .distinct()
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val pairs = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    val na = n.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))
-    val nb = n.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-    pairs.join(na, "doc_a").join(nb, "doc_b")
-      .withColumn("jac",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+    // Global shingle dictionary: dense ids 1..V (deterministic order).
+    val rank = sh.select(col("shingle")).distinct()
+      .select(col("shingle"),
+        row_number().over(Window.orderBy("shingle")).as("rk"))
+    // ONE action: per-doc dictionary-encoded shingle sets. This side is
+    // dim-sized (one row per doc, ~50 ints each) and must fit in a
+    // broadcast for the nested-loop kernel regardless — the same memory
+    // contract as any broadcast hash join side.
+    import s.implicits._
+    val sets: Array[(Long, Array[Int])] = sh.join(broadcast(rank), "shingle")
+      .groupBy("doc_id").agg(collect_set(col("rk")).as("rks"))
+      .as[(Long, Array[Int])].collect().sortBy(_._1)
+    val vocab = if (sets.isEmpty) 0
+      else sets.iterator.flatMap(_._2.iterator).max
+    val nWords = vocab / 64 + 1
+    val packed: Array[(Long, Int, Array[Long])] = sets.map { case (id, rks) =>
+      val bm = new Array[Long](nWords)
+      rks.foreach(r => bm(r / 64) |= 1L << (r % 64))
+      (id, rks.length, bm)
+    }
+    val bc = s.sparkContext.broadcast(packed)
+    // The pair loop runs as tight JIT'd Scala (Long.bitCount over packed
+    // words), not as interpreted higher-order SQL lambdas — ~20 ns/pair
+    // instead of ~3 µs/pair. Each task streams its slice of docs against
+    // the broadcast table; no shuffle touches the O(n²) pair space.
+    s.createDataset(packed.toIndexedSeq).flatMap { case (a, na, ba) =>
+      val all = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var j = 0
+      while (j < all.length) {
+        val (b, nb, bb) = all(j)
+        if (b > a && nb * t <= na && na * t <= nb) {
+          var shared = 0
+          var i = 0
+          while (i < ba.length) {
+            shared += java.lang.Long.bitCount(ba(i) & bb(i)); i += 1
+          }
+          val jac = shared.toDouble / (na + nb - shared)
+          if (jac >= t) out += ((a, b, BigDecimal(jac)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+        j += 1
+      }
+      out
+    }.toDF("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
