@@ -246,14 +246,17 @@ object Dedup {
       |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
       |     sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    import graft.functions.VectorOps
     val e = Tables.embeddings(s, d)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
-      col("embedding").as("ea"))
+      col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
-      col("embedding").as("eb"))
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .withColumn("cos",
+        VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("vec_a", "vec_b")

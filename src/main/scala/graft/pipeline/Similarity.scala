@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q
+import graft.functions.VectorOps
 import graft.tables.Tables
 
 /** Approximate-nearest-neighbor search over the `embedding` column
@@ -23,14 +24,12 @@ import graft.tables.Tables
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y,
-        (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Backed by the codegen'd [[graft.functions.FloatDot]] kernel; where a
+    * side is join-invariant, precompute its norm BEFORE the join (see
+    * sim01/sim02) so per-pair work is one dot + one divide. */
+  def cosine(a: Column, b: Column): Column =
+    VectorOps.dot(a, b) / (VectorOps.norm(a) * VectorOps.norm(b))
 
   private val cosineSql = (a: String, b: String) =>
     s"""list_dot_product($a, $b) /
@@ -53,11 +52,14 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      VectorOps.norm(col("embedding")).as("cn"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qe"), col("ce")), 4))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -92,22 +94,28 @@ object Similarity {
        |SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
+      .withColumn("en", VectorOps.norm(col("embedding")))
     val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e")))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
+        col("en").as("cn")))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cc").desc, col("cent_id"))
     val assigned = e.crossJoin(cent)
-      .withColumn("cc", round(cosine(col("embedding"), col("cent_e")), 4))
+      .withColumn("cc", round(
+        VectorOps.dot(col("embedding"), col("cent_e")) /
+          (col("en") * col("cn")), 4))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
-      .select("vec_id", "cent_id", "embedding")
+      .select("vec_id", "cent_id", "embedding", "en")
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cent_id"),
-        col("embedding").as("qe"))
+        col("embedding").as("qe"), col("en").as("qn"))
     val scored = broadcast(q)
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("qe"), col("embedding")), 4))
+      .withColumn("cosine", round(
+        VectorOps.dot(col("qe"), col("embedding")) /
+          (col("qn") * col("en")), 4))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(wRank))
@@ -125,10 +133,7 @@ object Similarity {
       |  round(max(sqrt(list_dot_product(embedding, embedding))), 4) AS max_norm
       |FROM embeddings GROUP BY 1 ORDER BY dim""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val norm = sqrt(aggregate(expr(
-      "transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
-      lit(0.0), (acc, v) => acc + v))
-    e.withColumn("nrm", norm)
+    e.withColumn("nrm", VectorOps.norm(col("embedding")))
       .groupBy(size(col("embedding")).as("dim"))
       .agg(count(lit(1)).as("n"),
         round(min("nrm"), 4).as("min_norm"),

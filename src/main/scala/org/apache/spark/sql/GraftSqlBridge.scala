@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column ⇄ Expression converters so
+  * graft can attach custom Catalyst expressions (e.g.
+  * `graft.functions.FloatDot`) to DataFrame columns. Spark 4 moved these
+  * behind `classic.ExpressionUtils`; placing this object in the
+  * `org.apache.spark.sql` package is the standard extension-library
+  * access pattern (same trick Delta/Iceberg use).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorOps
+
+class VectorOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("FloatDot matches manual dot product (codegen path)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -1.5f), Array(2.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.dot(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) === 1.0 * 4 + 2 * 5 + 3 * 6)
+    assert(got(1) === 0.5 * 2 + -1.5 * 2)
+  }
+
+  test("FloatDot matches the interpreted HOF formulation on real embeddings") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = df
+      .select(abs(VectorOps.dot(col("embedding"), col("embedding")) - hof)
+        .as("d"))
+      .agg(max("d")).head.getDouble(0)
+    assert(diff < 1e-9)
+  }
+
+  test("FloatDot is null-safe and norm is sqrt(self-dot)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Array(3.0f, 4.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val row = df.select(
+      VectorOps.norm(col("a")), VectorOps.dot(col("a"), col("b"))).head
+    assert(row.getDouble(0) === 5.0)
+    assert(row.isNullAt(1))
+  }
+}
