@@ -164,24 +164,33 @@ object Dedup {
        |  ON a.band = b.band AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    import s.implicits._
+    // Hash the VOCABULARY once, not the corpus: the k=8 seeded md5s are a
+    // function of the shingle alone, so compute them on the distinct-
+    // shingle dim table (|vocab| × 8 hashes instead of |corpus-rows| × 8)
+    // and broadcast-join them in as 8 wide columns. Signatures then fall
+    // out of ONE map-side-combining groupBy(doc_id) with 8 min()
+    // aggregates — no (doc, seed) intermediate shuffle, no
+    // collect_list(struct) assembly. Bands unpivot via stack().
     val sh = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
         .as("tok"))
       .distinct()
-    val seeds = broadcast((0 until 8).toDF("seed"))
-    val sig = sh.crossJoin(seeds)
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("tok"))))
-        .as("mh"))
-    val bands = sig
-      .withColumn("band", col("seed") / 4 cast "int")
-      .groupBy("doc_id", "band")
-      .agg(array_join(expr(
-        "transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
-        "|").as("band_key"))
+    val mhCols = (0 until 8).map(k =>
+      md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
+    val vocabHashed = broadcast(
+      sh.select(col("tok")).distinct().select(col("tok") +: mhCols: _*))
+    val sig = sh.join(vocabHashed, "tok")
+      .groupBy("doc_id")
+      .agg(min("h0").as("m0"), min("h1").as("m1"), min("h2").as("m2"),
+        min("h3").as("m3"), min("h4").as("m4"), min("h5").as("m5"),
+        min("h6").as("m6"), min("h7").as("m7"))
+    val bands = sig.select(col("doc_id"), expr(
+      """stack(2,
+        |  0, concat_ws('|', m0, m1, m2, m3),
+        |  1, concat_ws('|', m4, m5, m6, m7)) AS (band, band_key)
+        |""".stripMargin))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
@@ -211,17 +220,25 @@ object Dedup {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val bits = broadcast((0 until 16).toDF("b"))
-    val votes = tokens(s, d).crossJoin(bits)
-      .withColumn("digit",
-        expr("instr('0123456789abcdef', substr(md5(tok), 1 + CAST(b / 4 AS INT), 1)) - 1"))
-      .withColumn("bit", expr("shiftright(digit, b % 4) & 1"))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("v"))
-    val sh = votes.groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1, b)")).otherwise(0))
-        .as("simhash"))
+    // Bits 0..15 of a token's vote mask are exactly the first 4 hex
+    // digits of md5(tok), little-endian per digit — so the whole mask is
+    // conv(reverse(first-4-hex), 16, 10). Compute it ONCE per distinct
+    // token (vocab dim, broadcast), not per (token, bit) pair; the per-bit
+    // votes then collapse into one map-side-combining groupBy(doc_id)
+    // with 16 conditional sums instead of a 16× row explosion.
+    val toks = tokens(s, d)
+    val vocabMask = broadcast(toks.select(col("tok")).distinct()
+      .withColumn("mask",
+        expr("CAST(conv(reverse(substr(md5(tok), 1, 4)), 16, 10) AS INT)")))
+    val votes = (0 until 16).map(b =>
+      sum(when(expr(s"(mask >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val perDoc = toks.join(vocabMask, "tok")
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val simhashExpr = (0 until 16)
+      .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(0))
+      .reduce(_ + _)
+    val sh = perDoc.select(col("doc_id"),
+      simhashExpr.cast("long").as("simhash"))
     val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
     val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
     a.crossJoin(b)
