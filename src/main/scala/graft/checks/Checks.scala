@@ -98,6 +98,33 @@ object Checks {
       |  (SELECT count(*) FROM nation WHERE NOT EXISTS
       |    (SELECT 1 FROM region WHERE r_regionkey = n_regionkey))
       |ORDER BY check_name""".stripMargin) { (s, d) =>
+    // ONE scan of the fact table for all three of its FKs: chain outer
+    // joins against the parent keys and count nulls, then unpivot with
+    // stack(). The naive per-FK anti-join plan scans lineitem three
+    // times — at 100 TB that's the difference between one pass over the
+    // lake and three. Precondition: each parent key is a PRIMARY key
+    // (duplicate parents would fan out the fact rows and inflate
+    // counts) — uniqueness is validated independently by q05_dup_keys /
+    // check_rowcounts, so no defensive distinct (3 saved shuffles).
+    def keyOf(df: DataFrame, k: String): DataFrame = df.select(k)
+    val liChecks = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(keyOf(Tables.orders(s, d), "o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(keyOf(Tables.part(s, d), "p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(keyOf(Tables.supplier(s, d), "s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("v_ord"),
+        sum(when(col("p_partkey").isNull, 1).otherwise(0)).as("v_part"),
+        sum(when(col("s_suppkey").isNull, 1).otherwise(0)).as("v_supp"))
+      .select(expr(
+        """stack(3,
+          |  'lineitem.l_orderkey->orders',   v_ord,
+          |  'lineitem.l_partkey->part',      v_part,
+          |  'lineitem.l_suppkey->supplier',  v_supp)
+          |  AS (check_name, n_violations)""".stripMargin))
     def arm(name: String, child: DataFrame, parent: DataFrame,
         ck: String, pk: String): DataFrame =
       child.join(parent, col(ck) === col(pk), "left_anti")
@@ -105,14 +132,9 @@ object Checks {
         .withColumn("check_name", lit(name))
         .select("check_name", "n_violations")
     Seq(
-      arm("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
-        Tables.orders(s, d), "l_orderkey", "o_orderkey"),
+      liChecks,
       arm("orders.o_custkey->customer", Tables.orders(s, d),
         Tables.customer(s, d), "o_custkey", "c_custkey"),
-      arm("lineitem.l_partkey->part", Tables.lineitem(s, d),
-        Tables.part(s, d), "l_partkey", "p_partkey"),
-      arm("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
-        Tables.supplier(s, d), "l_suppkey", "s_suppkey"),
       arm("customer.c_nationkey->nation", Tables.customer(s, d),
         Tables.nation(s, d), "c_nationkey", "n_nationkey"),
       arm("nation.n_regionkey->region", Tables.nation(s, d),

@@ -144,17 +144,16 @@ object TextAnalysis {
       |SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
       |FROM ranked WHERE rk <= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
     (s, d) =>
-      val sh = Tables.documents(s, d)
+      // doc_id is the row key, so the "4 smallest distinct 3-gram hashes"
+      // fingerprint is a PER-ROW computation — no explode, no distinct
+      // shuffle, no window: sort the deduped in-row hash array and slice.
+      // Embarrassingly parallel at any scale.
+      Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("l"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(l) - 3), " +
-            "i -> md5(concat(l[i], ' ', l[i+1], ' ', l[i+2])))")).as("h"))
-        .distinct()
-      val w = Window.partitionBy("doc_id").orderBy("h")
-      sh.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 4)
-        .groupBy("doc_id")
-        .agg(array_join(sort_array(collect_list("h")), "|").as("fingerprint"))
+        .select(col("doc_id"), array_join(slice(array_sort(array_distinct(
+          expr("transform(sequence(0, size(l) - 3), " +
+            "i -> md5(concat(l[i], ' ', l[i+1], ' ', l[i+2])))"))),
+          1, 4), "|").as("fingerprint"))
         .orderBy("doc_id")
   }
 

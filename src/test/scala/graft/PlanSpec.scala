@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gate: the properties that make these queries
+  * scale (pushdown, pruning, broadcast choice, single-pass scans) are
+  * asserted here so a refactor can't silently trade them away.
+  * `.explain`-derived, over sf0.001 — plan shape, not data, is under test.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.allQueries.find(_.name == name).get
+    q.run(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("q01: ship-date filter is pushed to the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan is column-pruned (no full-width lineitem read)") {
+    val p = planOf("q01_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    // 6 of 16 lineitem columns
+    assert(!read.contains("l_orderkey"))
+    assert(!read.contains("l_comment"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) then final") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q07: all four dimension joins broadcast; fact scanned once, pruned") {
+    val p = planOf("q07_revenue_by_region")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+    val factRead = p.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("l_extendedprice"))
+      .get
+    assert(!factRead.contains("l_comment") && !factRead.contains("l_shipdate"))
+  }
+
+  test("q10: selection-DSL theta-LIKE join broadcasts the tiny selector side") {
+    val p = planOf("q10_theta_like")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("check_fk_containment: lineitem scanned once for its three FKs") {
+    val p = planOf("check_fk_containment")
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+  }
+
+  test("tx04: fingerprint plan has no shuffle before the final sort") {
+    val p = planOf("tx04_fingerprint")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
+  }
+
+  test("dd05: embedding pair join uses the codegen'd FloatDot kernel") {
+    val p = planOf("dd05_embedding_dup")
+    assert(p.contains("float_dot"))
+  }
+}
