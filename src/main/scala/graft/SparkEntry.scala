@@ -12,6 +12,7 @@ object SparkEntry {
   /** All registered queries, in module order. */
   def allQueries: Seq[Q] =
     operators.Relational.queries ++
+      operators.ScaleOps.queries ++
       checks.Checks.queries ++
       scheduler.SchedulerQueries.queries ++
       pipeline.Dedup.queries ++

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.tables.Tables
+
+/** Scale techniques as first-class, oracle-checked operators: the moves
+  * that keep aggregations healthy on a 1000-executor cluster — salting a
+  * low-cardinality/skewed group key, exact two-stage distinct, and
+  * sketch-based distinct for when exactness can be traded for a constant
+  * memory footprint. All are EXACT (except the sketch, which is bounded
+  * by a spec) so the same DuckDB oracle applies.
+  */
+object ScaleOps {
+
+  /** Salted two-stage aggregation. groupBy(event_type) has only ~5
+    * distinct keys — at cluster scale that means ≤5 reduce tasks carry
+    * the whole table (and one hot key can carry most of it). Salting
+    * fans stage 1 out to keys × 16 partial aggregates; stage 2 combines
+    * 80 tiny rows. Exact for algebraic aggregates (sum/count, avg =
+    * sum/count at the end). The salt is deterministic (hash of a stable
+    * column, not rand()) so runs are reproducible. */
+  val q22SaltedAgg: Q = Q(
+    "q22_salted_agg",
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value,
+      |  round(sum(value) / count(*), 4) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      val salted = Tables.events(s, d)
+        .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      val partial = salted.groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      partial.groupBy("event_type")
+        .agg(sum("pn").as("n_events"),
+          round(sum("pv"), 2).as("total_value"),
+          round(sum("pv") / sum("pn"), 4).as("avg_value"))
+        .orderBy("event_type")
+  }
+
+  /** Exact distinct-count without countDistinct's planner expansion:
+    * stage 1 shuffles on the COMPOSITE (event_type, user_id) key — high
+    * cardinality, skew-proof by construction — stage 2 counts rows per
+    * group. This is the shape that survives a hot group key at 100 TB,
+    * because no single reducer ever sees all of one event_type. */
+  val q23TwoStageDistinct: Q = Q(
+    "q23_twostage_distinct",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+  }
+
+  /** HLL++ sketch distinct vs exact, with the observed relative error —
+    * the O(1)-memory path for distinct counts over 100 TB (exactness
+    * traded for a mergeable fixed-size sketch). Rows-only gate (DuckDB's
+    * HLL implementation differs); `ScaleOpsSpec` bounds the error. */
+  val checkDistinctSketch: Q = Q.noOracle("check_distinct_sketch") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("sketch"))
+      .withColumn("rel_err",
+        round(abs(col("sketch") - col("exact")) / col("exact"), 4))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[Q] = Seq(q22SaltedAgg, q23TwoStageDistinct,
+    checkDistinctSketch)
+}

@@ -49,6 +49,13 @@ object Streams {
       .groupBy("user_id", "event_type")
       .agg(min("ts").as("first_ts"), count(lit(1)).as("n"))
 
+  /** Streaming exact dedup by event id: watermark bounds the dedup state
+    * (an id older than the watermark can be dropped from state because a
+    * duplicate that late would be discarded anyway). The streaming form
+    * of dd01's hash-dedup — same declarative core, readStream source. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
   /** Typed running state per user via mapGroupsWithState. */
   final case class UserRunning(user_id: Long, n_events: Long,
       total_value: Double, last_ts: java.sql.Timestamp)

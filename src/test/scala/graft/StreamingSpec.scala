@@ -73,4 +73,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(viaBuiltin === viaLag)
   }
+
+  test("streaming dropDuplicates equals batch exact dedup") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.dedupByEventId(Streams.eventsStream(spark, sfDir)),
+      "dedup_sink", OutputMode.Append())
+    val batch = Tables.events(spark, sfDir).dropDuplicates("event_id")
+    assert(streamed.count() === batch.count())
+    assert(streamed.select("event_id").distinct().count() === batch.count())
+  }
 }
