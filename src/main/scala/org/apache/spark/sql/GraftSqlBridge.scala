@@ -12,4 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on an ALREADY-RUNNING session (extensions only
+    * apply when the session is first built). */
+  def registerTempFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

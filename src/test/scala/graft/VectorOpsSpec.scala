@@ -43,4 +43,13 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(row.getDouble(0) === 5.0)
     assert(row.isNullAt(1))
   }
+
+  test("GraftExtensions.register exposes float_dot to SQL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head.getDouble(0)
+    assert(got === 11.0)
+  }
 }
