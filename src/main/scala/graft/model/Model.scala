@@ -63,6 +63,26 @@ object CheckCommand {
     Seq(CheckDb, CheckAlloc, CheckCatalog, CheckTable, CheckFileGroup)
 }
 
+/** Database processing-order strategies (ref DIC:1003-1089, validated at
+  * DIC:824). The two REPLICA_LAST_GOOD_CHECK policies have no lake analog
+  * (no replicas — SURVEY §2.1 S5) and are intentionally omitted. */
+sealed trait DatabaseOrder { def name: String }
+object DatabaseOrder {
+  case object NameAsc extends DatabaseOrder { val name = "DATABASE_NAME_ASC" }
+  case object NameDesc extends DatabaseOrder { val name = "DATABASE_NAME_DESC" }
+  case object SizeAsc extends DatabaseOrder { val name = "DATABASE_SIZE_ASC" }
+  case object SizeDesc extends DatabaseOrder { val name = "DATABASE_SIZE_DESC" }
+  case object LastGoodCheckAsc extends DatabaseOrder {
+    val name = "DATABASE_LAST_GOOD_CHECK_ASC" } // IC:583-595 behavior
+  case object LastGoodCheckDesc extends DatabaseOrder {
+    val name = "DATABASE_LAST_GOOD_CHECK_DESC" }
+  val all: Seq[DatabaseOrder] = Seq(NameAsc, NameDesc, SizeAsc, SizeDesc,
+    LastGoodCheckAsc, LastGoodCheckDesc)
+  def parse(s: String): Either[String, DatabaseOrder] =
+    all.find(_.name.equalsIgnoreCase(s))
+      .toRight(s"unknown DatabaseOrder '$s' (ref DIC:824)")
+}
+
 /** Engine configuration (the reference's parameter surface, ref IC:22-29 +
   * DIC:12-30 extras). Validated like ref IC:355-402. */
 final case class CheckConfig(
@@ -73,7 +93,8 @@ final case class CheckConfig(
     maxDop: Int = 0, // ref IC:25 (0 = engine default)
     timeLimitSeconds: Option[Long] = None, // ref IC:26
     execute: Boolean = true, // dry-run when false (ref IC:29 / CE:197)
-    logToTable: Boolean = true) { // ref IC:28
+    logToTable: Boolean = true, // ref IC:28
+    databaseOrder: DatabaseOrder = DatabaseOrder.LastGoodCheckAsc) {
 
   def validate(): Either[String, CheckConfig] =
     if (maxDop < 0 || maxDop > 64)

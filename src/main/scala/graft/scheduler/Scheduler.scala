@@ -50,6 +50,10 @@ final class Scheduler(
 
   def run(): SchedulerReport = {
     config.validate().left.foreach(e => throw new IllegalArgumentException(e))
+    // Lake tables may carry TIMESTAMP(NANOS) (e.g. the events fixture) —
+    // without this, Spark refuses the footer and a legal table would be
+    // reported as a violation. Same mapping Tables.events uses.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val jobStart = clock.now() // captured ONCE (ref IC:71)
     val deadline = config.timeLimitSeconds.map(s => jobStart.plusSeconds(s))
     val halfway = config.timeLimitSeconds
@@ -126,12 +130,29 @@ final class Scheduler(
       allActive.count(_.number_of_executions == 0) >
         allActive.count(_.number_of_executions > 0)
 
-    val dbOrder = selectedDbs
-      .map(db => (db, state.filter(o => o.database_name == db && o.active)
-        .map(_.last_check_date.toLocalDate)
-        .minOption.getOrElse(java.time.LocalDate.of(1900, 1, 1))))
-      .sortBy { case (db, minDate) => (minDate, db) }
-      .map(_._1)
+    // Ordering strategy (ref DIC:1003-1089); default LastGoodCheckAsc is
+    // the IC:583-595 oldest-first behavior.
+    val dbOrder = {
+      import graft.model.DatabaseOrder._
+      def minCheck(db: String): java.time.LocalDate =
+        state.filter(o => o.database_name == db && o.active)
+          .map(_.last_check_date.toLocalDate)
+          .minOption.getOrElse(java.time.LocalDate.of(1900, 1, 1))
+      def size(db: String): Long =
+        state.filter(o => o.database_name == db && o.active)
+          .map(_.used_page_count).sum
+      config.databaseOrder match {
+        case NameAsc => selectedDbs.sorted
+        case NameDesc => selectedDbs.sorted.reverse
+        case SizeAsc => selectedDbs.sortBy(db => (size(db), db))
+        case SizeDesc => selectedDbs.sortBy(db => (-size(db), db))
+        case LastGoodCheckAsc => selectedDbs.sortBy(db => (minCheck(db), db))
+        case LastGoodCheckDesc =>
+          selectedDbs.sortBy(db => (minCheck(db), db))(
+            Ordering.Tuple2(Ordering[java.time.LocalDate].reverse,
+              Ordering[String]))
+      }
+    }
 
     // Stage 12 — Phase 2 nested loop.
     dbOrder.foreach { db =>
@@ -162,6 +183,18 @@ final class Scheduler(
             val t = scanByDb.getOrElse(db, Seq.empty)
               .find(x => x.schema_name == pick.schema_name &&
                 x.object_name == pick.object_name).get
+            // TOCTOU re-probe (ref DIC:1615-1635): the object can be
+            // dropped between inventory and check — re-verify existence
+            // immediately before running; skip, don't fail, if gone.
+            val stillExists = try {
+              val p = new org.apache.hadoop.fs.Path(t.path)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(p)
+            } catch { case _: Throwable => false }
+            if (!stillExists) {
+              skipped += ((s"${t.database_name}.${t.schema_name}." +
+                t.object_name, "object no longer exists (ref DIC:1615)"))
+            } else {
             val (cmd, action) = LakeChecks.checkTable(spark, t,
               config.physicalOnly, config.dataPurity, config.maxDop)
             val start = clock.now()
@@ -171,6 +204,7 @@ final class Scheduler(
             executed += cmd
             val end = clock.now()
             stateByKey(key) = StateStore.recordRun(pick, cmd, start, end)
+            }
           }
         }
       }

@@ -131,4 +131,55 @@ class SchedulerSpec extends AnyFunSuite {
       newScheduler(cfg, new ManualClock(t0), tmp()).run()
     }
   }
+
+  test("DatabaseOrder policies order phase-1 work (ref DIC:1003-1089)") {
+    import graft.model.DatabaseOrder
+    // two "databases" over different-size fixture dirs
+    def run(order: DatabaseOrder): Seq[String] = {
+      val inv = new DirInventory(spark, Map(
+        "small" -> "/root/testdata/sf0.001", "big" -> "/root/testdata/sf0.01"))
+      val cfg = CheckConfig(databases = "ALL_DATABASES",
+        objects = Some("%.main.region"), execute = false,
+        logToTable = false, databaseOrder = order)
+      val r = new Scheduler(spark, inv, new StateStore(spark, tmp()),
+        new CommandLog(spark, None), cfg,
+        new ManualClock(t0, tickMs = 10)).run()
+      r.executedCommands.filter(_.startsWith("CHECKTABLE"))
+    }
+    assert(run(DatabaseOrder.NameAsc).map(_.contains("[big]")) ===
+      Seq(true, false))
+    assert(run(DatabaseOrder.NameDesc).map(_.contains("[small]")) ===
+      Seq(true, false))
+    assert(run(DatabaseOrder.SizeAsc).map(_.contains("[small]")) ===
+      Seq(true, false))
+    assert(run(DatabaseOrder.SizeDesc).map(_.contains("[big]")) ===
+      Seq(true, false))
+    // never-checked dbs tie on the 1900 sentinel -> name tiebreak
+    assert(run(DatabaseOrder.LastGoodCheckAsc).map(_.contains("[big]")) ===
+      Seq(true, false))
+    assert(DatabaseOrder.parse("DATABASE_SIZE_ASC") ===
+      Right(DatabaseOrder.SizeAsc))
+    assert(DatabaseOrder.parse("bogus").isLeft)
+  }
+
+  test("TOCTOU: object dropped between inventory and check is skipped " +
+      "(ref DIC:1615-1635)") {
+    import graft.catalog.{Inventory, InventoryRow}
+    val real = new DirInventory(spark, Map("testdb" -> sfDir))
+    // inventory reports one real table and one that disappears before the
+    // check runs
+    val ghost = InventoryRow("testdb", "main", "ghost", "U", 1L,
+      "/tmp/graft-ghost-does-not-exist.parquet")
+    val inv = new Inventory {
+      def databases(): Seq[String] = Seq("testdb")
+      def objects(db: String): Seq[InventoryRow] =
+        real.objects(db).filter(_.object_name == "region") :+ ghost
+    }
+    val cfg = CheckConfig(databases = "testdb", logToTable = false)
+    val r = new Scheduler(spark, inv, new StateStore(spark, tmp()),
+      new CommandLog(spark, None), cfg, new ManualClock(t0, tickMs = 10)).run()
+    assert(r.executedCommands.count(_.startsWith("CHECKTABLE")) === 1)
+    assert(r.skipped.exists { case (obj, reason) =>
+      obj.contains("ghost") && reason.contains("no longer exists") })
+  }
 }
