@@ -185,6 +185,34 @@ object Checks {
       .orderBy("table_name")
   }
 
+  /** Deterministic whole-table content hash (SURVEY §7.3): md5 per row
+    * over a canonical rendering (printf for doubles, strftime for
+    * timestamps — bit-identical across engines), folded with an
+    * order-INDEPENDENT sum so the result is partition- and
+    * parallelism-invariant. This is the cross-engine "same bytes" tier of
+    * CHECKTABLE: one scan, map-side partial sums, a 1-row result —
+    * the cheapest possible content fingerprint at 100 TB. */
+  val checkContentHash: Q = Q(
+    "check_content_hash",
+    """SELECT count(*) AS n_rows,
+      |  sum(('0x' || substr(md5(concat_ws('|',
+      |    l_orderkey, l_linenumber, printf('%.2f', l_quantity),
+      |    printf('%.2f', l_extendedprice), l_returnflag, l_linestatus,
+      |    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))), 1, 8))::BIGINT)
+      |    AS content_hash
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        format_string("%.2f", col("l_quantity")),
+        format_string("%.2f", col("l_extendedprice")),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))), 1, 8),
+        16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("content_hash"))
+  }
+
   val queries: Seq[Q] = Seq(
-    checkTableLineitem, checkRowcounts, checkFkContainment, checkDomains)
+    checkTableLineitem, checkRowcounts, checkFkContainment, checkDomains,
+    checkContentHash)
 }

@@ -43,7 +43,7 @@ object LakeChecks {
           val zero = files.count(_.getLen == 0L).toLong
           // footer parse: schema read forces footer decode, no data scan
           val footerBad =
-            try { spark.read.parquet(t.path).schema; 0L }
+            try { readTable(spark, t.path).schema; 0L }
             catch { case _: Throwable => 1L }
           zero + footerBad
         }
@@ -60,7 +60,7 @@ object LakeChecks {
     (cmd, () => {
       tables.map { t =>
         try {
-          val schema = spark.read.parquet(t.path).schema
+          val schema = readTable(spark, t.path).schema
           val dupCols =
             schema.fieldNames.map(_.toLowerCase).groupBy(identity)
               .count(_._2.length > 1).toLong
@@ -89,9 +89,55 @@ object LakeChecks {
       (if (opts.nonEmpty) opts.mkString(", ", ", ", "") else "") +
       maxDopSuffix(maxDop)
     (cmd, () => {
-      val df = spark.read.parquet(t.path)
+      val df = readTable(spark, t.path)
       if (physicalOnly) { df.count(); 0L } // footer-driven count, no decode
       else violationCount(df, dataPurity)
+    })
+  }
+
+  /** CHECKDB: the composition the vendored proc defines (ref
+    * ola/DatabaseIntegrityCheck.sql:1350-1369 — CHECKDB subsumes
+    * CHECKALLOC + CHECKCATALOG + every table's CHECKTABLE). */
+  def checkDb(spark: SparkSession, db: String, tables: Seq[InventoryRow],
+      physicalOnly: Boolean, dataPurity: Boolean, maxDop: Int)
+      : (String, () => Long) = {
+    val opts =
+      (if (physicalOnly) Seq("PHYSICAL_ONLY") else Seq.empty) ++
+        (if (!physicalOnly && dataPurity) Seq("DATA_PURITY") else Seq.empty)
+    val cmd = s"CHECKDB ${quoteName(db)} WITH NO_INFOMSGS, ALL_ERRORMSGS" +
+      (if (opts.nonEmpty) opts.mkString(", ", ", ", "") else "") +
+      maxDopSuffix(maxDop)
+    (cmd, () => {
+      val (_, alloc) = checkAlloc(spark, db, tables, maxDop)
+      val (_, cat) = checkCatalog(spark, db, tables)
+      alloc() + cat() + tables.map(t =>
+        checkTable(spark, t, physicalOnly, dataPurity, maxDop)._2()).sum
+    })
+  }
+
+  /** CHECKFILEGROUP: the lake analog of a filegroup is a PARTITION
+    * directory of a partitioned table (SURVEY §2.1 S3) — validate just
+    * that storage slice: files present/non-empty + content checks on the
+    * partition's rows only (partition pruning keeps the scan to the
+    * slice). Ref ola/DatabaseIntegrityCheck.sql:1372-1511. */
+  def checkFileGroup(spark: SparkSession, t: InventoryRow,
+      partitionSubdir: String, dataPurity: Boolean, maxDop: Int)
+      : (String, () => Long) = {
+    val cmd = s"CHECKFILEGROUP ${quoteName(t.database_name)}." +
+      s"${quoteName(t.object_name)}.${quoteName(partitionSubdir)}" +
+      s" WITH NO_INFOMSGS, ALL_ERRORMSGS" + maxDopSuffix(maxDop)
+    (cmd, () => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new Path(s"${t.path}/$partitionSubdir")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 1L
+      else {
+        val zero = fs.listStatus(p).filter(_.isFile)
+          .count(_.getLen == 0L).toLong
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = spark.read.option("basePath", t.path).parquet(p.toString)
+        zero + violationCount(df, dataPurity)
+      }
     })
   }
 
@@ -118,6 +164,14 @@ object LakeChecks {
       val row = df.agg(checks.head, checks.tail: _*).head()
       (0 until row.length).map(i => row.getLong(i)).sum
     }
+  }
+
+  /** All raw reads go through here: lake tables may carry
+    * TIMESTAMP(NANOS), which Spark refuses without the legacy mapping —
+    * a legal table must not surface as a violation. */
+  private def readTable(spark: SparkSession, path: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
   }
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.DirInventory
+import graft.checks.LakeChecks
+import graft.tables.Tables
+
+/** The full CheckCommand vocabulary against clean + corrupt inputs. */
+class LakeChecksSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def inv = new DirInventory(spark, Map("testdb" -> sfDir))
+
+  test("CHECKDB composes alloc + catalog + every table (ref DIC:1350)") {
+    val tables = inv.objects("testdb")
+    val (cmd, action) = LakeChecks.checkDb(spark, "testdb", tables,
+      physicalOnly = false, dataPurity = true, maxDop = 2)
+    assert(cmd ===
+      "CHECKDB [testdb] WITH NO_INFOMSGS, ALL_ERRORMSGS, DATA_PURITY, MAXDOP = 2")
+    assert(action() === 0L)
+  }
+
+  test("CHECKFILEGROUP validates one partition slice (ref DIC:1372-1511)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-fg").toString + "/events"
+    Tables.events(spark, sfDir)
+      .withColumn("dt", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(out)
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("dt=")).head.getName
+    val t = graft.catalog.InventoryRow("testdb", "main", "events", "U", 1L, out)
+    val (cmd, action) =
+      LakeChecks.checkFileGroup(spark, t, part, dataPurity = true, maxDop = 0)
+    assert(cmd.startsWith("CHECKFILEGROUP [testdb].[events].["))
+    assert(action() === 0L)
+    // a missing partition is a violation, not an exception
+    val (_, missing) =
+      LakeChecks.checkFileGroup(spark, t, "dt=1899-01-01", true, 0)
+    assert(missing() === 1L)
+  }
+
+  test("CHECKALLOC flags a zero-byte parquet file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alloc").toString
+    val tdir = new java.io.File(s"$dir/broken.parquet")
+    tdir.mkdirs()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"${tdir.getPath}/part-0.parquet"))
+    val t = graft.catalog.InventoryRow("testdb", "main", "broken", "U", 0L,
+      tdir.getPath)
+    val (_, action) = LakeChecks.checkAlloc(spark, "testdb", Seq(t), 0)
+    assert(action() >= 1L)
+  }
+}
