@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.DirInventory
+import graft.executor.CommandLog
+import graft.model.{CheckConfig, DatabaseOrder, SystemClock}
+import graft.scheduler.Scheduler
+import graft.state.StateStore
+
+/** CLI entry point (SURVEY.md §7.1 step 8): bind config → run the
+  * scheduler; `--report` prints the reference's trailing inspection
+  * queries (state dump by StartTime desc + total duration,
+  * ref IntegrityChecks_VLDB.sql:770-786).
+  *
+  * Usage:
+  *   graft.Main --db name=dir [--db name2=dir2 ...]
+  *     [--databases DSL] [--objects DSL] [--time-limit SECONDS]
+  *     [--physical-only] [--no-data-purity] [--max-dop N]
+  *     [--database-order POLICY] [--dry-run]
+  *     [--state PATH] [--log PATH] [--report]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    var dbs = Map.empty[String, String]
+    var cfg = CheckConfig()
+    var statePath = "/tmp/graft-state/state"
+    var logPath: Option[String] = None
+    var report = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--db" =>
+          val Array(n, d) = args(i + 1).split("=", 2); i += 1
+          dbs += (n -> d)
+        case "--databases" => cfg = cfg.copy(databases = args(i + 1)); i += 1
+        case "--objects" => cfg = cfg.copy(objects = Some(args(i + 1))); i += 1
+        case "--time-limit" =>
+          cfg = cfg.copy(timeLimitSeconds = Some(args(i + 1).toLong)); i += 1
+        case "--physical-only" => cfg = cfg.copy(physicalOnly = true)
+        case "--no-data-purity" => cfg = cfg.copy(dataPurity = false)
+        case "--max-dop" => cfg = cfg.copy(maxDop = args(i + 1).toInt); i += 1
+        case "--database-order" =>
+          cfg = cfg.copy(databaseOrder = DatabaseOrder.parse(args(i + 1))
+            .fold(e => throw new IllegalArgumentException(e), identity))
+          i += 1
+        case "--dry-run" => cfg = cfg.copy(execute = false)
+        case "--state" => statePath = args(i + 1); i += 1
+        case "--log" => logPath = Some(args(i + 1)); i += 1
+        case "--report" => report = true
+        case other => throw new IllegalArgumentException(s"unknown arg $other")
+      }
+      i += 1
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .appName("graft").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val store = new StateStore(spark, statePath)
+    if (report) {
+      // ref IC:770-786: the manual inspection queries
+      val state = store.load()
+      println("== state (most recent first) ==")
+      state.sortBy(o => o.start_time.map(-_.getTime).getOrElse(0L))
+        .foreach(o => println(
+          f"${o.database_name}.${o.schema_name}.${o.object_name}%-40s " +
+            f"execs=${o.number_of_executions}%3d " +
+            f"avg=${o.avg_run_duration_ms}%6dms " +
+            f"last=${o.last_check_date}"))
+      val totalSec = state.map(_.run_duration_ms).sum / 1000.0
+      println(f"== total recorded check time: $totalSec%.1f s ==")
+    } else {
+      val r = new Scheduler(spark, new DirInventory(spark, dbs), store,
+        new CommandLog(spark, logPath), cfg, SystemClock).run()
+      r.executedCommands.foreach(c => println(s"executed: $c"))
+      r.skipped.foreach { case (o, why) => println(s"skipped: $o ($why)") }
+      println(s"violations: ${r.violations}")
+      if (r.violations > 0) sys.exit(2)
+    }
+    spark.stop()
+  }
+}
