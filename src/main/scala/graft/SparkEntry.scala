@@ -13,6 +13,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     operators.Relational.queries ++
       operators.ScaleOps.queries ++
+      operators.AsOfJoin.queries ++
       checks.Checks.queries ++
       scheduler.SchedulerQueries.queries ++
       pipeline.Dedup.queries ++
