@@ -44,4 +44,36 @@ class SourcesSpec extends AnyFunSuite {
     val plan = oneDay.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(dt"))
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists - clear it or saveAsTable refuses the location
+    Seq("b_orders", "b_customer").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    // disable broadcast so the co-located (bucket) path is what's tested
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      // bucket-aligned scan feeds the join directly - no shuffle on
+      // either side (the 100 TB co-located join story)
+      assert(!plan.contains("Exchange hashpartitioning"))
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
