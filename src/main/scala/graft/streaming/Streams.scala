@@ -56,6 +56,28 @@ object Streams {
   def dedupByEventId(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks in the preceding hour. Both sides carry watermarks and the
+    * join predicate bounds event time on both ends, so state for either
+    * side is droppable once the watermark passes — the only shape a
+    * stream-stream join can run with bounded memory. */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(purchases("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Typed running state per user via mapGroupsWithState. */
   final case class UserRunning(user_id: Long, n_events: Long,
       total_value: Double, last_ts: java.sql.Timestamp)

@@ -82,4 +82,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() === batch.count())
     assert(streamed.select("event_id").distinct().count() === batch.count())
   }
+
+  test("stream-stream time-bounded join equals the batch join") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.purchasesWithRecentClicks(Streams.eventsStream(spark, sfDir)),
+      "ssj_sink", OutputMode.Append())
+      .orderBy("purchase_id", "click_id")
+      .collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = p.join(c, p("user_id") === c("c_uid") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+      .orderBy("purchase_id", "click_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
 }
