@@ -171,12 +171,15 @@ object Dedup {
     // out of ONE map-side-combining groupBy(doc_id) with 8 min()
     // aggregates — no (doc, seed) intermediate shuffle, no
     // collect_list(struct) assembly. Bands unpivot via stack().
+    // NOTE: no distinct() on (doc, shingle) — min() is idempotent under
+    // duplicates, so the signature is identical and the corpus-wide
+    // dedup shuffle (the largest shuffle in this pipeline) disappears.
+    // The oracle's DISTINCT is semantically inert for the same reason.
     val sh = docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
         .as("tok"))
-      .distinct()
     val mhCols = (0 until 8).map(k =>
       md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
     val vocabHashed = broadcast(

@@ -65,4 +65,13 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("dd05_embedding_dup")
     assert(p.contains("float_dot"))
   }
+
+  test("q24: as-of composition shuffles once on the key (no pair blowup)") {
+    val p = planOf("q24_asof_join")
+    // one hashpartitioning exchange for the union-window pass, one range
+    // partition for the final orderBy - nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
