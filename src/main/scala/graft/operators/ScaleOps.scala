@@ -69,6 +69,46 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * same contract as DuckDB's quantile_cont). At 100 TB the sketch
+    * alternative is approx_percentile; this is the exact tier. */
+  val q26Percentiles: Q = Q(
+    "q26_percentiles",
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")
+  }
+
+  /** Pivot: per-user event counts spread across type columns. The oracle
+    * spells it as conditional aggregation — which is also exactly the
+    * physical plan Spark's pivot lowers to (one pass, map-side combine). */
+  val q27Pivot: Q = Q(
+    "q27_pivot",
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
   val queries: Seq[Q] = Seq(q22SaltedAgg, q23TwoStageDistinct,
-    checkDistinctSketch)
+    checkDistinctSketch, q26Percentiles, q27Pivot)
 }
