@@ -109,6 +109,30 @@ object ScaleOps {
       .orderBy("user_id")
   }
 
+  /** GROUPING SETS through the `spark.sql` surface (SURVEY §2.4 A9 notes
+    * the reference lacks them; Spark gives multi-granularity aggregation
+    * in ONE scan — at 100 TB that replaces three separate passes). Also
+    * exercises the temp-view + SQL-text path of the engine's API. */
+  val q28GroupingSets: Q = Q(
+    "q28_grouping_sets",
+    """SELECT coalesce(o_orderpriority, '<all>') AS priority,
+      |  coalesce(o_orderstatus, '<all>') AS status,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |  (o_orderpriority), ())
+      |ORDER BY priority, status""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderpriority, '<all>') AS priority,
+        |  coalesce(o_orderstatus, '<all>') AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderpriority), ())
+        |ORDER BY priority, status""".stripMargin)
+  }
+
   val queries: Seq[Q] = Seq(q22SaltedAgg, q23TwoStageDistinct,
-    checkDistinctSketch, q26Percentiles, q27Pivot)
+    checkDistinctSketch, q26Percentiles, q27Pivot, q28GroupingSets)
 }
