@@ -23,14 +23,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatDot(children(0), children(1))))
+        GraftExtensions.buildFloatDot(children)))
   }
 }
 
 object GraftExtensions {
+  private[graft] def buildFloatDot(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : FloatDot = {
+    require(children.length == 2,
+      s"float_dot requires exactly 2 arguments, got ${children.length}")
+    FloatDot(children(0), children(1))
+  }
+
   /** Same registration for a session that already exists (builder
     * extensions are ignored by getOrCreate when a session is live). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     org.apache.spark.sql.GraftSqlBridge.registerTempFunction(spark,
-      "float_dot", children => FloatDot(children(0), children(1)))
+      "float_dot", buildFloatDot)
 }

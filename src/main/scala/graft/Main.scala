@@ -27,28 +27,45 @@ object Main {
     var statePath = "/tmp/graft-state/state"
     var logPath: Option[String] = None
     var report = false
+    def usage(msg: String): Nothing = {
+      System.err.println(s"error: $msg")
+      System.err.println(
+        "usage: graft.Main --db name=dir [--db name2=dir2 ...] " +
+          "[--databases DSL] [--objects DSL] [--time-limit SECONDS] " +
+          "[--physical-only] [--no-data-purity] [--max-dop N] " +
+          "[--database-order POLICY] [--dry-run] [--state PATH] " +
+          "[--log PATH] [--report]")
+      sys.exit(1)
+    }
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) usage(s"$flag requires a value")
+      i += 1; args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "--db" =>
-          val Array(n, d) = args(i + 1).split("=", 2); i += 1
-          dbs += (n -> d)
-        case "--databases" => cfg = cfg.copy(databases = args(i + 1)); i += 1
-        case "--objects" => cfg = cfg.copy(objects = Some(args(i + 1))); i += 1
+          value("--db").split("=", 2) match {
+            case Array(n, d) if n.nonEmpty && d.nonEmpty => dbs += (n -> d)
+            case _ => usage("--db expects name=dir")
+          }
+        case "--databases" => cfg = cfg.copy(databases = value("--databases"))
+        case "--objects" => cfg = cfg.copy(objects = Some(value("--objects")))
         case "--time-limit" =>
-          cfg = cfg.copy(timeLimitSeconds = Some(args(i + 1).toLong)); i += 1
+          cfg = cfg.copy(timeLimitSeconds =
+            Some(value("--time-limit").toLong))
         case "--physical-only" => cfg = cfg.copy(physicalOnly = true)
         case "--no-data-purity" => cfg = cfg.copy(dataPurity = false)
-        case "--max-dop" => cfg = cfg.copy(maxDop = args(i + 1).toInt); i += 1
+        case "--max-dop" => cfg = cfg.copy(maxDop = value("--max-dop").toInt)
         case "--database-order" =>
-          cfg = cfg.copy(databaseOrder = DatabaseOrder.parse(args(i + 1))
-            .fold(e => throw new IllegalArgumentException(e), identity))
-          i += 1
+          cfg = cfg.copy(databaseOrder =
+            DatabaseOrder.parse(value("--database-order"))
+              .fold(usage, identity))
         case "--dry-run" => cfg = cfg.copy(execute = false)
-        case "--state" => statePath = args(i + 1); i += 1
-        case "--log" => logPath = Some(args(i + 1)); i += 1
+        case "--state" => statePath = value("--state")
+        case "--log" => logPath = Some(value("--log"))
         case "--report" => report = true
-        case other => throw new IllegalArgumentException(s"unknown arg $other")
+        case other => usage(s"unknown arg $other")
       }
       i += 1
     }

@@ -116,9 +116,14 @@ object Checks {
       .join(keyOf(Tables.supplier(s, d), "s_suppkey"),
         col("l_suppkey") === col("s_suppkey"), "left")
       .agg(
-        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("v_ord"),
-        sum(when(col("p_partkey").isNull, 1).otherwise(0)).as("v_part"),
-        sum(when(col("s_suppkey").isNull, 1).otherwise(0)).as("v_supp"))
+        // coalesce: sum over an EMPTY fact table is NULL, but a violation
+        // count must be 0 (matches the anti-join form and the oracle)
+        coalesce(sum(when(col("o_orderkey").isNull, 1).otherwise(0)), lit(0L))
+          .as("v_ord"),
+        coalesce(sum(when(col("p_partkey").isNull, 1).otherwise(0)), lit(0L))
+          .as("v_part"),
+        coalesce(sum(when(col("s_suppkey").isNull, 1).otherwise(0)), lit(0L))
+          .as("v_supp"))
       .select(expr(
         """stack(3,
           |  'lineitem.l_orderkey->orders',   v_ord,

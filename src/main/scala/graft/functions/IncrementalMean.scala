@@ -21,8 +21,10 @@ object IncrementalMean
   /** (arrivalIndex, durationMs) in; running-average ms out. */
   override def zero: Seq[(Long, Long)] = Seq.empty
 
+  // prepend, not append: Seq is a List here and :+ copies the whole list
+  // per element (O(n²) per group); finish() sorts anyway.
   override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
-    b :+ a
+    a +: b
 
   override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
     a ++ b

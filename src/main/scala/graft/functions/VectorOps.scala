@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: dot product of two `array<float>` columns,
   * accumulated in double.
@@ -25,6 +25,23 @@ case class FloatDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "float_dot"
+
+  // ExpectsInputTypes is unusable outside Spark (AbstractDataType is
+  // private[sql]) — validate manually so array<double>/array<int> inputs
+  // fail analysis instead of silently reinterpreting bytes.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val want = ArrayType(FloatType)
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ${want.simpleString} arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()

@@ -56,23 +56,34 @@ object AsOfJoin {
       .orderBy("o_orderkey")
   }
 
-  /** Interval (range) join by bucketing: events counted against
-    * half-open monthly maintenance windows. Equi-join on the derived
-    * bucket replaces the non-equi range predicate — the bucket key is
-    * what partitions the work at scale (a raw theta range join is a
-    * nested-loop). */
+  /** Interval (range) join by bucketing: events joined to a RELATION of
+    * half-open daily maintenance windows. The oracle expresses the true
+    * non-equi range predicate (`w.start <= ts < w.end`); the Spark side
+    * replaces it with an equi-join on the derived day bucket — exact
+    * because windows are bucket-aligned — so the work partitions on the
+    * bucket key instead of planning a nested-loop theta join. For
+    * windows that straddle buckets the same shape joins each window to
+    * every bucket it overlaps first (explode), keeping the equi-join. */
   val q25RangeBucketJoin: Q = Q(
     "q25_range_bucket_join",
-    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-      |  event_type, count(*) AS n
-      |FROM events
-      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """WITH w AS (
+      |  SELECT unnest(generate_series(TIMESTAMP '2024-01-10',
+      |           TIMESTAMP '2024-01-19', INTERVAL 1 DAY)) AS w_start),
+      |win AS (SELECT w_start, w_start + INTERVAL 1 DAY AS w_end FROM w)
+      |SELECT strftime(win.w_start, '%Y-%m-%d') AS day, e.event_type,
+      |  count(*) AS n
+      |FROM events e JOIN win
+      |  ON e.ts >= win.w_start AND e.ts < win.w_end
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    val windows = s.range(10).select(
+      date_add(lit("2024-01-10").cast("date"), col("id").cast("int"))
+        .cast("timestamp").as("w_start"))
+      .withColumn("bucket", date_trunc("day", col("w_start")))
     Tables.events(s, d)
-      .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
-        col("ts") < lit("2024-01-20").cast("timestamp"))
-      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
-        .as("day"), col("event_type"))
+      .withColumn("bucket", date_trunc("day", col("ts")))
+      .join(broadcast(windows), "bucket")
+      .groupBy(date_format(col("w_start"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("day", "event_type")
   }

@@ -51,7 +51,9 @@ object ScaleOps {
       Tables.events(s, d)
         .select("event_type", "user_id").distinct()
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_users"))
+        // count(col), not count(*): count(DISTINCT user_id) ignores NULL
+        // users and this stage must agree with it
+        .agg(count(col("user_id")).as("n_users"))
         .orderBy("event_type")
   }
 

@@ -88,9 +88,35 @@ final class Scheduler(
     def pastDeadline(): Boolean =
       deadline.exists(d => !clock.now().isBefore(d))
 
-    // Stage 10 — Phase 1: coarse per-database checks, deadline-gated.
+    // Ordering strategy (ref DIC:1003-1089); default LastGoodCheckAsc is
+    // the IC:583-595 oldest-first behavior.
+    val dbOrder = {
+      import graft.model.DatabaseOrder._
+      def minCheck(db: String): java.time.LocalDate =
+        state.filter(o => o.database_name == db && o.active)
+          .map(_.last_check_date.toLocalDate)
+          .minOption.getOrElse(java.time.LocalDate.of(1900, 1, 1))
+      def size(db: String): Long =
+        state.filter(o => o.database_name == db && o.active)
+          .map(_.used_page_count).sum
+      config.databaseOrder match {
+        case NameAsc => selectedDbs.sorted
+        case NameDesc => selectedDbs.sorted.reverse
+        case SizeAsc => selectedDbs.sortBy(db => (size(db), db))
+        case SizeDesc => selectedDbs.sortBy(db => (-size(db), db))
+        case LastGoodCheckAsc => selectedDbs.sortBy(db => (minCheck(db), db))
+        case LastGoodCheckDesc =>
+          selectedDbs.sortBy(db => (minCheck(db), db))(
+            Ordering.Tuple2(Ordering[java.time.LocalDate].reverse,
+              Ordering[String]))
+      }
+    }
+
+    // Stage 10 — Phase 1: coarse per-database checks, deadline-gated,
+    // in configured database order (the ordering strategy governs the
+    // whole per-database loop, ref DIC:1193, not just CHECKTABLE).
     val scanByDb = scan.groupBy(_.database_name)
-    selectedDbs.foreach { db =>
+    dbOrder.foreach { db =>
       if (!pastDeadline()) {
         val tables = scanByDb.getOrElse(db, Seq.empty)
         val (allocCmd, allocAction) =
@@ -129,30 +155,6 @@ final class Scheduler(
     val firstRunMode =
       allActive.count(_.number_of_executions == 0) >
         allActive.count(_.number_of_executions > 0)
-
-    // Ordering strategy (ref DIC:1003-1089); default LastGoodCheckAsc is
-    // the IC:583-595 oldest-first behavior.
-    val dbOrder = {
-      import graft.model.DatabaseOrder._
-      def minCheck(db: String): java.time.LocalDate =
-        state.filter(o => o.database_name == db && o.active)
-          .map(_.last_check_date.toLocalDate)
-          .minOption.getOrElse(java.time.LocalDate.of(1900, 1, 1))
-      def size(db: String): Long =
-        state.filter(o => o.database_name == db && o.active)
-          .map(_.used_page_count).sum
-      config.databaseOrder match {
-        case NameAsc => selectedDbs.sorted
-        case NameDesc => selectedDbs.sorted.reverse
-        case SizeAsc => selectedDbs.sortBy(db => (size(db), db))
-        case SizeDesc => selectedDbs.sortBy(db => (-size(db), db))
-        case LastGoodCheckAsc => selectedDbs.sortBy(db => (minCheck(db), db))
-        case LastGoodCheckDesc =>
-          selectedDbs.sortBy(db => (minCheck(db), db))(
-            Ordering.Tuple2(Ordering[java.time.LocalDate].reverse,
-              Ordering[String]))
-      }
-    }
 
     // Stage 12 — Phase 2 nested loop.
     dbOrder.foreach { db =>

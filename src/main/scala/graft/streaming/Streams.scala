@@ -49,12 +49,14 @@ object Streams {
       .groupBy("user_id", "event_type")
       .agg(min("ts").as("first_ts"), count(lit(1)).as("n"))
 
-  /** Streaming exact dedup by event id: watermark bounds the dedup state
-    * (an id older than the watermark can be dropped from state because a
-    * duplicate that late would be discarded anyway). The streaming form
-    * of dd01's hash-dedup — same declarative core, readStream source. */
+  /** Streaming exact dedup by event id with BOUNDED state:
+    * dropDuplicatesWithinWatermark evicts an id once the watermark passes
+    * its event time (plain dropDuplicates(id) would keep every id seen
+    * forever, since the event-time column is not part of the key). The
+    * streaming form of dd01's hash-dedup — same declarative core. */
   def dedupByEventId(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream inner join: each purchase joined to the same user's
     * clicks in the preceding hour. Both sides carry watermarks and the

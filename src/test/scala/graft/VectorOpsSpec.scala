@@ -52,4 +52,14 @@ class VectorOpsSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(got === 11.0)
   }
+
+  test("FloatDot rejects non-float arrays at analysis time") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorOps.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("float"))
+  }
 }
