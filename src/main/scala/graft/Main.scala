@@ -97,7 +97,11 @@ object Main {
       r.executedCommands.foreach(c => println(s"executed: $c"))
       r.skipped.foreach { case (o, why) => println(s"skipped: $o ($why)") }
       println(s"violations: ${r.violations}")
+      if (r.errors > 0) println(s"errors: ${r.errors} (checks failed to run)")
+      // Exit 2 on data violations, 3 on execution errors — an unreadable
+      // table must not look like a clean run (ref CE error capture).
       if (r.violations > 0) sys.exit(2)
+      if (r.errors > 0) sys.exit(3)
     }
     spark.stop()
   }

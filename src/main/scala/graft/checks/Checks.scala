@@ -104,8 +104,9 @@ object Checks {
     // times — at 100 TB that's the difference between one pass over the
     // lake and three. Precondition: each parent key is a PRIMARY key
     // (duplicate parents would fan out the fact rows and inflate
-    // counts) — uniqueness is validated independently by q05_dup_keys /
-    // check_rowcounts, so no defensive distinct (3 saved shuffles).
+    // counts) — uniqueness is validated independently by check_pk_unique
+    // (count vs distinct count per parent), so no defensive distinct
+    // (3 saved shuffles).
     def keyOf(df: DataFrame, k: String): DataFrame = df.select(k)
     val liChecks = Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey", "l_suppkey")
@@ -145,6 +146,28 @@ object Checks {
       arm("nation.n_regionkey->region", Tables.nation(s, d),
         Tables.region(s, d), "n_regionkey", "r_regionkey"))
       .reduce(_.unionByName(_)).orderBy("check_name")
+  }
+
+  /** PK-uniqueness tier of CHECKTABLE (ref DIC:1682-1695 catalog
+    * consistency): parent-key duplicate counts, count vs distinct count in
+    * one scan per table. This is the precondition the single-scan FK check
+    * (check_fk_containment) relies on — duplicate parent keys would fan
+    * out its outer joins. */
+  val checkPkUnique: Q = {
+    val pks = Seq("region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey")
+    Q("check_pk_unique",
+      pks.map { case (t, k) =>
+        s"SELECT '$t' AS table_name, count(*) - count(DISTINCT $k) AS n_dup_keys FROM $t"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")) { (s, d) =>
+      pks.map { case (t, k) =>
+        Tables(s, d, t)
+          .agg((count(lit(1)) - countDistinct(col(k))).as("n_dup_keys"))
+          .withColumn("table_name", lit(t))
+          .select("table_name", "n_dup_keys")
+      }.reduce(_.unionByName(_)).orderBy("table_name")
+    }
   }
 
   /** DATA_PURITY analog: column-domain predicates, all evaluated in ONE
@@ -218,6 +241,6 @@ object Checks {
   }
 
   val queries: Seq[Q] = Seq(
-    checkTableLineitem, checkRowcounts, checkFkContainment, checkDomains,
-    checkContentHash)
+    checkTableLineitem, checkRowcounts, checkFkContainment, checkPkUnique,
+    checkDomains, checkContentHash)
 }

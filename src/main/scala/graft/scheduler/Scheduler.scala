@@ -35,7 +35,8 @@ final case class SchedulerReport(
     executedCommands: Seq[String],
     skipped: Seq[(String, String)], // (object, reason)
     state: Seq[CheckObject],
-    violations: Long)
+    violations: Long,
+    errors: Long = 0L) // commands that threw (could not be checked at all)
 
 final class Scheduler(
     spark: SparkSession,
@@ -63,6 +64,11 @@ final class Scheduler(
     val executed = mutable.ArrayBuffer.empty[String]
     val skipped = mutable.ArrayBuffer.empty[(String, String)]
     var violations = 0L
+    // violations=-1 marks "the check itself threw" (ref CE:204-222 error
+    // capture): counted apart from data violations so a table that cannot
+    // be read is never mistaken for a clean one.
+    var errors = 0L
+    def tally(v: Long): Unit = if (v < 0L) errors += 1 else violations += v
 
     // Stage 5-7: resolve the database selection DSL against the catalog.
     val catalog = inventory.databases().map(n => Selector.DbInfo(n))
@@ -123,12 +129,12 @@ final class Scheduler(
           LakeChecks.checkAlloc(spark, db, tables, config.maxDop)
         val r1 = executor.run(db, "", "", "DB", allocCmd, "DBCC_CHECKALLOC")(
           allocAction())
-        violations += math.max(0L, r1.violations)
+        tally(r1.violations)
         executed += allocCmd
         val (catCmd, catAction) = LakeChecks.checkCatalog(spark, db, tables)
         val r2 = executor.run(db, "", "", "DB", catCmd, "DBCC_CHECKCATALOG")(
           catAction())
-        violations += math.max(0L, r2.violations)
+        tally(r2.violations)
         executed += catCmd
       } else skipped += ((db, "time limit reached before phase 1"))
     }
@@ -202,7 +208,7 @@ final class Scheduler(
             val start = clock.now()
             val r = executor.run(t.database_name, t.schema_name,
               t.object_name, "U", cmd, "DBCC_CHECKTABLE")(action())
-            violations += math.max(0L, r.violations)
+            tally(r.violations)
             executed += cmd
             val end = clock.now()
             stateByKey(key) = StateStore.recordRun(pick, cmd, start, end)
@@ -217,6 +223,6 @@ final class Scheduler(
     // Stage 13: persist state + flush the audit log.
     state = stateByKey.values.toSeq.sortBy(_.id)
     if (config.logToTable) { stateStore.save(state); log.flush() }
-    SchedulerReport(executed.toSeq, skipped.toSeq, state, violations)
+    SchedulerReport(executed.toSeq, skipped.toSeq, state, violations, errors)
   }
 }

@@ -25,8 +25,15 @@ final class StateStore(spark: SparkSession, path: String) {
   def load(): Seq[CheckObject] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else spark.read.parquet(path).as[CheckObject].collect().toSeq
+    // Crash recovery: save() can die between rename(p, pOld) and
+    // rename(pTmp, p), leaving only '<path>.old' — fall back to it so the
+    // check history is never silently reset.
+    val src =
+      if (fs.exists(p)) Some(path)
+      else if (fs.exists(new Path(path + ".old"))) Some(path + ".old")
+      else None
+    src.fold(Seq.empty[CheckObject])(s =>
+      spark.read.parquet(s).as[CheckObject].collect().toSeq)
   }
 
   /** Atomic rewrite: write `<path>.tmp`, swap via rename so a killed run

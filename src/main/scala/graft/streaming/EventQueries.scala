@@ -61,14 +61,14 @@ object EventQueries {
   val ev03Sessionize: Q = Q(
     "ev03_sessionize",
     """WITH g AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       |  FROM g)
       |SELECT user_id, session_no, count(*) AS n_events,
@@ -76,8 +76,11 @@ object EventQueries {
       |  round(sum(value), 2) AS session_value
       |FROM s GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+    // event_id tie-breaks BOTH windows: events tied on ts at a session
+    // boundary must fold into the running sum in the same order the lag
+    // window used, or session_no is nondeterministic (oracle SQL matches).
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wCum = Window.partitionBy("user_id").orderBy("ts")
+    val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .withColumn("prev_ts", lag("ts", 1).over(w))

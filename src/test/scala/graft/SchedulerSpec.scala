@@ -162,6 +162,26 @@ class SchedulerSpec extends AnyFunSuite {
     assert(DatabaseOrder.parse("bogus").isLeft)
   }
 
+  test("unreadable table counts as an error, not a clean check") {
+    import graft.catalog.{Inventory, InventoryRow}
+    // an existing-but-corrupt file: passes the TOCTOU existence probe,
+    // then the CHECKTABLE action throws mid-scan
+    val corrupt = java.nio.file.Files.createTempFile("graft-corrupt", ".parquet")
+    java.nio.file.Files.write(corrupt, "not parquet at all".getBytes)
+    val inv = new Inventory {
+      def databases(): Seq[String] = Seq("testdb")
+      def objects(db: String): Seq[InventoryRow] = Seq(
+        InventoryRow("testdb", "main", "corrupt", "U", 1L, corrupt.toString))
+    }
+    val cfg = CheckConfig(databases = "testdb", logToTable = false)
+    val r = new Scheduler(spark, inv, new StateStore(spark, tmp()),
+      new CommandLog(spark, None), cfg, new ManualClock(t0, tickMs = 10)).run()
+    // CHECKALLOC flags the corrupt footer as a data violation (its job);
+    // the CHECKTABLE scan then THROWS — that must surface as an error,
+    // not be clamped into a clean result.
+    assert(r.errors >= 1L, "the failed check must surface as an error")
+  }
+
   test("TOCTOU: object dropped between inventory and check is skipped " +
       "(ref DIC:1615-1635)") {
     import graft.catalog.{Inventory, InventoryRow}

@@ -101,6 +101,21 @@ class StateStoreSpec extends AnyFunSuite {
     assert(store.load().size === 1)
   }
 
+  test("load falls back to <path>.old when the swap died mid-rename") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val store = new graft.state.StateStore(spark, s"$dir/state")
+    val rows = Seq(obj(1, "a"))
+    store.save(rows)
+    // simulate a crash between rename(p, pOld) and rename(pTmp, p):
+    // only '<path>.old' remains on disk
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/state")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/state"),
+      new org.apache.hadoop.fs.Path(s"$dir/state.old"))
+    assert(store.load() === rows)
+  }
+
   test("IncrementalMean Aggregator replays the IC:706 recurrence exactly") {
     import SparkTestSession.spark
     import graft.functions.IncrementalMean

@@ -5,7 +5,7 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
 Reads <out>/oracle_sql.json, registers each parquet table from <sf_dir> as a
 DuckDB view, runs every oracle SQL, and compares against the Spark result
-parquet in <out>/<name>.parquet/ — columns sorted by name, rows sorted by all
+parquet in <out>/<name>/ — columns sorted by name, rows sorted by all
 columns, values hashed. Dev-only tooling (driver-side python libs); not part
 of the Scala library.
 """
@@ -65,7 +65,7 @@ def main():
             n_fail += 1
             continue
         try:
-            got = pd.read_parquet(f"{out_dir}/{name}.parquet")
+            got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
             n_fail += 1
