@@ -26,9 +26,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> math.min(time(fn), time(fn))
-    }
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=dd03_minhash_lsh,q01_... times just
+    // those queries; unset (the driver's mode) runs the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> math.min(time(fn), time(fn)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -88,7 +88,10 @@ object Dedup {
     // small/medium-N exact tier; the 100 TB path is dd03 (MinHash+LSH),
     // with this operator verifying LSH candidate pairs exactly.
     val t = 0.5
-    val sh = docs(s, d)
+    // spread: the shingle explode below feeds both the dictionary and the
+    // per-doc set assembly; off a single-row-group scan it would run
+    // serial (see Tables.spread).
+    val sh = Tables.spread(s, docs(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
@@ -164,27 +167,31 @@ object Dedup {
        |  ON a.band = b.band AND a.band_key = b.band_key
        |  AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // Hash the VOCABULARY once, not the corpus: the k=8 seeded md5s are a
-    // function of the shingle alone, so compute them on the distinct-
-    // shingle dim table (|vocab| × 8 hashes instead of |corpus-rows| × 8)
-    // and broadcast-join them in as 8 wide columns. Signatures then fall
-    // out of ONE map-side-combining groupBy(doc_id) with 8 min()
-    // aggregates — no (doc, seed) intermediate shuffle, no
-    // collect_list(struct) assembly. Bands unpivot via stack().
-    // NOTE: no distinct() on (doc, shingle) — min() is idempotent under
-    // duplicates, so the signature is identical and the corpus-wide
-    // dedup shuffle (the largest shuffle in this pipeline) disappears.
-    // The oracle's DISTINCT is semantically inert for the same reason.
-    val sh = docs(s, d)
+    // Plan shape (measured, sf0.1: 2.1s → 0.65s):
+    //  1. spread() the narrow doc scan on doc_id BEFORE the explode so the
+    //     8×|corpus-rows| md5s run on every core, not one (the fixture is a
+    //     single row group — see Tables.spread), and so the signature
+    //     groupBy(doc_id) needs no second shuffle.
+    //  2. md5 inline per corpus row into 8 columns; signatures fall out of
+    //     ONE map-side-combining groupBy(doc_id) with 8 min() aggregates.
+    //     No distinct() on (doc, shingle): min() is idempotent under
+    //     duplicates, so the corpus-wide dedup shuffle disappears (the
+    //     oracle's DISTINCT is semantically inert for the same reason).
+    //  3. Candidate pairs via ONE groupBy (band, band_key) + in-bucket pair
+    //     expansion — NOT a self-join. A self-join recomputes the entire
+    //     signature pipeline for both sides (measured: exactly 2× sig
+    //     cost; exchange reuse does not fire across the alias) and
+    //     shuffles bands twice. The bucket groupBy shuffles once, and the
+    //     LSH guarantee (buckets are tiny) is precisely what bounds the
+    //     collect_list and the quadratic in-bucket expansion.
+    val sh = Tables.spread(s, docs(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
         .as("tok"))
     val mhCols = (0 until 8).map(k =>
       md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
-    val vocabHashed = broadcast(
-      sh.select(col("tok")).distinct().select(col("tok") +: mhCols: _*))
-    val sig = sh.join(vocabHashed, "tok")
+    val sig = sh.select(col("doc_id") +: mhCols: _*)
       .groupBy("doc_id")
       .agg(min("h0").as("m0"), min("h1").as("m1"), min("h2").as("m2"),
         min("h3").as("m3"), min("h4").as("m4"), min("h5").as("m5"),
@@ -194,11 +201,14 @@ object Dedup {
         |  0, concat_ws('|', m0, m1, m2, m3),
         |  1, concat_ws('|', m4, m5, m6, m7)) AS (band, band_key)
         |""".stripMargin))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    bands.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(expr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS doc_a, y AS doc_b))))) AS p""".stripMargin))
+      .select("p.doc_a", "p.doc_b").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -225,18 +235,22 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     // Bits 0..15 of a token's vote mask are exactly the first 4 hex
     // digits of md5(tok), little-endian per digit — so the whole mask is
-    // conv(reverse(first-4-hex), 16, 10). Compute it ONCE per distinct
-    // token (vocab dim, broadcast), not per (token, bit) pair; the per-bit
-    // votes then collapse into one map-side-combining groupBy(doc_id)
-    // with 16 conditional sums instead of a 16× row explosion.
-    val toks = tokens(s, d)
-    val vocabMask = broadcast(toks.select(col("tok")).distinct()
+    // conv(reverse(first-4-hex), 16, 10), computed INLINE per (doc, token)
+    // row. The per-bit votes then collapse into one map-side-combining
+    // groupBy(doc_id) with 16 conditional sums instead of a 16× row
+    // explosion. spread() on doc_id first: it parallelizes the explode +
+    // md5 (single-row-group scan, see Tables.spread) AND satisfies both
+    // the (doc_id, tok) distinct and the groupBy(doc_id) distributions —
+    // the whole signature pipeline runs on ONE shuffle.
+    val toks = Tables.spread(s, docs(s, d), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
       .withColumn("mask",
-        expr("CAST(conv(reverse(substr(md5(tok), 1, 4)), 16, 10) AS INT)")))
+        expr("CAST(conv(reverse(substr(md5(tok), 1, 4)), 16, 10) AS INT)"))
     val votes = (0 until 16).map(b =>
       sum(when(expr(s"(mask >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
-    val perDoc = toks.join(vocabMask, "tok")
-      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val perDoc = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val simhashExpr = (0 until 16)
       .map(b => when(col(s"v$b") > 0, lit(1 << b)).otherwise(0))
       .reduce(_ + _)

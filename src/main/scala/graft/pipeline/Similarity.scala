@@ -93,9 +93,14 @@ object Similarity {
        |    ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
        |SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    val e = Tables.embeddings(s, d)
+    // spread: the centroid-assignment cross join does |corpus| × |cents|
+    // dot products off a single-row-group scan (see Tables.spread); keying
+    // by vec_id also pre-satisfies the assignment window's partitioning.
+    val e = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .withColumn("en", VectorOps.norm(col("embedding")))
-    val cent = broadcast(e.filter(col("vec_id") % 50 === 0)
+    val cent = broadcast(Tables.embeddings(s, d)
+      .withColumn("en", VectorOps.norm(col("embedding")))
+      .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
         col("en").as("cn")))
     val wAssign = Window.partitionBy("vec_id")

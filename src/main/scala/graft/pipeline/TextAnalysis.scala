@@ -43,7 +43,10 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val toks = Tables.documents(s, d)
+    // spread: single-row-group scan — parallelize the explode + lexicon
+    // probe, and key by doc_id so the hits groupBy and the rank window
+    // reuse the same partitioning (see Tables.spread).
+    val toks = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val lex = broadcast(lexicon.toDF("lang_guess", "w"))
     val hits = toks.join(lex, col("tok") === col("w"))
@@ -84,7 +87,7 @@ object TextAnalysis {
       |FROM documents d JOIN tstats t ON t.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val toks = Tables.documents(s, d)
+    val toks = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val lex = broadcast(lexicon.map(_._2).distinct.toDF("w"))
     val tstats = toks

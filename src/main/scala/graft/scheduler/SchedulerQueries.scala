@@ -29,12 +29,29 @@ object SchedulerQueries {
       .toDF("seq", "command")
   }
 
+  /** ONE real pass per sf dir, inspected by both queries below. The
+    * command log and the state table are two artifacts of the SAME
+    * scheduler run (exactly as in the reference, where one nightly
+    * execution populates both dbo.CommandLog and dbo.CheckTableObjects and
+    * the trailing queries inspect each) — re-running the whole 10-table
+    * pass per inspection would double the engine work for no new
+    * information. Deterministic: fixed clock + clean fixtures. */
+  private val realRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (SchedulerReport, CommandLog)]
+  private def realRunFor(s: SparkSession, d: String)
+      : (SchedulerReport, CommandLog) =
+    realRunCache.computeIfAbsent(d, { _ =>
+      val log = new CommandLog(s, None)
+      (runScheduler(s, d, execute = true, log = Some(log)), log)
+    })
+
   /** Real run: per-object state after one scheduled pass — execution
     * counts, durations recorded, zero violations on the clean fixtures. */
   val schedulerStateAfterRun: Q = Q.noOracle("scheduler_state_after_run") {
     (s, d) =>
       import s.implicits._
-      val r = runScheduler(s, d, execute = true)
+      val r = realRunFor(s, d)._1
       r.state.map(o => (o.object_name, o.number_of_executions,
           o.active, o.last_check_date.toString, o.command))
         .toDF("object_name", "number_of_executions", "active",
@@ -46,8 +63,7 @@ object SchedulerQueries {
     * ref ola/CommandExecute.sql:170-255). */
   val schedulerCommandLog: Q = Q.noOracle("scheduler_command_log") { (s, d) =>
     import s.implicits._
-    val log = new CommandLog(s, None)
-    runScheduler(s, d, execute = true, log = Some(log))
+    val log = realRunFor(s, d)._2
     log.entries.map(e => (e.command_type, e.command, e.error_number,
         e.error_message.getOrElse("")))
       .toDF("command_type", "command", "error_number", "error_message")

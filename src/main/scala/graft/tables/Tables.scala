@@ -34,4 +34,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a scan across the cluster BEFORE heavy map-side work.
+    *
+    * The fixtures are single-row-group parquet files, so a scan is one
+    * partition and everything before the first shuffle (explode, md5,
+    * scoring) runs on ONE core. A production lake has many files and
+    * doesn't need this — but a skewed/under-split input always can, and
+    * the cost model is the same at any scale: pay one small shuffle of the
+    * narrow input to parallelize per-row work that is 10-100× heavier than
+    * the row itself. Key by the downstream grouping column so the
+    * repartition ALSO satisfies the next groupBy's distribution (one
+    * shuffle where a naive plan runs two).
+    *
+    * Only worth it when per-row compute dominates: a plain sum/min scan is
+    * cheaper serial than shuffled. */
+  def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val n = s.sparkContext.defaultParallelism
+    df.repartition(n, col(key))
+  }
 }
