@@ -89,5 +89,38 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan)
+  /** Feature extraction: opaque payload → fixed-dim Float vector (the
+    * hand-off from the multimodal tier into the similarity tier). The
+    * FEATURE function is a deterministic fake (folded byte histogram — a
+    * codec would emit pooled embeddings instead); the plumbing is the real
+    * contract: typed mapPartitions batches, an `Array[Float]` feature
+    * column with an explicit schema, then the same codegen'd FloatDot
+    * kernel the sim* queries use, scoring against a broadcast-literal
+    * probe vector. Embarrassingly parallel; one top-k at the end. */
+  val mm04FeatureExtract: Q = Q.noOracle("mm04_feature_extract") { (s, d) =>
+    import s.implicits._
+    import graft.functions.VectorOps
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        // FAKE 8-bin byte histogram, L1-normalized — stands in for a
+        // pooled image/audio embedding
+        val h = new Array[Float](8)
+        p.foreach(b => h((b & 0xff) >> 5) += 1f)
+        val n = math.max(1, p.length).toFloat
+        (id, h.map(_ / n))
+      })
+      .toDF("doc_id", "features")
+    val probe = array((0 until 8).map(i => lit(0.35355339f)): _*) // unit v
+    feats
+      .withColumn("score",
+        VectorOps.dot(col("features"), probe) /
+          (VectorOps.norm(col("features")) * lit(1.0)))
+      .select(col("doc_id"), round(col("score"), 4).as("probe_cosine"))
+      .orderBy(col("probe_cosine").desc, col("doc_id")).limit(20)
+  }
+
+  val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan,
+    mm04FeatureExtract)
 }

@@ -66,6 +66,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("float_dot"))
   }
 
+  test("dd03: one signature pipeline — documents scanned once, no self-join") {
+    val p = planOf("dd03_minhash_lsh")
+    // the LSH candidate step is a bucket groupBy, not a bands self-join:
+    // a self-join would scan (and re-hash) the corpus twice
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("q24: as-of composition shuffles once on the key (no pair blowup)") {
     val p = planOf("q24_asof_join")
     // one hashpartitioning exchange for the union-window pass, one range
