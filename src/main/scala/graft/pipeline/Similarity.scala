@@ -129,6 +129,78 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** LSH-bucketed ANN: 8 random-hyperplane signs → a 256-bucket signature;
+    * a query compares only against its own bucket. The planes are
+    * md5-derived ±1 vectors, reproduced identically in the DuckDB oracle,
+    * so this LSH variant is hash-checked end to end (sign equality is
+    * exact: each plane term is a ±float, so both engines accumulate the
+    * same doubles in the same order). Scale story: signature is one
+    * embarrassingly-parallel pass; the candidate step is an equi-join on
+    * bucket — no all-pairs comparison, and the bucket count (2^planes)
+    * tunes recall vs cost. */
+  val sim04LshTopK: Q = Q(
+    "sim04_lsh_topk",
+    s"""WITH planes AS (
+       |  SELECT p, list_transform(range((SELECT len(embedding) FROM embeddings LIMIT 1)),
+       |    i -> CASE WHEN (instr('0123456789abcdef',
+       |                         substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1)) - 1)
+       |                   % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END) AS pl
+       |  FROM (SELECT unnest(range(8)) AS p)),
+       |sig AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    sum(CASE WHEN list_dot_product(e.embedding, pl.pl) > 0
+       |             THEN (1 << pl.p) ELSE 0 END) AS bucket
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, e.embedding),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+       |      FROM sig WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(${cosineSql("q.qe", "c.embedding")}, 4) AS cosine
+       |  FROM q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+       |SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions.typedLit
+    // dim probe: one-row scan so the plane literals match the data
+    val dim = Tables.embeddings(s, d)
+      .select(size(col("embedding"))).head.getInt(0)
+    // ±1 hyperplanes from md5(p|i) first-nibble parity — bit-identical to
+    // the oracle's derivation above
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def parity(p: Int, i: Int): Int = {
+      val h = md.digest(s"$p|$i".getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) & 1
+    }
+    val planes: IndexedSeq[Array[Float]] = (0 until 8).map(p =>
+      Array.tabulate(dim)(i => if (parity(p, i) == 1) 1f else -1f))
+    val bucket = (0 until 8).map(p =>
+      when(VectorOps.dot(col("embedding"), typedLit(planes(p))) > 0,
+        lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
+    val sig = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        bucket.cast("long").as("bucket"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val q = broadcast(sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket")))
+    val scored = q.join(
+        sig.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ce"), col("nrm").as("cn"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("query_id", "rk", "neighbor_id", "cosine")
+      .orderBy("query_id", "rk")
+  }
+
   /** Norm/dimension profile of the embedding corpus — the CHECKTABLE of a
     * vector column (dim uniformity + norm stats + NaN probe). */
   val sim03EmbeddingProfile: Q = Q(
@@ -147,5 +219,5 @@ object Similarity {
   }
 
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
-    sim03EmbeddingProfile)
+    sim03EmbeddingProfile, sim04LshTopK)
 }

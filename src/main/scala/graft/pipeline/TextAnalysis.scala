@@ -68,25 +68,36 @@ object TextAnalysis {
     * into one bounded score (single scan + one token groupBy). */
   val tx02QualityScore: Q = Q(
     "tx02_quality_score",
+    // Rounding note: round() semantics DIVERGE cross-engine on ties whose
+    // double is not binary-exact (Spark rounds the exact decimal expansion
+    // HALF_UP; DuckDB rounds the ×10^4-scaled double) — e.g. the weighted
+    // quality sum 0.37925 landed on 0.3792 vs 0.3793 at sf0.1. floor(x·10^4
+    // + 0.5)/10^4 on BOTH sides depends only on the (identical) input
+    // double, never on a round() implementation.
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |             FROM documents),
        |lex(lang_guess, w) AS (VALUES $lexValues),
        |tstats AS (
        |  SELECT t.doc_id, count(*) AS n_tokens,
        |    count(DISTINCT t.tok) AS n_distinct,
-       |    round(avg(length(t.tok)), 4) AS avg_tok_len,
+       |    floor(avg(length(t.tok)) * 10000 + 0.5) / 10000 AS avg_tok_len,
        |    count(l.w) AS n_stop
        |  FROM toks t LEFT JOIN (SELECT DISTINCT w FROM lex) l ON t.tok = l.w
        |  GROUP BY 1)
       |SELECT d.doc_id, t.n_tokens, t.n_distinct, t.avg_tok_len,
-      |  round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 4) AS ttr,
-      |  round(CAST(t.n_stop AS DOUBLE) / t.n_tokens, 4) AS stop_ratio,
-      |  round(0.4 * (CAST(t.n_distinct AS DOUBLE) / t.n_tokens)
+      |  floor(CAST(t.n_distinct AS DOUBLE) / t.n_tokens * 10000 + 0.5)
+      |    / 10000 AS ttr,
+      |  floor(CAST(t.n_stop AS DOUBLE) / t.n_tokens * 10000 + 0.5)
+      |    / 10000 AS stop_ratio,
+      |  floor((0.4 * (CAST(t.n_distinct AS DOUBLE) / t.n_tokens)
       |    + 0.3 * least(1.0, t.n_tokens / 100.0)
-      |    + 0.3 * (CAST(t.n_stop AS DOUBLE) / t.n_tokens), 4) AS quality
+      |    + 0.3 * (CAST(t.n_stop AS DOUBLE) / t.n_tokens)) * 10000 + 0.5)
+      |    / 10000 AS quality
       |FROM documents d JOIN tstats t ON t.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
+    def r4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + 0.5) / 10000
     val toks = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val lex = broadcast(lexicon.map(_._2).distinct.toDF("w"))
@@ -95,7 +106,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct("tok").as("n_distinct"),
-        round(avg(length(col("tok"))), 4).as("avg_tok_len"),
+        r4(avg(length(col("tok")))).as("avg_tok_len"),
         count(col("w")).as("n_stop"))
     Tables.documents(s, d).select("doc_id")
       .join(tstats, "doc_id")
@@ -103,11 +114,11 @@ object TextAnalysis {
       .withColumn("stop_raw", col("n_stop").cast("double") / col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         col("avg_tok_len"),
-        round(col("ttr_raw"), 4).as("ttr"),
-        round(col("stop_raw"), 4).as("stop_ratio"),
-        round(col("ttr_raw") * 0.4
-          + least(lit(1.0), col("n_tokens") / 100.0) * 0.3
-          + col("stop_raw") * 0.3, 4).as("quality"))
+        r4(col("ttr_raw")).as("ttr"),
+        r4(col("stop_raw")).as("stop_ratio"),
+        r4(lit(0.4) * col("ttr_raw")
+          + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+          + lit(0.3) * col("stop_raw")).as("quality"))
       .orderBy("doc_id")
   }
 
