@@ -12,6 +12,42 @@ import graft.tables.Tables
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfDir}
 
+  test("incrementalCheck checks only newly arrived files across restarts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft-inc").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val cp = s"$base/cp"; val out = s"$base/out"
+    val fixture = Paths.get(s"$sfDir/region.parquet")
+    val schema = spark.read.parquet(fixture.toString).schema
+    val checkFn = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)).as("n_rows"),
+        count(when(col("r_regionkey") < 0, 1)).as("bad_keys"))
+    val expected = spark.read.parquet(fixture.toString).count()
+
+    // batch 0: one file present
+    Files.copy(fixture, Paths.get(s"$src/part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Streams.incrementalCheck(spark, src, schema, checkFn, cp, out)
+    val r1 = spark.read.parquet(out).collect()
+    assert(r1.map(_.getAs[Long]("n_rows")).sum === expected)
+    assert(r1.forall(_.getAs[Long]("bad_keys") === 0L))
+
+    // restart with the same checkpoint after a second file arrives:
+    // ONLY the new file is checked (exactly-once accounting)
+    Files.copy(fixture, Paths.get(s"$src/part-1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Streams.incrementalCheck(spark, src, schema, checkFn, cp, out)
+    val r2 = spark.read.parquet(out).collect()
+    assert(r2.map(_.getAs[Long]("n_rows")).sum === 2 * expected,
+      "second run must process exactly the one new file")
+    assert(r2.length > r1.length)
+
+    // idle restart: nothing new, nothing re-checked
+    Streams.incrementalCheck(spark, src, schema, checkFn, cp, out)
+    assert(spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("n_rows")).sum === 2 * expected)
+  }
+
   test("streaming tumbling window equals batch date_trunc aggregation") {
     val streamed = Streams.runToMemory(spark,
       Streams.tumblingCounts(Streams.eventsStream(spark, sfDir)),
