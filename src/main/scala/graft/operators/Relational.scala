@@ -28,7 +28,7 @@ object Relational {
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -42,7 +42,10 @@ object Relational {
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        // floor(x·10^4+0.5)/10^4, not round(): an integer-sum/group-count
+        // average can land on a non-binary-exact 4-decimal tie, where
+        // Spark's and DuckDB's round() disagree (see tx02)
+        (floor(avg("l_quantity") * 10000 + 0.5) / 10000).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
