@@ -34,7 +34,8 @@ object Bench {
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=dd03_minhash_lsh,q01_... times just
     // those queries; unset (the driver's mode) runs the full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank var = no filter, not an empty run
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

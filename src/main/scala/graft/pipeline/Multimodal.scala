@@ -113,10 +113,13 @@ object Multimodal {
       })
       .toDF("doc_id", "features")
     val probe = array((0 until 8).map(i => lit(0.35355339f)): _*) // unit v
+    val nrm = VectorOps.norm(col("features"))
     feats
+      // zero-byte payload → all-zero features → 0/0 = NaN, and NaN sorts
+      // ABOVE every number under desc; score empty media as 0 instead
       .withColumn("score",
-        VectorOps.dot(col("features"), probe) /
-          (VectorOps.norm(col("features")) * lit(1.0)))
+        when(nrm > 0, VectorOps.dot(col("features"), probe) / nrm)
+          .otherwise(lit(0.0)))
       .select(col("doc_id"), round(col("score"), 4).as("probe_cosine"))
       .orderBy(col("probe_cosine").desc, col("doc_id")).limit(20)
   }

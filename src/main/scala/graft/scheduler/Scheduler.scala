@@ -211,7 +211,14 @@ final class Scheduler(
             tally(r.violations)
             executed += cmd
             val end = clock.now()
-            stateByKey(key) = StateStore.recordRun(pick, cmd, start, end)
+            // A check that THREW (violations<0) is not a completed check:
+            // recording it would mark the table checked-today (skipped on
+            // re-run via IC:664-665 idempotence) and fold the failed
+            // attempt into the duration average. Leave state untouched so
+            // the table stays due — the error is surfaced via
+            // SchedulerReport.errors and the command log.
+            if (r.violations >= 0L)
+              stateByKey(key) = StateStore.recordRun(pick, cmd, start, end)
             }
           }
         }

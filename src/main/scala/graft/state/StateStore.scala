@@ -25,11 +25,20 @@ final class StateStore(spark: SparkSession, path: String) {
   def load(): Seq[CheckObject] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Crash recovery: save() can die between rename(p, pOld) and
-    // rename(pTmp, p), leaving only '<path>.old' — fall back to it so the
-    // check history is never silently reset.
+    // Crash recovery, newest complete generation first: save() can die
+    // between rename(p, pOld) and rename(pTmp, p) — at that point
+    // '<path>.tmp' already holds the NEWER state, fully written (its
+    // _SUCCESS marker proves the write committed; a crash mid-write
+    // leaves no marker and the tmp is ignored). Fall back to '.old' only
+    // when no complete tmp exists, so the history is never silently
+    // reset and never rolled back when a newer generation survives.
+    // Precedence: a complete tmp beats '<path>' — tmp only survives a
+    // crash between its own commit and the swap, at which point it is
+    // strictly the newer generation (every save() rewrites tmp first).
+    val tmp = new Path(path + ".tmp")
     val src =
-      if (fs.exists(p)) Some(path)
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) Some(path + ".tmp")
+      else if (fs.exists(p)) Some(path)
       else if (fs.exists(new Path(path + ".old"))) Some(path + ".old")
       else None
     src.fold(Seq.empty[CheckObject])(s =>

@@ -118,11 +118,13 @@ object Streams {
   /** Incremental integrity check — the lake-native evolution of the
     * reference's nightly batch (IntegrityChecks_VLDB.sql:505-744): instead
     * of re-scanning every table on a schedule, a file-source stream checks
-    * ONLY newly arrived files, and the checkpoint guarantees exactly-once
-    * accounting across restarts. `checkFn` maps a micro-batch to its
+    * ONLY newly arrived files. `checkFn` maps a micro-batch to its
     * validation summary (the CHECKTABLE/DATA_PURITY aggregate); each
-    * summary row is appended to `outPath` tagged with the batch id — the
-    * streaming form of the CommandLog.
+    * summary lands under `outPath/batch_id=<id>` — the streaming form of
+    * the CommandLog. foreachBatch replays a batch whose checkpoint commit
+    * didn't land (at-least-once), so the sink must be IDEMPOTENT: writing
+    * each batch to its own batch_id directory with overwrite makes the
+    * replay rewrite the same partition instead of double-counting it.
     *
     * Trigger.AvailableNow drains what exists and stops, so the same call
     * is a scheduled catch-up job (the reference's @TimeLimit world) OR a
@@ -138,8 +140,9 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        checkFn(batch).withColumn("batch_id", lit(id))
-          .coalesce(1).write.mode("append").parquet(outPath)
+        checkFn(batch)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$id")
         ()
       }
       .start()

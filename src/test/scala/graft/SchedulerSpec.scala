@@ -180,6 +180,12 @@ class SchedulerSpec extends AnyFunSuite {
     // the CHECKTABLE scan then THROWS — that must surface as an error,
     // not be clamped into a clean result.
     assert(r.errors >= 1L, "the failed check must surface as an error")
+    // and the errored check is NOT recorded as a completed run: the
+    // table must stay due (not checked-today) with untouched stats
+    val st = r.state.find(_.object_name == "corrupt").get
+    assert(st.number_of_executions === 0L,
+      "a thrown check must not count as an execution")
+    assert(StateStore.isDueOn(st, t0), "the table must remain due")
   }
 
   test("TOCTOU: object dropped between inventory and check is skipped " +

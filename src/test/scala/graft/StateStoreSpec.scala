@@ -116,6 +116,21 @@ class StateStoreSpec extends AnyFunSuite {
     assert(store.load() === rows)
   }
 
+  test("load prefers a complete <path>.tmp — the newer crashed generation") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val store = new graft.state.StateStore(spark, s"$dir/state")
+    store.save(Seq(obj(1, "gen1")))
+    // simulate a crash AFTER the new generation's tmp committed but
+    // BEFORE the swap: write gen2 as a complete '<path>.tmp' (saving
+    // through a store rooted there produces the dir + _SUCCESS marker)
+    new graft.state.StateStore(spark, s"$dir/state.tmp")
+      .save(Seq(obj(2, "gen2")))
+    val loaded = store.load()
+    assert(loaded.map(_.object_name) === Seq("gen2"),
+      "the complete tmp is strictly newer than the swapped path")
+  }
+
   test("IncrementalMean Aggregator replays the IC:706 recurrence exactly") {
     import SparkTestSession.spark
     import graft.functions.IncrementalMean
