@@ -166,7 +166,7 @@ object Similarity {
     import org.apache.spark.sql.functions.typedLit
     // dim probe: one-row scan so the plane literals match the data
     val dim = Tables.embeddings(s, d)
-      .select(size(col("embedding"))).head.getInt(0)
+      .select(size(col("embedding"))).head().getInt(0)
     // ±1 hyperplanes from md5(p|i) first-nibble parity — bit-identical to
     // the oracle's derivation above
     val md = java.security.MessageDigest.getInstance("MD5")
