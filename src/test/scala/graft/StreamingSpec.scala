@@ -46,6 +46,19 @@ class StreamingSpec extends AnyFunSuite {
     Streams.incrementalCheck(spark, src, schema, checkFn, cp, out)
     assert(spark.read.parquet(out).collect()
       .map(_.getAs[Long]("n_rows")).sum === 2 * expected)
+
+    // a corrupt file arriving FAILS the run loudly (no silent skip) and,
+    // because its batch never commits to the checkpoint, stays pending:
+    // the operator sees the error, fixes the file, and the next run
+    // re-checks it — the CommandExecute error-capture contract, streamed
+    Files.write(Paths.get(s"$src/part-2.parquet"),
+      "not parquet".getBytes)
+    intercept[Exception] {
+      Streams.incrementalCheck(spark, src, schema, checkFn, cp, out)
+    }
+    assert(spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("n_rows")).sum === 2 * expected,
+      "the failed batch must not have produced a summary")
   }
 
   test("streaming tumbling window equals batch date_trunc aggregation") {

@@ -52,13 +52,23 @@ def digest(df: pd.DataFrame) -> int:
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    timing = "--time" in sys.argv  # print best-of-2 DuckDB seconds per query
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    times = {}
     for name, sql in sorted(oracle.items()):
         try:
+            if timing:
+                import time as _time
+                best = float("inf")
+                for _ in range(2):
+                    t0 = _time.time()
+                    con.sql(sql).fetchall()
+                    best = min(best, _time.time() - t0)
+                times[name] = best
             want = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -94,6 +104,9 @@ def main():
         print(f"PASS {name} ({len(want_c)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail")
+    if timing:
+        print(json.dumps({"duckdb_sec": {k: round(v, 4) for k, v in sorted(times.items())},
+                          "total_sec": round(sum(times.values()), 3)}))
     sys.exit(1 if n_fail else 0)
 
 
