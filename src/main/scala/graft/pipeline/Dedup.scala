@@ -184,6 +184,12 @@ object Dedup {
     //     shuffles bands twice. The bucket groupBy shuffles once, and the
     //     LSH guarantee (buckets are tiny) is precisely what bounds the
     //     collect_list and the quadratic in-bucket expansion.
+    //  4. No pair-level distinct: a pair that agrees on BOTH bands would
+    //     surface twice, so band-1 buckets carry each doc's band-0 key
+    //     and emit only pairs whose band-0 keys DIFFER (first-match-wins).
+    //     That drops the candidate-pair shuffle entirely — at scale the
+    //     pair stream is the one relation here that can outgrow the
+    //     corpus, and it now never crosses the wire.
     val sh = Tables.spread(s, docs(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(expr(
@@ -198,17 +204,25 @@ object Dedup {
         min("h6").as("m6"), min("h7").as("m7"))
     val bands = sig.select(col("doc_id"), expr(
       """stack(2,
-        |  0, concat_ws('|', m0, m1, m2, m3),
-        |  1, concat_ws('|', m4, m5, m6, m7)) AS (band, band_key)
+        |  0, concat_ws('|', m0, m1, m2, m3), CAST(doc_id AS STRING),
+        |  1, concat_ws('|', m4, m5, m6, m7), concat_ws('|', m0, m1, m2, m3))
+        |  AS (band, band_key, prev_key)
         |""".stripMargin))
+    // band 0's prev_key is the doc_id itself (unique per doc → the
+    // equality below never holds → band 0 emits every in-bucket pair);
+    // band 1 suppresses pairs band 0 already emitted.
     bands.groupBy("band", "band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("prev_key"))))
+        .as("ids"))
       .filter(size(col("ids")) > 1)
       .select(expr(
         """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(x AS doc_a, y AS doc_b))))) AS p""".stripMargin))
-      .select("p.doc_a", "p.doc_b").distinct()
+          |  filter(
+          |    transform(slice(ids, i + 2, size(ids)),
+          |      y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |                  x.prev_key = y.prev_key AS seen)),
+          |    p -> NOT p.seen)))) AS p""".stripMargin))
+      .select("p.doc_a", "p.doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
