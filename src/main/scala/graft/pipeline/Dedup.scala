@@ -145,6 +145,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** k=8 seeded-md5 minhash signature per doc over word-bigram shingles:
+    * inline hash per corpus row, ONE map-side-combining groupBy(doc_id)
+    * with 8 min() aggregates. Shared by the batch LSH (dd03) and the
+    * streaming near-dup detector ([[graft.streaming.Streams]]). Input
+    * needs (doc_id, text). */
+  def minhashSig(docsDf: DataFrame): DataFrame = {
+    val sh = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
+        .as("tok"))
+    val mhCols = (0 until 8).map(k =>
+      md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
+    sh.select(col("doc_id") +: mhCols: _*)
+      .groupBy("doc_id")
+      .agg(min("h0").as("m0"), min("h1").as("m1"), min("h2").as("m2"),
+        min("h3").as("m3"), min("h4").as("m4"), min("h5").as("m5"),
+        min("h6").as("m6"), min("h7").as("m7"))
+  }
+
+  /** Per-ROW signature: identical m0..m7 but via array_min over the in-row
+    * shingle list — no explode, no aggregation. This is the STREAMING form
+    * (a streaming groupBy would be a watermark-requiring aggregation;
+    * per-row projection is mode-agnostic) and the right shape whenever one
+    * row carries the whole document. The batch path keeps the
+    * explode+groupBy form, whose md5s run codegen'd rather than as
+    * interpreted higher-order lambdas. */
+  def minhashSigPerRow(docsDf: DataFrame): DataFrame = {
+    val mh = (0 until 8).map(k => expr(
+      s"""array_min(transform(sh, t -> md5(concat('$k', '|', t))))"""
+    ).as(s"m$k"))
+    docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))")
+        .as("sh"))
+      .select(col("doc_id") +: mh: _*)
+  }
+
+  /** (doc_id, band, band_key) rows: 2 bands × 4 minhash rows, from the
+    * per-row signature (streaming-safe). */
+  def minhashBands(docsDf: DataFrame): DataFrame =
+    minhashSigPerRow(docsDf).select(col("doc_id"), expr(
+      """stack(2,
+        |  0, concat_ws('|', m0, m1, m2, m3),
+        |  1, concat_ws('|', m4, m5, m6, m7)) AS (band, band_key)
+        |""".stripMargin))
+
   /** MinHash + LSH banding over word-bigram shingles: k=8 hash functions
     * (seeded md5), 2 bands × 4 rows; candidate pairs = docs agreeing on an
     * entire band. The banding groupBy is the scale trick: no all-pairs
@@ -190,18 +238,7 @@ object Dedup {
     //     That drops the candidate-pair shuffle entirely — at scale the
     //     pair stream is the one relation here that can outgrow the
     //     corpus, and it now never crosses the wire.
-    val sh = Tables.spread(s, docs(s, d), "doc_id")
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
-        .as("tok"))
-    val mhCols = (0 until 8).map(k =>
-      md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
-    val sig = sh.select(col("doc_id") +: mhCols: _*)
-      .groupBy("doc_id")
-      .agg(min("h0").as("m0"), min("h1").as("m1"), min("h2").as("m2"),
-        min("h3").as("m3"), min("h4").as("m4"), min("h5").as("m5"),
-        min("h6").as("m6"), min("h7").as("m7"))
+    val sig = minhashSig(Tables.spread(s, docs(s, d), "doc_id"))
     val bands = sig.select(col("doc_id"), expr(
       """stack(2,
         |  0, concat_ws('|', m0, m1, m2, m3), CAST(doc_id AS STRING),

@@ -115,6 +115,45 @@ object Streams {
     spark.table(name)
   }
 
+  /** One emitted near-dup match: `doc_id` collided with the bucket
+    * representative `matched_doc` in LSH band `band`. */
+  case class NearDupMatch(band: Int, doc_id: Long, matched_doc: Long)
+
+  /** Streaming near-duplicate detection — the streaming form of the batch
+    * MinHash+LSH dedup (dd03): documents arrive as a stream, each gets
+    * its k=8 minhash signature, and per-(band, bucket) STATE holds the
+    * bucket's representative (smallest doc_id seen). A new doc landing in
+    * a non-empty bucket is flagged against the representative — dedup
+    * against the full corpus HISTORY at O(new docs) per batch.
+    *
+    * State is one long per ACTIVE bucket: bounded by the corpus's bucket
+    * count, and in production capped with a state TTL/timeout (history
+    * older than the dedup horizon can be dropped the same way the
+    * watermarked operators bound their state). */
+  def streamingNearDup(spark: SparkSession, docsStream: DataFrame)
+      : Dataset[NearDupMatch] = {
+    import spark.implicits._
+    graft.pipeline.Dedup.minhashBands(docsStream)
+      .select(col("band").as[Int], col("band_key").as[String],
+        col("doc_id").as[Long])
+      .groupByKey { case (band, key, _) => (band, key) }
+      .flatMapGroupsWithState[Long, NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          // deterministic within a batch regardless of arrival order:
+          // process the bucket's docs smallest-first
+          val ids = rows.map(_._3).toSeq.sorted
+          val prev = state.getOption
+          val rep = prev.fold(ids.head)(r => math.min(r, ids.head))
+          state.update(rep)
+          // every arriving doc with an existing bucket-mate is flagged;
+          // a doc that BECOMES the representative matches the old one
+          val toFlag = if (prev.isEmpty) ids.tail else ids
+          toFlag.iterator.map(id =>
+            NearDupMatch(band, id, if (id == rep) prev.get else rep))
+      }
+  }
+
   /** Incremental integrity check — the lake-native evolution of the
     * reference's nightly batch (IntegrityChecks_VLDB.sql:505-744): instead
     * of re-scanning every table on a schedule, a file-source stream checks

@@ -61,6 +61,24 @@ class StreamingSpec extends AnyFunSuite {
       "the failed batch must not have produced a summary")
   }
 
+  test("streaming near-dup flags exactly the docs dd03 pairs as doc_b") {
+    // dd03's pairs are (doc_a < doc_b) per shared bucket; the streaming
+    // detector flags a doc when its bucket already holds a smaller id —
+    // so the flagged set must equal dd03's distinct doc_b values.
+    val docsStream = {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    }
+    val flagged = Streams.runToMemory(spark,
+      Streams.streamingNearDup(spark, docsStream).toDF(), "neardup",
+      OutputMode.Append())
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val batchDocB = graft.SparkEntry.queries("dd03_minhash_lsh")(spark, sfDir)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged === batchDocB)
+  }
+
   test("streaming tumbling window equals batch date_trunc aggregation") {
     val streamed = Streams.runToMemory(spark,
       Streams.tumblingCounts(Streams.eventsStream(spark, sfDir)),
