@@ -9,6 +9,32 @@ import graft.tables.Tables
 class ScaleOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The other half of the skew story (q22 is the salting half): one hot
+    // key overwhelms a reducer, and AQE's runtime re-plan splits that
+    // partition instead. Tiny thresholds make the 90%-hot-key join skewed
+    // at test scale; the executed plan must show the skew-join rewrite.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    import s2.implicits._
+    val left = s2.range(0, 100000)
+      .select(when($"id" < 90000, 0L).otherwise($"id" % 100).as("k"),
+        $"id".as("v"))
+    val right = s2.range(0, 100).select($"id".as("k"), ($"id" * 2).as("w"))
+    val joined = left.join(right, "k")
+    // execute THIS dataset (count() would spawn a separate QueryExecution
+    // and leave joined's adaptive plan unfinalized)
+    assert(joined.collect().length === 100000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      "expected the AQE skew-join rewrite in:\n" + plan.take(3000))
+  }
+
   test("salted two-stage aggregation equals direct aggregation") {
     val direct = Tables.events(spark, sfDir)
       .groupBy("event_type")
