@@ -22,6 +22,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("ORC round-trip preserves customer table exactly") {
+    val out = tmp("orc") + "/customer"
+    val src = spark.read.parquet(s"$sfDir/customer.parquet")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("JSON lines round-trip preserves supplier table exactly") {
     val out = tmp("json") + "/supplier"
     val src = spark.read.parquet(s"$sfDir/supplier.parquet")
