@@ -19,6 +19,7 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
+      pipeline.CleanCorpus.queries ++
       pipeline.Multimodal.queries ++
       streaming.EventQueries.queries
 
