@@ -27,9 +27,9 @@ import graft.tables.Tables
   */
 object CleanCorpus {
 
-  private val stopwords = Seq(
-    "the", "a", "of", "and", "is", "to", "in", "der", "die", "das", "und",
-    "ist", "le", "la", "et", "est", "un", "el", "los", "es", "y", "una")
+  // the tx02 lexicon — ONE definition (TextAnalysis), echoed into the SQL
+  private def stopwords: Seq[String] =
+    TextAnalysis.lexicon.map(_._2).distinct
 
   val pipe01CleanCorpus: Q = Q(
     "pipe01_clean_corpus",
@@ -80,35 +80,18 @@ object CleanCorpus {
   def survivalFlags(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
-    // quality per doc — tx02's formula, identical op order to the SQL
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val lex = {
-      import s.implicits._
-      broadcast(stopwords.toDF("w"))
-    }
-    val tstats = toks.join(lex, col("tok") === col("w"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct("tok").as("n_distinct"),
-        count(col("w")).as("n_stop"))
-      .select(col("doc_id"),
-        (lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens"))
-          + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
-          + lit(0.3) * (col("n_stop").cast("double") / col("n_tokens")))
-          .as("quality"))
+    // The persist is reclaimed by Spark's ContextCleaner once the frame
+    // becomes unreachable (method-local) — it is not pinned for the
+    // session lifetime.
     val flags = docs
       .withColumn("s1", col("doc_id") ===
         min("doc_id").over(Window.partitionBy(md5(col("text")))))
-      .join(tstats, "doc_id")
+      .join(TextAnalysis.qualityScores(s, docs), "doc_id")
       .withColumn("s2", col("s1") && col("quality") >= 0.35)
       .join(Dedup.minhashSig(docs), "doc_id")
       .persist()
-    val bands = flags.filter(col("s2")).select(col("doc_id"), expr(
-      """stack(2,
-        |  0, concat_ws('|', m0, m1, m2, m3),
-        |  1, concat_ws('|', m4, m5, m6, m7)) AS (band, band_key)
-        |""".stripMargin))
+    val bands = flags.filter(col("s2"))
+      .select(col("doc_id"), Dedup.bandStack)
     val dupIds = bands.groupBy("band", "band_key")
       .agg(min("doc_id").as("keep"), collect_list(col("doc_id")).as("ids"))
       .select(explode(col("ids")).as("doc_id"), col("keep"))

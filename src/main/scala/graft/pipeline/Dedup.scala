@@ -93,9 +93,7 @@ object Dedup {
     // serial (see Tables.spread).
     val sh = Tables.spread(s, docs(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
-        .as("shingle"))
+      .select(col("doc_id"), explode(bigramShingles).as("shingle"))
       .distinct()
     // Global shingle dictionary: dense ids 1..V (deterministic order).
     val rank = sh.select(col("shingle")).distinct()
@@ -145,6 +143,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Word-bigram shingles of a token-array column `l`, EMPTY for docs with
+    * fewer than 2 tokens. The guard matters for cross-engine parity:
+    * Spark's `sequence(0, size(l) - 2)` with size=1 is sequence(0, -1) =
+    * [0, -1] (a DESCENDING range), which fabricates null shingles, while
+    * DuckDB's `range(1, len(l))` is simply empty. */
+  private[pipeline] val bigramShingles =
+    expr("""CASE WHEN size(l) >= 2
+           |  THEN transform(sequence(0, size(l) - 2),
+           |                 i -> concat(l[i], ' ', l[i+1]))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
   /** k=8 seeded-md5 minhash signature per doc over word-bigram shingles:
     * inline hash per corpus row, ONE map-side-combining groupBy(doc_id)
     * with 8 min() aggregates. Shared by the batch LSH (dd03) and the
@@ -153,9 +162,7 @@ object Dedup {
   def minhashSig(docsDf: DataFrame): DataFrame = {
     val sh = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))"))
-        .as("tok"))
+      .select(col("doc_id"), explode(bigramShingles).as("tok"))
     val mhCols = (0 until 8).map(k =>
       md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
     sh.select(col("doc_id") +: mhCols: _*)
@@ -178,20 +185,26 @@ object Dedup {
     ).as(s"m$k"))
     docsDf
       .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, size(l) - 2), i -> concat(l[i], ' ', l[i+1]))")
-        .as("sh"))
+      .select(col("doc_id"), bigramShingles.as("sh"))
+      // <2-token docs have no shingles and thus no signature — same as
+      // the batch groupBy form, where they simply contribute no group
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id") +: mh: _*)
   }
+
+  /** The 2-band × 4-row LSH layout over a signature frame's m0..m7 — the
+    * ONE definition of the banding, shared by dd03, the composed cleaning
+    * pipeline and the streaming detector. */
+  private[graft] val bandStack = expr(
+    """stack(2,
+      |  0, concat_ws('|', m0, m1, m2, m3),
+      |  1, concat_ws('|', m4, m5, m6, m7)) AS (band, band_key)
+      |""".stripMargin)
 
   /** (doc_id, band, band_key) rows: 2 bands × 4 minhash rows, from the
     * per-row signature (streaming-safe). */
   def minhashBands(docsDf: DataFrame): DataFrame =
-    minhashSigPerRow(docsDf).select(col("doc_id"), expr(
-      """stack(2,
-        |  0, concat_ws('|', m0, m1, m2, m3),
-        |  1, concat_ws('|', m4, m5, m6, m7)) AS (band, band_key)
-        |""".stripMargin))
+    minhashSigPerRow(docsDf).select(col("doc_id"), bandStack)
 
   /** MinHash + LSH banding over word-bigram shingles: k=8 hash functions
     * (seeded md5), 2 bands × 4 rows; candidate pairs = docs agreeing on an

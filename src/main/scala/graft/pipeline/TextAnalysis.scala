@@ -13,8 +13,9 @@ import graft.tables.Tables
 object TextAnalysis {
 
   /** Tiny per-language stopword lexicon for the n-gram/stopword heuristic
-    * (deterministic; embedded in both engines' queries). */
-  private val lexicon: Seq[(String, String)] = Seq(
+    * (deterministic; embedded in both engines' queries; shared with the
+    * composed cleaning pipeline). */
+  private[pipeline] val lexicon: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
     "en" -> "to", "en" -> "in",
     "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
@@ -122,6 +123,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-doc RAW quality score — the tx02 formula with identical operation
+    * order, shared with the composed cleaning pipeline so the two surfaces
+    * can never drift apart. */
+  private[pipeline] def qualityScores(s: SparkSession, docsDf: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val toks = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lex = broadcast(lexicon.map(_._2).distinct.toDF("w"))
+    toks.join(lex, col("tok") === col("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct"),
+        count(col("w")).as("n_stop"))
+      .select(col("doc_id"),
+        (lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+          + lit(0.3) * (col("n_stop").cast("double") / col("n_tokens")))
+          .as("quality"))
+  }
+
   /** Token counting: whitespace tokens, regex word tokens (BPE-ish
     * alnum-run pre-tokenizer), characters — one projection, no shuffle. */
   val tx03TokenCount: Q = Q(
@@ -161,9 +183,13 @@ object TextAnalysis {
       // doc_id is the row key, so the "4 smallest distinct 3-gram hashes"
       // fingerprint is a PER-ROW computation — no explode, no distinct
       // shuffle, no window: sort the deduped in-row hash array and slice.
-      // Embarrassingly parallel at any scale.
+      // Embarrassingly parallel at any scale. Docs with <3 tokens have no
+      // trigram and no output row, matching the oracle's empty group —
+      // and guarding Spark's sequence(0, n<0), which is a DESCENDING
+      // range, not an empty one.
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
         .select(col("doc_id"), array_join(slice(array_sort(array_distinct(
           expr("transform(sequence(0, size(l) - 3), " +
             "i -> md5(concat(l[i], ' ', l[i+1], ' ', l[i+2])))"))),

@@ -140,15 +140,20 @@ object Streams {
       .flatMapGroupsWithState[Long, NearDupMatch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((band, _), rows, state: GroupState[Long]) =>
-          // deterministic within a batch regardless of arrival order:
-          // process the bucket's docs smallest-first
-          val ids = rows.map(_._3).toSeq.sorted
+          // distinct: replayed/duplicated ROWS of the same doc are the
+          // same doc, not a near-dup of itself; sorted: deterministic
+          // within a batch regardless of arrival order
+          val ids = rows.map(_._3).toSeq.distinct.sorted
           val prev = state.getOption
           val rep = prev.fold(ids.head)(r => math.min(r, ids.head))
           state.update(rep)
-          // every arriving doc with an existing bucket-mate is flagged;
-          // a doc that BECOMES the representative matches the old one
-          val toFlag = if (prev.isEmpty) ids.tail else ids
+          // every arriving doc with an existing bucket-mate is flagged —
+          // except a re-arrival of the stored representative itself; a
+          // doc that BECOMES the representative matches the old one
+          val toFlag = prev match {
+            case None => ids.tail
+            case Some(r) => ids.filterNot(_ == r)
+          }
           toFlag.iterator.map(id =>
             NearDupMatch(band, id, if (id == rep) prev.get else rep))
       }
