@@ -36,21 +36,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // empty/blank var = no filter, not an empty run
+    var rescued = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // scheduler_state_after_run must price a REAL scheduler pass per
+        // sample, not a hit on the memoized run another query triggered
+        def sample(): Double = {
+          if (name == "scheduler_state_after_run")
+            graft.scheduler.SchedulerQueries.clearRealRunCache()
+          time(fn)
+        }
         // best-of-2, plus a rescue attempt when the two samples disagree
         // by >2× — the run was hit by an external CPU-contention window,
-        // not by the query itself.
-        val t1 = time(fn); val t2 = time(fn)
+        // not by the query itself. Rescued queries are recorded in the
+        // JSON so the methodology shift (min-of-3) stays visible.
+        val t1 = sample(); val t2 = sample()
         val best = math.min(t1, t2)
-        name -> (if (math.max(t1, t2) > 2 * best) math.min(best, time(fn))
-                 else best)
+        name -> (if (math.max(t1, t2) > 2 * best) {
+                   rescued ::= name; math.min(best, sample())
+                 } else best)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those)","rescued":$resc}""")
     spark.stop()
   }
 }

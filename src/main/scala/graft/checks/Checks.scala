@@ -223,11 +223,11 @@ object Checks {
   val checkContentHash: Q = Q(
     "check_content_hash",
     """SELECT count(*) AS n_rows,
-      |  sum(('0x' || substr(md5(concat_ws('|',
+      |  CAST(sum(('0x' || substr(md5(concat_ws('|',
       |    l_orderkey, l_linenumber, printf('%.2f', l_quantity),
       |    printf('%.2f', l_extendedprice), l_returnflag, l_linestatus,
       |    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))), 1, 8))::BIGINT)
-      |    AS content_hash
+      |    AS BIGINT) AS content_hash
       |FROM lineitem""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .select(conv(substring(md5(concat_ws("|",

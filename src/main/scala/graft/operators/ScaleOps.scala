@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.functions.StableRound
 import graft.tables.Tables
 
 /** Scale techniques as first-class, oracle-checked operators: the moves
@@ -23,8 +24,8 @@ object ScaleOps {
   val q22SaltedAgg: Q = Q(
     "q22_salted_agg",
     """SELECT event_type, count(*) AS n_events,
-      |  round(sum(value), 2) AS total_value,
-      |  round(sum(value) / count(*), 4) AS avg_value
+      |  floor(sum(value) * 100 + 0.5) / 100 AS total_value,
+      |  floor(sum(value) / count(*) * 10000 + 0.5) / 10000 AS avg_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
       val salted = Tables.events(s, d)
@@ -33,8 +34,8 @@ object ScaleOps {
         .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
       partial.groupBy("event_type")
         .agg(sum("pn").as("n_events"),
-          round(sum("pv"), 2).as("total_value"),
-          round(sum("pv") / sum("pn"), 4).as("avg_value"))
+          StableRound.r2(sum("pv")).as("total_value"),
+          StableRound.r4(sum("pv") / sum("pn")).as("avg_value"))
         .orderBy("event_type")
   }
 
@@ -77,17 +78,17 @@ object ScaleOps {
   val q26Percentiles: Q = Q(
     "q26_percentiles",
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.5), 4) AS p50,
-      |  round(quantile_cont(value, 0.95), 4) AS p95,
-      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+      |  floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000 AS p95,
+      |  floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
     (s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.95)"), 4).as("p95"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          StableRound.r4(expr("percentile(value, 0.5)")).as("p50"),
+          StableRound.r4(expr("percentile(value, 0.95)")).as("p95"),
+          StableRound.r4(expr("percentile(value, 0.99)")).as("p99"))
         .orderBy("event_type")
   }
 

@@ -83,14 +83,21 @@ object CleanCorpus {
     // The persist is reclaimed by Spark's ContextCleaner once the frame
     // becomes unreachable (method-local) — it is not pinned for the
     // session lifetime.
+    // LEFT join: minhashSig emits no row for a <2-token doc (no bigram
+    // shingles), and an inner join would silently drop such docs from the
+    // flags frame — undercounting every stage and discarding
+    // quality-passing short docs from the cleaned corpus. A sig-less doc
+    // keeps null m0..m7, is excluded from banding below (it must not land
+    // in a shared '' band_key bucket), and passes s3 whenever s2 holds —
+    // a doc with no shingles has no near-duplicates.
     val flags = docs
       .withColumn("s1", col("doc_id") ===
         min("doc_id").over(Window.partitionBy(md5(col("text")))))
       .join(TextAnalysis.qualityScores(s, docs), "doc_id")
       .withColumn("s2", col("s1") && col("quality") >= 0.35)
-      .join(Dedup.minhashSig(docs), "doc_id")
+      .join(Dedup.minhashSig(docs), Seq("doc_id"), "left")
       .persist()
-    val bands = flags.filter(col("s2"))
+    val bands = flags.filter(col("s2") && col("m0").isNotNull)
       .select(col("doc_id"), Dedup.bandStack)
     val dupIds = bands.groupBy("band", "band_key")
       .agg(min("doc_id").as("keep"), collect_list(col("doc_id")).as("ids"))

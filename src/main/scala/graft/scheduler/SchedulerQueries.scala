@@ -37,14 +37,22 @@ object SchedulerQueries {
     * pass per inspection would double the engine work for no new
     * information. Deterministic: fixed clock + clean fixtures. */
   private val realRunCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (SchedulerReport, CommandLog)]
   private def realRunFor(s: SparkSession, d: String)
       : (SchedulerReport, CommandLog) =
-    realRunCache.computeIfAbsent(d, { _ =>
+    // keyed by (session, dir): the memoized pair is session-bound — a new
+    // session must never be served results computed on a stopped one
+    realRunCache.computeIfAbsent((s, d), { _ =>
       val log = new CommandLog(s, None)
       (runScheduler(s, d, execute = true, log = Some(log)), log)
     })
+
+  /** Drop memoized real runs — Bench calls this so a timed sample of
+    * `scheduler_state_after_run` prices a REAL scheduler pass instead of a
+    * cache hit (the command-log query still inspects the shared pass, as
+    * in the reference where one nightly run feeds both artifacts). */
+  def clearRealRunCache(): Unit = realRunCache.clear()
 
   /** Real run: per-object state after one scheduled pass — execution
     * counts, durations recorded, zero violations on the clean fixtures. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q
+import graft.functions.StableRound
 import graft.tables.Tables
 
 /** Event-stream processing (streaming north-star; the reference has no
@@ -27,13 +28,14 @@ object EventQueries {
   val ev01TumblingWindow: Q = Q(
     "ev01_tumbling_window",
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
-      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |  count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) {
     (s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("window_start"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          StableRound.r2(sum("value")).as("total_value"))
         .orderBy("window_start", "event_type")
   }
 
@@ -73,7 +75,7 @@ object EventQueries {
       |  FROM g)
       |SELECT user_id, session_no, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
-      |  round(sum(value), 2) AS session_value
+      |  floor(sum(value) * 100 + 0.5) / 100 AS session_value
       |FROM s GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
     // event_id tie-breaks BOTH windows: events tied on ts at a session
@@ -92,7 +94,7 @@ object EventQueries {
       .groupBy("user_id", "session_no")
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("session_start"), max("ts").as("session_end"),
-        round(sum("value"), 2).as("session_value"))
+        StableRound.r2(sum("value")).as("session_value"))
       .orderBy("user_id", "session_no")
   }
 

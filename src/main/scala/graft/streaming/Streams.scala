@@ -38,7 +38,8 @@ object Streams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.StableRound.r2(sum("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 

@@ -28,6 +28,41 @@ class CleanCorpusSpec extends AnyFunSuite {
     assert(n === distinctN)
   }
 
+  test("docs with <2 tokens are counted and survive when quality passes") {
+    import spark.implicits._
+    // the fixture corpus has no shingle-less docs, so pin the class here:
+    // a 1-token doc and an empty doc have NO bigram shingles (no minhash
+    // signature row) — they must still appear in the flags frame, must not
+    // be treated as near-dups of EACH OTHER, and must reach the cleaned
+    // corpus when quality passes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-shortdoc")
+      .toString
+    Seq(
+      (1L, "one", "en", "t", 3L), // 1 token: sig-less
+      (2L, "one", "en", "t", 3L), // exact dup of 1 (sig-less too)
+      (3L, "", "en", "t", 0L),    // empty: sig-less
+      (4L, "the quick brown fox jumps over the lazy dog again and again",
+        "en", "t", 59L),
+      (5L, "the quick brown fox jumps over the lazy dog again and again",
+        "en", "t", 59L)           // exact dup of 4
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val flags = CleanCorpus.survivalFlags(spark, dir)
+      .select("doc_id", "s1", "s2", "s3")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(flags.keySet === Set(1L, 2L, 3L, 4L, 5L)) // nobody vanishes
+    assert(flags(1L)._1 && !flags(2L)._1)  // exact dedup still applies
+    assert(flags(4L)._1 && !flags(5L)._1)
+    // quality of a 1-token doc: 0.4·ttr(1) + 0.3·(1/100) + 0 ≈ 0.403 ≥
+    // 0.35 → s2; sig-less docs have no near-dups → s3 follows s2
+    assert(flags(1L) === ((true, true, true)))
+    assert(flags(3L) === ((true, true, true))) // NOT a dup of doc 1
+    val cleanedIds = CleanCorpus.cleaned(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanedIds.contains(1L) && cleanedIds.contains(3L))
+  }
+
   test("no two cleaned docs share an LSH bucket (near-dup removal held)") {
     val cleanedIds = CleanCorpus.cleaned(spark, sfDir).select("doc_id")
     val buckets = graft.pipeline.Dedup

@@ -25,6 +25,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+STRICT = False  # --strict: bit-exact floats (catches -0.0 vs 0.0 and round ties)
+
+
 def norm_cell(v):
     import numpy as np
     if isinstance(v, np.ndarray):
@@ -36,7 +39,10 @@ def norm_cell(v):
     if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
         return None
     if isinstance(v, float):
-        return round(v, 6)
+        # default mode tolerates engine noise at 6dp; the DRIVER's gate is
+        # bit-exact, so --strict keeps the raw double (repr distinguishes
+        # -0.0 from 0.0 and int from float, e.g. DuckDB HUGEINT→float64)
+        return v if STRICT else round(v, 6)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if hasattr(v, "isoformat"):
@@ -51,8 +57,10 @@ def digest(df: pd.DataFrame) -> int:
 
 
 def main():
+    global STRICT
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     timing = "--time" in sys.argv  # print best-of-2 DuckDB seconds per query
+    STRICT = "--strict" in sys.argv
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
