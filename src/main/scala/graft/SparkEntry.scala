@@ -20,6 +20,7 @@ object SparkEntry {
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.CleanCorpus.queries ++
+      pipeline.TrainingData.queries ++
       pipeline.Multimodal.queries ++
       streaming.EventQueries.queries
 

@@ -206,27 +206,35 @@ object Dedup {
   def minhashBands(docsDf: DataFrame): DataFrame =
     minhashSigPerRow(docsDf).select(col("doc_id"), bandStack)
 
+  /** The dd03 candidate-pair relation as a SQL CTE block (DuckDB dialect),
+    * shared by the dd03 oracle and the clustering oracle (dd06). Exposes
+    * `lsh_pairs(doc_a, doc_b)`. */
+  private val lshPairsCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS tok
+      |       FROM toks),
+      |seeds AS (SELECT unnest(range(8)) AS seed),
+      |sig AS (SELECT doc_id, seed,
+      |          min(md5(seed::VARCHAR || '|' || tok)) AS mh
+      |        FROM sh, seeds GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, seed // 4 AS band,
+      |            string_agg(mh, '|' ORDER BY seed) AS band_key
+      |          FROM sig GROUP BY doc_id, seed // 4),
+      |lsh_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
   /** MinHash + LSH banding over word-bigram shingles: k=8 hash functions
     * (seeded md5), 2 bands × 4 rows; candidate pairs = docs agreeing on an
     * entire band. The banding groupBy is the scale trick: no all-pairs
     * comparison ever happens — only same-bucket docs meet in the join. */
   val dd03MinhashLsh: Q = Q(
     "dd03_minhash_lsh",
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
-       |         range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS tok
-       |       FROM toks),
-       |seeds AS (SELECT unnest(range(8)) AS seed),
-       |sig AS (SELECT doc_id, seed,
-       |          min(md5(seed::VARCHAR || '|' || tok)) AS mh
-       |        FROM sh, seeds GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, seed // 4 AS band,
-       |            string_agg(mh, '|' ORDER BY seed) AS band_key
-       |          FROM sig GROUP BY doc_id, seed // 4)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.band_key = b.band_key
-       |  AND a.doc_id < b.doc_id
+    s"""WITH $lshPairsCte
+       |SELECT doc_a, doc_b FROM lsh_pairs
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     // Plan shape (measured, sf0.1: 2.1s → 0.65s):
     //  1. spread() the narrow doc scan on doc_id BEFORE the explode so the
@@ -251,6 +259,12 @@ object Dedup {
     //     That drops the candidate-pair shuffle entirely — at scale the
     //     pair stream is the one relation here that can outgrow the
     //     corpus, and it now never crosses the wire.
+    lshPairs(s, d).orderBy("doc_a", "doc_b")
+  }
+
+  /** The dd03 candidate-pair relation (doc_a < doc_b), un-ordered — shared
+    * by dd03 and the cluster construction (dd06). */
+  private[pipeline] def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(Tables.spread(s, docs(s, d), "doc_id"))
     val bands = sig.select(col("doc_id"), expr(
       """stack(2,
@@ -273,7 +287,63 @@ object Dedup {
           |                  x.prev_key = y.prev_key AS seen)),
           |    p -> NOT p.seen)))) AS p""".stripMargin))
       .select("p.doc_a", "p.doc_b")
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup CLUSTERS from the LSH pair graph: connected components by
+    * iterative min-label propagation — cluster_id = smallest doc_id in the
+    * component. This is the step that turns pairwise near-dup evidence into
+    * a keep-one-per-cluster decision (pairwise keep-min is wrong for chains
+    * a-b, b-c: both b and c would point at different survivors).
+    *
+    * Scale shape: the pair graph is SPARSE (LSH emits only same-bucket
+    * pairs), labels are one row per matched doc, and each iteration is one
+    * join + groupBy shuffle keyed by vertex. Convergence needs ≤ graph
+    * diameter rounds — near-dup components are tiny cliques/chains, so 2-4
+    * rounds in practice (a pathological long chain would call for the
+    * large-star/small-star variant, same primitive). `localCheckpoint`
+    * truncates lineage per round so the plan does not grow exponentially
+    * with iterations.
+    *
+    * Oracle: the same fixpoint as a recursive transitive closure (tiny in
+    * DuckDB; the Spark form is the one that scales). */
+  val dd06DupClusters: Q = Q(
+    "dd06_dup_clusters",
+    s"""WITH RECURSIVE $lshPairsCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+       |          UNION SELECT doc_b, doc_a FROM lsh_pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |  WHERE e.dst <> r.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = lshPairs(s, d)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // two consumers per iteration (neighbor-min join + convergence test)
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+        .groupBy("src").agg(min("lbl").as("nbr_lbl"))
+      val step = labels
+        .join(nbrMin.select(col("src").as("v"), col("nbr_lbl")), Seq("v"),
+          "left")
+        .select(col("v"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+            .as("nlbl"))
+        .localCheckpoint() // eager: one materialization serves both uses
+      changed = step.filter(col("nlbl") =!= col("lbl")).count()
+      labels = step.select(col("v"), col("nlbl").as("lbl"))
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** SimHash (16-bit): bit b of md5's leading hex digits votes ±1 per
@@ -362,5 +432,5 @@ object Dedup {
 
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
-    dd05EmbeddingDup)
+    dd05EmbeddingDup, dd06DupClusters)
 }

@@ -197,6 +197,40 @@ object TextAnalysis {
         .orderBy("doc_id")
   }
 
+  /** Repetition filter (the Gopher/C4-style within-doc duplication rule):
+    * fraction of word-bigrams that are repeats of an earlier bigram in the
+    * SAME document. High ratio = boilerplate/spam/looping text — a standard
+    * pre-training quality gate, complementing tx02 (which scores lexical
+    * shape, not internal redundancy).
+    *
+    * Per-ROW computation like tx04: the ratio needs only the in-row shingle
+    * list (size vs distinct size) — no explode, no shuffle, embarrassingly
+    * parallel at any scale. Docs with <2 tokens have no bigrams and no row
+    * (nothing to measure), matching the oracle's WHERE. */
+  val tx05Repetition: Q = Q(
+    "tx05_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(l)),
+      |         i -> l[i] || ' ' || l[i+1]) AS sh
+      |       FROM toks WHERE len(l) >= 2)
+      |SELECT doc_id, len(sh) AS n_bigrams,
+      |  floor((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh))
+      |    * 10000 + 0.5) / 10000 AS rep_ratio,
+      |  (1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) >= 0.1
+      |    AS flagged
+      |FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val rr = lit(1.0) -
+      size(array_distinct(col("sh"))).cast("double") / size(col("sh"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), Dedup.bigramShingles.as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_bigrams"),
+        StableRound.r4(rr).as("rep_ratio"), (rr >= 0.1).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
-    tx04Fingerprint)
+    tx04Fingerprint, tx05Repetition)
 }

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.StableRound
+import graft.tables.Tables
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond cleaning (north-star surface; no reference analog — SURVEY.md
+  * §2.10/§2.12): deterministic split assignment, domain-mixture weighting,
+  * and benchmark decontamination.
+  */
+object TrainingData {
+
+  /** Deterministic train/val/test split (80/10/10) by hashing the document
+    * KEY — the standard reproducible-split move: assignment is a pure
+    * function of doc_id, so re-runs, backfills and incremental arrivals
+    * all land each doc in the same split with NO coordination, no stored
+    * assignment table, and no RNG (rand() would shuffle docs between
+    * splits on every retry). Embarrassingly parallel: one projection, one
+    * tiny 3-group aggregate. */
+  val pipe02TrainSplit: Q = Q(
+    "pipe02_train_split",
+    """WITH b AS (SELECT doc_id, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |      AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split")
+  }
+
+  /** Domain-mixture weights: per-source corpus share and the per-doc
+    * sampling weight that would equalize sources (target = uniform
+    * mixture; weight = target_share / actual_share). The shape every
+    * data-mixing recipe reduces to: one tiny groupBy + a broadcast of the
+    * 1-row corpus totals. */
+  val pipe03MixtureWeights: Q = Q(
+    "pipe03_mixture_weights",
+    """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |t AS (SELECT count(*) AS total, count(DISTINCT source) AS n_sources
+      |      FROM documents)
+      |SELECT s.source, s.n_docs,
+      |  floor(CAST(s.n_docs AS DOUBLE) / t.total * 10000 + 0.5) / 10000
+      |    AS share,
+      |  floor((CAST(t.total AS DOUBLE) / t.n_sources) / s.n_docs
+      |    * 10000 + 0.5) / 10000 AS weight
+      |FROM s, t ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = docs.agg(count(lit(1)).as("total"),
+      countDistinct("source").as("n_sources"))
+    bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        StableRound.r4(col("n_docs").cast("double") / col("total"))
+          .as("share"),
+        StableRound.r4((col("total").cast("double") / col("n_sources"))
+          / col("n_docs")).as("weight"))
+      .orderBy("source")
+  }
+
+  /** Benchmark decontamination: corpus docs sharing ≥3 distinct word-bigram
+    * shingles with any EVAL-set doc (here: doc_id % 50 = 0 stands in for
+    * the benchmark suite). The canonical pre-training hygiene pass — eval
+    * examples must be removed from (or at least flagged in) the training
+    * corpus, and n-gram overlap is the standard detector.
+    *
+    * Scale shape: the eval side is TINY relative to the corpus, so its
+    * shingle set is broadcast — the corpus-side explode streams map-side
+    * through the hash join with no shuffle of corpus shingles; the only
+    * shuffle is the groupBy on surviving (corpus_doc, eval_doc) hits,
+    * which overlap filtering keeps small. At 100 TB this is the only
+    * workable join order; a shuffle join on the shingle key would move the
+    * whole exploded corpus. */
+  val pipe04Decontaminate: Q = Q(
+    "pipe04_decontaminate",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS sh
+      |       FROM toks),
+      |eval_sh AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
+      |corp_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0)
+      |SELECT c.doc_id, e.eval_id, count(*) AS n_shared
+      |FROM corp_sh c JOIN eval_sh e ON c.sh = e.sh
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY doc_id, eval_id""".stripMargin) { (s, d) =>
+    // shingle dedup is PER DOC, so it's in-row array_distinct — not a
+    // corpus-wide distinct() shuffle (the oracle's DISTINCT dedupes the
+    // same (doc, shingle) pairs)
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.bigramShingles)).as("sh"))
+    val docs = Tables.documents(s, d)
+    val evalSh = shingles(docs.filter(col("doc_id") % 50 === 0))
+      .withColumnRenamed("doc_id", "eval_id")
+    val corpSh = shingles(
+      Tables.spread(s, docs.filter(col("doc_id") % 50 =!= 0), "doc_id"))
+    corpSh.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id", "eval_id")
+  }
+
+  val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
+    pipe04Decontaminate)
+}
