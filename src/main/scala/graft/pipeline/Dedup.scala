@@ -323,8 +323,12 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // two consumers per iteration (neighbor-min join + convergence test)
       .localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // seed with min(self, direct neighbors) — one groupBy, and the common
+    // component shapes (cliques from same-bucket groups) converge in the
+    // FIRST loop round instead of the second
+    var labels = edges.groupBy("src")
+      .agg(least(col("src"), min("dst")).as("lbl"))
+      .select(col("src").as("v"), col("lbl"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, TrainingData}
+
+/** Invariants of the corpus-preparation operators beyond the oracle gate:
+  * the oracle pins VALUES at one sf; these pin the structural properties
+  * that must hold on any corpus. */
+class TrainingDataSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("dd06 clusters: label is the component min and endpoints agree") {
+    val clusters = Dedup.dd06DupClusters.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cluster id is itself a member and the minimum of its members
+    val byCluster = clusters.toSeq.groupBy(_._2).view.mapValues(_.map(_._1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.min === cid,
+        s"cluster $cid: min member ${members.min}")
+    }
+    // every LSH pair's endpoints landed in the SAME cluster — the property
+    // pairwise keep-min gets wrong on chains (a-b, b-c)
+    val pairs = Dedup.dd03MinhashLsh.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("pipe02 split is exhaustive, disjoint, and deterministic") {
+    val total = graft.tables.Tables.documents(spark, sfDir).count()
+    val rows = TrainingData.pipe02TrainSplit.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet ===
+      Set("train", "val", "test"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    // determinism: a second evaluation assigns identical counts (no RNG)
+    val again = TrainingData.pipe02TrainSplit.run(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq.sorted ===
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq.sorted)
+  }
+
+  test("pipe03 shares sum to ~1 and weights invert shares") {
+    val rows = TrainingData.pipe03MixtureWeights.run(spark, sfDir).collect()
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-2) // rounded 4dp shares
+    val n = rows.length
+    rows.foreach { r =>
+      val share = r.getAs[Double]("share")
+      val weight = r.getAs[Double]("weight")
+      // weight ≈ (1/n_sources) / share, up to the 4dp rounding of both
+      assert(math.abs(weight * share - 1.0 / n) < 2e-3,
+        s"${r.getString(0)}: weight $weight share $share n $n")
+    }
+  }
+
+  test("pipe04 flags no eval docs and only >=3-shingle overlaps") {
+    val rows = TrainingData.pipe04Decontaminate.run(spark, sfDir).collect()
+    assert(rows.nonEmpty) // fixture corpus has near-dups crossing the split
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 0L) // corpus side only
+      assert(r.getAs[Long]("eval_id") % 50 === 0L)
+      assert(r.getAs[Long]("n_shared") >= 3L)
+    }
+  }
+}
