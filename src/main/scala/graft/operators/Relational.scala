@@ -70,14 +70,14 @@ object Relational {
   val q03FilteredMax: Q = Q(
     "q03_filtered_max",
     """SELECT user_id, max(ts) AS last_purchase,
-      |  round(sum(value), 2) AS total_value, count(*) AS n
+      |  floor(sum(value) * 100 + 0.5) / 100 AS total_value, count(*) AS n
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(max("ts").as("last_purchase"),
-        round(sum("value"), 2).as("total_value"),
+        graft.functions.StableRound.r2(sum("value")).as("total_value"),
         count(lit(1)).as("n"))
       .orderBy("user_id")
   }

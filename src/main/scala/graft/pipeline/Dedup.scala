@@ -70,8 +70,8 @@ object Dedup {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT p.doc_a, p.doc_b,
-      |  round(CAST(p.shared AS DOUBLE) / (na.n_sh + nb.n_sh - p.shared), 4)
-      |    AS jaccard
+      |  floor(CAST(p.shared AS DOUBLE) / (na.n_sh + nb.n_sh - p.shared)
+      |    * 10000 + 0.5) / 10000 AS jaccard
       |FROM pairs p
       |  JOIN n na ON na.doc_id = p.doc_a
       |  JOIN n nb ON nb.doc_id = p.doc_b
@@ -133,8 +133,10 @@ object Dedup {
             shared += java.lang.Long.bitCount(ba(i) & bb(i)); i += 1
           }
           val jac = shared.toDouble / (na + nb - shared)
-          if (jac >= t) out += ((a, b, BigDecimal(jac)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          // floor(x*1e4+0.5)/1e4, matching the oracle: tie-stable
+          // cross-engine, unlike decimal-expansion HALF_UP (see
+          // graft.functions.StableRound)
+          if (jac >= t) out += ((a, b, math.floor(jac * 10000 + 0.5) / 10000))
         }
         j += 1
       }
@@ -409,9 +411,10 @@ object Dedup {
   val dd05EmbeddingDup: Q = Q(
     "dd05_embedding_dup",
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_dot_product(a.embedding, b.embedding) /
+      |  floor(list_dot_product(a.embedding, b.embedding) /
       |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+      |     sqrt(list_dot_product(b.embedding, b.embedding)))
+      |    * 10000 + 0.5) / 10000 AS cosine
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.embedding, b.embedding) /
@@ -430,7 +433,8 @@ object Dedup {
       .withColumn("cos",
         VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.35)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.StableRound.r4(col("cos")).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 

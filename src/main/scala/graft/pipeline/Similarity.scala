@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q
+import graft.functions.StableRound
 import graft.functions.VectorOps
 import graft.tables.Tables
 
@@ -42,7 +43,8 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(${cosineSql("q.embedding", "c.embedding")}, 4) AS cosine
+       |    floor((${cosineSql("q.embedding", "c.embedding")}) * 10000 + 0.5)
+       |      / 10000 AS cosine
        |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -58,8 +60,8 @@ object Similarity {
       VectorOps.norm(col("embedding")).as("cn"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        round(VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+      .withColumn("cosine", StableRound.r4(
+        VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -79,14 +81,16 @@ object Similarity {
        |  SELECT vec_id, cent_id, embedding FROM (
        |    SELECT e.vec_id, c.cent_id, e.embedding,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosineSql("e.embedding", "c.cent_e")}, 4) DESC,
+       |        ORDER BY floor((${cosineSql("e.embedding", "c.cent_e")})
+       |          * 10000 + 0.5) / 10000 DESC,
        |                 c.cent_id) AS rk
        |    FROM embeddings e, cent c) WHERE rk = 1),
        |q AS (SELECT vec_id AS query_id, cent_id, embedding AS qe
        |      FROM assigned WHERE vec_id < 10),
        |scored AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id,
-       |    round(${cosineSql("q.qe", "a.embedding")}, 4) AS cosine
+       |    floor((${cosineSql("q.qe", "a.embedding")}) * 10000 + 0.5)
+       |      / 10000 AS cosine
        |  FROM q JOIN assigned a
        |    ON q.cent_id = a.cent_id AND a.vec_id <> q.query_id),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -106,9 +110,9 @@ object Similarity {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("cc").desc, col("cent_id"))
     val assigned = e.crossJoin(cent)
-      .withColumn("cc", round(
+      .withColumn("cc", StableRound.r4(
         VectorOps.dot(col("embedding"), col("cent_e")) /
-          (col("en") * col("cn")), 4))
+          (col("en") * col("cn"))))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select("vec_id", "cent_id", "embedding", "en")
@@ -118,9 +122,9 @@ object Similarity {
     val scored = broadcast(q)
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", round(
+      .withColumn("cosine", StableRound.r4(
         VectorOps.dot(col("qe"), col("embedding")) /
-          (col("qn") * col("en")), 4))
+          (col("qn") * col("en"))))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(wRank))
@@ -157,7 +161,8 @@ object Similarity {
        |      FROM sig WHERE vec_id < 10),
        |scored AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-       |    round(${cosineSql("q.qe", "c.embedding")}, 4) AS cosine
+       |    floor((${cosineSql("q.qe", "c.embedding")}) * 10000 + 0.5)
+       |      / 10000 AS cosine
        |  FROM q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.query_id),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
@@ -191,8 +196,8 @@ object Similarity {
           col("embedding").as("ce"), col("nrm").as("cn"), col("bucket")),
         Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        round(VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+      .withColumn("cosine", StableRound.r4(
+        VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -206,15 +211,17 @@ object Similarity {
   val sim03EmbeddingProfile: Q = Q(
     "sim03_embedding_profile",
     """SELECT len(embedding) AS dim, count(*) AS n,
-      |  round(min(sqrt(list_dot_product(embedding, embedding))), 4) AS min_norm,
-      |  round(max(sqrt(list_dot_product(embedding, embedding))), 4) AS max_norm
+      |  floor(min(sqrt(list_dot_product(embedding, embedding)))
+      |    * 10000 + 0.5) / 10000 AS min_norm,
+      |  floor(max(sqrt(list_dot_product(embedding, embedding)))
+      |    * 10000 + 0.5) / 10000 AS max_norm
       |FROM embeddings GROUP BY 1 ORDER BY dim""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     e.withColumn("nrm", VectorOps.norm(col("embedding")))
       .groupBy(size(col("embedding")).as("dim"))
       .agg(count(lit(1)).as("n"),
-        round(min("nrm"), 4).as("min_norm"),
-        round(max("nrm"), 4).as("max_norm"))
+        StableRound.r4(min("nrm")).as("min_norm"),
+        StableRound.r4(max("nrm")).as("max_norm"))
       .orderBy("dim")
   }
 
