@@ -74,6 +74,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
+  test("tx05: repetition ratio is per-row (no shuffle before the sort)") {
+    val p = planOf("tx05_repetition")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("pipe04: eval shingle set broadcasts; corpus side never shuffle-joins") {
+    val p = planOf("pipe04_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    // the only hash exchange is the (doc, eval) hit groupBy — the exploded
+    // corpus shingles must NOT move for the join itself
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+  }
+
+  test("pipe02: split assignment plan is scan -> project -> one aggregate") {
+    val p = planOf("pipe02_train_split")
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
   test("q24: as-of composition shuffles once on the key (no pair blowup)") {
     val p = planOf("q24_asof_join")
     // one hashpartitioning exchange for the union-window pass, one range
