@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Multimodal
+
+/** Invariants of the multimodal plumbing (rows-only in the oracle gate —
+  * the decode step is a marked deterministic fake, so the driver cannot
+  * hash-check it; these pin the contract the plumbing must keep when the
+  * fake is swapped for a real codec). */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("mm01: decode is deterministic and total (one row per doc)") {
+    val total = graft.tables.Tables.documents(spark, sfDir).count()
+    val a = Multimodal.mm01DecodeMeta.run(spark, sfDir).collect()
+    val b = Multimodal.mm01DecodeMeta.run(spark, sfDir).collect()
+    assert(a.length.toLong === total)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // metadata domains hold (the DATA_PURITY of the fake codec's output)
+    a.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") >= 0)
+      assert(Set("jpeg", "png", "webm")(r.getAs[String]("format")))
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 80)
+      assert(r.getAs[Int]("height") >= 16 && r.getAs[Int]("height") < 80)
+      assert(r.getAs[Int]("n_frames") >= 1)
+    }
+  }
+
+  test("mm02: exactly n_frames rows per multi-frame doc, 40ms spacing") {
+    val meta = Multimodal.mm01DecodeMeta.run(spark, sfDir)
+      .filter(col("n_frames") > 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames"))
+      .toMap
+    val frames = Multimodal.mm02FrameSample.run(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(frames.keySet === meta.keySet)
+    frames.foreach { case (id, rows) =>
+      assert(rows.length === meta(id))
+      val idx = rows.map(_.getAs[Int]("frame_idx")).sorted
+      assert(idx.toSeq === (0 until meta(id)))
+      rows.foreach(r => assert(
+        r.getAs[Int]("frame_ts_ms") === r.getAs[Int]("frame_idx") * 40))
+    }
+  }
+
+  test("mm03: resize plan fits the 224 box and preserves aspect ordering") {
+    Multimodal.mm03ResizePlan.run(spark, sfDir).collect().foreach { r =>
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(w <= 224 && h <= 224)
+      assert(w == 224 || h == 224) // the long side lands on the box
+    }
+  }
+
+  test("mm04: probe scores are valid cosines in descending order") {
+    val rows = Multimodal.mm04FeatureExtract.run(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("probe_cosine"))
+    assert(scores.toSeq === scores.sorted.reverse.toSeq)
+    scores.foreach(s => assert(s >= -1.0001 && s <= 1.0001 && !s.isNaN))
+  }
+}
