@@ -117,6 +117,37 @@ object TrainingData {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** Sequence chunking for LM training: split each doc's token stream into
+    * fixed-length (32-token) training sequences, each carrying a content
+    * hash for downstream exact dedup at the SEQUENCE level. Per-row
+    * generator (one explode over the in-row chunk count, slices taken from
+    * the in-row token array) — zero shuffle before the presentation sort,
+    * like tx04/tx05; the chunking of a 100 TB corpus is purely map-side. */
+  val pipe05PackChunks: Q = Q(
+    "pipe05_pack_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |idx AS (SELECT doc_id, l,
+      |          unnest(range(CAST(ceil(len(l) / 32.0) AS BIGINT))) AS chunk_idx
+      |        FROM toks)
+      |SELECT doc_id, chunk_idx,
+      |  len(list_slice(l, chunk_idx * 32 + 1, chunk_idx * 32 + 32))
+      |    AS chunk_tokens,
+      |  md5(array_to_string(
+      |    list_slice(l, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' '))
+      |    AS chunk_hash
+      |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val chunk = expr("slice(l, cast(chunk_idx * 32 + 1 as int), 32)")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0L),
+          ceil(size(col("l")) / lit(32.0)).cast("long") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(chunk).as("chunk_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
-    pipe04Decontaminate)
+    pipe04Decontaminate, pipe05PackChunks)
 }

@@ -55,6 +55,23 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe05 chunks partition every doc's tokens exactly") {
+    val docTokens = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TrainingData.pipe05PackChunks.run(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === docTokens.keySet)
+    chunks.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq ===
+        (0L until sorted.length.toLong))
+      // full 32-token chunks except possibly the last; sizes sum to the doc
+      assert(sorted.init.forall(_.getAs[Int]("chunk_tokens") == 32))
+      assert(sorted.map(_.getAs[Int]("chunk_tokens")).sum === docTokens(id))
+    }
+  }
+
   test("pipe04 flags no eval docs and only >=3-shingle overlaps") {
     val rows = TrainingData.pipe04Decontaminate.run(spark, sfDir).collect()
     assert(rows.nonEmpty) // fixture corpus has near-dups crossing the split
