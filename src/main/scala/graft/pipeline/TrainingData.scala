@@ -123,6 +123,22 @@ object TrainingData {
     * generator (one explode over the in-row chunk count, slices taken from
     * the in-row token array) — zero shuffle before the presentation sort,
     * like tx04/tx05; the chunking of a 100 TB corpus is purely map-side. */
+  /** The pipe05 transform on any (doc_id, text) frame — stateless
+    * (per-row generator), so the SAME definition runs under
+    * `readStream` unchanged; `StreamingSpec` proves stream == batch. */
+  def packChunks(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val chunk = expr("slice(l, cast(chunk_idx * 32 + 1 as int), 32)")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0L),
+          ceil(size(col("l")) / lit(32.0)).cast("long") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(chunk).as("chunk_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_hash"))
+  }
+
   val pipe05PackChunks: Q = Q(
     "pipe05_pack_chunks",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -136,16 +152,7 @@ object TrainingData {
       |    list_slice(l, chunk_idx * 32 + 1, chunk_idx * 32 + 32), ' '))
       |    AS chunk_hash
       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
-    val chunk = expr("slice(l, cast(chunk_idx * 32 + 1 as int), 32)")
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), col("l"),
-        explode(sequence(lit(0L),
-          ceil(size(col("l")) / lit(32.0)).cast("long") - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(chunk).as("chunk_tokens"),
-        md5(concat_ws(" ", chunk)).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
+    packChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx")
   }
 
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,

@@ -61,6 +61,24 @@ class StreamingSpec extends AnyFunSuite {
       "the failed batch must not have produced a summary")
   }
 
+  test("streaming sequence packing equals batch pipe05") {
+    // packChunks is a stateless per-row generator, so the SAME transform
+    // runs under readStream with no watermark/state — arriving docs chunk
+    // incrementally (the streaming form of the packing pass).
+    val docsStream = {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    }
+    val streamed = Streams.runToMemory(spark,
+      graft.pipeline.TrainingData.packChunks(docsStream), "chunk_sink",
+      OutputMode.Append())
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    val batch = graft.pipeline.TrainingData.pipe05PackChunks
+      .run(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming near-dup flags exactly the docs dd03 pairs as doc_b") {
     // dd03's pairs are (doc_a < doc_b) per shared bucket; the streaming
     // detector flags a doc when its bucket already holds a smaller id —
