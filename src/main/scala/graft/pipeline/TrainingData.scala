@@ -155,6 +155,40 @@ object TrainingData {
     packChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx")
   }
 
+  /** Stratified downsampling to a balanced mixture: keep the same number
+    * of docs from every source (the smallest source's count), chosen by
+    * deterministic hash order — the materialization counterpart of
+    * pipe03's weights (weights tell you how to RE-weigh; this actually
+    * draws the balanced subset, reproducibly).
+    *
+    * Scale: one window per source partition (rank over hash order). A
+    * pathologically large source makes its partition the sort bottleneck —
+    * the approximate variant at that point is a hash-THRESHOLD filter
+    * (keep if bucket < cap/cnt × buckets, rank-free, pipe02's shape). */
+  val pipe06StratifiedSample: Q = Q(
+    "pipe06_stratified_sample",
+    """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      |cap AS (SELECT min(cnt) AS cap FROM c),
+      |r AS (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |SELECT doc_id, source, rk FROM r, cap WHERE rk <= cap
+      |ORDER BY source, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val cap = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .agg(min("cnt").as("cap"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        row_number().over(w).as("rk"))
+      .crossJoin(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
-    pipe04Decontaminate, pipe05PackChunks)
+    pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample)
 }

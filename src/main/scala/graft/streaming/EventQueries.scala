@@ -113,6 +113,33 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Sliding 1-hour RANGE-frame window per user: for every event, the
+    * sum/count of that user's events in the preceding hour — the
+    * continuous form of ev01's tumbling buckets (trailing-window features
+    * for sessions/rate-limiting). The frame is keyed in MICROSECONDS
+    * (unix_micros / epoch_us) on both engines: a seconds-granularity key
+    * would silently merge sub-second neighbors into the frame. One
+    * shuffle on user_id; the range frame is evaluated with a sliding
+    * two-pointer pass over each partition, not a per-row rescan. */
+  val ev05SlidingWindow: Q = Q(
+    "ev05_sliding_window",
+    """SELECT user_id, event_id,
+      |  floor(sum(value) OVER w * 100 + 0.5) / 100 AS hour_value,
+      |  count(*) OVER w AS hour_events
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .withColumn("tus", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        StableRound.r2(sum("value").over(w)).as("hour_value"),
+        count(lit(1)).over(w).as("hour_events"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
-    ev03Sessionize, ev04JsonProps)
+    ev03Sessionize, ev04JsonProps, ev05SlidingWindow)
 }
