@@ -72,6 +72,25 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  /** Quantile SKETCH vs exact — the O(1)-memory percentile path at 100 TB
+    * (KLL/Greenwald-Khanna-style mergeable sketch behind
+    * `approx_percentile`, accuracy set by the relative-error parameter),
+    * alongside the exact values and the observed absolute error.
+    * Rows-only gate like the HLL sketch (sketch internals are
+    * engine-specific); `ScaleOpsSpec` bounds the error. */
+  val checkQuantileSketch: Q = Q.noOracle("check_quantile_sketch") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("approx_percentile(value, 0.5, 1000)").as("sketch_p50"),
+        expr("percentile(value, 0.99)").as("exact_p99"),
+        expr("approx_percentile(value, 0.99, 1000)").as("sketch_p99"))
+      .withColumn("err_p50", abs(col("sketch_p50") - col("exact_p50")))
+      .withColumn("err_p99", abs(col("sketch_p99") - col("exact_p99")))
+      .orderBy("event_type")
+  }
+
   /** Exact percentiles (sort-based `percentile`, linear interpolation —
     * same contract as DuckDB's quantile_cont). At 100 TB the sketch
     * alternative is approx_percentile; this is the exact tier. */
@@ -137,5 +156,6 @@ object ScaleOps {
   }
 
   val queries: Seq[Q] = Seq(q22SaltedAgg, q23TwoStageDistinct,
-    checkDistinctSketch, q26Percentiles, q27Pivot, q28GroupingSets)
+    checkDistinctSketch, checkQuantileSketch, q26Percentiles, q27Pivot,
+    q28GroupingSets)
 }

@@ -61,4 +61,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("rel_err").collect().map(_.getDouble(0))
     assert(errs.nonEmpty && errs.forall(_ < 0.05))
   }
+
+  test("quantile sketch keeps RANK error within 1% (its actual contract)") {
+    // the sketch bounds rank error, not value error — in a sparse tail
+    // two ranks can span a wide value gap, so assert in rank space: the
+    // fraction of the group's values at or below the sketch's answer must
+    // sit within 1% of the target quantile.
+    val rows = ScaleOps.checkQuantileSketch.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val events = graft.tables.Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val vs = events(r.getString(0))
+      def rankOf(x: Double): Double =
+        vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(rankOf(r.getAs[Double]("sketch_p50")) - 0.5) <= 0.01)
+      assert(rankOf(r.getAs[Double]("sketch_p99")) >= 0.98)
+    }
+  }
 }
