@@ -78,13 +78,20 @@ object Checks {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
-      // a table may be a single file or a directory of part files
-      val stats =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq.filter(st =>
-            st.isFile && st.getPath.getName.endsWith(".parquet"))
-        else Seq(fs.getFileStatus(p))
-      stats.map(st => (t, st.getPath.toString))
+      // a table may be a single file, a directory of part files, or a
+      // PARTITIONED directory tree — list recursively, or a partitioned
+      // table's files (one level down per partition key) are silently
+      // missed and the count under-reports
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, /* recursive = */ true)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            out += ((t, st.getPath.toString))
+        }
+        out.toSeq
+      } else Seq((t, p.toString))
     }
     s.createDataset(files)
       .repartition(math.min(files.size, s.sparkContext.defaultParallelism))

@@ -41,6 +41,25 @@ class LakeChecksSpec extends AnyFunSuite {
     assert(missing() === 1L)
   }
 
+  test("check_rowcounts counts a PARTITIONED table tree fully") {
+    // footer counting must recurse: a partitioned table keeps its files
+    // one directory level down per partition key — a non-recursive listing
+    // would silently under-report exactly this layout.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.filter(_ != "documents").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.parquet(s"$dir/$t.parquet")
+    }
+    Tables.documents(spark, sfDir).write.partitionBy("lang")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.checks.Checks.checkRowcounts.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.all.map(t =>
+      t -> spark.read.parquet(s"$sfDir/$t.parquet").count()).toMap
+    assert(got === want)
+  }
+
   test("CHECKALLOC flags a zero-byte parquet file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-alloc").toString
     val tdir = new java.io.File(s"$dir/broken.parquet")
