@@ -333,7 +333,8 @@ object Dedup {
       .select(col("src").as("v"), col("lbl"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 25) {
+    val MaxRounds = 25 // >> any real near-dup component diameter
+    while (changed > 0 && iter < MaxRounds) {
       val nbrMin = edges
         .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
         .groupBy("src").agg(min("lbl").as("nbr_lbl"))
@@ -348,6 +349,11 @@ object Dedup {
       labels = step.select(col("v"), col("nlbl").as("lbl"))
       iter += 1
     }
+    // fail LOUDLY on non-convergence: returning the partial labels would
+    // silently split a component (a >25-diameter chain needs the
+    // large-star/small-star variant, not a truncated answer)
+    if (changed > 0) throw new IllegalStateException(
+      s"dd06: label propagation did not converge in $MaxRounds rounds")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }
