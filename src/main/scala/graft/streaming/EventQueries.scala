@@ -140,6 +140,34 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Each purchase joined to the same user's clicks in the preceding hour
+    * — the BATCH form of the stream-stream time-bounded join
+    * ([[Streams.purchasesWithRecentClicks]]; StreamingSpec proves the two
+    * equal). Scale shape: equi-key on user_id carries the shuffle; the
+    * time band is a join residual, so the pair space is bounded per user
+    * by the hour window — the attribution-join shape. */
+  val ev06RecentClicks: Q = Q(
+    "ev06_recent_clicks",
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND p.user_id = c.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c, p("user_id") === c("c_uid") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
-    ev03Sessionize, ev04JsonProps, ev05SlidingWindow)
+    ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks)
 }

@@ -174,21 +174,14 @@ class StreamingSpec extends AnyFunSuite {
       "ssj_sink", OutputMode.Append())
       .orderBy("purchase_id", "click_id")
       .collect().map(_.toSeq).toSeq
-    val ev = Tables.events(spark, sfDir)
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"))
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-    val batch = p.join(c, p("user_id") === c("c_uid") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("purchase_id"), col("click_id"),
-        col("p_ts"), col("c_ts"))
-      .orderBy("purchase_id", "click_id")
-      .collect().map(_.toSeq).toSeq
-    assert(streamed.size === batch.size)
-    assert(streamed === batch)
+    // the batch side is the oracle-checked ev06 query (minus the ts
+    // columns the streaming sink carries for watermarking)
+    val batch = EventQueries.ev06RecentClicks.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamedKeys = streamed.map(s =>
+      (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long],
+        s(2).asInstanceOf[Long]))
+    assert(streamedKeys.size === batch.size)
+    assert(streamedKeys === batch)
   }
 }
