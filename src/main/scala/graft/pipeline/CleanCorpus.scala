@@ -76,7 +76,14 @@ object CleanCorpus {
   /** One row per input doc with its per-stage survival flags: s1 = kept by
     * exact dedup, s2 = s1 ∧ quality ≥ 0.35, s3 = s2 ∧ no smaller LSH
     * bucket-mate among s2 survivors. Persisted — the near-dup branch and
-    * the caller both consume it. */
+    * the caller both consume it.
+    *
+    * The s3 policy is BUCKET-level keep-min (drop any doc with a smaller
+    * bucket-mate) — self-consistent and oracle-checked, but on a chain
+    * a-b, b-c it drops both b and c. The stricter cluster-level policy
+    * (keep exactly one doc per CONNECTED near-dup component) is
+    * [[Dedup.dd06DupClusters]]; swap the dupIds branch for its cluster
+    * frame when that semantics is wanted. */
   def survivalFlags(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(s, Tables.documents(s, d), "doc_id")
