@@ -406,6 +406,36 @@ object Relational {
     i.unionByName(e).select("op", "n").orderBy("op")
   }
 
+  /** U2 (multiset tier) — EXCEPT ALL / INTERSECT ALL: bag semantics keep
+    * MULTIPLICITY (a supplier shipping 5× early and 2× late survives the
+    * bag difference 3×, where the distinct tier would drop it entirely) —
+    * the variant that matters when row counts carry meaning. Summarized
+    * per key so the result is deterministic and small. */
+  val q29SetOpsAll: Q = Q(
+    "q29_set_ops_all",
+    """SELECT 'except_all' AS op, l_suppkey, count(*) AS n FROM (
+      |  SELECT l_suppkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  EXCEPT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+      |GROUP BY 2
+      |UNION ALL
+      |SELECT 'intersect_all', l_suppkey, count(*) FROM (
+      |  SELECT l_suppkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  INTERSECT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+      |GROUP BY 2
+      |ORDER BY op, l_suppkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+    val early = li.filter(col("l_shipdate") < cut).select("l_suppkey")
+    val late = li.filter(col("l_shipdate") >= cut).select("l_suppkey")
+    val e = early.exceptAll(late).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val i = early.intersectAll(late).groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    e.unionByName(i).select("op", "l_suppkey", "n").orderBy("op", "l_suppkey")
+  }
+
   /** A9 — ROLLUP grouping sets (absent from reference; Spark built-in).
     * NULL group markers coalesced to 'ALL' for stable cross-engine hashing. */
   val q20Rollup: Q = Q(
@@ -447,5 +477,5 @@ object Relational {
     q05DupKeys, q06StringFold, q07RevenueByRegion, q08SemiJoin, q09AntiJoin,
     q10ThetaLike, q11WindowTopN, q12Lag, q13Argmin, q14ConditionalOrder,
     q15SplitPosexplode, q16ScalarStrings, q17Dates, q18MergeReconcile,
-    q19SetOps, q20Rollup, q21ScalarSubquery)
+    q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll)
 }
