@@ -168,7 +168,7 @@ object TrainingData {
   val pipe06StratifiedSample: Q = Q(
     "pipe06_stratified_sample",
     """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
-      |cap AS (SELECT min(cnt) AS cap FROM c),
+      |cap AS (SELECT greatest(1, min(cnt) // 2) AS cap FROM c),
       |r AS (SELECT doc_id, source,
       |        row_number() OVER (PARTITION BY source
       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
@@ -177,8 +177,11 @@ object TrainingData {
       |ORDER BY source, rk""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
+    // target = HALF the smallest source (downsampling must actually drop
+    // rows — on a balanced corpus a min-count cap keeps everything and the
+    // hash-order selection never gets exercised)
     val cap = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
-      .agg(min("cnt").as("cap"))
+      .agg(greatest(lit(1L), floor(min("cnt") / 2).cast("long")).as("cap"))
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     docs.select(col("doc_id"), col("source"),
