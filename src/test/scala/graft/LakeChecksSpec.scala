@@ -60,6 +60,32 @@ class LakeChecksSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("FK and PK checks actually fire on violating data") {
+    // the fixtures are clean, so the oracle gate only ever sees zeros —
+    // prove the detectors detect: drop half the orders (orphaning their
+    // lineitems) and duplicate the surviving half (breaking PK
+    // uniqueness) in a mutated copy of the sf dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft-viol").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.filter(_ != "orders").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.parquet(s"$dir/$t.parquet")
+    }
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    half.union(half).write.parquet(s"$dir/orders.parquet")
+    val fk = graft.checks.Checks.checkFkContainment.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedOrphans = graft.tables.Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 2 =!= 0).count()
+    assert(fk("lineitem.l_orderkey->orders") === expectedOrphans)
+    assert(fk("orders.o_custkey->customer") === 0L) // customers intact
+    val pk = graft.checks.Checks.checkPkUnique.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pk("orders") === half.count()) // every surviving key ×2
+    assert(pk("customer") === 0L)
+  }
+
   test("CHECKALLOC flags a zero-byte parquet file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-alloc").toString
     val tdir = new java.io.File(s"$dir/broken.parquet")
