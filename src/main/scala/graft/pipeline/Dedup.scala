@@ -320,7 +320,15 @@ object Dedup {
        |  WHERE e.dst <> r.src)
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = lshPairs(s, d)
+    connectedComponents(lshPairs(s, d)).orderBy("doc_id")
+  }
+
+  /** Connected components of an undirected pair graph `(doc_a, doc_b)` by
+    * iterative min-label propagation: one (doc_id, cluster_id) row per
+    * vertex, cluster_id = the component's smallest member. Shared by dd06
+    * and property-tested against a reference union-find on random graphs
+    * (`DedupPropertySpec`). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // two consumers per iteration (neighbor-min join + convergence test)
@@ -333,29 +341,38 @@ object Dedup {
       .select(col("src").as("v"), col("lbl"))
     var changed = 1L
     var iter = 0
-    val MaxRounds = 25 // >> any real near-dup component diameter
+    // pointer jumping (label-of-label, below) gives O(log n) rounds even
+    // on a path graph, so this cap is pure runaway protection
+    val MaxRounds = 25
     while (changed > 0 && iter < MaxRounds) {
       val nbrMin = edges
         .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
         .groupBy("src").agg(min("lbl").as("nbr_lbl"))
+      // pointer jump: my label's CURRENT label — halves the distance to
+      // the component min each round (plain neighbor propagation moves it
+      // one hop per round, i.e. O(diameter) on chains)
+      val jump = labels
+        .join(labels.select(col("v").as("lbl"), col("lbl").as("jump_lbl")),
+          Seq("lbl"))
+        .select(col("v"), col("jump_lbl"))
       val step = labels
         .join(nbrMin.select(col("src").as("v"), col("nbr_lbl")), Seq("v"),
           "left")
+        .join(jump, Seq("v"), "left")
         .select(col("v"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
-            .as("nlbl"))
+          least(
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))),
+            coalesce(col("jump_lbl"), col("lbl"))).as("nlbl"))
         .localCheckpoint() // eager: one materialization serves both uses
       changed = step.filter(col("nlbl") =!= col("lbl")).count()
       labels = step.select(col("v"), col("nlbl").as("lbl"))
       iter += 1
     }
-    // fail LOUDLY on non-convergence: returning the partial labels would
-    // silently split a component (a >25-diameter chain needs the
-    // large-star/small-star variant, not a truncated answer)
+    // fail LOUDLY on non-convergence: returning partial labels would
+    // silently split a component
     if (changed > 0) throw new IllegalStateException(
-      s"dd06: label propagation did not converge in $MaxRounds rounds")
+      s"connectedComponents did not converge in $MaxRounds rounds")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** SimHash (16-bit): bit b of md5's leading hex digits votes ±1 per
