@@ -86,6 +86,34 @@ class LakeChecksSpec extends AnyFunSuite {
     assert(pk("customer") === 0L)
   }
 
+  test("DATA_PURITY domain checks fire on out-of-domain rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dom").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.all.filter(_ != "lineitem").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.parquet(s"$dir/$t.parquet")
+    }
+    // poison 3 rows: negative quantity, enum outside {A,N,R}, year 1889
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("l_orderkey", "l_linenumber")
+    val poisoned = li.withColumn("rn", row_number().over(w))
+      .withColumn("l_quantity",
+        when(col("rn") === 1, -5.0).otherwise(col("l_quantity")))
+      .withColumn("l_returnflag",
+        when(col("rn") === 2, "X").otherwise(col("l_returnflag")))
+      .withColumn("l_shipdate",
+        when(col("rn") === 3, lit("1889-01-01 00:00:00").cast("timestamp"))
+          .otherwise(col("l_shipdate")))
+      .drop("rn")
+    poisoned.write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.checks.Checks.checkDomains.run(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("lineitem") === ((1L, 0L, 1L, 1L))) // range, ratio, enum, ts
+    assert(got("orders") === ((0L, 0L, 0L, 0L)))   // untouched table clean
+  }
+
   test("CHECKALLOC flags a zero-byte parquet file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-alloc").toString
     val tdir = new java.io.File(s"$dir/broken.parquet")
