@@ -192,6 +192,45 @@ object TrainingData {
       .orderBy("source", "rk")
   }
 
+  /** Offset bin packing: group consecutive docs (per source, doc_id
+    * order) into 512-token training bins — the complement of pipe05
+    * (which SPLITS long docs; this GROUPS short ones so no bin is mostly
+    * padding). bin_id = the doc's starting token offset ÷ 512, from a
+    * running sum — deterministic, no sequential driver state, and a doc
+    * spanning a boundary starts the next bin's carryover (standard offset
+    * binning; bins can exceed the budget by at most one doc's tail).
+    *
+    * Scale: ONE window shuffle partitioned by source; the running sum is
+    * a streaming pass per partition. A giant source → pack within
+    * (source, pipe02-style hash bucket) to re-parallelize. */
+  val pipe07PackBins: Q = Q(
+    "pipe07_pack_bins",
+    """WITH t AS (SELECT doc_id, source,
+      |            len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM t)
+      |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin_id",
+        floor((col("cum") - col("n_tokens")) / 512).cast("long"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin_id")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
-    pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample)
+    pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample,
+    pipe07PackBins)
 }
