@@ -8,7 +8,8 @@ import graft.tables.Tables
 /** Corpus-preparation operators a large-scale training-data pipeline needs
   * beyond cleaning (north-star surface; no reference analog — SURVEY.md
   * §2.10/§2.12): deterministic split assignment, domain-mixture weighting,
-  * and benchmark decontamination.
+  * benchmark decontamination, fixed-length sequence chunking, stratified
+  * downsampling, and offset bin packing.
   */
 object TrainingData {
 
