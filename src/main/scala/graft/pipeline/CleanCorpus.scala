@@ -121,5 +121,31 @@ object CleanCorpus {
     survivalFlags(s, d).filter(col("s3"))
       .select("doc_id", "text")
 
+  /** CLUSTER-level near-dup removal: exactly one survivor per CONNECTED
+    * component of the bucket graph, via [[Dedup.connectedComponents]].
+    *
+    * Stricter than `cleaned`'s bucket-level keep-min, which keeps a doc
+    * that is the min of every bucket IT is in even when a smaller
+    * near-dup sits elsewhere in the same component — e.g. buckets {a,c}
+    * and {b,c} with a<b<c: bucket-level keeps BOTH a and b (they never
+    * meet in a bucket), cluster-level keeps only a. The bucket stars
+    * (bucket-min → member edges) carry exactly the connectivity the
+    * components need. */
+  def cleanedStrict(s: SparkSession, d: String): DataFrame = {
+    val flags = survivalFlags(s, d)
+    val bands = flags.filter(col("s2") && col("m0").isNotNull)
+      .select(col("doc_id"), Dedup.bandStack)
+    val starEdges = bands.groupBy("band", "band_key")
+      .agg(min("doc_id").as("doc_a"), collect_list(col("doc_id")).as("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val losers = Dedup.connectedComponents(starEdges)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    flags.filter(col("s2"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+  }
+
   val queries: Seq[Q] = Seq(pipe01CleanCorpus)
 }

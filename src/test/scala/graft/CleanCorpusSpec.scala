@@ -63,6 +63,39 @@ class CleanCorpusSpec extends AnyFunSuite {
     assert(cleanedIds.contains(1L) && cleanedIds.contains(3L))
   }
 
+  test("cleanedStrict keeps one doc per near-dup component, within cleaned") {
+    val strict = CleanCorpus.cleanedStrict(spark, sfDir)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val loose = CleanCorpus.cleaned(spark, sfDir)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    // cluster-level is a refinement: every strict survivor also survives
+    // the bucket-level pass
+    assert(strict.subsetOf(loose))
+    // and it is exactly: every s2 doc that is its component's min (or has
+    // no near-dup evidence at all)
+    val flags = CleanCorpus.survivalFlags(spark, sfDir)
+      .filter(col("s2")).select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val pairs = graft.pipeline.Dedup.dd03MinhashLsh.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => flags(p._1) && flags(p._2))
+    // union-find over the surviving-pair graph (same reference
+    // implementation shape as DedupPropertySpec)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = flags.filter(v => find(v) == v)
+    assert(strict === expected)
+  }
+
   test("no two cleaned docs share an LSH bucket (near-dup removal held)") {
     val cleanedIds = CleanCorpus.cleaned(spark, sfDir).select("doc_id")
     val buckets = graft.pipeline.Dedup
