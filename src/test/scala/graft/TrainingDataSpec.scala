@@ -72,6 +72,24 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("packChunks boundary cases: empty, single, exact-multiple, runs of spaces") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                                  // splits to [""] → 1 token
+      (2L, "one"),
+      (3L, Seq.fill(32)("t").mkString(" ")),     // exactly one full chunk
+      (4L, Seq.fill(33)("t").mkString(" ")),     // full chunk + 1-token tail
+      (5L, Seq.fill(64)("t").mkString(" ")),     // two exact chunks
+      (6L, "a  b")                               // "" token from double space
+    ).toDF("doc_id", "text")
+    val got = TrainingData.packChunks(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getInt(2)).toSeq).toMap
+    assert(got === Map(
+      1L -> Seq(1), 2L -> Seq(1), 3L -> Seq(32), 4L -> Seq(32, 1),
+      5L -> Seq(32, 32), 6L -> Seq(3)))
+  }
+
   test("pipe04 flags no eval docs and only >=3-shingle overlaps") {
     val rows = TrainingData.pipe04Decontaminate.run(spark, sfDir).collect()
     assert(rows.nonEmpty) // fixture corpus has near-dups crossing the split
