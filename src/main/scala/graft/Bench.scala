@@ -57,11 +57,37 @@ object Bench {
                    rescued ::= name; math.min(best, sample())
                  } else best)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those)","rescued":$resc}""")
+    // Full-precision record (methodology + rescued list + 9-digit samples):
+    // goes to a repo file and an EARLY stdout line. The FINAL stdout line is
+    // a compact twin, because the bench harness captures only the last
+    // ~2000 chars of output and tries to parse a JSON line out of them —
+    // the full 72-query line at full double precision is ~2.7k chars and
+    // got truncated mid-line in rounds 1-3 (BENCH_r*.json "parsed": null).
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those)","rescued":$resc}"""
+    println(full)
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL_LOCAL.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    // Compact: 2-decimal per-query seconds (trailing zeros stripped),
+    // rescued as a count. 72 queries ≈ 1.85k chars — fits the tail window
+    // together with sbt's trailing "[success] Total time" line.
+    def short(v: Double): String = {
+      val s = java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + short(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rescued":${rescued.size}}"""
+    // stop() BEFORE the final println so shutdown-time log lines can't land
+    // between the JSON and process exit and push it out of the tail window.
     spark.stop()
+    println(compact)
   }
 }

@@ -70,8 +70,9 @@ object EventQueries {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_no
       |  FROM g)
       |SELECT user_id, session_no, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,
