@@ -76,15 +76,23 @@ object Bench {
     // Compact: 2-decimal per-query seconds (trailing zeros stripped),
     // rescued as a count. 72 queries ≈ 1.85k chars — fits the tail window
     // together with sbt's trailing "[success] Total time" line.
-    def short(v: Double): String = {
+    def short(v: Double, dp: Int): String = {
       val s = java.math.BigDecimal.valueOf(v)
-        .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
+        .setScale(dp, java.math.RoundingMode.HALF_UP).toPlainString
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + short(v) }
-      .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rescued":${rescued.size}}"""
+    val sfName = new java.io.File(sfDir).getName
+    def render(dp: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + short(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","rescued":${rescued.size}}"""
+    }
+    // Headroom guard: slow/contended samples (>=10s) widen the line; drop
+    // to 1-decimal per-query rather than risk truncation by the tail
+    // window.
+    val c2 = render(2)
+    val compact = if (c2.length <= 1900) c2 else render(1)
     // stop() BEFORE the final println so shutdown-time log lines can't land
     // between the JSON and process exit and push it out of the tail window.
     spark.stop()

@@ -25,6 +25,24 @@ import graft.tables.Tables
   * containment checks are shuffle joins on the key — the minimal plan shape
   * for the semantics.
   */
+/** Hadoop `Configuration` is not `java.io.Serializable`; it is `Writable`.
+  * This wrapper ships the DRIVER's session config (credentials, fs.*
+  * overrides) to executors via the standard Writable round-trip so
+  * file-opening tasks see the same filesystem the driver planned against. */
+class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object Checks {
 
   /** CHECKTABLE on lineitem: one scan, all column profiles at once.
@@ -93,10 +111,17 @@ object Checks {
         out.toSeq
       } else Seq((t, p.toString))
     }
-    s.createDataset(files)
-      .repartition(math.min(files.size, s.sparkContext.defaultParallelism))
+    // The executors must open files with the SESSION's filesystem config
+    // (S3/HDFS credentials, fs.* overrides) — a fresh Configuration() only
+    // works on a default-configured local filesystem. Configuration itself
+    // isn't Serializable, so ship it through a Writable-based wrapper.
+    val bconf = s.sparkContext.broadcast(
+      new SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
+    val counted = s.createDataset(files)
+      .repartition(math.max(1,
+        math.min(files.size, s.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bconf.value.value
         it.map { case (t, path) =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(path), conf)
@@ -106,6 +131,13 @@ object Checks {
       }
       .toDF("table_name", "n")
       .groupBy("table_name").agg(sum("n").as("n_rows"))
+    // Seed with the full table list: a table directory with zero parquet
+    // files must surface as an explicit 0 (the old count(*) path's
+    // behavior), not silently vanish from the result.
+    s.createDataset(Tables.all).toDF("table_name")
+      .join(counted, Seq("table_name"), "left")
+      .select(col("table_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       .orderBy("table_name")
   }
 

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions.floor
   * Use this for aggregates over CONTINUOUS doubles (e.g. events.value).
   * Sums over 2-decimal business domains (prices, quantities) keep plain
   * `round` — their ties are terminating decimals that are binary-exact.
+  *
+  * NEGATIVE inputs: this is round-half-toward-POSITIVE-infinity, not
+  * HALF_UP (half-away-from-zero). A tie like -1.005 rounds to -1.0 here
+  * where HALF_UP gives -1.01 — asymmetric with the positive side. Both
+  * engines compute the identical formula, so the cross-engine gate holds
+  * regardless of sign (negative values do occur: raw cosines in
+  * Similarity can be < 0); the asymmetry is a documented property of the
+  * formula, chosen because it is the only tie rule both engines evaluate
+  * bit-identically from the same double.
   */
 object StableRound {
   /** Stable 2-decimal rounding: `floor(c*100 + 0.5)/100`. */

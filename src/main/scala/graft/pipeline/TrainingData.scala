@@ -80,13 +80,19 @@ object TrainingData {
     * examples must be removed from (or at least flagged in) the training
     * corpus, and n-gram overlap is the standard detector.
     *
-    * Scale shape: the eval side is TINY relative to the corpus, so its
-    * shingle set is broadcast — the corpus-side explode streams map-side
-    * through the hash join with no shuffle of corpus shingles; the only
-    * shuffle is the groupBy on surviving (corpus_doc, eval_doc) hits,
-    * which overlap filtering keeps small. At 100 TB this is the only
-    * workable join order; a shuffle join on the shingle key would move the
-    * whole exploded corpus. */
+    * Scale shape: the eval side's shingle set is broadcast, so the
+    * corpus-side explode streams map-side through the hash join with no
+    * shuffle of corpus shingles; the only shuffle is the groupBy on
+    * surviving (corpus_doc, eval_doc) hits, which overlap filtering keeps
+    * small. CAVEAT the fixture hides: this eval split (doc_id % 50 = 0) is
+    * 2% OF THE CORPUS, so it grows linearly with corpus size and would
+    * blow the broadcast/driver memory limit long before 100 TB. The
+    * broadcast is therefore GUARDED by an eval-side row-count probe (one
+    * column-pruned scan, trivial next to the join) and falls back to a
+    * shuffle join on the shingle key above the threshold. A production
+    * decontamination pass against a FIXED benchmark suite (MMLU/GSM8K/...,
+    * thousands of docs, not 2% of the corpus) always stays under the
+    * guard — that is the case the broadcast plan is designed for. */
   val pipe04Decontaminate: Q = Q(
     "pipe04_decontaminate",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -107,11 +113,18 @@ object TrainingData {
       .select(col("doc_id"),
         explode(array_distinct(Dedup.bigramShingles)).as("sh"))
     val docs = Tables.documents(s, d)
-    val evalSh = shingles(docs.filter(col("doc_id") % 50 === 0))
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val evalSh = shingles(evalDocs)
       .withColumnRenamed("doc_id", "eval_id")
     val corpSh = shingles(
       Tables.spread(s, docs.filter(col("doc_id") % 50 =!= 0), "doc_id"))
-    corpSh.join(broadcast(evalSh), "sh")
+    // Broadcast guard (see scaladoc): eval sets bigger than ~500k docs
+    // can't ship to every executor — fall back to a shuffle join rather
+    // than OOM the driver. The probe reads ONE pruned column.
+    val evalShJoinSide =
+      if (evalDocs.select("doc_id").count() <= 500000L) broadcast(evalSh)
+      else evalSh
+    corpSh.join(evalShJoinSide, "sh")
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)

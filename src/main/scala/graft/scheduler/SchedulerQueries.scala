@@ -40,13 +40,23 @@ object SchedulerQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (SchedulerReport, CommandLog)]
   private def realRunFor(s: SparkSession, d: String)
-      : (SchedulerReport, CommandLog) =
+      : (SchedulerReport, CommandLog) = {
+    // A static map strongly retains its keys: entries for STOPPED sessions
+    // would pin the session (and its report/log) for the JVM lifetime in a
+    // long-running multi-session process. Evict them on every access — the
+    // map holds at most a handful of entries, so the sweep is O(1)-ish.
+    val it = realRunCache.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1.sparkContext.isStopped) it.remove()
+    }
     // keyed by (session, dir): the memoized pair is session-bound — a new
     // session must never be served results computed on a stopped one
     realRunCache.computeIfAbsent((s, d), { _ =>
       val log = new CommandLog(s, None)
       (runScheduler(s, d, execute = true, log = Some(log)), log)
     })
+  }
 
   /** Drop memoized real runs — Bench calls this so a timed sample of
     * `scheduler_state_after_run` prices a REAL scheduler pass instead of a
