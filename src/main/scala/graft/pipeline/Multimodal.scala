@@ -25,25 +25,53 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
 
 object Multimodal {
 
+  private val md5 = ThreadLocal.withInitial(() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** DETERMINISTIC FAKE decoder — stands in for an image/video codec.
     * Derives pseudo-metadata from payload bytes only, so results are
     * stable across engines/runs. A real deployment swaps this body for
-    * JNI/codec calls; the partition-batch shape stays identical. */
+    * JNI/codec calls; the partition-batch shape stays identical.
+    *
+    * The checksum is the first 4 bytes of md5(payload) read big-endian —
+    * chosen over a rolling hash because it is reproducible in portable SQL
+    * (`CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)`), which makes the
+    * metadata queries mm01-mm03 ORACLE-CHECKABLE instead of rows-only. */
   private def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
-    val checksum = payload.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
-    val fmt = java.lang.Math.floorMod(checksum, 3L) match {
+    val d = md5.get().digest(payload)
+    val checksum = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val fmt = (checksum % 3) match {
       case 0L => "jpeg"; case 1L => "png"; case _ => "webm"
     }
     MediaMeta(docId, n, fmt,
-      width = 16 + java.lang.Math.floorMod(checksum, 64L).toInt,
-      height = 16 + java.lang.Math.floorMod(checksum / 64, 64L).toInt,
+      width = 16 + (checksum % 64).toInt,
+      height = 16 + ((checksum / 64) % 64).toInt,
       n_frames = if (fmt == "webm") 1 + (n % 5) else 1)
   }
 
+  /** The fake decoder's metadata, spelled in oracle SQL over `documents`
+    * (payload = utf-8 bytes of `text`, so `md5(text)` IS md5(payload)). */
+  private val oracleMetaCte =
+    """meta AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |    CASE h % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webm' END
+      |      AS format,
+      |    16 + h % 64 AS width, 16 + (h // 64) % 64 AS height,
+      |    CASE WHEN h % 3 = 2 THEN 1 + octet_length(encode(text)) % 5
+      |         ELSE 1 END AS n_frames
+      |  FROM (SELECT doc_id, text,
+      |          CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+      |        FROM documents))""".stripMargin
+
   /** Decode/feature-extract over an opaque binary column via typed
     * mapPartitions (batched per partition — no per-row task overhead). */
-  val mm01DecodeMeta: Q = Q.noOracle("mm01_decode_meta") { (s, d) =>
+  val mm01DecodeMeta: Q = Q(
+    "mm01_decode_meta",
+    s"""WITH $oracleMetaCte
+       |SELECT doc_id, n_bytes, format, width, height, n_frames
+       |FROM meta ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val bin = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -57,7 +85,13 @@ object Multimodal {
 
   /** Frame sampling: one row per sampled frame (explode over the decoded
     * frame count) with a deterministic per-frame timestamp/offset. */
-  val mm02FrameSample: Q = Q.noOracle("mm02_frame_sample") { (s, d) =>
+  val mm02FrameSample: Q = Q(
+    "mm02_frame_sample",
+    s"""WITH $oracleMetaCte
+       |SELECT doc_id, format, frame_idx, frame_idx * 40 AS frame_ts_ms
+       |FROM (SELECT doc_id, format, unnest(range(n_frames)) AS frame_idx
+       |      FROM meta WHERE n_frames > 1)
+       |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
     import s.implicits._
     val meta = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -73,8 +107,18 @@ object Multimodal {
 
   /** Resize plumbing: metadata-level resize planning (target boxes per
     * aspect ratio) — the shape of a batched image transform without the
-    * codec. */
-  val mm03ResizePlan: Q = Q.noOracle("mm03_resize_plan") { (s, d) =>
+    * codec. Rounding is the stable floor(x+0.5) formula on both engines
+    * ([[graft.functions.StableRound]] doctrine). */
+  val mm03ResizePlan: Q = Q(
+    "mm03_resize_plan",
+    s"""WITH $oracleMetaCte,
+       |sc AS (SELECT doc_id, width, height,
+       |         least(224.0 / width, 224.0 / height) AS scale
+       |       FROM meta)
+       |SELECT doc_id, width, height,
+       |  CAST(floor(width * scale + 0.5) AS INTEGER) AS out_w,
+       |  CAST(floor(height * scale + 0.5) AS INTEGER) AS out_h
+       |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     val meta = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -84,8 +128,8 @@ object Multimodal {
     meta.withColumn("scale",
         least(lit(224.0) / col("width"), lit(224.0) / col("height")))
       .select(col("doc_id"), col("width"), col("height"),
-        round(col("width") * col("scale")).cast("int").as("out_w"),
-        round(col("height") * col("scale")).cast("int").as("out_h"))
+        floor(col("width") * col("scale") + 0.5).cast("int").as("out_w"),
+        floor(col("height") * col("scale") + 0.5).cast("int").as("out_h"))
       .orderBy("doc_id")
   }
 
