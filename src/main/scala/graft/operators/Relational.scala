@@ -472,10 +472,70 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** UNPIVOT — wide measure columns folded to (measure, value) rows via
+    * `Dataset.unpivot` (melt). The oracle spells it as a portable UNION
+    * ALL, which is also what the physical plan amounts to: an Expand node
+    * emitting k rows per input row in the SAME single scan — at scale,
+    * unpivot costs one pass regardless of measure count. */
+  val q31Unpivot: Q = Q(
+    "q31_unpivot",
+    """SELECT m.measure, count(*) AS n,
+      |  round(sum(m.v), 2) AS total, round(min(m.v), 2) AS lo,
+      |  round(max(m.v), 2) AS hi
+      |FROM (
+      |  SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'tax', l_tax FROM lineitem) m
+      |GROUP BY m.measure ORDER BY m.measure""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"), col("l_tax").as("tax")),
+        variableColumnName = "measure", valueColumnName = "v")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("total"),
+        round(min("v"), 2).as("lo"), round(max("v"), 2).as("hi"))
+      .orderBy("measure")
+  }
+
+  /** Correlated aggregate predicate (TPC-H Q17 shape): lineitems whose
+    * quantity is below 20% of their part's average — the small-order
+    * revenue probe. Catalyst decorrelates the per-part average into a
+    * grouped aggregate + equi join; the probe side is ONE fact scan, the
+    * per-part averages shuffle only (partkey, sum, count) partials. The
+    * comparison is float-safe cross-engine: l_quantity values are
+    * integer-valued doubles, so each group's sum — hence avg and the
+    * 0.2·avg bound — is bit-exact on both engines. */
+  val q32AvgQtyFilter: Q = Q(
+    "q32_avg_qty_filter",
+    """SELECT l1.l_partkey, count(*) AS n_small,
+      |  round(sum(l1.l_extendedprice), 2) AS small_revenue
+      |FROM lineitem l1
+      |WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                       FROM lineitem l2
+      |                       WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY l1.l_partkey ORDER BY l1.l_partkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val lim = li.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * avg("l_quantity")).as("lim"))
+    li.join(lim, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("lim"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_small"),
+        round(sum("l_extendedprice"), 2).as("small_revenue"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Seq[Q] = Seq(
     q01PricingSummary, q02MinPerGroup, q03FilteredMax, q04CountCompare,
     q05DupKeys, q06StringFold, q07RevenueByRegion, q08SemiJoin, q09AntiJoin,
     q10ThetaLike, q11WindowTopN, q12Lag, q13Argmin, q14ConditionalOrder,
     q15SplitPosexplode, q16ScalarStrings, q17Dates, q18MergeReconcile,
-    q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll)
+    q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll, q31Unpivot,
+    q32AvgQtyFilter)
 }

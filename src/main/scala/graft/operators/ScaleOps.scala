@@ -155,7 +155,30 @@ object ScaleOps {
         |ORDER BY priority, status""".stripMargin)
   }
 
+  /** CUBE — all 2^k grouping combinations in ONE scan (completes the A9
+    * family next to q20 ROLLUP and q28 GROUPING SETS). The cube of
+    * (status, priority) is 4 granularities that would otherwise be 4
+    * separate passes over the fact table; at 100 TB the single-scan form
+    * is the only affordable one. NULL markers coalesced for stable
+    * cross-engine ordering/hashing (q20's doctrine). */
+  val q30Cube: Q = Q(
+    "q30_cube",
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |  coalesce(o_orderpriority, '<all>') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+  }
+
   val queries: Seq[Q] = Seq(q22SaltedAgg, q23TwoStageDistinct,
     checkDistinctSketch, checkQuantileSketch, q26Percentiles, q27Pivot,
-    q28GroupingSets)
+    q28GroupingSets, q30Cube)
 }

@@ -225,6 +225,41 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** ANN quality eval: recall@3 of the IVF index (sim02) against the exact
+    * brute-force top-3 (sim01 truncated to k=3), per query — the metric
+    * that decides whether an index's nprobe/cluster settings are usable
+    * before pointing it at the full corpus. Composes the two existing
+    * pipelines and joins on (query, neighbor): the join inputs are k·|q|
+    * rows, so eval cost is the cost of the two searches themselves.
+    * Float-safe: membership compare on ids only, no score arithmetic. */
+  val sim05RecallAt3: Q = {
+    val exactTop3 =
+      sim01BruteForceTopK.oracle.get.replace("rk <= 5", "rk <= 3")
+    // strip the trailing presentation ORDER BY of each reused query so it
+    // can nest as a subquery (DuckDB allows it, but it's dead weight)
+    def core(sql: String) = sql.substring(0, sql.lastIndexOf("ORDER BY"))
+    Q(
+      "sim05_recall_at_3",
+      s"""WITH exact3 AS (SELECT query_id, neighbor_id FROM (${core(exactTop3)})),
+         |ivf3 AS (SELECT query_id, neighbor_id FROM (${core(sim02IvfTopK.oracle.get)}))
+         |SELECT e.query_id, count(i.neighbor_id) AS n_hits,
+         |  floor(count(i.neighbor_id) / 3.0 * 10000 + 0.5) / 10000
+         |    AS recall_at_3
+         |FROM exact3 e LEFT JOIN ivf3 i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, d) =>
+      val exact = sim01BruteForceTopK.run(s, d)
+        .filter(col("rk") <= 3).select("query_id", "neighbor_id")
+      val approx = sim02IvfTopK.run(s, d)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count("hit").as("n_hits"),
+          StableRound.r4(count("hit") / 3.0).as("recall_at_3"))
+        .orderBy("query_id")
+    }
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
-    sim03EmbeddingProfile, sim04LshTopK)
+    sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3)
 }

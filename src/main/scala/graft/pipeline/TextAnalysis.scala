@@ -231,6 +231,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary building: corpus-wide token frequency table (term freq +
+    * document freq), top-50 — the first step of any tokenizer/BPE training
+    * run and the classic skewed-key aggregation. Scale shape: explode is
+    * map-side; the groupBy's partial (map-side combine) collapses each
+    * task's token stream to its distinct tokens BEFORE the shuffle, so the
+    * shuffle carries |vocab|·|tasks| partials, not |corpus| tokens — the
+    * reason no salting is needed even though token frequency is Zipfian.
+    * doc_freq rides the same shuffle as count(DISTINCT doc_id) partials.
+    * The final top-50 is a TakeOrdered, not a global sort. */
+  val tx06VocabTopK: Q = Q(
+    "tx06_vocab_topk",
+    """SELECT token, count(*) AS term_freq,
+      |  count(DISTINCT doc_id) AS doc_freq
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY term_freq DESC, token LIMIT 50""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("term_freq"),
+          countDistinct("doc_id").as("doc_freq"))
+        .orderBy(col("term_freq").desc, col("token"))
+        .limit(50)
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
-    tx04Fingerprint, tx05Repetition)
+    tx04Fingerprint, tx05Repetition, tx06VocabTopK)
 }

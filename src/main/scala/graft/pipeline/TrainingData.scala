@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Q
 import graft.functions.StableRound
 import graft.tables.Tables
@@ -244,7 +245,38 @@ object TrainingData {
       .orderBy("source", "bin_id")
   }
 
+  /** Deterministic global shuffle + sharding for training order: every doc
+    * gets a pseudo-random but REPRODUCIBLE position (md5 of doc_id — the
+    * seeded-shuffle idiom; no engine rand()), sharded into 8 output files'
+    * worth of work. Scale shape: ONE shuffle keyed by shard, and the
+    * per-shard position is a window over that same partitioning — writers
+    * then emit shard files with `partitionBy(shard)` without re-shuffling.
+    * This is the step that breaks source/crawl locality before training
+    * (adjacent docs from one crawl must not land in one batch). */
+  val pipe08ShardShuffle: Q = Q(
+    "pipe08_shard_shuffle",
+    """WITH h AS (SELECT doc_id,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ('0x' || substr(hx, 1, 8))::BIGINT % 8 AS shard,
+      |  row_number() OVER (PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 8
+      |                     ORDER BY substr(hx, 9), doc_id) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    val hx = md5(col("doc_id").cast("string"))
+    val shard = pmod(
+      conv(substring(hx, 1, 8), 16, 10).cast("long"), lit(8))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("sort_key"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.as("shard"),
+        substring(hx, 9, 24).as("sort_key"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
     pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample,
-    pipe07PackBins)
+    pipe07PackBins, pipe08ShardShuffle)
 }
