@@ -505,9 +505,11 @@ object Relational {
 
   /** Correlated aggregate predicate (TPC-H Q17 shape): lineitems whose
     * quantity is below 20% of their part's average — the small-order
-    * revenue probe. Catalyst decorrelates the per-part average into a
-    * grouped aggregate + equi join; the probe side is ONE fact scan, the
-    * per-part averages shuffle only (partkey, sum, count) partials. The
+    * revenue probe. The oracle spells the textbook correlated subquery;
+    * the Spark side computes the per-part bound as a WINDOW aggregate over
+    * partkey instead of the decorrelated agg+self-join, which halves the
+    * fact-table scans (ONE scan, one shuffle on partkey, and the following
+    * groupBy reuses that same partitioning — no second exchange). The
     * comparison is float-safe cross-engine: l_quantity values are
     * integer-valued doubles, so each group's sum — hence avg and the
     * 0.2·avg bound — is bit-exact on both engines. */
@@ -520,10 +522,10 @@ object Relational {
       |                       FROM lineitem l2
       |                       WHERE l2.l_partkey = l1.l_partkey)
       |GROUP BY l1.l_partkey ORDER BY l1.l_partkey""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-    val lim = li.groupBy(col("l_partkey").as("pk"))
-      .agg((lit(0.2) * avg("l_quantity")).as("lim"))
-    li.join(lim, col("l_partkey") === col("pk"))
+    val byPart = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .withColumn("lim", lit(0.2) * avg("l_quantity").over(byPart))
       .filter(col("l_quantity") < col("lim"))
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_small"),
