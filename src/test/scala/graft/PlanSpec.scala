@@ -103,4 +103,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q32: correlated bound = one fact scan, agg reuses window partitioning") {
+    val p = planOf("q32_avg_qty_filter")
+    // the window form must not decorrelate into a second scan + join
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("Join"))
+    // one hash exchange (partkey) feeds window AND groupBy; + final range
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("q31: unpivot is a single-pass Expand, not k scans") {
+    val p = planOf("q31_unpivot")
+    assert(p.contains("Expand"))
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_shipdate")) // only ids + the 4 measures read
+  }
+
+  test("tx06: vocab agg combines map-side before the shuffle") {
+    val p = planOf("tx06_vocab_topk")
+    assert(p.contains("partial_count"))
+    // top-50 is a TakeOrdered, not a global sort of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("pipe08: shard shuffle is ONE exchange; window rides it") {
+    val p = planOf("pipe08_shard_shuffle")
+    // one hash exchange on shard for the row_number window; the final
+    // presentation sort is a range exchange, not a second hash shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
 }
