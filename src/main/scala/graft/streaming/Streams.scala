@@ -59,6 +59,21 @@ object Streams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming vocabulary: per-token term frequency over an unbounded doc
+    * stream (tx06's streaming form, term_freq leg). High-cardinality
+    * streaming state — one row per DISTINCT token, which Zipf keeps far
+    * below the token count; the incremental update is the same map-side
+    * combine as the batch plan. doc_freq is deliberately absent: exact
+    * count(DISTINCT doc_id) per token is not expressible as single-pass
+    * streaming state (it would need a second stacked aggregation or
+    * per-token id sets); a production stream reports
+    * approx_count_distinct there. */
+  def vocabTermFreq(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("term_freq"))
+
   /** Stream-stream inner join: each purchase joined to the same user's
     * clicks in the preceding hour. Both sides carry watermarks and the
     * join predicate bounds event time on both ends, so state for either

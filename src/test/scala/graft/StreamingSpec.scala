@@ -97,6 +97,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged === batchDocB)
   }
 
+  test("streaming vocabulary term counts equal batch tx06 term_freq") {
+    val docsStream = {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    }
+    val streamed = Streams.runToMemory(spark,
+      Streams.vocabTermFreq(docsStream), "vocab_sink",
+      OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.SparkEntry.queries("tx06_vocab_topk")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("term_freq")).toMap
+    // tx06 is top-50; every reported token's count must match exactly
+    batch.foreach { case (tok, n) => assert(streamed(tok) === n) }
+    assert(batch.nonEmpty)
+  }
+
   test("streaming tumbling window equals batch date_trunc aggregation") {
     val streamed = Streams.runToMemory(spark,
       Streams.tumblingCounts(Streams.eventsStream(spark, sfDir)),
