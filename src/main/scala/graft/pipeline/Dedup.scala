@@ -328,11 +328,25 @@ object Dedup {
     * vertex, cluster_id = the component's smallest member. Shared by dd06
     * and property-tested against a reference union-find on random graphs
     * (`DedupPropertySpec`). */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Size-adaptive strategy: an LSH duplicate graph is SPARSE by
+    * construction (pairs only within tiny buckets), so even a 100 TB
+    * corpus usually yields an edge list that fits one node. Below
+    * `smallGraphMaxEdges` directed edges (default 2M ≈ tens of MB on the
+    * driver) the component labels are computed with a driver-side
+    * union-find — one pass, zero extra Spark jobs — instead of paying
+    * 3 distributed stages PER propagation round. Above it, the O(log n)
+    * pointer-jumping loop below takes over unchanged. Both paths are
+    * property-tested against the same reference union-find and against
+    * each other (`DedupPropertySpec`). */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      smallGraphMaxEdges: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // two consumers per iteration (neighbor-min join + convergence test)
       .localCheckpoint()
+    // the count is served from the checkpoint just materialized
+    if (edges.count() <= smallGraphMaxEdges)
+      return smallGraphComponents(edges)
     // seed with min(self, direct neighbors) — one groupBy, and the common
     // component shapes (cliques from same-bucket groups) converge in the
     // FIRST loop round instead of the second
@@ -373,6 +387,35 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"connectedComponents did not converge in $MaxRounds rounds")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Driver-side component labels for a small (collected) edge list:
+    * union-find with path compression, then cluster_id = min member per
+    * component — identical semantics to the distributed loop. */
+  private def smallGraphComponents(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val es: Array[(Long, Long)] = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = parent.keys.toArray
+    val byRoot = verts.groupBy(find)
+    val minOf = byRoot.map { case (r, vs) => r -> vs.min }
+    verts.sorted.map(v => (v, minOf(find(v)))).toSeq
+      .toDF("doc_id", "cluster_id")
   }
 
   /** SimHash (16-bit): bit b of md5's leading hex digits votes ±1 per

@@ -27,7 +27,10 @@ class DedupPropertySpec extends AnyFunSuite {
       .map(v => v -> find(v)).toMap
   }
 
-  test("label propagation equals union-find on random graphs") {
+  // threshold 0 forces the DISTRIBUTED pointer-jumping loop; the default
+  // (2M) routes these small graphs through the driver union-find path —
+  // both must agree with the reference on every graph
+  test("label propagation equals union-find on random graphs (both paths)") {
     import spark.implicits._
     val genEdge: Gen[(Long, Long)] = for {
       a <- Gen.choose(0L, 39L)
@@ -37,22 +40,30 @@ class DedupPropertySpec extends AnyFunSuite {
       Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, genEdge))
     val prop = Prop.forAll(genGraph) { edges =>
       val distinctPairs = edges.distinct
-      val got = Dedup.connectedComponents(
+      val want = unionFind(distinctPairs)
+      val viaDriver = Dedup.connectedComponents(
           distinctPairs.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == unionFind(distinctPairs)
+      val viaCluster = Dedup.connectedComponents(
+          distinctPairs.toDF("doc_a", "doc_b"), smallGraphMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaDriver == want && viaCluster == want
     }
-    // 30 graphs — each case runs a full multi-round Spark fixpoint
+    // 20 graphs — each case runs a full multi-round Spark fixpoint
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
 
-  test("a 30-vertex path (worst-case diameter) converges correctly") {
+  test("a 30-vertex path (worst-case diameter) converges on both paths") {
     import spark.implicits._
     val chain = (0L until 29L).map(i => (i, i + 1))
-    val got = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === (0L to 29L).map(_ -> 0L).toMap)
+    val want = (0L to 29L).map(_ -> 0L).toMap
+    Seq(2000000L, 0L).foreach { thr =>
+      val got = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"),
+          smallGraphMaxEdges = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"threshold $thr")
+    }
   }
 }
