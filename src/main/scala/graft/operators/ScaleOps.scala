@@ -155,6 +155,24 @@ object ScaleOps {
         |ORDER BY priority, status""".stripMargin)
   }
 
+  /** Heavy hitters sketch — `freqItems` (the Karp/Papadimitriou/Shenker
+    * one-pass counter behind DataFrameStatFunctions) finds every token
+    * whose frequency exceeds the support threshold WITHOUT a full
+    * groupBy: single pass, fixed memory (1/support counters per task),
+    * merge in the combine step. The sketch tier's third member next to
+    * HLL distinct and the quantile sketch; tx06 is its exact twin, and
+    * ScaleOpsSpec asserts the no-false-negative contract against it.
+    * Rows-only in the gate: the KPS counter's EXTRA items depend on scan
+    * order, so only the containment property is checkable. */
+  val checkFreqSketch: Q = Q.noOracle("check_freq_sketch") { (s, d) =>
+    import s.implicits._
+    val items = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .stat.freqItems(Array("token"), 0.02)
+      .head().getSeq[String](0)
+    items.sorted.toDF("token")
+  }
+
   /** CUBE — all 2^k grouping combinations in ONE scan (completes the A9
     * family next to q20 ROLLUP and q28 GROUPING SETS). The cube of
     * (status, priority) is 4 granularities that would otherwise be 4
@@ -179,6 +197,6 @@ object ScaleOps {
   }
 
   val queries: Seq[Q] = Seq(q22SaltedAgg, q23TwoStageDistinct,
-    checkDistinctSketch, checkQuantileSketch, q26Percentiles, q27Pivot,
-    q28GroupingSets, q30Cube)
+    checkDistinctSketch, checkQuantileSketch, checkFreqSketch,
+    q26Percentiles, q27Pivot, q28GroupingSets, q30Cube)
 }

@@ -59,6 +59,21 @@ object Streams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC join — the enrichment shape: each streaming event
+    * picks up its user's dimension row. The static side is a plain
+    * DataFrame; Spark re-plans it per micro-batch (so a slowly-changing
+    * dim table is re-read without restarting the query) and broadcasts it
+    * while it fits — no streaming state at all, unlike the stream-stream
+    * join. The missing member of the join matrix next to
+    * [[purchasesWithRecentClicks]]. */
+  def enrichWithUserDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      broadcast(userDim.select(col("c_custkey").as("user_id"),
+        col("c_name").as("user_name"), col("c_nationkey").as("nationkey"))),
+      Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("user_name"),
+        col("nationkey"), col("event_type"))
+
   /** Streaming vocabulary: per-token term frequency over an unbounded doc
     * stream (tx06's streaming form, term_freq leg). High-cardinality
     * streaming state — one row per DISTINCT token, which Zipf keeps far

@@ -62,6 +62,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(errs.nonEmpty && errs.forall(_ < 0.05))
   }
 
+  test("freq-items sketch finds EVERY true heavy hitter (no false negatives)") {
+    // the KPS counter guarantees containment: every item with frequency
+    // > support MUST be reported (extras are allowed, misses are not)
+    val total = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token")).count()
+    val trueHeavy = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .filter(col("count") > total * 0.02)
+      .collect().map(_.getString(0)).toSet
+    val sketched = ScaleOps.checkFreqSketch.run(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    assert(trueHeavy.subsetOf(sketched),
+      s"missed heavy hitters: ${trueHeavy -- sketched}")
+    assert(trueHeavy.nonEmpty) // the fixture vocabulary IS Zipf-ish
+  }
+
   test("quantile sketch keeps RANK error within 1% (its actual contract)") {
     // the sketch bounds rank error, not value error — in a sparse tail
     // two ranks can span a wide value gap, so assert in rank space: the

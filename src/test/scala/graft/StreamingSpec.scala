@@ -97,6 +97,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged === batchDocB)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val enriched = Streams.runToMemory(spark,
+      Streams.enrichWithUserDim(Streams.eventsStream(spark, sfDir),
+        spark.read.parquet(s"$sfDir/customer.parquet")),
+      "enrich_sink", OutputMode.Append())
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = Streams.enrichWithUserDim(Tables.events(spark, sfDir),
+        spark.read.parquet(s"$sfDir/customer.parquet"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(enriched === batch)
+    assert(batch.nonEmpty && batch.forall(r => r(2) != null)) // all users resolve
+  }
+
   test("streaming vocabulary term counts equal batch tx06 term_freq") {
     val docsStream = {
       val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
