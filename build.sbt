@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNWRAPPED instead of behind sbt's
+// "[info] " logger prefix: Bench's final line must reach the harness as a
+// bare parseable JSON line (the harness keeps only an output tail and
+// json-parses lines out of it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
