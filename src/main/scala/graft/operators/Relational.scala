@@ -533,11 +533,34 @@ object Relational {
       .orderBy("l_partkey")
   }
 
+  /** LATERAL correlated subquery (per-row top-k via the spark.sql
+    * surface): for each nation, its 2 highest-balance customers. Catalyst
+    * decorrelates the LATERAL LIMIT into WindowGroupLimit with a PARTIAL
+    * top-k evaluated map-side before the shuffle — each task forwards at
+    * most k rows per key, so the exchange carries O(k·keys·tasks) rows,
+    * not the corpus — then broadcast-joins the tiny nation side. The
+    * same semantics as q11's window top-n, reached from the SQL-text
+    * surface (both engines run the identical statement). */
+  val q33Lateral: Q = {
+    val sql =
+      """SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, c_name""".stripMargin
+    Q("q33_lateral", sql) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(sql)
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     q01PricingSummary, q02MinPerGroup, q03FilteredMax, q04CountCompare,
     q05DupKeys, q06StringFold, q07RevenueByRegion, q08SemiJoin, q09AntiJoin,
     q10ThetaLike, q11WindowTopN, q12Lag, q13Argmin, q14ConditionalOrder,
     q15SplitPosexplode, q16ScalarStrings, q17Dates, q18MergeReconcile,
     q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll, q31Unpivot,
-    q32AvgQtyFilter)
+    q32AvgQtyFilter, q33Lateral)
 }
