@@ -147,12 +147,20 @@ object TextAnalysis {
   /** Token counting: whitespace tokens, regex word tokens (BPE-ish
     * alnum-run pre-tokenizer), characters — one projection, no shuffle. */
   val tx03TokenCount: Q = Q(
+    // bpe_pieces: GPT-2-style PRE-tokenization count — runs of letters,
+    // runs of digits, runs of other symbols (each optionally preceded by
+    // one space), whitespace runs excluded. Lookahead-free so Java regex
+    // (Spark) and RE2 (DuckDB) match identically; the count approximates
+    // the sequence length a byte-BPE tokenizer would see (pieces split
+    // further only inside long words).
     "tx03_token_count",
     """SELECT doc_id,
       |  len(list_filter(string_split(text, ' '), x -> x <> ''))
       |    AS ws_tokens,
       |  len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
       |      x -> x <> '')) AS word_tokens,
+      |  len(regexp_extract_all(text,
+      |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS bpe_pieces,
       |  length(text) AS n_chars_measured, n_chars AS n_chars_labeled
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(
@@ -160,6 +168,9 @@ object TextAnalysis {
       size(expr("filter(split(text, ' '), x -> x != '')")).as("ws_tokens"),
       size(expr("filter(split(text, '[^a-zA-Z0-9]+'), x -> x != '')"))
         .as("word_tokens"),
+      size(expr(
+        "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0)"))
+        .as("bpe_pieces"),
       length(col("text")).as("n_chars_measured"),
       col("n_chars").as("n_chars_labeled"))
       .orderBy("doc_id")
