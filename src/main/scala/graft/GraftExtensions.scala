@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions so `spark.sql("... float_dot(a, b) ...")`
@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildFloatDot(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName,
+        "winnow_fingerprint"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildWinnow(children)))
   }
 }
 
@@ -36,9 +42,29 @@ object GraftExtensions {
     FloatDot(children(0), children(1))
   }
 
+  private[graft] def buildWinnow(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : WinnowFingerprint = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def intArg(i: Int, default: Int): Int = children.lift(i) match {
+      case None => default
+      case Some(Literal(v: Int, _)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"winnow_fingerprint argument ${i + 1} must be an int literal, got $other")
+    }
+    require(children.nonEmpty && children.length <= 4,
+      s"winnow_fingerprint(text[, k, w, maxPieces]) takes 1-4 arguments, " +
+        s"got ${children.length}")
+    WinnowFingerprint(children.head, intArg(1, 8), intArg(2, 16),
+      intArg(3, 8))
+  }
+
   /** Same registration for a session that already exists (builder
     * extensions are ignored by getOrCreate when a session is live). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftSqlBridge.registerTempFunction(spark,
       "float_dot", buildFloatDot)
+    org.apache.spark.sql.GraftSqlBridge.registerTempFunction(spark,
+      "winnow_fingerprint", buildWinnow)
+  }
 }

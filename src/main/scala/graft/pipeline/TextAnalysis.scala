@@ -268,6 +268,45 @@ object TextAnalysis {
         .limit(50)
   }
 
+  /** Rolling-hash winnowing fingerprint (tx04's alignment-robust sibling,
+    * the brief's "rolling hash" fingerprint): Rabin-Karp hashes over every
+    * 8-byte window, sliding 16-window minima, 8 smallest distinct minima
+    * per doc — computed by the codegen'd [[graft.functions.Winnow]]
+    * kernel in ONE O(n) pass per row (no explode, no shuffle before the
+    * sort). The oracle recomputes every window hash directly
+    * (`list_reduce` polynomial — O(n·k), fine at oracle scale); modular
+    * arithmetic is exact, so rolling and direct forms are bit-identical.
+    * Docs shorter than k+w-1 bytes have no full window: filtered on both
+    * sides. */
+  val tx07WinnowFingerprint: Q = Q(
+    "tx07_winnow_fingerprint",
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(length(text) - 8 + 1)) AS i
+      |  FROM documents WHERE length(text) >= 8 + 16 - 1),
+      |h AS (SELECT doc_id, i,
+      |  list_reduce(list_transform(range(8),
+      |      j -> CAST(ascii(substr(text, CAST(i + j + 1 AS INT), 1)) AS BIGINT)),
+      |    (a, b) -> (a * 257 + b) % 1000000007) AS wh,
+      |  length(text) - 8 + 1 AS n_h
+      |  FROM pos),
+      |m AS (SELECT doc_id, i, n_h,
+      |  min(wh) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mn
+      |  FROM h)
+      |SELECT doc_id,
+      |  array_to_string((list_sort(list(DISTINCT mn)))[1:8], '|') AS fp
+      |FROM m WHERE i <= n_h - 16
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // string-joined (not array-typed) output: the hash compare sorts rows
+    // by every column, and array cells are unhashable/unsortable there
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 8 + 16 - 1)
+      .select(col("doc_id"),
+        array_join(graft.functions.Winnow.fingerprintCol(col("text"))
+          .cast("array<string>"), "|").as("fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
-    tx04Fingerprint, tx05Repetition, tx06VocabTopK)
+    tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint)
 }

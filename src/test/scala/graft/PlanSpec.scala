@@ -128,6 +128,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
+    val p = planOf("tx07_winnow_fingerprint")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
+    assert(p.contains("winnow_fingerprint"))
+  }
+
   test("pipe08: shard shuffle is ONE exchange; window rides it") {
     val p = planOf("pipe08_shard_shuffle")
     // one hash exchange on shard for the row_number window; the final
