@@ -504,7 +504,52 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Winnow-fingerprint candidate pairs — the CHARACTER-level near-dup
+    * detector next to dd03's word-shingle MinHash: docs sharing ≥2 rare
+    * winnow minima (the MOSS match criterion). Catches copies with word
+    * boundaries destroyed (whitespace/punctuation mangling) that bigram
+    * shingles miss.
+    *
+    * Scale shape mirrors dd03: fingerprints are ONE codegen'd O(n) pass
+    * per row ([[graft.functions.Winnow]]); candidates come from a bucket
+    * groupBy on the piece, NOT a self-join. The doc-frequency cap (≤20)
+    * drops non-discriminative pieces — boilerplate 8-grams shared by half
+    * the corpus would otherwise explode the in-bucket pair expansion;
+    * production winnow dedup applies exactly this stop-piece filter, and
+    * it bounds every bucket's expansion at C(20,2). */
+  val dd07WinnowPairs: Q = Q(
+    "dd07_winnow_pairs",
+    s"""WITH ${TextAnalysis.winnowMinimaCte},
+       |pieces AS (SELECT DISTINCT doc_id, mn AS piece FROM m
+       |           WHERE i <= n_h - 16),
+       |rare AS (SELECT piece FROM pieces
+       |         GROUP BY piece HAVING count(*) BETWEEN 2 AND 20)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS shared_pieces
+       |FROM pieces a JOIN rare r ON a.piece = r.piece
+       |JOIN pieces b ON a.piece = b.piece AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    import graft.functions.Winnow
+    val pieces = Tables.spread(s, docs(s, d), "doc_id")
+      .filter(length(col("text")) >= 8 + 16 - 1)
+      .select(col("doc_id"),
+        explode(Winnow.fingerprintCol(col("text"), 8, 16, Int.MaxValue))
+          .as("piece"))
+    pieces.groupBy("piece")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 20))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select("p.doc_a", "p.doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_pieces"))
+      .filter(col("shared_pieces") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
-    dd05EmbeddingDup, dd06DupClusters)
+    dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs)
 }

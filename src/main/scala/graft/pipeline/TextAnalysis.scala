@@ -278,9 +278,11 @@ object TextAnalysis {
     * arithmetic is exact, so rolling and direct forms are bit-identical.
     * Docs shorter than k+w-1 bytes have no full window: filtered on both
     * sides. */
-  val tx07WinnowFingerprint: Q = Q(
-    "tx07_winnow_fingerprint",
-    """WITH pos AS (
+  /** Oracle CTE computing every doc's winnow minima directly (per-window
+    * polynomial recompute — modular arithmetic is exact, so it matches the
+    * kernel's rolling form bit-for-bit). Shared by tx07 and dd07. */
+  private[pipeline] val winnowMinimaCte =
+    """pos AS (
       |  SELECT doc_id, text, unnest(range(length(text) - 8 + 1)) AS i
       |  FROM documents WHERE length(text) >= 8 + 16 - 1),
       |h AS (SELECT doc_id, i,
@@ -292,7 +294,11 @@ object TextAnalysis {
       |m AS (SELECT doc_id, i, n_h,
       |  min(wh) OVER (PARTITION BY doc_id ORDER BY i
       |    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mn
-      |  FROM h)
+      |  FROM h)""".stripMargin
+
+  val tx07WinnowFingerprint: Q = Q(
+    "tx07_winnow_fingerprint",
+    s"""WITH $winnowMinimaCte
       |SELECT doc_id,
       |  array_to_string((list_sort(list(DISTINCT mn)))[1:8], '|') AS fp
       |FROM m WHERE i <= n_h - 16
