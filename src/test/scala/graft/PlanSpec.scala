@@ -128,6 +128,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("dd07: winnow pairs — documents scanned once, no self-join") {
+    val p = planOf("dd07_winnow_pairs")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
     val p = planOf("tx07_winnow_fingerprint")
     assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
