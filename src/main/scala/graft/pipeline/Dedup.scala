@@ -516,7 +516,16 @@ object Dedup {
     * drops non-discriminative pieces — boilerplate 8-grams shared by half
     * the corpus would otherwise explode the in-bucket pair expansion;
     * production winnow dedup applies exactly this stop-piece filter, and
-    * it bounds every bucket's expansion at C(20,2). */
+    * it bounds every bucket's expansion at C(20,2).
+    *
+    * ORDER OF OPERATIONS MATTERS AT SCALE: doc frequency is computed
+    * FIRST (a count aggregate — map-side combinable, constant memory per
+    * group) and only rare pieces reach the collect_list. Collecting
+    * before filtering would materialize a boilerplate piece's
+    * million-doc bucket in one aggregation buffer before throwing it
+    * away — the classic collect_list OOM. The count agg, the rare join
+    * and the bucket groupBy all share the hash partitioning on piece, so
+    * the safety costs no extra exchange of the piece stream. */
   val dd07WinnowPairs: Q = Q(
     "dd07_winnow_pairs",
     s"""WITH ${TextAnalysis.winnowMinimaCte},
@@ -531,14 +540,24 @@ object Dedup {
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     import graft.functions.Winnow
+    // localCheckpoint: the (doc_id, piece) relation is consumed by BOTH
+    // the doc-frequency count and the rare-piece join — without it the
+    // whole fingerprint pass (and corpus scan) runs twice. Pieces are two
+    // longs per ~w/2 bytes of text, far smaller than the corpus, so the
+    // materialization is the cheap side of that trade at any scale.
     val pieces = Tables.spread(s, docs(s, d), "doc_id")
       .filter(length(col("text")) >= 8 + 16 - 1)
       .select(col("doc_id"),
         explode(Winnow.fingerprintCol(col("text"), 8, 16, Int.MaxValue))
           .as("piece"))
-    pieces.groupBy("piece")
+      .localCheckpoint()
+    val rare = pieces.groupBy("piece")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20))
+      .select("piece")
+    pieces.join(rare, "piece")
+      .groupBy("piece")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 20))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),

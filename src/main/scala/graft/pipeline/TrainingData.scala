@@ -252,7 +252,13 @@ object TrainingData {
     * per-shard position is a window over that same partitioning — writers
     * then emit shard files with `partitionBy(shard)` without re-shuffling.
     * This is the step that breaks source/crawl locality before training
-    * (adjacent docs from one crawl must not land in one batch). */
+    * (adjacent docs from one crawl must not land in one batch).
+    *
+    * SHARD COUNT AT SCALE: a per-shard window serializes each shard into
+    * one task, so the shard count must be O(cluster parallelism) — a
+    * production run shards into 1024+ (each a training data file), which
+    * keeps every sort task at corpus/1024. 8 here only mirrors the
+    * fixture-sized oracle; the query shape is shard-count-invariant. */
   val pipe08ShardShuffle: Q = Q(
     "pipe08_shard_shuffle",
     """WITH h AS (SELECT doc_id,

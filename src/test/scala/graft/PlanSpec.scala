@@ -128,10 +128,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("dd07: winnow pairs — documents scanned once, no self-join") {
+  test("dd07: winnow pairs — one materialized piece pass, bounded buckets") {
     val p = planOf("dd07_winnow_pairs")
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    // the corpus scan + fingerprint pass is materialized ONCE by the
+    // localCheckpoint; both the doc-freq count and the rare join read the
+    // checkpointed piece relation, never documents.parquet again
+    assert("documents\\.parquet".r.findAllIn(p).size === 0)
+    assert("Scan ExistingRDD".r.findAllIn(p).size <= 2) // the two readers
+    // the doc-frequency filter aggregates with map-side combine BEFORE
+    // any collect_list — no unbounded bucket is ever materialized
+    assert(p.contains("partial_count"))
+    // pair expansion stays in-bucket: no pair-space join of any kind
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
