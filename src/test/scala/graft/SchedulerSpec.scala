@@ -124,6 +124,51 @@ class SchedulerSpec extends AnyFunSuite {
       s"expected smallest-first pick, got $tableCmds")
   }
 
+  test("resumption: next-day run picks up where the budget cut off " +
+      "(ref README.md:2 'picks up where it left off last time')") {
+    val statePath = tmp()
+    // Day 1: a budget that admits only SOME of the four selected tables.
+    // Seed a small known average so admission control has a cost model;
+    // the 30s tick burns the 150s budget after a few checks.
+    val store = new StateStore(spark, statePath)
+    val base = t0.minusSeconds(86400)
+    val names = Seq("region", "nation", "supplier", "customer")
+    store.save(names.zipWithIndex.map { case (n, i) =>
+      StateStore.recordRun(
+        graft.model.CheckObject.fresh(i + 1, "testdb", "U", "main", n, "U",
+          i + 1),
+        "C", base.minusSeconds(86400), base.minusSeconds(86400).plusMillis(10))
+    })
+    val objects = names.map(n => s"testdb.main.$n").mkString(", ")
+    val cfg = CheckConfig(databases = "testdb", objects = Some(objects),
+      timeLimitSeconds = Some(300))
+    val r1 = newScheduler(cfg, new ManualClock(t0, tickMs = 30000),
+      statePath).run()
+    val day1 = r1.executedCommands.filter(_.startsWith("CHECKTABLE"))
+    assert(day1.nonEmpty && day1.size < names.size,
+      s"budget should cut the run mid-list, got $day1")
+    // Day 2, fresh budget: the scheduler must check the tables day 1
+    // NEVER REACHED before re-checking any table day 1 already covered
+    // (oldest-last-check-date priority = resumption).
+    val t1 = t0.plusSeconds(86400)
+    val r2 = newScheduler(cfg, new ManualClock(t1, tickMs = 10),
+      statePath).run()
+    val day2 = r2.executedCommands.filter(_.startsWith("CHECKTABLE"))
+    val day1Names = names.filter(n => day1.exists(_.contains(s"[$n]")))
+    val missed = names.filterNot(day1Names.contains)
+    val day2Order = names.filter(n => day2.exists(_.contains(s"[$n]")))
+      .sortBy(n => day2.indexWhere(_.contains(s"[$n]")))
+    assert(missed.forall(m => day2.exists(_.contains(s"[$m]"))),
+      s"day 2 must reach the missed tables: missed=$missed day2=$day2")
+    // every missed table is checked BEFORE any re-check of a day-1 table
+    val firstRecheck = day2Order.indexWhere(day1Names.contains)
+    val lastMissed = day2Order.lastIndexWhere(missed.contains)
+    assert(lastMissed >= 0, s"missed tables never checked on day 2: $day2")
+    if (firstRecheck >= 0)
+      assert(lastMissed < firstRecheck,
+        s"resumption order violated: $day2Order (missed=$missed)")
+  }
+
   test("config validation rejects bad maxDop (ref IC:363-369)") {
     val cfg = CheckConfig(maxDop = 65)
     assert(cfg.validate().isLeft)
