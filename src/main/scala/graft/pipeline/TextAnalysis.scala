@@ -313,6 +313,89 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-trigram language ID (the classic textcat n-gram heuristic,
+    * complementing tx01's word-lexicon approach): per-language top-20
+    * trigram PROFILES are learned from the labeled corpus in one
+    * aggregation, then each doc is scored by how many of its distinct
+    * trigrams hit each profile; predicted = argmax (ties → lang asc,
+    * no-hit docs → 'und').
+    *
+    * Scale shape: profile learning runs on a DETERMINISTIC 10% SAMPLE
+    * (doc_id % 10 — trigram profiles converge on a tiny fraction of the
+    * corpus; training on all of it would double the corpus scans for no
+    * information), one groupBy(lang, trigram) with map-side combine over
+    * in-row-deduped trigram lists (the per-row array_distinct keeps the
+    * corpus-wide distinct shuffle out, tx04's doctrine); profiles are
+    * 5×20 rows → broadcast; scoring is one full-corpus explode +
+    * broadcast hash join + groupBy(doc, lang) + argmax window
+    * partitioned by doc. Char trigrams work on CHARACTERS (substring
+    * semantics match across engines for multi-byte text).
+    *
+    * FIXTURE CAVEAT: the synthetic corpus draws every doc from one shared
+    * English-ish vocabulary and assigns `lang` labels at random, so all
+    * five learned profiles are near-identical and predictions sit at
+    * chance with ties resolving alphabetically — expected, and irrelevant
+    * to the gate (the oracle checks the HEURISTIC's exact output, not
+    * label accuracy). On real multilingual text the same pipeline is the
+    * standard textcat discriminator. */
+  val tx08NgramLangId: Q = Q(
+    "tx08_ngram_langid",
+    """WITH tri AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3)))) AS tg
+      |  FROM documents WHERE length(text) >= 3),
+      |prof AS (
+      |  SELECT lang AS cand, tg FROM (
+      |    SELECT lang, tg, row_number() OVER (PARTITION BY lang
+      |      ORDER BY count(*) DESC, tg) AS rk
+      |    FROM tri WHERE doc_id % 10 = 0 GROUP BY lang, tg)
+      |  WHERE rk <= 20),
+      |hits AS (
+      |  SELECT t.doc_id, p.cand, count(*) AS n_hits
+      |  FROM tri t JOIN prof p ON t.tg = p.tg
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, cand, n_hits, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY n_hits DESC, cand) AS rk
+      |  FROM hits)
+      |SELECT d.doc_id, coalesce(b.cand, 'und') AS predicted,
+      |  coalesce(b.n_hits, 0) AS n_hits, d.lang AS labeled
+      |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    // in-row distinct trigram list (per-row dedup, no corpus-wide
+    // distinct), shared by profile learning and scoring
+    val tri = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+          .as("tg"))
+    val wProf = Window.partitionBy("lang")
+      .orderBy(col("count").desc, col("tg"))
+    val prof = broadcast(
+      tri.filter(col("doc_id") % 10 === 0)
+        .groupBy("lang", "tg").count()
+        .withColumn("rk", row_number().over(wProf))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("cand"), col("tg")))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("n_hits").desc, col("cand"))
+    val best = tri.join(prof, "tg")
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("n_hits"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .drop("rk")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cand"), lit("und")).as("predicted"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("lang").as("labeled"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
-    tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint)
+    tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
+    tx08NgramLangId)
 }
