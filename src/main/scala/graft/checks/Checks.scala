@@ -25,24 +25,6 @@ import graft.tables.Tables
   * containment checks are shuffle joins on the key — the minimal plan shape
   * for the semantics.
   */
-/** Hadoop `Configuration` is not `java.io.Serializable`; it is `Writable`.
-  * This wrapper ships the DRIVER's session config (credentials, fs.*
-  * overrides) to executors via the standard Writable round-trip so
-  * file-opening tasks see the same filesystem the driver planned against. */
-class SerializableHadoopConf(
-    @transient var value: org.apache.hadoop.conf.Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new org.apache.hadoop.conf.Configuration(false)
-    value.readFields(in)
-  }
-}
-
 object Checks {
 
   /** CHECKTABLE on lineitem: one scan, all column profiles at once.
@@ -93,9 +75,11 @@ object Checks {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")) { (s, d) =>
     import s.implicits._
     val files: Seq[(String, String)] = Tables.all.flatMap { t =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
       val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      // resolve the filesystem FROM THE PATH, not the default scheme:
+      // FileSystem.get(conf) returns fs.defaultFS's filesystem and throws
+      // "Wrong FS" for an s3a:// table dir on an hdfs-default session
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       // a table may be a single file, a directory of part files, or a
       // PARTITIONED directory tree — list recursively, or a partitioned
       // table's files (one level down per partition key) are silently
@@ -113,10 +97,14 @@ object Checks {
     }
     // The executors must open files with the SESSION's filesystem config
     // (S3/HDFS credentials, fs.* overrides) — a fresh Configuration() only
-    // works on a default-configured local filesystem. Configuration itself
-    // isn't Serializable, so ship it through a Writable-based wrapper.
+    // works on a default-configured local filesystem. Ship it through
+    // Spark's own SerializableConfiguration (via the bridge — it is
+    // private[spark]), which is also registered with Spark's Kryo setup;
+    // a hand-rolled writeObject wrapper silently loses the conf when
+    // spark.serializer=Kryo serializes broadcast values by field.
     val bconf = s.sparkContext.broadcast(
-      new SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
+      org.apache.spark.sql.GraftSqlBridge.serializableHadoopConf(
+        s.sparkContext.hadoopConfiguration))
     val counted = s.createDataset(files)
       .repartition(math.max(1,
         math.min(files.size, s.sparkContext.defaultParallelism)))

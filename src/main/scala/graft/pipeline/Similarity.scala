@@ -235,9 +235,18 @@ object Similarity {
   val sim05RecallAt3: Q = {
     val exactTop3 =
       sim01BruteForceTopK.oracle.get.replace("rk <= 5", "rk <= 3")
+    // Text surgery over reused oracle SQL must fail LOUDLY if the source
+    // drifts: a no-op replace would silently leave a k=5 exact set under
+    // a k=3 Spark side and surface as a baffling recall mismatch.
+    require(exactTop3 != sim01BruteForceTopK.oracle.get,
+      "sim01 oracle no longer contains 'rk <= 5' — fix sim05's rewrite")
     // strip the trailing presentation ORDER BY of each reused query so it
     // can nest as a subquery (DuckDB allows it, but it's dead weight)
-    def core(sql: String) = sql.substring(0, sql.lastIndexOf("ORDER BY"))
+    def core(sql: String) = {
+      val cut = sql.lastIndexOf("ORDER BY")
+      require(cut >= 0, "reused oracle lost its trailing ORDER BY")
+      sql.substring(0, cut)
+    }
     Q(
       "sim05_recall_at_3",
       s"""WITH exact3 AS (SELECT query_id, neighbor_id FROM (${core(exactTop3)})),

@@ -119,11 +119,17 @@ object TrainingData {
       .withColumnRenamed("doc_id", "eval_id")
     val corpSh = shingles(
       Tables.spread(s, docs.filter(col("doc_id") % 50 =!= 0), "doc_id"))
-    // Broadcast guard (see scaladoc): eval sets bigger than ~500k docs
-    // can't ship to every executor — fall back to a shuffle join rather
-    // than OOM the driver. The probe reads ONE pruned column.
+    // Broadcast guard (see scaladoc): the broadcast payload is the
+    // EXPLODED shingle relation, whose size tracks total eval TEXT volume
+    // (≈ one bigram string per token), not the doc count — 400k long docs
+    // can blow the broadcast while 400k tweets fit. Probe the pruned
+    // n_chars column and cap the eval text at ~100 MB (shingle relation
+    // ≈ 2-3× that serialized); above it, fall back to a shuffle join
+    // rather than OOM the driver.
+    val evalChars = evalDocs
+      .agg(coalesce(sum("n_chars"), lit(0L))).head().getLong(0)
     val evalShJoinSide =
-      if (evalDocs.select("doc_id").count() <= 500000L) broadcast(evalSh)
+      if (evalChars <= 100000000L) broadcast(evalSh)
       else evalSh
     corpSh.join(evalShJoinSide, "sh")
       .groupBy("doc_id", "eval_id")

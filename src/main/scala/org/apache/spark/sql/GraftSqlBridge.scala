@@ -19,4 +19,11 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Spark's own broadcast-safe Hadoop-conf wrapper (private[spark]; also
+    * covered by Spark's Kryo registration, unlike a hand-rolled
+    * writeObject wrapper). `.value` yields the Configuration. */
+  def serializableHadoopConf(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
 }
