@@ -41,6 +41,22 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("property: kernel equals naive reference on random strings/k/w") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // includes repeats and multi-byte chars (the kernel hashes BYTES)
+    val genText: Gen[String] = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 3 -> Gen.const('a'), 1 -> Gen.const('é')))
+    } yield cs.mkString
+    val prop = Prop.forAll(genText, Gen.choose(1, 10), Gen.choose(1, 20)) {
+      (t, k, w) => kernel(t, k, w, 8) == direct(t, k, w, 8)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("documents shorter than k+w-1 have no full window -> empty") {
     assert(kernel("x" * 22, 8, 16, 8) === Seq.empty)
     assert(kernel("", 8, 16, 8) === Seq.empty)
