@@ -288,7 +288,62 @@ object TrainingData {
       .orderBy("shard", "pos")
   }
 
+  /** Corpus card — the one-row dataset datasheet (the artifact a training
+    * run records next to the data): doc/dup counts, token volume,
+    * lang/source diversity, repetition-flag rate, size profile. ONE full
+    * scan, every statistic folded into a single aggregation with map-side
+    * partials (count-distincts expand in-operator) — the cheapest possible
+    * shape, because at 100 TB the scan IS the cost and a per-metric query
+    * suite would multiply it. Per-row signals (bigram repetition, token
+    * counts) are in-row expressions; corpus-level signals are exact
+    * aggregates. */
+  val pipe09CorpusCard: Q = Q(
+    "pipe09_corpus_card",
+    """WITH per AS (
+      |  SELECT doc_id, lang, source, n_chars, md5(text) AS fp,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS ws_tokens,
+      |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      |      (1.0 - CAST(len(list_distinct(list_transform(
+      |           range(1, len(string_split(text, ' '))),
+      |           i -> string_split(text, ' ')[i] || ' ' ||
+      |                string_split(text, ' ')[i+1]))) AS DOUBLE)
+      |        / (len(string_split(text, ' ')) - 1)) >= 0.1
+      |    ELSE FALSE END AS repetitive
+      |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |  count(*) - count(DISTINCT fp) AS n_exact_dup_docs,
+      |  CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive,
+      |  floor(avg(n_chars) * 100 + 0.5) / 100 AS mean_chars
+      |FROM per""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    // Dedup.bigramShingles binds to a token-array column named `l`
+    val rep = when(size(col("l")) >= 2,
+      (lit(1.0) - size(array_distinct(Dedup.bigramShingles))
+        .cast("double") / (size(col("l")) - 1)) >= 0.1)
+      .otherwise(lit(false))
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"), col("text"),
+        split(col("text"), " ").as("l"))
+      .select(col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("fp"),
+        size(expr("filter(l, x -> x != '')")).as("ws_tokens"),
+        rep.as("repetitive"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct("fp")).as("n_exact_dup_docs"),
+        sum("ws_tokens").cast("long").as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(when(col("repetitive"), 1).otherwise(0)).cast("long")
+          .as("n_repetitive"),
+        StableRound.r2(avg("n_chars")).as("mean_chars"))
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
     pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample,
-    pipe07PackBins, pipe08ShardShuffle)
+    pipe07PackBins, pipe08ShardShuffle, pipe09CorpusCard)
 }
