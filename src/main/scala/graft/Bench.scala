@@ -69,7 +69,9 @@ object Bench {
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those)","rescued":$resc}"""
     println(full)
-    try {
+    // persist only FULL runs: a SPARK_GRAFT_BENCH_ONLY dev subset must
+    // not clobber the repo's full-suite record
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_FULL_LOCAL.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
