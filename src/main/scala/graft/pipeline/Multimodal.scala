@@ -168,6 +168,60 @@ object Multimodal {
       .orderBy(col("probe_cosine").desc, col("doc_id")).limit(20)
   }
 
+  /** mm04's ORACLE-CHECKABLE twin: same typed-mapPartitions batch shape
+    * over the binary payload, but the features are exact byte-class
+    * COUNTS kept in double, and the probe score is a FIXED-ORDER
+    * expression chain — (((h0·p0 + h1·p1) + …) + h7·p7) / ‖h‖ with
+    * p_i = (i+1)/√204 — so both engines execute the identical sequence of
+    * double operations and the result hash-matches bit-exactly (mm04's
+    * Float pipeline can't: no SQL twin reproduces float32 rounding).
+    * Oracle caveat (same as the winnow oracle): byte class == char class
+    * only for ASCII text, which the fixture is; the Spark side computes
+    * from real payload bytes either way. */
+  val mm05FeatureProbe: Q = {
+    def pSql(i: Int) = s"(${i + 1} / sqrt(204.0))"
+    val numSql = (0 until 8).map(i => s"h$i * ${pSql(i)}").mkString(" + ")
+    val denSql = (0 until 8).map(i => s"h$i * h$i").mkString(" + ")
+    def cls(i: Int) = f"[^\\x${i * 32}%02x-\\x${i * 32 + 31}%02x]"
+    val histSql = (0 until 4).map(i =>
+      s"""CAST(length(regexp_replace(text, '${cls(i)}', '', 'g')) AS DOUBLE)
+         |    AS h$i""".stripMargin).mkString(",\n  ") +
+      ",\n  " + (4 until 8).map(i =>
+        s"CAST(0 AS DOUBLE) AS h$i /* non-ASCII byte classes: empty here */")
+        .mkString(",\n  ")
+    Q(
+      "mm05_feature_probe",
+      s"""WITH f AS (SELECT doc_id,
+         |  $histSql
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN $denSql > 0 THEN
+         |    floor(($numSql) / sqrt($denSql) * 10000 + 0.5) / 10000
+         |  ELSE 0.0 END AS probe_cosine
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.sqrt
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val h = new Array[Double](8)
+          p.foreach(b => h((b & 0xff) >> 5) += 1.0)
+          (id, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+        })
+        .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+      val num = (0 until 8)
+        .map(i => col(s"h$i") * (lit((i + 1).toDouble) / sqrt(lit(204.0))))
+        .reduce(_ + _) // left fold == the oracle's explicit chain order
+      val den = (0 until 8).map(i => col(s"h$i") * col(s"h$i")).reduce(_ + _)
+      feats.select(col("doc_id"),
+        when(den > 0,
+          graft.functions.StableRound.r4(num / sqrt(den)))
+          .otherwise(lit(0.0)).as("probe_cosine"))
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan,
-    mm04FeatureExtract)
+    mm04FeatureExtract, mm05FeatureProbe)
 }
