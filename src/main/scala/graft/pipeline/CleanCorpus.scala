@@ -31,9 +31,10 @@ object CleanCorpus {
   private def stopwords: Seq[String] =
     TextAnalysis.lexicon.map(_._2).distinct
 
-  val pipe01CleanCorpus: Q = Q(
-    "pipe01_clean_corpus",
-    s"""WITH keep1 AS (SELECT min(doc_id) AS doc_id FROM documents
+  /** The oracle's stage chain (shared by pipe01 and pipe10): d1 = exact
+    * survivors, d2 = quality survivors, d3 = near-dup survivors. */
+  private def cleanChainCtes: String =
+    s"""keep1 AS (SELECT min(doc_id) AS doc_id FROM documents
        |               GROUP BY md5(text)),
        |d1 AS (SELECT d.* FROM documents d JOIN keep1 k ON d.doc_id = k.doc_id),
        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d1),
@@ -61,7 +62,11 @@ object CleanCorpus {
        |        FROM bands a JOIN bands b
        |          ON a.band = b.band AND a.band_key = b.band_key
        |          AND a.doc_id < b.doc_id),
-       |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM dup))
+       |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM dup))""".stripMargin
+
+  val pipe01CleanCorpus: Q = Q(
+    "pipe01_clean_corpus",
+    s"""WITH $cleanChainCtes
        |SELECT (SELECT count(*) FROM documents) AS n_input,
        |       (SELECT count(*) FROM d1) AS n_after_exact,
        |       (SELECT count(*) FROM d2) AS n_after_quality,
@@ -71,6 +76,49 @@ object CleanCorpus {
       count(when(col("s1"), 1)).as("n_after_exact"),
       count(when(col("s2"), 1)).as("n_after_quality"),
       count(when(col("s3"), 1)).as("n_clean"))
+  }
+
+  /** The chain extended with a CHARACTER-level stage: winnow-pair removal
+    * (dd07's primitive) over the near-dup survivors — catches mangled
+    * copies whose word bigrams no longer agree (whitespace/punctuation
+    * damage) that the MinHash stage passed. Policy mirrors the LSH
+    * stage's keep-min: a doc with any smaller winnow partner is dropped.
+    * Stage cost: one fingerprint pass over the (already shrunk) d3
+    * corpus — the winnow stage prices at O(survivors), not O(input). */
+  val pipe10CleanWinnow: Q = Q(
+    "pipe10_clean_winnow",
+    s"""WITH $cleanChainCtes,
+       |${TextAnalysis.winnowMinimaCteOver("d3")},
+       |pieces AS (SELECT DISTINCT doc_id, mn AS piece FROM m
+       |           WHERE i <= n_h - 16),
+       |rare AS (SELECT piece FROM pieces
+       |         GROUP BY piece HAVING count(*) BETWEEN 2 AND 20),
+       |wpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pieces a JOIN rare r ON a.piece = r.piece
+       |  JOIN pieces b ON a.piece = b.piece AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |wlosers AS (SELECT DISTINCT doc_b AS doc_id FROM wpairs)
+       |SELECT (SELECT count(*) FROM documents) AS n_input,
+       |       (SELECT count(*) FROM d1) AS n_after_exact,
+       |       (SELECT count(*) FROM d2) AS n_after_quality,
+       |       (SELECT count(*) FROM d3) AS n_after_neardup,
+       |       (SELECT count(*) FROM d3
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM wlosers))
+       |         AS n_clean""".stripMargin) { (s, d) =>
+    val flags = survivalFlags(s, d)
+    val losers = Dedup.winnowPairs(
+        Tables.spread(s, flags.filter(col("s3")).select("doc_id", "text"),
+          "doc_id"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("wl", lit(true))
+    flags.join(losers, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_input"),
+        count(when(col("s1"), 1)).as("n_after_exact"),
+        count(when(col("s2"), 1)).as("n_after_quality"),
+        count(when(col("s3"), 1)).as("n_after_neardup"),
+        count(when(col("s3") && col("wl").isNull, 1)).as("n_clean"))
   }
 
   /** One row per input doc with its per-stage survival flags: s1 = kept by
@@ -147,5 +195,5 @@ object CleanCorpus {
       .select("doc_id", "text")
   }
 
-  val queries: Seq[Q] = Seq(pipe01CleanCorpus)
+  val queries: Seq[Q] = Seq(pipe01CleanCorpus, pipe10CleanWinnow)
 }

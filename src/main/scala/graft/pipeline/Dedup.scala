@@ -539,13 +539,21 @@ object Dedup {
        |JOIN pieces b ON a.piece = b.piece AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    winnowPairs(Tables.spread(s, docs(s, d), "doc_id"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The dd07 candidate-pair relation over ANY (doc_id, text) frame —
+    * (doc_a < doc_b, shared_pieces ≥ 2). Shared by dd07 and the cleaning
+    * chain's winnow stage (pipe10). */
+  private[pipeline] def winnowPairs(docsDf: DataFrame): DataFrame = {
     import graft.functions.Winnow
     // localCheckpoint: the (doc_id, piece) relation is consumed by BOTH
     // the doc-frequency count and the rare-piece join — without it the
     // whole fingerprint pass (and corpus scan) runs twice. Pieces are two
     // longs per ~w/2 bytes of text, far smaller than the corpus, so the
     // materialization is the cheap side of that trade at any scale.
-    val pieces = Tables.spread(s, docs(s, d), "doc_id")
+    val pieces = docsDf
       .filter(length(col("text")) >= 8 + 16 - 1)
       .select(col("doc_id"),
         explode(Winnow.fingerprintCol(col("text"), 8, 16, Int.MaxValue))
@@ -565,7 +573,6 @@ object Dedup {
       .select("p.doc_a", "p.doc_b")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_pieces"))
       .filter(col("shared_pieces") >= 2)
-      .orderBy("doc_a", "doc_b")
   }
 
   val queries: Seq[Q] = Seq(

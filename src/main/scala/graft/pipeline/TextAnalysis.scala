@@ -280,11 +280,12 @@ object TextAnalysis {
     * sides. */
   /** Oracle CTE computing every doc's winnow minima directly (per-window
     * polynomial recompute — modular arithmetic is exact, so it matches the
-    * kernel's rolling form bit-for-bit). Shared by tx07 and dd07. */
-  private[pipeline] val winnowMinimaCte =
-    """pos AS (
+    * kernel's rolling form bit-for-bit). Shared by tx07, dd07 and pipe10;
+    * `rel` names the (doc_id, text) relation to fingerprint. */
+  private[pipeline] def winnowMinimaCteOver(rel: String): String =
+    s"""pos AS (
       |  SELECT doc_id, text, unnest(range(length(text) - 8 + 1)) AS i
-      |  FROM documents WHERE length(text) >= 8 + 16 - 1),
+      |  FROM $rel WHERE length(text) >= 8 + 16 - 1),
       |h AS (SELECT doc_id, i,
       |  list_reduce(list_transform(range(8),
       |      j -> CAST(ascii(substr(text, CAST(i + j + 1 AS INT), 1)) AS BIGINT)),
@@ -295,6 +296,8 @@ object TextAnalysis {
       |  min(wh) OVER (PARTITION BY doc_id ORDER BY i
       |    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mn
       |  FROM h)""".stripMargin
+
+  private[pipeline] val winnowMinimaCte = winnowMinimaCteOver("documents")
 
   val tx07WinnowFingerprint: Q = Q(
     "tx07_winnow_fingerprint",
