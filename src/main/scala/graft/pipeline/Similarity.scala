@@ -269,6 +269,64 @@ object Similarity {
     }
   }
 
+  /** Int8 scalar-quantized ANN (the memory-bandwidth scale path: a 64-dim
+    * float vector is 256 bytes, its int8 codes are 64 — a 4× smaller
+    * corpus to scan, the standard faiss `SQ8` trade): quantize every
+    * embedding once with the FIXED affine code `clamp(floor(x·64 + 0.5),
+    * -127, 127)`, then rank by the integer dot product of the codes.
+    *
+    * Everything after quantization is EXACT integer arithmetic — no float
+    * rounding anywhere in the ranking — so unlike sim01/sim02/sim04 the
+    * scores need no StableRound and the oracle matches bit-for-bit by
+    * construction. The codes live in a float[] so the ranking reuses the
+    * codegen'd [[graft.functions.FloatDot]] kernel: every code is an
+    * integer ≤127 and every dot ≤ 64·127² ≈ 1.03e6, exactly representable
+    * in float/double, so the double accumulator IS integer math.
+    *
+    * Scale shape: quantization is one embarrassingly-parallel projection
+    * (at real scale: write the codes column once, scan it instead of the
+    * floats); search is sim01's broadcast-probe cross join over the 4×
+    * denser corpus. */
+  val sim06QuantizedTopK: Q = Q(
+    "sim06_quantized_topk",
+    """WITH c AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(greatest(-127, least(127,
+      |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS cd
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, cd AS qcd FROM c WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(len(q.qcd)),
+      |      i -> q.qcd[i + 1] * c.cd[i + 1])) AS BIGINT) AS qscore
+      |  FROM q JOIN c ON q.query_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY qscore DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, neighbor_id, qscore FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    // floor(double) is BIGINT in Spark (DOUBLE in DuckDB) — numerically
+    // identical here; both sides clamp then hold the code as an exact
+    // small integer.
+    val codes = expr("transform(embedding, x -> CAST(greatest(-127L, " +
+      "least(127L, floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS FLOAT))")
+    val c = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
+      .select(col("vec_id"), codes.as("cd"))
+    val q = broadcast(c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cd").as("qcd")))
+    val scored = q.crossJoin(c.withColumnRenamed("vec_id", "neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qscore",
+        VectorOps.dot(col("qcd"), col("cd")).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "rk", "neighbor_id", "qscore")
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
-    sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3)
+    sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK)
 }

@@ -398,7 +398,86 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII detection + redaction (the privacy pass every pre-training
+    * pipeline runs before release): regex-match emails, IPv4 addresses and
+    * phone numbers, count them, and emit the redacted text's md5.
+    *
+    * The raw fixture corpus carries no PII, so the query first AUGMENTS
+    * each doc with deterministic doc_id-derived PII (two emails, an IP, a
+    * phone) — the detector then has real work whose exact output both
+    * engines must reproduce byte-for-byte. Patterns are written in the
+    * Java-regex ∩ RE2 common subset (no lookahead, ASCII classes, `\b`
+    * word boundaries — identical semantics on ASCII text), the same
+    * discipline as tx03's BPE pre-tokenizer. Redaction order is fixed
+    * (email → IP → phone) and both engines replace non-overlapping
+    * matches left to right, so the redacted bytes — and their md5 — are
+    * engine-independent.
+    *
+    * Scale shape: per-ROW projection, no shuffle, embarrassingly parallel
+    * (tx04's doctrine); regexes are compiled once per task inside
+    * whole-stage codegen. */
+  /** The Java-regex ∩ RE2 PII patterns (shared with the spec, which
+    * asserts the detector finds ZERO residual matches after redaction). */
+  private[graft] val piiEmail =
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val piiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private[graft] val piiPhone = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** (doc_id, t=augmented text, r=redacted text) — tx09's working set,
+    * exposed so the spec can probe the redacted text itself. */
+  private[graft] def piiRedacted(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or user."),
+        col("doc_id").cast("string"), lit("@corp.example.org ip 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250 + 1).cast("string"), lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+    aug.withColumn("r",
+      regexp_replace(regexp_replace(regexp_replace(col("t"),
+        piiEmail, "<EMAIL>"), piiIp, "<IP>"), piiPhone, "<PHONE>"))
+  }
+
+  val tx09PiiRedact: Q = {
+    val email = piiEmail
+    val ip = piiIp
+    val phone = piiPhone
+    Q(
+      "tx09_pii_redact",
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR
+        |      || '@mail.example.com or user.' || doc_id::VARCHAR
+        |      || '@corp.example.org ip 10.' || (doc_id % 200)::VARCHAR
+        |      || '.0.' || (doc_id % 250 + 1)::VARCHAR
+        |      || ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+        |      || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '$email', '<EMAIL>', 'g'),
+        |      '$ip', '<IP>', 'g'),
+        |      '$phone', '<PHONE>', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '$email')) AS n_emails,
+        |  len(regexp_extract_all(t, '$ip')) AS n_ips,
+        |  len(regexp_extract_all(t, '$phone')) AS n_phones,
+        |  md5(r) AS redacted_md5, length(r) AS n_chars_redacted
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+      piiRedacted(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+        md5(col("r")).as("redacted_md5"),
+        length(col("r")).as("n_chars_redacted"))
+        .orderBy("doc_id")
+    }
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
-    tx08NgramLangId)
+    tx08NgramLangId, tx09PiiRedact)
 }

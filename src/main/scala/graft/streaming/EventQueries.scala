@@ -169,6 +169,63 @@ object EventQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Sequential conversion funnel (view → click → purchase, each stage
+    * strictly after the previous): per user, the earliest view, the
+    * earliest click after that view, the earliest purchase after that
+    * click, and the furthest stage reached — the classic product-analytics
+    * sequence query and the batch form of a per-key ordered state machine
+    * (`mapGroupsWithState` territory in a stream).
+    *
+    * Scale shape: ONE exchange on user_id — three unordered window
+    * aggregates (each stage's conditional min references the previous
+    * stage's result, so they stack as separate Window nodes) all reuse the
+    * same hash partitioning, and the final one-row-per-user groupBy rides
+    * it too. No joins, no re-shuffle, state per key is three timestamps. */
+  val ev07Funnel: Q = Q(
+    "ev07_funnel",
+    """WITH s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS first_view
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view
+      |    THEN ts END) OVER (PARTITION BY user_id) AS first_click
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_click
+      |    THEN ts END) OVER (PARTITION BY user_id) AS first_purchase
+      |  FROM s2)
+      |SELECT user_id, min(first_view) AS first_view,
+      |  min(first_click) AS first_click, min(first_purchase) AS first_purchase,
+      |  CASE WHEN min(first_purchase) IS NOT NULL THEN 3
+      |       WHEN min(first_click) IS NOT NULL THEN 2
+      |       WHEN min(first_view) IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  min(first_purchase) IS NOT NULL AS converted
+      |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id")
+    val stages = Tables.events(s, d)
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" && col("ts") > col("first_view"),
+          col("ts"))).over(byUser))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("first_click"), col("ts"))).over(byUser))
+    stages.groupBy("user_id")
+      .agg(min("first_view").as("first_view"),
+        min("first_click").as("first_click"),
+        min("first_purchase").as("first_purchase"))
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"),
+        when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .when(col("first_view").isNotNull, 1).otherwise(0).as("stage"),
+        col("first_purchase").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
-    ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks)
+    ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks,
+    ev07Funnel)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventQueries
+import graft.tables.Tables
+
+/** ev07 funnel cross-check: the one-exchange window formulation must agree
+  * with a direct per-user fold over the sorted event list (the semantics a
+  * `mapGroupsWithState` stream version would implement). */
+class EventFunnelSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def bruteForce(): Map[Long, (Option[Timestamp], Option[Timestamp],
+      Option[Timestamp])] = {
+    val events = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    // full Timestamp.compareTo ordering (getTime drops sub-millisecond)
+    def first(ts: Seq[Timestamp]): Option[Timestamp] =
+      ts.sortWith((a, b) => a.compareTo(b) < 0).headOption
+    events.groupBy(_._1).map { case (u, es) =>
+      val fv = first(es.filter(_._2 == "view").map(_._3).toSeq)
+      val fc = fv.flatMap(v => first(
+        es.filter(e => e._2 == "click" && e._3.compareTo(v) > 0)
+          .map(_._3).toSeq))
+      val fp = fc.flatMap(c => first(
+        es.filter(e => e._2 == "purchase" && e._3.compareTo(c) > 0)
+          .map(_._3).toSeq))
+      u -> ((fv, fc, fp))
+    }
+  }
+
+  test("ev07: window formulation equals the per-user sorted fold") {
+    val expected = bruteForce()
+    val got = EventQueries.ev07Funnel.run(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getTimestamp(i))
+      val (fv, fc, fp) = expected(u)
+      assert(opt(1) === fv, s"first_view(user=$u)")
+      assert(opt(2) === fc, s"first_click(user=$u)")
+      assert(opt(3) === fp, s"first_purchase(user=$u)")
+      val stage = r.getInt(4)
+      val wantStage =
+        if (fp.isDefined) 3 else if (fc.isDefined) 2 else if (fv.isDefined) 1
+        else 0
+      assert(stage === wantStage, s"stage(user=$u)")
+      assert(r.getBoolean(5) === fp.isDefined, s"converted(user=$u)")
+    }
+  }
+
+  test("ev07: stage timestamps are strictly ordered when present") {
+    EventQueries.ev07Funnel.run(spark, sfDir).collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        assert(!r.isNullAt(1) && r.getTimestamp(2).after(r.getTimestamp(1)))
+      }
+      if (!r.isNullAt(3)) {
+        assert(!r.isNullAt(2) && r.getTimestamp(3).after(r.getTimestamp(2)))
+      }
+    }
+  }
+}

@@ -155,4 +155,23 @@ class PlanSpec extends AnyFunSuite {
     // presentation sort is a range exchange, not a second hash shuffle
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
+
+  test("tx09: PII redaction is per-row (no shuffle before the sort)") {
+    val p = planOf("tx09_pii_redact")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("ev07: funnel is ONE hash exchange; windows + final agg ride it") {
+    val p = planOf("ev07_funnel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("sim06: quantized ranking stays on the FloatDot kernel, probes broadcast") {
+    val p = planOf("sim06_quantized_topk")
+    assert(p.contains("float_dot"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

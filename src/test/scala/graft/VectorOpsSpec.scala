@@ -53,6 +53,27 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got === 11.0)
   }
 
+  test("sim06: quantized scores are exact integer dots (driver recompute)") {
+    // the float[] codes + double accumulator must BE integer arithmetic:
+    // recompute every (query, neighbor) score with BigInt math and demand
+    // equality, not tolerance
+    val d = SparkTestSession.sfDir
+    val got = pipeline.Similarity.sim06QuantizedTopK.run(spark, d)
+      .select("query_id", "neighbor_id", "qscore").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def codes(v: Seq[Float]): Array[Long] = v.map { x =>
+      math.max(-127L, math.min(127L, math.floor(x.toDouble * 64.0 + 0.5).toLong))
+    }.toArray
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> codes(r.getSeq[Float](1))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((q, n), s) =>
+      val exact = vecs(q).zip(vecs(n)).map { case (a, b) => a * b }.sum
+      assert(s === exact, s"qscore($q,$n)")
+    }
+  }
+
   test("FloatDot rejects non-float arrays at analysis time") {
     val s2 = spark
     import s2.implicits._
