@@ -136,6 +136,56 @@ object Streams {
       }
   }
 
+  /** Per-user funnel progress (streaming form of the batch ev07 funnel):
+    * the three stage timestamps plus the derived stage/converted columns,
+    * emitted after every batch. */
+  final case class FunnelRow(user_id: Long,
+      first_view: Option[java.sql.Timestamp],
+      first_click: Option[java.sql.Timestamp],
+      first_purchase: Option[java.sql.Timestamp],
+      stage: Int, converted: Boolean)
+
+  /** Streaming view→click→purchase funnel via a typed per-key state
+    * machine: state is exactly three timestamps per user (the bound that
+    * lets this run forever), each batch folds its events in event-time
+    * order, and a stage timestamp is only ever set once — monotone state,
+    * so emitting per batch is safe in Update mode.
+    *
+    * Equals the batch ev07 result when per-key arrival respects event-time
+    * order across batches (always true for a replayed log; with true
+    * out-of-order sources, pair with a watermark reorder stage first —
+    * the same caveat every streaming sequence detector carries). */
+  def streamingFunnel(spark: SparkSession, events: DataFrame)
+      : Dataset[FunnelRow] = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelRow, FunnelRow](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelRow]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelRow(uid, None, None, None, 0, converted = false))
+          val sorted = rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0)
+          var fv = prev.first_view
+          var fc = prev.first_click
+          var fp = prev.first_purchase
+          sorted.foreach { case (_, tpe, ts) =>
+            if (tpe == "view" && fv.isEmpty) fv = Some(ts)
+            else if (tpe == "click" && fc.isEmpty &&
+              fv.exists(v => ts.compareTo(v) > 0)) fc = Some(ts)
+            else if (tpe == "purchase" && fp.isEmpty &&
+              fc.exists(c => ts.compareTo(c) > 0)) fp = Some(ts)
+          }
+          val stage =
+            if (fp.isDefined) 3 else if (fc.isDefined) 2
+            else if (fv.isDefined) 1 else 0
+          val next = FunnelRow(uid, fv, fc, fp, stage, fp.isDefined)
+          state.update(next)
+          next
+      }
+  }
+
   /** Run a bounded streaming query into a memory sink; returns the sink
     * contents after all input is processed. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

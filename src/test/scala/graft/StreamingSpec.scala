@@ -138,6 +138,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming funnel state machine equals batch ev07") {
+    // Update-mode state machine: the memory sink holds one row per
+    // (user, batch). Funnel state is MONOTONE (each stage timestamp is
+    // set at most once, stage only grows), so per-user max over the
+    // emitted rows IS the final state, batch count notwithstanding.
+    val sink = Streams.runToMemory(spark,
+      Streams.streamingFunnel(spark, Streams.eventsStream(spark, sfDir)).toDF(),
+      "funnel_sink", OutputMode.Update())
+    val streamed = sink.groupBy("user_id")
+      .agg(max("first_view").as("first_view"),
+        max("first_click").as("first_click"),
+        max("first_purchase").as("first_purchase"),
+        max("stage").as("stage"), max("converted").as("converted"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val batch = EventQueries.ev07Funnel.run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming first-seen-per-key equals batch groupBy min") {
     val streamed = Streams.runToMemory(spark,
       Streams.firstSeenPerKey(Streams.eventsStream(spark, sfDir)),
