@@ -556,11 +556,37 @@ object Relational {
     }
   }
 
+  /** W1/W2 completion — the remaining rank-family window vocabulary in one
+    * pass: ntile (equi-depth bucketing, the histogram/stratification
+    * primitive), percent_rank and cume_dist (relative standing). The ORDER
+    * BY carries a unique tiebreaker (c_custkey) so all three are
+    * deterministic, and percent_rank/cume_dist are single IEEE integer
+    * divisions — bit-exact cross-engine with NO rounding shim. One hash
+    * exchange on the partition key; all three functions ride one Window
+    * node. */
+  val q34WindowRanks: Q = Q(
+    "q34_window_ranks",
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   val queries: Seq[Q] = Seq(
     q01PricingSummary, q02MinPerGroup, q03FilteredMax, q04CountCompare,
     q05DupKeys, q06StringFold, q07RevenueByRegion, q08SemiJoin, q09AntiJoin,
     q10ThetaLike, q11WindowTopN, q12Lag, q13Argmin, q14ConditionalOrder,
     q15SplitPosexplode, q16ScalarStrings, q17Dates, q18MergeReconcile,
     q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll, q31Unpivot,
-    q32AvgQtyFilter, q33Lateral)
+    q32AvgQtyFilter, q33Lateral, q34WindowRanks)
 }

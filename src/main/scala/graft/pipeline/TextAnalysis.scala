@@ -477,7 +477,56 @@ object TextAnalysis {
     }
   }
 
+  /** Lexical diversity via Simpson's index (the ecology measure applied to
+    * token distributions — complements tx02's type-token ratio, which
+    * ignores HOW skewed the repeats are): per doc, Σ cᵢ² over token-type
+    * counts. The numerator is an INTEGER, so the heavy statistic is exact
+    * by construction and only the final ratios round (r4, IEEE-exact
+    * division inputs). `effective_vocab` = n²/Σc² is the "how many
+    * equally-likely tokens would look like this" size.
+    *
+    * Per-ROW computation (tx04's doctrine): the whole statistic needs only
+    * the in-row token list — no explode, no shuffle. The per-row cost is
+    * O(types·tokens) via the nested filter; both engines run the same
+    * formula so the integer output is identical. */
+  val tx10LexicalDiversity: Q = Q(
+    "tx10_lexical_diversity",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |u AS (SELECT doc_id, l, list_sort(list_distinct(l)) AS types FROM t
+      |      WHERE len(l) >= 1)
+      |SELECT doc_id, len(l) AS n_tokens, len(types) AS n_types,
+      |  CAST(list_sum(list_transform(
+      |    list_transform(types, v -> CAST(len(list_filter(l, x -> x = v)) AS BIGINT)),
+      |    c -> c * c)) AS BIGINT) AS sum_sq,
+      |  floor(CAST(list_sum(list_transform(
+      |      list_transform(types, v -> CAST(len(list_filter(l, x -> x = v)) AS BIGINT)),
+      |      c -> c * c)) AS DOUBLE)
+      |    / (CAST(len(l) AS DOUBLE) * len(l)) * 10000 + 0.5) / 10000
+      |    AS simpson,
+      |  floor(CAST(len(l) AS DOUBLE) * len(l)
+      |    / CAST(list_sum(list_transform(
+      |        list_transform(types, v -> CAST(len(list_filter(l, x -> x = v)) AS BIGINT)),
+      |        c -> c * c)) AS DOUBLE) * 10000 + 0.5) / 10000
+      |    AS effective_vocab
+      |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val sumSq = expr("aggregate(transform(array_sort(array_distinct(l)), " +
+      "v -> CAST(size(filter(l, x -> x = v)) AS BIGINT)), 0L, " +
+      "(acc, c) -> acc + c * c)")
+    val n2 = col("n_tokens").cast("double") * col("n_tokens")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 1)
+      .select(col("doc_id"), size(col("l")).as("n_tokens"),
+        size(array_distinct(col("l"))).as("n_types"), sumSq.as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_sq"),
+        StableRound.r4(col("sum_sq").cast("double") / n2).as("simpson"),
+        StableRound.r4(n2 / col("sum_sq").cast("double"))
+          .as("effective_vocab"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
-    tx08NgramLangId, tx09PiiRedact)
+    tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity)
 }

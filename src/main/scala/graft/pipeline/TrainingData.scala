@@ -343,7 +343,57 @@ object TrainingData {
         StableRound.r2(avg("n_chars")).as("mean_chars"))
   }
 
+  /** Epoch/repetition planner (pipe03 taken to its operational
+    * conclusion): given a fixed training token budget, how many EPOCHS of
+    * each source does the uniform-mixture target imply, and how many
+    * tokens does each source actually contribute once the standard ≤4×
+    * repetition cap (the "repeat small sources at most a few epochs"
+    * doctrine) is applied? Per source: whitespace-token supply, the
+    * uniform per-source token target, epochs = min(4, target/supply), and
+    * the planned contribution floor(min(4·supply, target)).
+    *
+    * Everything is arithmetic on two aggregates: per-source token sums
+    * (one groupBy with map-side combine — token counting is per-row, no
+    * explode) and the 1-row corpus totals, broadcast. The budget is a
+    * deterministic function of the corpus (10% of total supply) so the
+    * plan is reproducible at any scale factor. */
+  val pipe11EpochPlan: Q = Q(
+    "pipe11_epoch_plan",
+    """WITH s AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+      |             count(*) AS n_sources FROM s),
+      |p AS (SELECT s.source, s.n_tokens,
+      |        floor(CAST(t.total AS DOUBLE) * 0.1 / t.n_sources) AS target
+      |      FROM s, t)
+      |SELECT source, n_tokens, CAST(target AS BIGINT) AS target_tokens,
+      |  floor(least(4.0, target / n_tokens) * 10000 + 0.5) / 10000
+      |    AS epochs,
+      |  CAST(floor(least(4.0 * n_tokens, target)) AS BIGINT)
+      |    AS planned_tokens
+      |FROM p ORDER BY source""".stripMargin) { (s, d) =>
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val totals = perSource.agg(sum("n_tokens").as("total"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target",
+        floor(col("total").cast("double") * 0.1 / col("n_sources")))
+      .select(col("source"), col("n_tokens"),
+        col("target").cast("long").as("target_tokens"),
+        StableRound.r4(least(lit(4.0),
+          col("target").cast("double") / col("n_tokens"))).as("epochs"),
+        floor(least(lit(4.0) * col("n_tokens"), col("target").cast("double")))
+          .cast("long").as("planned_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
     pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample,
-    pipe07PackBins, pipe08ShardShuffle, pipe09CorpusCard)
+    pipe07PackBins, pipe08ShardShuffle, pipe09CorpusCard, pipe11EpochPlan)
 }

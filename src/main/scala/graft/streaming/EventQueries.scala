@@ -225,7 +225,46 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** Cohort retention (the other classic product-analytics matrix, next
+    * to ev07's funnel): users are cohorted by the ISO week of their FIRST
+    * event; each cell counts how many of a cohort's users were active
+    * `week_offset` weeks later. Both engines truncate to Monday-start
+    * weeks, so the day difference between two truncated weeks is an exact
+    * multiple of 7 and the offset is integer-exact.
+    *
+    * Scale shape: ONE exchange on user_id — collect_set's map-side
+    * partial dedupes each task's (user, week) pairs before the shuffle
+    * (an event stream is massively redundant per user-week), and the
+    * per-user week set is both the cohort (array_min, no join) and the
+    * activity rows (explode). The final (cohort, offset) agg is a second,
+    * already-tiny exchange counting pre-deduped users — count(*), not
+    * countDistinct. */
+  val ev08CohortRetention: Q = Q(
+    "ev08_cohort_retention",
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |c AS (
+      |  SELECT user_id, wk,
+      |    min(wk) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM uw)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_active_users
+      |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) {
+    (s, d) =>
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .groupBy("user_id").agg(collect_set("wk").as("wks"))
+      uw.select(col("user_id"), array_min(col("wks")).as("cohort_week"),
+          explode(col("wks")).as("wk"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
     ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks,
-    ev07Funnel)
+    ev07Funnel, ev08CohortRetention)
 }

@@ -52,6 +52,20 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("ev08: offset-0 cell IS the cohort size; later cells never exceed it") {
+    val rows = EventQueries.ev08CohortRetention.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val size0 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val cohortSize = size0.getOrElse(r.getTimestamp(0),
+        fail(s"cohort ${r.getTimestamp(0)} missing its offset-0 cell"))
+      assert(r.getLong(2) <= cohortSize,
+        s"cohort ${r.getTimestamp(0)} offset ${r.getLong(1)}")
+      assert(r.getLong(1) >= 0L)
+    }
+  }
+
   test("ev07: stage timestamps are strictly ordered when present") {
     EventQueries.ev07Funnel.run(spark, sfDir).collect().foreach { r =>
       if (!r.isNullAt(2)) {

@@ -168,6 +168,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
+  test("q34: all three rank functions ride ONE window exchange") {
+    val p = planOf("q34_window_ranks")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert("Window".r.findAllIn(p).size >= 1)
+  }
+
+  test("tx10: lexical diversity is per-row (no shuffle before the sort)") {
+    val p = planOf("tx10_lexical_diversity")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("ev08: cohort matrix is two exchanges; week dedup is map-side partial") {
+    val p = planOf("ev08_cohort_retention")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+    assert(p.contains("partial_collect_set") || p.contains("collect_set"))
+  }
+
+  test("pipe11: token sums combine map-side; totals broadcast") {
+    val p = planOf("pipe11_epoch_plan")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("sim06: quantized ranking stays on the FloatDot kernel, probes broadcast") {
     val p = planOf("sim06_quantized_topk")
     assert(p.contains("float_dot"))

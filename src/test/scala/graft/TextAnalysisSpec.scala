@@ -33,6 +33,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.count() > 0)
   }
 
+  test("tx10: Simpson numerator equals a driver recompute on every doc") {
+    val got = TextAnalysis.tx10LexicalDiversity.run(spark, sfDir)
+      .select("doc_id", "n_tokens", "n_types", "sum_sq").collect()
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ", -1).toSeq
+      val counts = toks.groupBy(identity).map(_._2.size.toLong)
+      assert(r.getInt(1) === toks.size, "n_tokens")
+      assert(r.getInt(2) === counts.size, "n_types")
+      assert(r.getLong(3) === counts.map(c => c * c).sum, "sum_sq")
+    }
+  }
+
   test("tx09: redaction shrinks or preserves length, never corrupts md5 width") {
     val probe = TextAnalysis.piiRedacted(spark, sfDir)
       .select(md5(col("r")).as("m"))

@@ -99,4 +99,21 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_shared") >= 3L)
     }
   }
+
+  test("pipe11 plan respects the budget and the 4-epoch cap") {
+    val rows = graft.pipeline.TrainingData.pipe11EpochPlan
+      .run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val supply = r.getAs[Long]("n_tokens")
+      val target = r.getAs[Long]("target_tokens")
+      val epochs = r.getAs[Double]("epochs")
+      val planned = r.getAs[Long]("planned_tokens")
+      assert(epochs > 0.0 && epochs <= 4.0)
+      assert(planned <= target)
+      assert(planned <= 4L * supply)
+      // the plan fills the target unless the cap binds
+      if (epochs < 4.0) assert(planned === target)
+    }
+  }
 }
