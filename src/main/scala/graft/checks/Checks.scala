@@ -327,7 +327,63 @@ object Checks {
       .agg(count(lit(1)).as("n_rows"), sum("h").as("content_hash"))
   }
 
+  /** Statistical column profile — the distribution tier of CHECKTABLE
+    * (drift detection between runs: a jump in stddev or a sign flip in a
+    * correlation is a data-quality incident even when every domain check
+    * passes). One scan, all moments computed in the same partial-agg pass
+    * as the count — at 100 TB this costs exactly what check_table costs.
+    * skewness/kurtosis are deliberately absent: Spark computes population
+    * moments where DuckDB computes sample-corrected ones, so they cannot
+    * be oracle-gated (stddev_samp/var_samp/covar_samp/corr agree). */
+  val checkColStats: Q = Q(
+    "check_col_stats",
+    """SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+      |  floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+      |  floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+      |  floor(var_samp(l_discount) * 10000 + 0.5) / 10000 AS var_disc,
+      |  floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+      |    AS corr_qty_price,
+      |  floor(covar_samp(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+      |    AS covar_qty_price
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      StableRound.r4(avg("l_quantity")).as("avg_qty"),
+      StableRound.r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+      StableRound.r4(var_samp(col("l_discount"))).as("var_disc"),
+      StableRound.r4(corr(col("l_quantity"), col("l_extendedprice")))
+        .as("corr_qty_price"),
+      StableRound.r4(covar_samp(col("l_quantity"), col("l_extendedprice")))
+        .as("covar_qty_price"))
+      .withColumn("table_name", lit("lineitem"))
+      .select("table_name", "n_rows", "avg_qty", "sd_qty", "var_disc",
+        "corr_qty_price", "covar_qty_price")
+  }
+
+  /** Equi-width histogram of l_extendedprice (fixed 10k-wide buckets):
+    * the value-distribution probe of CHECKTABLE — per-bucket counts plus
+    * in-bucket extrema make truncated/shifted value ranges visible at a
+    * glance. Fixed bounds keep it ONE scan (data-derived bounds would need
+    * a second pass or a sketch — that path is check_quantile_sketch); the
+    * shuffle carries only |buckets| groups. */
+  val checkHistogram: Q = Q(
+    "check_histogram",
+    """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+      |  count(*) AS n_rows,
+      |  floor(min(l_extendedprice) * 100 + 0.5) / 100 AS min_price,
+      |  floor(max(l_extendedprice) * 100 + 0.5) / 100 AS max_price
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        StableRound.r2(min("l_extendedprice")).as("min_price"),
+        StableRound.r2(max("l_extendedprice")).as("max_price"))
+      .orderBy("bucket")
+  }
+
   val queries: Seq[Q] = Seq(
     checkTableLineitem, checkRowcounts, checkFkContainment, checkPkUnique,
-    checkDomains, checkContentHash)
+    checkDomains, checkContentHash, checkColStats, checkHistogram)
 }

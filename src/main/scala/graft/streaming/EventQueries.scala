@@ -264,7 +264,86 @@ object EventQueries {
         .orderBy("cohort_week", "week_offset")
   }
 
+  /** Markov next-event transition matrix: for every consecutive event pair
+    * per user, count (prev_type → type) transitions and the conditional
+    * probability p(type | prev_type). The lag and the normalizing window
+    * both key on small, bounded attributes, so at 100 TB this is one
+    * shuffle on user_id for the lag pass, then a groups-only aggregation
+    * (|event_type|² rows) — the normalization window runs over a
+    * dimension-sized frame. The probability is a ratio of exact integer
+    * counts: both engines convert int→double and divide with one correctly
+    * rounded operation each, so the doubles are bit-identical before the
+    * stable round. */
+  val ev09Transitions: Q = Q(
+    "ev09_transitions",
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, count(*) AS n,
+      |  floor(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type)
+      |        * 10000 + 0.5) / 10000 AS p
+      |FROM t WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin) { (s, d) =>
+    // event_id tie-break: events tied on ts must produce the same
+    // predecessor on both engines or the transition counts drift
+    val lagW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(lagW))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", StableRound.r4(
+        col("n") * lit(1.0) /
+          sum("n").over(Window.partitionBy("prev_type"))))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Gaps-and-islands: runs of CONSECUTIVE active days per user, via the
+    * row_number-difference technique (day − rn is constant within a run) —
+    * the second classic sessionization form next to ev03's lag+gap flag.
+    * The per-day rollup and the window share the same user_id-dominated
+    * key, and islands are per-user-day rows (not events), so the window
+    * pass runs over an already-reduced frame; at 100 TB the event scan
+    * reduces to user-days map-side before anything shuffles. */
+  val ev10ActiveIslands: Q = Q(
+    "ev10_active_islands",
+    """WITH days AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |numbered AS (
+      |  SELECT user_id, day, n_ev,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM days)
+      |SELECT user_id,
+      |  strftime(min(day), '%Y-%m-%d') AS island_start,
+      |  strftime(max(day), '%Y-%m-%d') AS island_end,
+      |  count(*) AS n_days, CAST(sum(n_ev) AS BIGINT) AS n_events
+      |FROM (SELECT user_id, day, n_ev, day - CAST(rn AS INTEGER) AS grp
+      |      FROM numbered)
+      |GROUP BY user_id, grp
+      |ORDER BY user_id, island_start""".stripMargin) { (s, d) =>
+    // island bounds render as yyyy-MM-dd STRINGS: a bare DATE column
+    // round-trips differently through the two engines' result paths
+    // (datetime64 vs date object) and hash-mismatches on type alone
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_ev"))
+      .withColumn("grp", date_sub(col("day"),
+        row_number().over(w).cast("int")))
+      .groupBy("user_id", "grp")
+      .agg(date_format(min("day"), "yyyy-MM-dd").as("island_start"),
+        date_format(max("day"), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"), sum("n_ev").as("n_events"))
+      .drop("grp")
+      .orderBy("user_id", "island_start")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
     ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks,
-    ev07Funnel, ev08CohortRetention)
+    ev07Funnel, ev08CohortRetention, ev09Transitions, ev10ActiveIslands)
 }

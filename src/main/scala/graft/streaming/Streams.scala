@@ -136,6 +136,64 @@ object Streams {
       }
   }
 
+  /** One CLOSED 30-min-gap session (streaming twin of batch ev03). */
+  final case class ClosedSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** The still-open tail session carried between batches. */
+  final case class OpenSession(start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n: Long, value: Double)
+
+  /** Streaming gap sessionization via flatMapGroupsWithState: state is ONE
+    * open session per user (two timestamps, a count, a sum — the bound
+    * that lets this run forever); each batch folds its events in
+    * (ts, event_id) order — the same tie-break as batch ev03 — and EMITS
+    * every session it closes (a >30-min gap), keeping the new open tail in
+    * state. Append mode is safe because a closed session can never change.
+    *
+    * Gap semantics match batch ev03 exactly: the batch form compares
+    * `cast(ts as long)` values, i.e. FLOOR-SECONDS, so the stream compares
+    * floor-seconds too (a raw millisecond difference would close sessions
+    * the batch keeps open when sub-second parts straddle the gap). In
+    * ascending event-time order the lag predecessor IS the max-so-far, so
+    * tracking end = max(ts) reproduces the lag comparison.
+    *
+    * The final open session per user never emits on a bounded replay (no
+    * event after it closes it) — the parity spec accounts for exactly
+    * that: streamed == batch ev03 minus each user's LAST session. On a
+    * true unbounded source an event-time timeout would flush idle tails;
+    * the state shape is already what that needs. */
+  def streamingSessionize(spark: SparkSession, events: DataFrame)
+      : Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapSec = 30L * 60
+    def floorSec(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L)
+    events.select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var open = state.getOption.orNull
+          sorted.foreach { case (_, ts, _, v) =>
+            if (open == null) open = OpenSession(ts, ts, 1L, v)
+            else if (floorSec(ts) - floorSec(open.end) > gapSec) {
+              closed += ClosedSession(uid, open.start, open.end,
+                open.n, open.value)
+              open = OpenSession(ts, ts, 1L, v)
+            } else open = OpenSession(open.start,
+              if (ts.compareTo(open.end) > 0) ts else open.end,
+              open.n + 1, open.value + v)
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+      }
+  }
+
   /** Per-user funnel progress (streaming form of the batch ev07 funnel):
     * the three stage timestamps plus the derived stage/converted columns,
     * emitted after every batch. */

@@ -199,4 +199,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("check_col_stats: all moments fold into ONE scan with partial agg") {
+    val p = planOf("check_col_stats")
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("partial_avg") || p.contains("partial_"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey")) // pruned to the profiled columns
+  }
+
+  test("check_histogram: one scan, groups-only exchange, partial counts") {
+    val p = planOf("check_histogram")
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("partial_count") || p.contains("partial_"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_extendedprice") && !read.contains("l_quantity"))
+  }
+
+  test("ev09: transitions = one user exchange + groups-only normalization") {
+    val p = planOf("ev09_transitions")
+    // lag rides the user_id exchange; the normalizing window and the agg
+    // run over |types|² groups, never over event rows
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("value"))
+  }
+
+  test("ev10: islands reduce events to user-days map-side before any shuffle") {
+    val p = planOf("ev10_active_islands")
+    assert(p.contains("partial_count"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("event_type"))
+  }
 }

@@ -192,6 +192,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalState === batch)
   }
 
+  test("streaming sessionizer equals batch ev03 minus each user's open tail") {
+    // Append-mode flatMapGroupsWithState emits CLOSED sessions only; on a
+    // bounded replay the last session per user stays open in state — so
+    // parity is: streamed == ev03 with each user's final session removed.
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamingSessionize(spark,
+        Streams.eventsStream(spark, sfDir)).toDF(),
+      "sess_sink", OutputMode.Append())
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        // batch ev03 rounds the value sum (stable 2dp); its hash-agg adds
+        // doubles in partition order while the stream folds in time order,
+        // so compare at the same rounding the oracle gate uses
+        (floor(col("session_value") * 100 + 0.5) / 100).as("session_value"))
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    val batchAll = EventQueries.ev03Sessionize.run(spark, sfDir)
+    val lastPerUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+    val batchClosed = batchAll
+      .withColumn("max_no", max("session_no").over(lastPerUser))
+      .filter(col("session_no") =!= col("max_no"))
+      .select("user_id", "session_start", "session_end", "n_events",
+        "session_value")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batchClosed)
+    assert(streamed.nonEmpty)
+  }
+
   test("session_window built-in agrees with the lag-based sessionization") {
     // two independent implementations of 30-min-gap sessions must agree on
     // (user, session_start, session_end, n_events)
