@@ -582,11 +582,34 @@ object Relational {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** Null-aware NOT IN (SURVEY §2.3 J6 extension): the ANSI trap a plain
+    * left_anti join gets WRONG — `x NOT IN (S)` is NULL (row excluded)
+    * when x is NULL, and never true when S contains a NULL. Expressed
+    * through spark.sql so Catalyst plans its null-aware anti join; the
+    * nullable left key comes from nullif on real data. At scale the
+    * subquery side is dimension-sized and broadcasts (Spark's
+    * null-aware anti join REQUIRES a broadcastable right side — the
+    * correct constraint, since null-awareness needs the whole set). */
+  val q35NotInNulls: Q = Q(
+    "q35_not_in_nulls",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE nullif(c_nationkey, 5) NOT IN
+      |  (SELECT n_nationkey FROM nation WHERE n_regionkey <> 2)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v
+        |WHERE nullif(c_nationkey, 5) NOT IN
+        |  (SELECT n_nationkey FROM nation_v WHERE n_regionkey <> 2)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Seq[Q] = Seq(
     q01PricingSummary, q02MinPerGroup, q03FilteredMax, q04CountCompare,
     q05DupKeys, q06StringFold, q07RevenueByRegion, q08SemiJoin, q09AntiJoin,
     q10ThetaLike, q11WindowTopN, q12Lag, q13Argmin, q14ConditionalOrder,
     q15SplitPosexplode, q16ScalarStrings, q17Dates, q18MergeReconcile,
     q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll, q31Unpivot,
-    q32AvgQtyFilter, q33Lateral, q34WindowRanks)
+    q32AvgQtyFilter, q33Lateral, q34WindowRanks, q35NotInNulls)
 }

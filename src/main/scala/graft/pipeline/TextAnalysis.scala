@@ -526,7 +526,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token commonness: each doc's average CORPUS frequency of its tokens —
+    * the LM-free quality proxy (rare-token-heavy docs are gibberish,
+    * boilerplate IDs, or off-language; common-token docs are fluent text).
+    * Deliberately integer-exact end to end: the per-token corpus count is
+    * a window count, the per-doc score a ratio of two integer sums — no
+    * log/exp whose low-order bits could diverge across engines.
+    *
+    * Plan: documents scanned ONCE; the exploded tokens shuffle once on the
+    * token key (the window), then once on doc_id (the rollup). At 100 TB
+    * the token exchange dominates — it is the same volume a unigram-LM
+    * build pass moves, and Zipf skew on mega-tokens is the known hazard
+    * (mitigation if it bites: salt the window like q22 and merge counts). */
+  val tx11TokenCommonness: Q = Q(
+    "tx11_token_commonness",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |wc AS (SELECT doc_id, count(*) OVER (PARTITION BY tok) AS c FROM toks)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(c) AS BIGINT) AS freq_sum,
+      |  floor(sum(c) * 1.0 / count(*) * 100 + 0.5) / 100 AS avg_commonness
+      |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    toks
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("c").as("freq_sum"),
+        StableRound.r2(sum("c") * lit(1.0) / count(lit(1)))
+          .as("avg_commonness"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
-    tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity)
+    tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
+    tx11TokenCommonness)
 }

@@ -343,7 +343,42 @@ object EventQueries {
       .orderBy("user_id", "island_start")
   }
 
+  /** Rate-anomaly detection: hourly event counts per type, flagged where
+    * the count sits more than 2.5 sample-stddevs from that type's mean —
+    * the monitoring query an integrity pipeline runs over its OWN event
+    * volume (a silent producer outage or a runaway duplicate source shows
+    * up here before any content check fires). The z-score inputs are
+    * integer counts, so both engines derive mean/stddev from identical
+    * values; events reduce to (type, hour) groups map-side, and the
+    * z window runs over a groups-only frame — at 100 TB the exchange
+    * carries |types|·|hours| rows, never events. */
+  val ev11RateAnomaly: Q = Q(
+    "ev11_rate_anomaly",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |z AS (
+      |  SELECT event_type, hr, n,
+      |    (n - avg(n) OVER (PARTITION BY event_type))
+      |      / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+      |  FROM hourly)
+      |SELECT event_type, hr, n, floor(z * 10000 + 0.5) / 10000 AS z
+      |FROM z WHERE z > 2.5 OR z < -2.5
+      |ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("z",
+        (col("n") - avg("n").over(w)) / stddev_samp(col("n")).over(w))
+      .filter(col("z") > 2.5 || col("z") < -2.5)
+      .select(col("event_type"), col("hr"), col("n"),
+        StableRound.r4(col("z")).as("z"))
+      .orderBy("event_type", "hr")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
     ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks,
-    ev07Funnel, ev08CohortRetention, ev09Transitions, ev10ActiveIslands)
+    ev07Funnel, ev08CohortRetention, ev09Transitions, ev10ActiveIslands,
+    ev11RateAnomaly)
 }

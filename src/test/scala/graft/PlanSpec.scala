@@ -225,6 +225,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("props") && !read.contains("value"))
   }
 
+  test("q35: NOT IN plans as a null-aware broadcast anti join") {
+    val p = planOf("q35_not_in_nulls")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ev11: anomaly z-window runs over groups, not events") {
+    val p = planOf("ev11_rate_anomaly")
+    // events reduce to (type, hour) counts map-side before the exchange
+    assert(p.contains("partial_count"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("user_id"))
+  }
+
+  test("tx11: commonness scans documents ONCE (window, not count self-join)") {
+    val p = planOf("tx11_token_commonness")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("ev10: islands reduce events to user-days map-side before any shuffle") {
     val p = planOf("ev10_active_islands")
     assert(p.contains("partial_count"))
