@@ -222,6 +222,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sessionizer carries open sessions across batches") {
+    // The bounded-file replay above runs in ONE batch, which never
+    // exercises the state hand-off. MemoryStream gives deterministic
+    // multi-batch replay: feed the event log in four event-time slices
+    // (arrival respects event time, the sessionizer's documented
+    // contract) and the cross-batch result must STILL equal batch ev03
+    // minus open tails — sessions spanning a slice boundary only close
+    // correctly if state really carries.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_id").as[Long], col("value").as[Double])
+      .collect().sortBy(r => (r._2.getTime, r._3)).toSeq
+    val slices = {
+      val k = math.max(1, rows.size / 4)
+      rows.grouped(k).toSeq
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val sessions = Streams.streamingSessionize(spark,
+      mem.toDF().toDF("user_id", "ts", "event_id", "value"))
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_mb_sink").start()
+    try {
+      slices.foreach { s => mem.addData(s); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("sess_mb_sink")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        (floor(col("session_value") * 100 + 0.5) / 100).as("session_value"))
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    val lastPerUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+    val batchClosed = EventQueries.ev03Sessionize.run(spark, sfDir)
+      .withColumn("max_no", max("session_no").over(lastPerUser))
+      .filter(col("session_no") =!= col("max_no"))
+      .select("user_id", "session_start", "session_end", "n_events",
+        "session_value")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batchClosed)
+    assert(slices.size >= 4 && streamed.nonEmpty)
+  }
+
   test("session_window built-in agrees with the lag-based sessionization") {
     // two independent implementations of 30-min-gap sessions must agree on
     // (user, session_start, session_end, n_events)
