@@ -222,6 +222,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops late events and finalizes windows exactly once") {
+    // The load-bearing watermark semantics, proven against the REAL
+    // tumblingCounts operator (2h watermark, 1h windows) in Append mode:
+    //  b1: two 10:xx events + a 14:30 event → watermark 12:30 → the
+    //      [10:00,11:00) window finalizes and emits n=2;
+    //  b2: a LATE 10:45 event (< watermark, window already emitted) is
+    //      DROPPED — no duplicate or updated [10:00) row may ever appear;
+    //  b3: an 18:00 event → watermark 16:00 → [14:00) finalizes with n=1,
+    //      untouched by the late event.
+    // A batch run of the same four events would count 10:45 (n=3 at
+    // 10:00) — the difference IS the bounded-state contract.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def t(hm: String) = java.sql.Timestamp.valueOf(s"2026-03-01 $hm:00")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streams.tumblingCounts(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_sink").start()
+    try {
+      mem.addData(Seq((t("10:00"), "a", 1.0), (t("10:30"), "a", 2.0),
+        (t("14:30"), "a", 4.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((t("10:45"), "a", 8.0))) // late: beyond watermark
+      q.processAllAvailable()
+      mem.addData(Seq((t("18:00"), "a", 16.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wm_sink")
+      .select(col("window_start"), col("n"), col("total_value"))
+      .orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got === Seq((t("10:00"), 2L, 3.0), (t("14:00"), 1L, 4.0)))
+  }
+
   test("streaming sessionizer carries open sessions across batches") {
     // The bounded-file replay above runs in ONE batch, which never
     // exercises the state hand-off. MemoryStream gives deterministic
