@@ -605,11 +605,35 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** DISTINCT aggregate over a window — an operator Spark's window
+    * framework does NOT support directly (`count(DISTINCT ...) OVER` is a
+    * parse error), rewritten as `size(collect_set() OVER)`: the set dedup
+    * happens inside the window buffer, one exchange on the partition key.
+    * The rewrite is only safe when per-partition distinct cardinality is
+    * bounded (here: ≤5 priorities); an unbounded-cardinality version
+    * should go through a groupBy(countDistinct) + re-join instead. The
+    * oracle runs DuckDB's native distinct-window form — same semantics,
+    * two implementations. */
+  val q36WindowedDistinct: Q = Q(
+    "q36_windowed_distinct",
+    """SELECT o_custkey, o_orderkey,
+      |  count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey)
+      |    AS n_prio
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        size(collect_set(col("o_orderpriority")).over(w))
+          .cast("long").as("n_prio"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Seq[Q] = Seq(
     q01PricingSummary, q02MinPerGroup, q03FilteredMax, q04CountCompare,
     q05DupKeys, q06StringFold, q07RevenueByRegion, q08SemiJoin, q09AntiJoin,
     q10ThetaLike, q11WindowTopN, q12Lag, q13Argmin, q14ConditionalOrder,
     q15SplitPosexplode, q16ScalarStrings, q17Dates, q18MergeReconcile,
     q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll, q31Unpivot,
-    q32AvgQtyFilter, q33Lateral, q34WindowRanks, q35NotInNulls)
+    q32AvgQtyFilter, q33Lateral, q34WindowRanks, q35NotInNulls,
+    q36WindowedDistinct)
 }
