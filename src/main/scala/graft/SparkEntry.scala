@@ -16,6 +16,7 @@ object SparkEntry {
       operators.AsOfJoin.queries ++
       checks.Checks.queries ++
       scheduler.SchedulerQueries.queries ++
+      maintenance.Compaction.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++

@@ -1,0 +1,105 @@
+package graft.maintenance
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** Small-file compaction planning — the lake-native analog of the vendored
+  * IndexOptimize maintenance tier (ref ola/IndexOptimize.sql: rebuild
+  * fragmented physical structures; on a parquet lake the fragmentation
+  * pathology is SMALL FILES, and the "rebuild" is rewriting file groups at
+  * a target size). The planner is read-only over FILE METADATA — it lists
+  * sizes, never data — and emits the merge groups a rewrite job would
+  * execute, exactly the dry-run-first shape of the reference
+  * (`@Execute='N'`, ref ola/CommandExecute.sql:197).
+  *
+  * Packing is the same running-sum window technique as pipe07's token
+  * bins: cumulative bytes per table, bucket = floor(cum/target), one
+  * window exchange on (table, file-name order) — deterministic, and at a
+  * 100 TB lake (millions of files) the plan runs over the FILE LIST
+  * (O(files) rows), never the data. Files already at/above the target
+  * stay singleton groups (floor boundaries guarantee it); only groups
+  * with 2+ files appear in the plan (a single file needs no rewrite).
+  */
+object Compaction {
+
+  /** One row per planned group; `action` is 'merge' for 2+ file groups
+    * and 'noop' for files that already stand alone at/above target (the
+    * dry-run report shows both, like the reference's @Execute='N' echo;
+    * `merges` filters to the actionable set).
+    *
+    * Only SMALL files (< target) ever merge: each at-target file closes
+    * its own segment, so runs of small files pack among themselves (a
+    * naive global cumulative bucketing would glue a small file onto the
+    * tail bucket of a preceding big one). A merge group's bytes stay
+    * < 2×target: the group holds < target before its last small file
+    * joins. Both windows ride ONE exchange — same key, same order. */
+  def plan(spark: SparkSession, files: DataFrame,
+      targetBytes: Long): DataFrame = {
+    val small = col("bytes") < targetBytes
+    val w = Window.partitionBy("table_name").orderBy("file")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = sum(when(!small, 1).otherwise(0)).over(w)
+    val wSeg = Window.partitionBy(col("table_name"), col("segment"))
+      .orderBy("file")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("segment", seg)
+      .withColumn("cum_end",
+        sum(when(small, col("bytes")).otherwise(0L)).over(wSeg))
+      // big file → its own group keyed by its name; small files → the
+      // bucket their cumulative end falls in, within the segment
+      .withColumn("grp", when(small,
+          floor((col("cum_end") - lit(1)) / targetBytes).cast("string"))
+        .otherwise(concat(lit("solo:"), col("file"))))
+      .groupBy("table_name", "segment", "grp")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("group_bytes"),
+        min("file").as("first_file"), max("file").as("last_file"))
+      .withColumn("action",
+        when(col("n_files") >= 2, "merge").otherwise("noop"))
+      .drop("segment", "grp")
+      .orderBy("table_name", "first_file")
+  }
+
+  /** Actionable merge groups only. */
+  def merges(spark: SparkSession, files: DataFrame,
+      targetBytes: Long): DataFrame =
+    plan(spark, files, targetBytes).filter(col("action") === "merge")
+
+  /** File listing (name, bytes) for every table under a sf-style dir —
+    * recursive, so partitioned tables contribute their leaf files. */
+  def listFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val table = st.getPath.getName.stripSuffix(".parquet")
+        if (st.isDirectory) {
+          val it = fs.listFiles(st.getPath, true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Long)]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet"))
+              buf += ((table, f.getPath.toString, f.getLen))
+          }
+          buf.toSeq
+        } else Seq((table, st.getPath.toString, st.getLen))
+      }
+    rows.toDF("table_name", "file", "bytes")
+  }
+
+  /** The fixture tables are single multi-MB files, so with a SMALL target
+    * the planner proposes real merges; rows-only gate (file sizes are not
+    * visible to the oracle's table views). */
+  val maint01CompactionPlan: Q = Q.noOracle("maint01_compaction_plan") {
+    (s, d) => plan(s, listFiles(s, d), targetBytes = 256 * 1024)
+  }
+
+  val queries: Seq[Q] = Seq(maint01CompactionPlan)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintenance.Compaction
+
+/** Compaction planner invariants — the IndexOptimize-analog maintenance
+  * tier plans merges over file METADATA only. */
+class CompactionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val T = 100L // target bytes for the synthetic listings
+
+  private def listing(rows: (String, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("table_name", "file", "bytes")
+  }
+
+  test("runs of small files pack into <2×target groups; big files stay solo") {
+    val files = listing(
+      ("a", "f01", 40), ("a", "f02", 40), ("a", "f03", 40), // 120 -> split
+      ("a", "f04", 250), // big: solo, must NOT absorb neighbors
+      ("a", "f05", 30), ("a", "f06", 30), // resume packing after the big
+      ("b", "f01", 100)) // exactly at target: big by definition (>= T)
+    val plan = Compaction.plan(spark, files, T).collect()
+    val byKey = plan.map(r =>
+      (r.getAs[String]("table_name"), r.getAs[String]("first_file")) -> r)
+      .toMap
+    // every merge group is 2+ small files totalling < 2*target
+    plan.filter(_.getAs[String]("action") == "merge").foreach { r =>
+      assert(r.getAs[Long]("n_files") >= 2)
+      assert(r.getAs[Long]("group_bytes") < 2 * T)
+    }
+    // the big file is its own noop group — neighbors untouched by it
+    val solo = byKey(("a", "f04"))
+    assert(solo.getAs[Long]("n_files") === 1)
+    assert(solo.getAs[String]("action") === "noop")
+    // f05/f06 merge together (60 bytes), not with anything else
+    val tail = byKey(("a", "f05"))
+    assert(tail.getAs[String]("last_file") === "f06")
+    assert(tail.getAs[Long]("group_bytes") === 60)
+    assert(tail.getAs[String]("action") === "merge")
+    // an exactly-at-target file is already healthy: solo noop
+    val bSolo = plan.filter(r => r.getAs[String]("table_name") == "b")
+    assert(bSolo.length === 1 && bSolo.head.getAs[String]("action") == "noop")
+  }
+
+  test("every file lands in exactly one group (byte conservation)") {
+    val files = listing((1 to 37).map(i =>
+      ("t", f"f$i%02d", (i * 13 % 90 + 10).toLong)): _*)
+    val plan = Compaction.plan(spark, files, T).collect()
+    val totalIn = (1 to 37).map(i => (i * 13 % 90 + 10).toLong).sum
+    assert(plan.map(_.getAs[Long]("group_bytes")).sum === totalIn)
+    assert(plan.map(_.getAs[Long]("n_files")).sum === 37L)
+  }
+
+  test("merges() returns only actionable groups; fixture dir plans cleanly") {
+    val files = Compaction.listFiles(spark, sfDir)
+    assert(files.count() > 0)
+    val all = Compaction.plan(spark, files, 256 * 1024).collect()
+    assert(all.nonEmpty)
+    val merges = Compaction.merges(spark, files, 256 * 1024).collect()
+    assert(merges.forall(_.getAs[String]("action") == "merge"))
+  }
+
+  test("plan rides ONE exchange (both windows share key and order)") {
+    val files = Compaction.listFiles(spark, sfDir)
+    val p = Compaction.plan(spark, files, 256 * 1024)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+}
