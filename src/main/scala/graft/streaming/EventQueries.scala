@@ -79,13 +79,20 @@ object EventQueries {
       |  floor(sum(value) * 100 + 0.5) / 100 AS session_value
       |FROM s GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin) { (s, d) =>
+    sessionize(Tables.events(s, d))
+  }
+
+  /** The ev03 transform over any (user_id, ts, event_id, value) frame —
+    * factored out so EventPropertySpec can drive it with arbitrary
+    * generated event sets. */
+  def sessionize(events: DataFrame): DataFrame = {
     // event_id tie-breaks BOTH windows: events tied on ts at a session
     // boundary must fold into the running sum in the same order the lag
     // window used, or session_no is nondeterministic (oracle SQL matches).
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -326,11 +333,17 @@ object EventQueries {
       |      FROM numbered)
       |GROUP BY user_id, grp
       |ORDER BY user_id, island_start""".stripMargin) { (s, d) =>
+    activeIslands(Tables.events(s, d))
+  }
+
+  /** The ev10 transform over any (user_id, ts) frame — factored out for
+    * EventPropertySpec. */
+  def activeIslands(events: DataFrame): DataFrame = {
     // island bounds render as yyyy-MM-dd STRINGS: a bare DATE column
     // round-trips differently through the two engines' result paths
     // (datetime64 vs date object) and hash-mismatches on type alone
     val w = Window.partitionBy("user_id").orderBy("day")
-    Tables.events(s, d)
+    events
       .groupBy(col("user_id"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_ev"))
       .withColumn("grp", date_sub(col("day"),
