@@ -69,4 +69,35 @@ class CompactionSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
+
+  test("packing invariants hold on random listings (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genFiles: Gen[List[(String, String, Long)]] = for {
+      n <- Gen.choose(1, 50)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 3 * T))
+    } yield sizes.zipWithIndex.map { case (sz, i) =>
+      (if (i % 3 == 0) "a" else "b", f"f$i%03d", sz)
+    }
+    val prop = Prop.forAll(genFiles) { fs =>
+      val plan = Compaction.plan(spark, listing(fs: _*), T).collect()
+      val bytesOk = plan.map(_.getAs[Long]("group_bytes")).sum ==
+        fs.map(_._3).sum
+      val countOk = plan.map(_.getAs[Long]("n_files")).sum == fs.size.toLong
+      val mergesOk = plan.forall { r =>
+        (r.getAs[String]("action") == "merge") ==
+          (r.getAs[Long]("n_files") >= 2)
+      }
+      val boundOk = plan
+        .filter(_.getAs[String]("action") == "merge")
+        .forall(_.getAs[Long]("group_bytes") < 2 * T)
+      // every at/above-target input file is exactly one solo group
+      val bigIn = fs.count(_._3 >= T)
+      val bigSolo = plan.count(r => r.getAs[Long]("n_files") == 1L &&
+        r.getAs[Long]("group_bytes") >= T)
+      bytesOk && countOk && mergesOk && boundOk && bigIn == bigSolo
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
