@@ -136,6 +136,43 @@ object Streams {
       }
   }
 
+  /** Running per-type value statistics (streaming twin of the batch ev11
+    * rate-anomaly inputs): Welford's online algorithm as typed state —
+    * (n, mean, M2) per event_type, three numbers forever, numerically
+    * stable where a naive sum-of-squares cancels catastrophically.
+    * After any prefix of the stream the state holds exactly the batch
+    * mean/stddev of the values seen (StreamingSpec proves it to 1e-9
+    * against groupBy(avg, stddev_samp)); an online anomaly gate (|z|>k
+    * against the pre-update state) follows directly. */
+  final case class TypeStats(event_type: String, n: Long, mean: Double,
+      m2: Double) {
+    def variance: Double = if (n < 2) 0.0 else m2 / (n - 1)
+    def stddev: Double = math.sqrt(variance)
+  }
+
+  def runningTypeStats(spark: SparkSession, events: DataFrame)
+      : Dataset[TypeStats] = {
+    import spark.implicits._
+    events.select(col("event_type").as[String], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp], col("event_id").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[TypeStats, TypeStats](
+        GroupStateTimeout.NoTimeout()) {
+        case (tpe, rows, state: GroupState[TypeStats]) =>
+          var s = state.getOption.getOrElse(TypeStats(tpe, 0L, 0.0, 0.0))
+          // deterministic fold order (the same tie-break every operator
+          // here uses) so re-runs produce bit-identical state
+          rows.toSeq.sortBy(r => (r._3.getTime, r._4)).foreach { r =>
+            val n1 = s.n + 1
+            val d = r._2 - s.mean
+            val mean1 = s.mean + d / n1
+            s = TypeStats(tpe, n1, mean1, s.m2 + d * (r._2 - mean1))
+          }
+          state.update(s)
+          s
+      }
+  }
+
   /** One CLOSED 30-min-gap session (streaming twin of batch ev03). */
   final case class ClosedSession(user_id: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,

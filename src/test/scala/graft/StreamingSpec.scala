@@ -222,6 +222,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("Welford running stats equal batch avg/stddev_samp after replay") {
+    val sink = Streams.runToMemory(spark,
+      Streams.runningTypeStats(spark,
+        Streams.eventsStream(spark, sfDir)).toDF(),
+      "stats_sink", OutputMode.Update())
+    // last update per type (Update mode emits one row per type per batch;
+    // max(n) identifies the final state)
+    val finalRows = sink.orderBy(col("n").desc)
+      .collect().groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.head }
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"),
+        stddev_samp(col("value")).as("sd"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(finalRows.keySet === batch.keySet)
+    finalRows.foreach { case (t, r) =>
+      val (bn, bmean, bsd) = batch(t)
+      assert(r.getAs[Long]("n") === bn)
+      assert(math.abs(r.getAs[Double]("mean") - bmean) < 1e-9)
+      val sd = math.sqrt(
+        r.getAs[Double]("m2") / (r.getAs[Long]("n") - 1))
+      assert(math.abs(sd - bsd) < 1e-9)
+    }
+  }
+
   test("watermark drops late events and finalizes windows exactly once") {
     // The load-bearing watermark semantics, proven against the REAL
     // tumblingCounts operator (2h watermark, 1h windows) in Append mode:
