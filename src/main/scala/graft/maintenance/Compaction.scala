@@ -17,12 +17,12 @@ import graft.Q
   * (`@Execute='N'`, ref ola/CommandExecute.sql:197).
   *
   * Packing is the same running-sum window technique as pipe07's token
-  * bins: cumulative bytes per table, bucket = floor(cum/target), one
-  * window exchange on (table, file-name order) — deterministic, and at a
-  * 100 TB lake (millions of files) the plan runs over the FILE LIST
-  * (O(files) rows), never the data. Files already at/above the target
-  * stay singleton groups (floor boundaries guarantee it); only groups
-  * with 2+ files appear in the plan (a single file needs no rewrite).
+  * bins: cumulative small-file bytes per table, bucket = floor of the
+  * cumulative START offset / target, one window exchange on (table,
+  * file-name order) — deterministic, and at a 100 TB lake (millions of
+  * files) the plan runs over the FILE LIST (O(files) rows), never the
+  * data. Files already at/above the target stay singleton noop groups;
+  * `merges` filters to the 2+-file groups a rewrite job would execute.
   */
 object Compaction {
 
@@ -34,11 +34,15 @@ object Compaction {
     * Only SMALL files (< target) ever merge: each at-target file closes
     * its own segment, so runs of small files pack among themselves (a
     * naive global cumulative bucketing would glue a small file onto the
-    * tail bucket of a preceding big one). A merge group's bytes stay
-    * < 2×target: the group holds < target before its last small file
-    * joins. Both windows ride ONE exchange — same key, same order. */
-  def plan(spark: SparkSession, files: DataFrame,
-      targetBytes: Long): DataFrame = {
+    * tail bucket of a preceding big one). Small files bucket by their
+    * cumulative START offset — a file joins the group its first byte
+    * falls in — so a run whose sizes straddle a target boundary still
+    * merges (end-bucketing splits 60+60 @ target 100 into two singleton
+    * "noops" and iterated replanning never converges). Group bytes stay
+    * < 2×target: a group's last file starts inside the bucket and adds
+    * < target of its own. Both windows ride ONE exchange — same key,
+    * same order. */
+  def plan(files: DataFrame, targetBytes: Long): DataFrame = {
     val small = col("bytes") < targetBytes
     val w = Window.partitionBy("table_name").orderBy("file")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -48,12 +52,13 @@ object Compaction {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     files
       .withColumn("segment", seg)
-      .withColumn("cum_end",
-        sum(when(small, col("bytes")).otherwise(0L)).over(wSeg))
+      .withColumn("cum_start",
+        sum(when(small, col("bytes")).otherwise(0L)).over(wSeg) -
+          when(small, col("bytes")).otherwise(0L))
       // big file → its own group keyed by its name; small files → the
-      // bucket their cumulative end falls in, within the segment
+      // bucket their cumulative START falls in, within the segment
       .withColumn("grp", when(small,
-          floor((col("cum_end") - lit(1)) / targetBytes).cast("string"))
+          floor(col("cum_start") / targetBytes).cast("string"))
         .otherwise(concat(lit("solo:"), col("file"))))
       .groupBy("table_name", "segment", "grp")
       .agg(count(lit(1)).as("n_files"), sum("bytes").as("group_bytes"),
@@ -65,9 +70,8 @@ object Compaction {
   }
 
   /** Actionable merge groups only. */
-  def merges(spark: SparkSession, files: DataFrame,
-      targetBytes: Long): DataFrame =
-    plan(spark, files, targetBytes).filter(col("action") === "merge")
+  def merges(files: DataFrame, targetBytes: Long): DataFrame =
+    plan(files, targetBytes).filter(col("action") === "merge")
 
   /** File listing (name, bytes) for every table under a sf-style dir —
     * recursive, so partitioned tables contribute their leaf files. */
@@ -94,11 +98,13 @@ object Compaction {
     rows.toDF("table_name", "file", "bytes")
   }
 
-  /** The fixture tables are single multi-MB files, so with a SMALL target
-    * the planner proposes real merges; rows-only gate (file sizes are not
-    * visible to the oracle's table views). */
+  /** Dry-run report over the sf dir. The fixture tables are one healthy
+    * file each, so this surfaces solo noop rows (the clean-lake report);
+    * the merge path is exercised on real multi-file directories and
+    * synthetic listings in CompactionSpec. Rows-only gate (file sizes are
+    * not visible to the oracle's table views). */
   val maint01CompactionPlan: Q = Q.noOracle("maint01_compaction_plan") {
-    (s, d) => plan(s, listFiles(s, d), targetBytes = 256 * 1024)
+    (s, d) => plan(listFiles(s, d), targetBytes = 256 * 1024)
   }
 
   val queries: Seq[Q] = Seq(maint01CompactionPlan)

@@ -373,17 +373,24 @@ object EventQueries {
       |z AS (
       |  SELECT event_type, hr, n,
       |    (n - avg(n) OVER (PARTITION BY event_type))
-      |      / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+      |      / nullif(stddev_samp(n) OVER (PARTITION BY event_type), 0) AS z
       |  FROM hourly)
       |SELECT event_type, hr, n, floor(z * 10000 + 0.5) / 10000 AS z
       |FROM z WHERE z > 2.5 OR z < -2.5
       |ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    // nullif guard: a type whose hourly counts are all equal (a steady
+    // heartbeat producer — exactly a workload this monitor watches) has
+    // stddev 0; dividing by it THROWS under Spark 4's default ANSI mode,
+    // and even non-ANSI Spark (NULL) vs DuckDB (NaN, which sorts > 2.5)
+    // disagree. NULL z on both engines → the row drops from the filter on
+    // both — a constant-rate type has no outliers by definition.
     val w = Window.partitionBy("event_type")
     Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(count(lit(1)).as("n"))
       .withColumn("z",
-        (col("n") - avg("n").over(w)) / stddev_samp(col("n")).over(w))
+        (col("n") - avg("n").over(w)) /
+          nullif(stddev_samp(col("n")).over(w), lit(0)))
       .filter(col("z") > 2.5 || col("z") < -2.5)
       .select(col("event_type"), col("hr"), col("n"),
         StableRound.r4(col("z")).as("z"))

@@ -161,8 +161,11 @@ object Streams {
         case (tpe, rows, state: GroupState[TypeStats]) =>
           var s = state.getOption.getOrElse(TypeStats(tpe, 0L, 0.0, 0.0))
           // deterministic fold order (the same tie-break every operator
-          // here uses) so re-runs produce bit-identical state
-          rows.toSeq.sortBy(r => (r._3.getTime, r._4)).foreach { r =>
+          // here uses, at full sub-millisecond precision) so re-runs
+          // produce bit-identical state
+          rows.toSeq.sortBy(r =>
+            (Math.floorDiv(r._3.getTime, 1000L), r._3.getNanos, r._4))
+            .foreach { r =>
             val n1 = s.n + 1
             val d = r._2 - s.mean
             val mean1 = s.mean + d / n1
@@ -213,7 +216,11 @@ object Streams {
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[OpenSession]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          // full-precision sort key: getTime alone truncates to ms, which
+          // can visit two same-millisecond events in a different order
+          // than batch ev03's microsecond ORDER BY ts
+          val sorted = rows.toSeq.sortBy(r =>
+            (Math.floorDiv(r._2.getTime, 1000L), r._2.getNanos, r._3))
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
           var open = state.getOption.orNull
           sorted.foreach { case (_, ts, _, v) =>

@@ -22,7 +22,7 @@ class CompactionSpec extends AnyFunSuite {
       ("a", "f04", 250), // big: solo, must NOT absorb neighbors
       ("a", "f05", 30), ("a", "f06", 30), // resume packing after the big
       ("b", "f01", 100)) // exactly at target: big by definition (>= T)
-    val plan = Compaction.plan(spark, files, T).collect()
+    val plan = Compaction.plan(files, T).collect()
     val byKey = plan.map(r =>
       (r.getAs[String]("table_name"), r.getAs[String]("first_file")) -> r)
       .toMap
@@ -48,24 +48,52 @@ class CompactionSpec extends AnyFunSuite {
   test("every file lands in exactly one group (byte conservation)") {
     val files = listing((1 to 37).map(i =>
       ("t", f"f$i%02d", (i * 13 % 90 + 10).toLong)): _*)
-    val plan = Compaction.plan(spark, files, T).collect()
+    val plan = Compaction.plan(files, T).collect()
     val totalIn = (1 to 37).map(i => (i * 13 % 90 + 10).toLong).sum
     assert(plan.map(_.getAs[Long]("group_bytes")).sum === totalIn)
     assert(plan.map(_.getAs[Long]("n_files")).sum === 37L)
   }
 
-  test("merges() returns only actionable groups; fixture dir plans cleanly") {
-    val files = Compaction.listFiles(spark, sfDir)
-    assert(files.count() > 0)
-    val all = Compaction.plan(spark, files, 256 * 1024).collect()
-    assert(all.nonEmpty)
-    val merges = Compaction.merges(spark, files, 256 * 1024).collect()
+  test("boundary-straddling small-file runs still merge (start bucketing)") {
+    // end-bucketing regression: 60+60 @ target 100 has cumulative ENDS in
+    // different buckets and would degenerate into two noop singletons —
+    // on the exact pathology the planner exists to fix
+    val plan = Compaction.plan(
+      listing(("t", "f1", 60), ("t", "f2", 60)), T).collect()
+    assert(plan.length === 1)
+    assert(plan.head.getAs[String]("action") === "merge")
+    assert(plan.head.getAs[Long]("group_bytes") === 120)
+    // and iterated replanning converges: the merged 120 is >= target,
+    // so the next round plans nothing further
+    val next = Compaction.plan(listing(("t", "m1", 120)), T).collect()
+    assert(next.forall(_.getAs[String]("action") == "noop"))
+  }
+
+  test("merges() proposes real merges on a multi-file table directory") {
+    // the sf fixtures are one healthy file per table (their plan is all
+    // noop rows) — build a real fragmented table dir to drive the merge
+    // path end to end through listFiles
+    val base = java.nio.file.Files.createTempDirectory("graft-compact")
+    val dir = s"$base/frag.parquet"
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .repartition(5).write.mode("overwrite").parquet(dir)
+    val files = Compaction.listFiles(spark, base.toString)
+    assert(files.count() >= 5)
+    val bytes = files.collect().map(_.getAs[Long]("bytes"))
+    val target = bytes.sum // everything should pack toward one group
+    val merges = Compaction.merges(files, target).collect()
+    assert(merges.nonEmpty)
     assert(merges.forall(_.getAs[String]("action") == "merge"))
+    assert(merges.map(_.getAs[Long]("n_files")).sum >= 2)
+
+    val all = Compaction.plan(Compaction.listFiles(spark, sfDir),
+      256 * 1024).collect()
+    assert(all.nonEmpty) // clean fixture: report exists (noop rows)
   }
 
   test("plan rides ONE exchange (both windows share key and order)") {
     val files = Compaction.listFiles(spark, sfDir)
-    val p = Compaction.plan(spark, files, 256 * 1024)
+    val p = Compaction.plan(files, 256 * 1024)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
@@ -79,7 +107,7 @@ class CompactionSpec extends AnyFunSuite {
       (if (i % 3 == 0) "a" else "b", f"f$i%03d", sz)
     }
     val prop = Prop.forAll(genFiles) { fs =>
-      val plan = Compaction.plan(spark, listing(fs: _*), T).collect()
+      val plan = Compaction.plan(listing(fs: _*), T).collect()
       val bytesOk = plan.map(_.getAs[Long]("group_bytes")).sum ==
         fs.map(_._3).sum
       val countOk = plan.map(_.getAs[Long]("n_files")).sum == fs.size.toLong

@@ -299,7 +299,8 @@ class StreamingSpec extends AnyFunSuite {
     val rows = Tables.events(spark, sfDir)
       .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
         col("event_id").as[Long], col("value").as[Double])
-      .collect().sortBy(r => (r._2.getTime, r._3)).toSeq
+      .collect().sortBy(r =>
+        (Math.floorDiv(r._2.getTime, 1000L), r._2.getNanos, r._3)).toSeq
     val slices = {
       val k = math.max(1, rows.size / 4)
       rows.grouped(k).toSeq
