@@ -478,14 +478,14 @@ object Dedup {
     "dd05_embedding_dup",
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  floor(list_dot_product(a.embedding, b.embedding) /
-      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |     sqrt(list_dot_product(b.embedding, b.embedding)))
+      |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |     sqrt(list_dot_product(b.embedding, b.embedding)), 0)
       |    * 10000 + 0.5) / 10000 AS cosine
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.embedding, b.embedding) /
-      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |     sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.35
+      |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |     sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     import graft.functions.VectorOps
     val e = Tables.embeddings(s, d)
@@ -497,7 +497,8 @@ object Dedup {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
-        VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        VectorOps.dot(col("ea"), col("eb")) /
+          nullif(col("na") * col("nb"), lit(0.0)))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"),
         graft.functions.StableRound.r4(col("cos")).as("cosine"))

@@ -30,11 +30,16 @@ object Similarity {
     * side is join-invariant, precompute its norm BEFORE the join (see
     * sim01/sim02) so per-pair work is one dot + one divide. */
   def cosine(a: Column, b: Column): Column =
-    VectorOps.dot(a, b) / (VectorOps.norm(a) * VectorOps.norm(b))
+    // nullif: a zero-norm (all-zero) vector must yield NULL cosine, not a
+    // DIVIDE_BY_ZERO crash — Spark 4's default ANSI mode throws even on
+    // double division; NULL drops from every filter/rank on both engines
+    VectorOps.dot(a, b) /
+      nullif(VectorOps.norm(a) * VectorOps.norm(b), lit(0.0))
 
   private val cosineSql = (a: String, b: String) =>
-    s"""list_dot_product($a, $b) /
-       |  (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+    s"""list_dot_product($a, $b) / nullif(
+       |  (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))),
+       |  0)"""
       .stripMargin
 
   /** Exact top-5 neighbors for query vectors (vec_id < 10). */
@@ -61,7 +66,8 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", StableRound.r4(
-        VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+        VectorOps.dot(col("qe"), col("ce")) /
+          nullif(col("qn") * col("cn"), lit(0.0))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -112,7 +118,7 @@ object Similarity {
     val assigned = e.crossJoin(cent)
       .withColumn("cc", StableRound.r4(
         VectorOps.dot(col("embedding"), col("cent_e")) /
-          (col("en") * col("cn"))))
+          nullif(col("en") * col("cn"), lit(0.0))))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select("vec_id", "cent_id", "embedding", "en")
@@ -124,7 +130,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", StableRound.r4(
         VectorOps.dot(col("qe"), col("embedding")) /
-          (col("qn") * col("en"))))
+          nullif(col("qn") * col("en"), lit(0.0))))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(wRank))
@@ -197,7 +203,8 @@ object Similarity {
         Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", StableRound.r4(
-        VectorOps.dot(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+        VectorOps.dot(col("qe"), col("ce")) /
+          nullif(col("qn") * col("cn"), lit(0.0))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))

@@ -74,6 +74,29 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm vectors yield NULL cosine, not an ANSI divide error") {
+    // Spark 4 defaults spark.sql.ansi.enabled=true, where even double
+    // division by zero THROWS — a single all-zero embedding (a failed
+    // encoder output, inevitable at real corpus scale) must degrade to
+    // NULL (dropped by every rank/filter), never kill the job
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        graft.pipeline.Similarity.cosine(
+          col("a.embedding"), col("b.embedding")).as("c"))
+      .collect()
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) ->
+      Option(r.get(2))).toMap
+    assert(m((1L, 2L)).isEmpty && m((2L, 2L)).isEmpty) // zero side → NULL
+    assert(m((1L, 3L)).exists(v => math.abs(
+      v.asInstanceOf[Double] - 0.6) < 1e-6))
+  }
+
   test("FloatDot rejects non-float arrays at analysis time") {
     val s2 = spark
     import s2.implicits._
