@@ -95,16 +95,18 @@ final class Scheduler(
       deadline.exists(d => !clock.now().isBefore(d))
 
     // Ordering strategy (ref DIC:1003-1089); default LastGoodCheckAsc is
-    // the IC:583-595 oldest-first behavior.
+    // the IC:583-595 oldest-first behavior. Per-db keys come from ONE
+    // pass over state (a per-db filter inside sortBy is O(dbs·state) —
+    // noticeable at a 100k-table state).
     val dbOrder = {
       import graft.model.DatabaseOrder._
+      val activeByDb = state.filter(_.active).groupBy(_.database_name)
       def minCheck(db: String): java.time.LocalDate =
-        state.filter(o => o.database_name == db && o.active)
+        activeByDb.getOrElse(db, Seq.empty)
           .map(_.last_check_date.toLocalDate)
           .minOption.getOrElse(java.time.LocalDate.of(1900, 1, 1))
       def size(db: String): Long =
-        state.filter(o => o.database_name == db && o.active)
-          .map(_.used_page_count).sum
+        activeByDb.getOrElse(db, Seq.empty).map(_.used_page_count).sum
       config.databaseOrder match {
         case NameAsc => selectedDbs.sorted
         case NameDesc => selectedDbs.sorted.reverse
@@ -144,16 +146,28 @@ final class Scheduler(
     val stateByKey = mutable.Map.empty[(String, String, String), CheckObject]
     state.foreach(o =>
       stateByKey((o.database_name, o.schema_name, o.object_name)) = o)
-    // objects handled this run (checked or admission-skipped) — a skipped
-    // object keeps its unchecked state (ref: the reference leaves the work
-    // row pending, IC:677-680) but is not re-picked in the same run.
-    val handled = mutable.Set.empty[(String, String, String)]
-    def activeDue(db: String): Seq[CheckObject] =
-      stateByKey.values.toSeq.filter(o =>
-        o.database_name == db && o.active &&
+    // Work queue discipline: the reference re-evaluates its argmin
+    // (TOP 1 ... ORDER BY) before every check (IC:651-668). An object's
+    // priority key is STATIC within a run — last_check_date only changes
+    // for the object just checked (which leaves the due set), and the
+    // only dynamic sort input is the one-way smallest-first flip — so a
+    // list pre-sorted per database, re-sorted once if the flip occurs,
+    // picks the IDENTICAL sequence while costing O(n log n) driver work
+    // instead of the O(n²) of an argmin-scan per pick (at the 100k-table
+    // states this scheduler is for, that is the difference between
+    // milliseconds and minutes of driver time per run).
+    val dueByDb: Map[String, Seq[CheckObject]] =
+      stateByKey.values.toSeq.filter(o => o.active &&
           workKeys((o.database_name, o.schema_name, o.object_name)) &&
-          !handled((o.database_name, o.schema_name, o.object_name)) &&
           StateStore.isDueOn(o, jobStart))
+        .groupBy(_.database_name)
+    def dueQueue(db: String): Seq[CheckObject] =
+      dueByDb.getOrElse(db, Seq.empty)
+    def sortQueue(q: Seq[CheckObject], smallestFirst: Boolean)
+        : List[CheckObject] =
+      q.sortBy(o => (o.last_check_date.toLocalDate,
+        if (smallestFirst) o.used_page_count else 0L,
+        o.object_name, o.schema_name)).toList
 
     // First-run heuristic (ref IC:602-604): when most objects have never
     // been checked, go smallest-first immediately to maximize coverage.
@@ -162,21 +176,28 @@ final class Scheduler(
       allActive.count(_.number_of_executions == 0) >
         allActive.count(_.number_of_executions > 0)
 
-    // Stage 12 — Phase 2 nested loop.
+    // Stage 12 — Phase 2 nested loop. The inventory row lookup is a map
+    // hit, not a per-pick linear scan of the db's table list.
+    val scanByKey: Map[(String, String, String), InventoryRow] =
+      scan.map(t => (t.database_name, t.schema_name, t.object_name) -> t)
+        .toMap
     dbOrder.foreach { db =>
-      var remaining = true
-      while (remaining && !pastDeadline()) {
+      var smallestFirst = firstRunMode ||
+        halfway.exists(h => !clock.now().isBefore(h)) // ref IC:647-649 flip
+      var queue = sortQueue(dueQueue(db), smallestFirst)
+      while (queue.nonEmpty && !pastDeadline()) {
         val now = clock.now()
-        val smallestFirst = firstRunMode ||
-          halfway.exists(h => !now.isBefore(h)) // ref IC:647-649 flip
-        val due = activeDue(db)
-        if (due.isEmpty) remaining = false
-        else {
-          // argmin work pick (ref IC:651-668): least-recently-checked, then
-          // smallest-or-name per the flip flag, objectname as tiebreaker.
-          val pick = due.minBy(o => (o.last_check_date.toLocalDate,
-            if (smallestFirst) o.used_page_count else 0L,
-            o.object_name))
+        val flipNow = firstRunMode || halfway.exists(h => !now.isBefore(h))
+        if (flipNow != smallestFirst) { // the flip is one-way: re-sort once
+          smallestFirst = flipNow
+          queue = sortQueue(queue, smallestFirst)
+        }
+        // argmin work pick (ref IC:651-668): least-recently-checked, then
+        // smallest-or-name per the flip flag — the sorted queue's head IS
+        // the argmin (keys are static; see the queue-discipline note).
+        val pick = queue.head
+        queue = queue.tail
+        locally {
           // admission control (ref IC:677-680).
           val predictedEnd = now.plusMillis(pick.avg_run_duration_ms)
           val admit = deadline.forall(d =>
@@ -185,12 +206,8 @@ final class Scheduler(
           if (!admit) {
             skipped += ((s"${pick.database_name}.${pick.schema_name}." +
               pick.object_name, "predicted duration exceeds time limit"))
-            handled += key
           } else {
-            handled += key
-            val t = scanByDb.getOrElse(db, Seq.empty)
-              .find(x => x.schema_name == pick.schema_name &&
-                x.object_name == pick.object_name).get
+            val t = scanByKey(key)
             // TOCTOU re-probe (ref DIC:1615-1635): the object can be
             // dropped between inventory and check — re-verify existence
             // immediately before running; skip, don't fail, if gone.
@@ -223,7 +240,7 @@ final class Scheduler(
           }
         }
       }
-      if (pastDeadline() && activeDue(db).nonEmpty)
+      if (pastDeadline() && queue.nonEmpty)
         skipped += ((db, "time limit reached"))
     }
 
