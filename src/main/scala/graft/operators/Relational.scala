@@ -542,17 +542,20 @@ object Relational {
     * same semantics as q11's window top-n, reached from the SQL-text
     * surface (both engines run the identical statement). */
   val q33Lateral: Q = {
-    val sql =
-      """SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
-        |FROM nation n,
-        |  LATERAL (SELECT c_name, c_acctbal FROM customer
-        |           WHERE c_nationkey = n.n_nationkey
-        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        |ORDER BY n.n_name, acctbal DESC, c_name""".stripMargin
-    Q("q33_lateral", sql) { (s, d) =>
-      Tables.nation(s, d).createOrReplaceTempView("nation")
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      s.sql(sql)
+    def sql(nation: String, customer: String) =
+      s"""SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+         |FROM $nation n,
+         |  LATERAL (SELECT c_name, c_acctbal FROM $customer
+         |           WHERE c_nationkey = n.n_nationkey
+         |           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         |ORDER BY n.n_name, acctbal DESC, c_name""".stripMargin
+    Q("q33_lateral", sql("nation", "customer")) { (s, d) =>
+      // _v-suffixed views (the repo convention): claiming the bare table
+      // names would shadow them session-wide for every later spark.sql
+      // in a long-lived session — and pin them to THIS sfDir
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(sql("nation_v", "customer_v"))
     }
   }
 

@@ -331,15 +331,17 @@ object Dedup {
   /** Size-adaptive strategy: an LSH duplicate graph is SPARSE by
     * construction (pairs only within tiny buckets), so even a 100 TB
     * corpus usually yields an edge list that fits one node. Below
-    * `smallGraphMaxEdges` directed edges (default 2M ≈ tens of MB on the
-    * driver) the component labels are computed with a driver-side
+    * `smallGraphMaxEdges` directed edges (default 1M — boxed hash-map
+    * union-find peaks at low hundreds of MB of driver heap there; the
+    * raw tuples alone are ~32 MB) the component labels are computed
+    * with a driver-side
     * union-find — one pass, zero extra Spark jobs — instead of paying
     * 3 distributed stages PER propagation round. Above it, the O(log n)
     * pointer-jumping loop below takes over unchanged. Both paths are
     * property-tested against the same reference union-find and against
     * each other (`DedupPropertySpec`). */
   private[graft] def connectedComponents(pairs: DataFrame,
-      smallGraphMaxEdges: Long = 2000000L): DataFrame = {
+      smallGraphMaxEdges: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // two consumers per iteration (neighbor-min join + convergence test)
@@ -555,7 +557,11 @@ object Dedup {
     // longs per ~w/2 bytes of text, far smaller than the corpus, so the
     // materialization is the cheap side of that trade at any scale.
     val pieces = docsDf
-      .filter(length(col("text")) >= 8 + 16 - 1)
+      // BYTE length: the kernel hashes UTF-8 bytes, so the admission
+      // filter must count the same unit (char length would drop short
+      // multibyte docs whose byte stream has real windows; equal on the
+      // ASCII oracle corpus)
+      .filter(octet_length(col("text")) >= 8 + 16 - 1)
       .select(col("doc_id"),
         explode(Winnow.fingerprintCol(col("text"), 8, 16, Int.MaxValue))
           .as("piece"))

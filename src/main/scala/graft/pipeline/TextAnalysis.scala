@@ -160,7 +160,7 @@ object TextAnalysis {
       |  len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
       |      x -> x <> '')) AS word_tokens,
       |  len(regexp_extract_all(text,
-      |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS bpe_pieces,
+      |      ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r]+')) AS bpe_pieces,
       |  length(text) AS n_chars_measured, n_chars AS n_chars_labeled
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(
@@ -168,8 +168,12 @@ object TextAnalysis {
       size(expr("filter(split(text, ' '), x -> x != '')")).as("ws_tokens"),
       size(expr("filter(split(text, '[^a-zA-Z0-9]+'), x -> x != '')"))
         .as("word_tokens"),
+      // the symbol class excludes ALL whitespace (explicit chars, not \\s:
+      // Java \\s adds \\x0B where RE2's does not) — a newline run is not
+      // a BPE piece
       size(expr(
-        "regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0)"))
+        "regexp_extract_all(text, " +
+          "' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r]+', 0)"))
         .as("bpe_pieces"),
       length(col("text")).as("n_chars_measured"),
       col("n_chars").as("n_chars_labeled"))
@@ -257,10 +261,15 @@ object TextAnalysis {
       |  count(DISTINCT doc_id) AS doc_freq
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |      FROM documents)
+      |WHERE token <> ''
       |GROUP BY token ORDER BY term_freq DESC, token LIMIT 50""".stripMargin) {
     (s, d) =>
+      // token <> '': splitting on ' ' keeps empty strings for leading/
+      // trailing/double spaces — a phantom '' entry would pollute the
+      // vocabulary (tx03/pipe09/pipe11 filter the same way)
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
         .groupBy("token")
         .agg(count(lit(1)).as("term_freq"),
           countDistinct("doc_id").as("doc_freq"))
@@ -309,7 +318,8 @@ object TextAnalysis {
     // string-joined (not array-typed) output: the hash compare sorts rows
     // by every column, and array cells are unhashable/unsortable there
     Tables.documents(s, d)
-      .filter(length(col("text")) >= 8 + 16 - 1)
+      // byte length, matching the kernel's UTF-8 unit (see winnowPairs)
+      .filter(octet_length(col("text")) >= 8 + 16 - 1)
       .select(col("doc_id"),
         array_join(graft.functions.Winnow.fingerprintCol(col("text"))
           .cast("array<string>"), "|").as("fp"))
@@ -491,7 +501,9 @@ object TextAnalysis {
     * formula so the integer output is identical. */
   val tx10LexicalDiversity: Q = Q(
     "tx10_lexical_diversity",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    """WITH t AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |       FROM documents),
       |u AS (SELECT doc_id, l, list_sort(list_distinct(l)) AS types FROM t
       |      WHERE len(l) >= 1)
       |SELECT doc_id, len(l) AS n_tokens, len(types) AS n_types,
@@ -514,8 +526,11 @@ object TextAnalysis {
       "v -> CAST(size(filter(l, x -> x = v)) AS BIGINT)), 0L, " +
       "(acc, c) -> acc + c * c)")
     val n2 = col("n_tokens").cast("double") * col("n_tokens")
+    // phantom '' tokens (leading/trailing/double spaces) must not count
+    // toward diversity — same token definition as tx03/pipe09/pipe11
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("l"))
       .filter(size(col("l")) >= 1)
       .select(col("doc_id"), size(col("l")).as("n_tokens"),
         size(array_distinct(col("l"))).as("n_types"), sumSq.as("sum_sq"))

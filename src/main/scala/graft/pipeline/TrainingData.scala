@@ -88,9 +88,11 @@ object TrainingData {
     * small. CAVEAT the fixture hides: this eval split (doc_id % 50 = 0) is
     * 2% OF THE CORPUS, so it grows linearly with corpus size and would
     * blow the broadcast/driver memory limit long before 100 TB. The
-    * broadcast is therefore GUARDED by an eval-side row-count probe (one
-    * column-pruned scan, trivial next to the join) and falls back to a
-    * shuffle join on the shingle key above the threshold. A production
+    * broadcast is therefore GUARDED by an eval-side TEXT-VOLUME probe —
+    * sum(n_chars) over the pruned column, capped at ~100 MB (the exploded
+    * shingle relation tracks text bytes, not doc count: 400k long docs
+    * blow a broadcast that 400k tweets fit) — falling back to a shuffle
+    * join on the shingle key above the cap. A production
     * decontamination pass against a FIXED benchmark suite (MMLU/GSM8K/...,
     * thousands of docs, not 2% of the corpus) always stays under the
     * guard — that is the case the broadcast plan is designed for. */

@@ -86,6 +86,7 @@ object Streams {
   def vocabTermFreq(docs: DataFrame): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "") // same token definition as batch tx06
       .groupBy("token")
       .agg(count(lit(1)).as("term_freq"))
 
