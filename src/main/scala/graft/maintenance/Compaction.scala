@@ -98,6 +98,53 @@ object Compaction {
     rows.toDF("table_name", "file", "bytes")
   }
 
+  /** Execute the merge plan against ONE table directory — the
+    * `@Execute='Y'` counterpart of the dry-run planner (ref
+    * ola/CommandExecute.sql:197: same command text, executed instead of
+    * echoed). For each merge group: read exactly that group's files,
+    * rewrite them as one file under a `.compact-tmp` staging dir, then
+    * swap (delete originals, move the merged file in). Returns the number
+    * of groups rewritten.
+    *
+    * Each group is one bounded read+write (<2×target bytes) and an
+    * independent unit of work — on a scheduler-driven lake each group is
+    * one admission-controlled command, so a time-boxed run compacts what
+    * fits and the next run re-plans the remainder (the planner is
+    * idempotent: already-merged groups re-plan as noop). The swap is NOT
+    * transactional (plain parquet has no manifest): a crash between
+    * delete and move loses no DATA (the merged file is fully written
+    * before any delete) but can leave a group readable from the staging
+    * dir — the recovery is to re-run, exactly the reference's
+    * resume-where-it-left-off doctrine. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long): Int = {
+    import spark.implicits._
+    val dirPath = new Path(tableDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => ("t", st.getPath.toString, st.getLen))
+      .toDF("table_name", "file", "bytes")
+    val groups = merges(files, targetBytes)
+      .select("first_file", "last_file").collect()
+    val paths = fs.listStatus(dirPath).map(_.getPath.toString).sorted
+    val tmp = new Path(dirPath, ".compact-tmp")
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val lo = g.getString(0); val hi = g.getString(1)
+      val members = paths.filter(p => p >= lo && p <= hi &&
+        p.endsWith(".parquet"))
+      val out = new Path(tmp, s"merge-$i")
+      spark.read.parquet(members: _*).coalesce(1)
+        .write.mode("overwrite").parquet(out.toString)
+      val part = fs.listStatus(out)
+        .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+      members.foreach(p => fs.delete(new Path(p), false))
+      fs.rename(part, new Path(dirPath, s"merged-$i-${part.getName}"))
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    groups.length
+  }
+
   /** Dry-run report over the sf dir. The fixture tables are one healthy
     * file each, so this surfaces solo noop rows (the clean-lake report);
     * the merge path is exercised on real multi-file directories and

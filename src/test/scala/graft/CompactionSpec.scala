@@ -98,6 +98,31 @@ class CompactionSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
 
+  test("compact() executes the plan: fewer files, same rows, noop re-plan") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-x")
+    val dir = s"$base/frag.parquet"
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    src.repartition(8).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val nFilesBefore = Compaction.listFiles(spark, base.toString).count()
+    assert(nFilesBefore >= 8)
+
+    val totalBytes = Compaction.listFiles(spark, base.toString)
+      .collect().map(_.getAs[Long]("bytes")).sum
+    val merged = Compaction.compact(spark, dir, targetBytes = totalBytes)
+    assert(merged >= 1)
+
+    // same rows, fewer files, staging dir gone
+    assert(spark.read.parquet(dir).count() === before)
+    val after = Compaction.listFiles(spark, base.toString)
+    assert(after.count() < nFilesBefore)
+    assert(!new java.io.File(s"$dir/.compact-tmp").exists())
+    // convergence: with everything at/above target (or a single small
+    // survivor), the re-plan proposes no further merges
+    val replan = Compaction.merges(after, totalBytes).collect()
+    assert(replan.isEmpty)
+  }
+
   test("packing invariants hold on random listings (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genFiles: Gen[List[(String, String, Long)]] = for {
