@@ -110,36 +110,56 @@ object Compaction {
     * independent unit of work — on a scheduler-driven lake each group is
     * one admission-controlled command, so a time-boxed run compacts what
     * fits and the next run re-plans the remainder (the planner is
-    * idempotent: already-merged groups re-plan as noop). The swap is NOT
-    * transactional (plain parquet has no manifest): a crash between
-    * delete and move loses no DATA (the merged file is fully written
-    * before any delete) but can leave a group readable from the staging
-    * dir — the recovery is to re-run, exactly the reference's
-    * resume-where-it-left-off doctrine. */
+    * idempotent: already-merged groups re-plan as noop).
+    *
+    * Crash safety without a manifest (plain parquet): the merged file is
+    * RENAMED INTO THE TABLE before any original is deleted, and every
+    * rename/delete return code is checked (HDFS-style filesystems return
+    * false instead of throwing). Data LOSS is therefore impossible — the
+    * worst crash window (after the rename, before the deletes finish)
+    * leaves the group's rows readable TWICE (merged + surviving
+    * originals). Duplicates are loud (check_rowcounts / dd01 flag them)
+    * and the recovery is mechanical: delete the originals the merged
+    * file supersedes. That is the right failure direction for an
+    * integrity engine; exactly-once swaps need a table format with a
+    * manifest (Delta/Iceberg). */
   def compact(spark: SparkSession, tableDir: String,
       targetBytes: Long): Int = {
     import spark.implicits._
     val dirPath = new Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(dirPath).toSeq
+    // plan over FILES only (a nested dir named *.parquet is a dataset,
+    // not a compaction member)
+    val fileStatuses = fs.listStatus(dirPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val files = fileStatuses
       .map(st => ("t", st.getPath.toString, st.getLen))
       .toDF("table_name", "file", "bytes")
     val groups = merges(files, targetBytes)
       .select("first_file", "last_file").collect()
-    val paths = fs.listStatus(dirPath).map(_.getPath.toString).sorted
+    val paths = fileStatuses.map(_.getPath.toString).sorted
     val tmp = new Path(dirPath, ".compact-tmp")
     groups.zipWithIndex.foreach { case (g, i) =>
       val lo = g.getString(0); val hi = g.getString(1)
-      val members = paths.filter(p => p >= lo && p <= hi &&
-        p.endsWith(".parquet"))
+      val members = paths.filter(p => p >= lo && p <= hi)
       val out = new Path(tmp, s"merge-$i")
       spark.read.parquet(members: _*).coalesce(1)
         .write.mode("overwrite").parquet(out.toString)
       val part = fs.listStatus(out)
         .find(_.getPath.getName.endsWith(".parquet")).get.getPath
-      members.foreach(p => fs.delete(new Path(p), false))
-      fs.rename(part, new Path(dirPath, s"merged-$i-${part.getName}"))
+      // land the merged file FIRST (unique name — cannot collide), then
+      // retire the originals; abort loudly on any false return
+      val dest = new Path(dirPath,
+        s"merged-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet")
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(
+          s"compact: rename $part -> $dest failed; originals intact")
+      members.foreach { p =>
+        if (!fs.delete(new Path(p), false))
+          throw new java.io.IOException(
+            s"compact: delete $p failed after landing $dest — group rows " +
+              "are duplicated until it is removed")
+      }
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     groups.length

@@ -499,8 +499,8 @@ object Dedup {
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
-        VectorOps.dot(col("ea"), col("eb")) /
-          nullif(col("na") * col("nb"), lit(0.0)))
+        Similarity.cosineFromNorms(VectorOps.dot(col("ea"), col("eb")),
+          col("na"), col("nb")))
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"),
         graft.functions.StableRound.r4(col("cos")).as("cosine"))

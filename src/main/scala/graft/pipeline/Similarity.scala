@@ -36,6 +36,11 @@ object Similarity {
     VectorOps.dot(a, b) /
       nullif(VectorOps.norm(a) * VectorOps.norm(b), lit(0.0))
 
+  /** Same guard for pre-computed norms (the join-side form): ONE home for
+    * the zero-norm degradation policy — six call sites share it. */
+  def cosineFromNorms(dot: Column, na: Column, nb: Column): Column =
+    dot / nullif(na * nb, lit(0.0))
+
   private val cosineSql = (a: String, b: String) =>
     s"""list_dot_product($a, $b) / nullif(
        |  (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))),
@@ -66,8 +71,8 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", StableRound.r4(
-        VectorOps.dot(col("qe"), col("ce")) /
-          nullif(col("qn") * col("cn"), lit(0.0))))
+        cosineFromNorms(VectorOps.dot(col("qe"), col("ce")),
+          col("qn"), col("cn"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -117,8 +122,8 @@ object Similarity {
       .orderBy(col("cc").desc, col("cent_id"))
     val assigned = e.crossJoin(cent)
       .withColumn("cc", StableRound.r4(
-        VectorOps.dot(col("embedding"), col("cent_e")) /
-          nullif(col("en") * col("cn"), lit(0.0))))
+        cosineFromNorms(VectorOps.dot(col("embedding"), col("cent_e")),
+          col("en"), col("cn"))))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select("vec_id", "cent_id", "embedding", "en")
@@ -129,8 +134,8 @@ object Similarity {
       .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", StableRound.r4(
-        VectorOps.dot(col("qe"), col("embedding")) /
-          nullif(col("qn") * col("en"), lit(0.0))))
+        cosineFromNorms(VectorOps.dot(col("qe"), col("embedding")),
+          col("qn"), col("en"))))
     val wRank = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(wRank))
@@ -203,8 +208,8 @@ object Similarity {
         Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", StableRound.r4(
-        VectorOps.dot(col("qe"), col("ce")) /
-          nullif(col("qn") * col("cn"), lit(0.0))))
+        cosineFromNorms(VectorOps.dot(col("qe"), col("ce")),
+          col("qn"), col("cn"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))

@@ -372,8 +372,9 @@ object TrainingData {
       |        floor(CAST(t.total AS DOUBLE) * 0.1 / t.n_sources) AS target
       |      FROM s, t)
       |SELECT source, n_tokens, CAST(target AS BIGINT) AS target_tokens,
-      |  floor(least(4.0, target / nullif(n_tokens, 0)) * 10000 + 0.5) / 10000
-      |    AS epochs,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    floor(least(4.0, target / n_tokens) * 10000 + 0.5) / 10000
+      |  END AS epochs,
       |  CAST(floor(least(4.0 * n_tokens, target)) AS BIGINT)
       |    AS planned_tokens
       |FROM p ORDER BY source""".stripMargin) { (s, d) =>
@@ -388,10 +389,12 @@ object TrainingData {
         floor(col("total").cast("double") * 0.1 / col("n_sources")))
       .select(col("source"), col("n_tokens"),
         col("target").cast("long").as("target_tokens"),
-        // nullif: a source whose docs are all empty has zero token
-        // supply — NULL epochs on both engines, not an ANSI crash
-        StableRound.r4(least(lit(4.0),
-          col("target").cast("double") / nullif(col("n_tokens"), lit(0))))
+        // explicit CASE, not least(..., NULL): BOTH engines' least() skips
+        // NULL args, so nullif alone would report a zero-supply source as
+        // 4.0 epochs instead of the intended NULL (no ANSI crash either
+        // way — the division is guarded by the branch)
+        when(col("n_tokens") > 0, StableRound.r4(least(lit(4.0),
+          col("target").cast("double") / col("n_tokens"))))
           .as("epochs"),
         floor(least(lit(4.0) * col("n_tokens"), col("target").cast("double")))
           .cast("long").as("planned_tokens"))

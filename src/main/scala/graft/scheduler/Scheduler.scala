@@ -197,13 +197,12 @@ final class Scheduler(
         // the argmin (keys are static; see the queue-discipline note).
         val pick = queue.head
         queue = queue.tail
-        locally {
-          // admission control (ref IC:677-680).
-          val predictedEnd = now.plusMillis(pick.avg_run_duration_ms)
-          val admit = deadline.forall(d =>
-            !predictedEnd.isAfter(d.plusMillis(GraceMs)))
-          val key = (pick.database_name, pick.schema_name, pick.object_name)
-          if (!admit) {
+        // admission control (ref IC:677-680).
+        val predictedEnd = now.plusMillis(pick.avg_run_duration_ms)
+        val admit = deadline.forall(d =>
+          !predictedEnd.isAfter(d.plusMillis(GraceMs)))
+        val key = (pick.database_name, pick.schema_name, pick.object_name)
+        if (!admit) {
             skipped += ((s"${pick.database_name}.${pick.schema_name}." +
               pick.object_name, "predicted duration exceeds time limit"))
           } else {
@@ -238,7 +237,6 @@ final class Scheduler(
               stateByKey(key) = StateStore.recordRun(pick, cmd, start, end)
             }
           }
-        }
       }
       if (pastDeadline() && queue.nonEmpty)
         skipped += ((db, "time limit reached"))
