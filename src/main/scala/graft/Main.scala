@@ -19,6 +19,8 @@ import graft.state.StateStore
   *     [--physical-only] [--no-data-purity] [--max-dop N]
   *     [--database-order POLICY] [--dry-run]
   *     [--state PATH] [--log PATH] [--report]
+  *     [--compact TABLE_DIR --target-bytes N]   (maintenance mode:
+  *       plan is printed; executed unless --dry-run)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -27,6 +29,8 @@ object Main {
     var statePath = "/tmp/graft-state/state"
     var logPath: Option[String] = None
     var report = false
+    var compactDir: Option[String] = None
+    var targetBytes = 128L * 1024 * 1024
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -34,7 +38,8 @@ object Main {
           "[--databases DSL] [--objects DSL] [--time-limit SECONDS] " +
           "[--physical-only] [--no-data-purity] [--max-dop N] " +
           "[--database-order POLICY] [--dry-run] [--state PATH] " +
-          "[--log PATH] [--report]")
+          "[--log PATH] [--report] " +
+          "[--compact TABLE_DIR --target-bytes N]")
       sys.exit(1)
     }
     var i = 0
@@ -62,6 +67,9 @@ object Main {
             DatabaseOrder.parse(value("--database-order"))
               .fold(usage, identity))
         case "--dry-run" => cfg = cfg.copy(execute = false)
+        case "--compact" => compactDir = Some(value("--compact"))
+        case "--target-bytes" =>
+          targetBytes = value("--target-bytes").toLong
         case "--state" => statePath = value("--state")
         case "--log" => logPath = Some(value("--log"))
         case "--report" => report = true
@@ -79,7 +87,18 @@ object Main {
     GraftExtensions.register(spark)
 
     val store = new StateStore(spark, statePath)
-    if (report) {
+    if (compactDir.isDefined) {
+      // maintenance mode (the IndexOptimize analog): print the plan
+      // (dry-run echo, ref CE:197), then execute unless --dry-run
+      val dir = compactDir.get
+      val files = maintenance.Compaction.tableFiles(spark, dir)
+      maintenance.Compaction.plan(files, targetBytes).collect()
+        .foreach(r => println(s"plan: $r"))
+      if (cfg.execute) {
+        val n = maintenance.Compaction.compact(spark, dir, targetBytes)
+        println(s"compacted: $n group(s)")
+      } else println("dry-run: plan not executed")
+    } else if (report) {
       // ref IC:770-786: the manual inspection queries
       val state = store.load()
       println("== state (most recent first) ==")

@@ -123,21 +123,28 @@ object Compaction {
     * file supersedes. That is the right failure direction for an
     * integrity engine; exactly-once swaps need a table format with a
     * manifest (Delta/Iceberg). */
-  def compact(spark: SparkSession, tableDir: String,
-      targetBytes: Long): Int = {
+  /** Direct-children file listing of ONE table dir (files only — a nested
+    * dir named *.parquet is a dataset, not a compaction member). Shared
+    * by compact() and the CLI's plan echo so both see identical members
+    * (full URIs with scheme, as the filesystem reports them). */
+  def tableFiles(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val dirPath = new Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // plan over FILES only (a nested dir named *.parquet is a dataset,
-    // not a compaction member)
-    val fileStatuses = fs.listStatus(dirPath).toSeq
+    fs.listStatus(dirPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val files = fileStatuses
       .map(st => ("t", st.getPath.toString, st.getLen))
       .toDF("table_name", "file", "bytes")
+  }
+
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long): Int = {
+    val dirPath = new Path(tableDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = tableFiles(spark, tableDir)
     val groups = merges(files, targetBytes)
       .select("first_file", "last_file").collect()
-    val paths = fileStatuses.map(_.getPath.toString).sorted
+    val paths = files.collect().map(_.getAs[String]("file")).sorted
     val tmp = new Path(dirPath, ".compact-tmp")
     groups.zipWithIndex.foreach { case (g, i) =>
       val lo = g.getString(0); val hi = g.getString(1)
