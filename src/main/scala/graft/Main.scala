@@ -69,7 +69,9 @@ object Main {
         case "--dry-run" => cfg = cfg.copy(execute = false)
         case "--compact" => compactDir = Some(value("--compact"))
         case "--target-bytes" =>
-          targetBytes = value("--target-bytes").toLong
+          targetBytes = scala.util.Try(value("--target-bytes").toLong)
+            .filter(_ > 0)
+            .getOrElse(usage("--target-bytes expects a positive integer"))
         case "--state" => statePath = value("--state")
         case "--log" => logPath = Some(value("--log"))
         case "--report" => report = true
@@ -86,19 +88,22 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val store = new StateStore(spark, statePath)
+    if (compactDir.isDefined && (dbs.nonEmpty || report))
+      usage("--compact is a standalone maintenance mode; drop --db/--report")
     if (compactDir.isDefined) {
       // maintenance mode (the IndexOptimize analog): print the plan
-      // (dry-run echo, ref CE:197), then execute unless --dry-run
+      // (dry-run echo, ref CE:197), then execute THE SAME SNAPSHOT unless
+      // --dry-run — one listing feeds both, so the echo IS the plan run
       val dir = compactDir.get
       val files = maintenance.Compaction.tableFiles(spark, dir)
       maintenance.Compaction.plan(files, targetBytes).collect()
         .foreach(r => println(s"plan: $r"))
       if (cfg.execute) {
-        val n = maintenance.Compaction.compact(spark, dir, targetBytes)
+        val n = maintenance.Compaction.compact(spark, dir, files, targetBytes)
         println(s"compacted: $n group(s)")
       } else println("dry-run: plan not executed")
     } else if (report) {
+      val store = new StateStore(spark, statePath)
       // ref IC:770-786: the manual inspection queries
       val state = store.load()
       println("== state (most recent first) ==")
@@ -111,6 +116,7 @@ object Main {
       val totalSec = state.map(_.run_duration_ms).sum / 1000.0
       println(f"== total recorded check time: $totalSec%.1f s ==")
     } else {
+      val store = new StateStore(spark, statePath)
       val r = new Scheduler(spark, new DirInventory(spark, dbs), store,
         new CommandLog(spark, logPath), cfg, SystemClock).run()
       r.executedCommands.foreach(c => println(s"executed: $c"))

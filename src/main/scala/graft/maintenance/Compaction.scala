@@ -98,6 +98,20 @@ object Compaction {
     rows.toDF("table_name", "file", "bytes")
   }
 
+  /** Direct-children file listing of ONE table dir (files only — a nested
+    * dir named *.parquet is a dataset, not a compaction member). Shared
+    * by compact() and the CLI's plan echo so both see identical members
+    * (full URIs with scheme, as the filesystem reports them). */
+  def tableFiles(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val dirPath = new Path(tableDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => ("t", st.getPath.toString, st.getLen))
+      .toDF("table_name", "file", "bytes")
+  }
+
   /** Execute the merge plan against ONE table directory — the
     * `@Execute='Y'` counterpart of the dry-run planner (ref
     * ola/CommandExecute.sql:197: same command text, executed instead of
@@ -123,25 +137,18 @@ object Compaction {
     * file supersedes. That is the right failure direction for an
     * integrity engine; exactly-once swaps need a table format with a
     * manifest (Delta/Iceberg). */
-  /** Direct-children file listing of ONE table dir (files only — a nested
-    * dir named *.parquet is a dataset, not a compaction member). Shared
-    * by compact() and the CLI's plan echo so both see identical members
-    * (full URIs with scheme, as the filesystem reports them). */
-  def tableFiles(spark: SparkSession, tableDir: String): DataFrame = {
-    import spark.implicits._
-    val dirPath = new Path(tableDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(dirPath).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => ("t", st.getPath.toString, st.getLen))
-      .toDF("table_name", "file", "bytes")
-  }
-
   def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long): Int =
+    compact(spark, tableDir, tableFiles(spark, tableDir), targetBytes)
+
+  /** Same, against an already-taken file listing — the CLI passes the
+    * SNAPSHOT it echoed as the plan, so what executes is exactly what was
+    * printed (the reference's @Execute contract: echo, then run the SAME
+    * commands), and the directory is listed once. */
+  def compact(spark: SparkSession, tableDir: String, files: DataFrame,
       targetBytes: Long): Int = {
     val dirPath = new Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = tableFiles(spark, tableDir)
     val groups = merges(files, targetBytes)
       .select("first_file", "last_file").collect()
     val paths = files.collect().map(_.getAs[String]("file")).sorted
