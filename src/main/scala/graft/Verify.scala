@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names); the driver never sets
+    // it, so its runs always dump the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // Driver contract: result dir name must EQUAL the oracle_sql.json key
       // (bare query name, no extension) or the DuckDB compare never runs.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -36,7 +44,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val selectedOracle = only match {
+      case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
+      case None        => SparkEntry.oracleSql
+    }
+    val json = selectedOracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -464,12 +464,41 @@ object Dedup {
       .reduce(_ + _)
     val sh = perDoc.select(col("doc_id"),
       simhashExpr.cast("long").as("simhash"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
-    a.crossJoin(b)
+      // consumed by both sides of the segment join below; without the
+      // checkpoint the whole signature pipeline (scan + explode + md5 +
+      // two aggs) runs twice. One long per doc — trivially small.
+      .localCheckpoint()
+    // Pair generation by PIGEONHOLE BANDING, not a cartesian product: split
+    // the 16-bit signature into 3 segments (6|5|5 bits). Hamming distance
+    // ≤ 2 means the differing bits touch at most 2 segments, so every
+    // qualifying pair agrees EXACTLY on at least one segment — an
+    // equi-join on (seg, segval) finds all of them with a plain shuffle
+    // partitioned by segment value; no all-pairs comparison ever happens.
+    // Duplicate suppression is first-match-wins (same trick as dd03's
+    // prev_key): a pair found at segment k is emitted only if no earlier
+    // segment also matches, so no pair-level distinct shuffle is needed.
+    // At 100 TB you would widen the signature (64-bit, more segments);
+    // the banding shape is what survives the scale-up — bucket sizes grow
+    // linearly with the corpus, never quadratically.
+    val segs = sh.select(col("doc_id"), col("simhash"), expr(
+      """stack(3,
+        |  0, simhash & 63,
+        |  1, (simhash >> 6) & 31,
+        |  2, (simhash >> 11) & 31) AS (seg, segval)""".stripMargin))
+    val a = segs.select(col("seg"), col("segval"),
+      col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = segs.select(col("seg"), col("segval"),
+      col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    a.join(b, Seq("seg", "segval"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .filter(col("hamming") <= 2)
+      .filter(expr(
+        """CASE seg
+          |  WHEN 0 THEN true
+          |  WHEN 1 THEN (sa & 63) != (sb & 63)
+          |  ELSE (sa & 63) != (sb & 63)
+          |    AND ((sa >> 6) & 31) != ((sb >> 6) & 31) END""".stripMargin))
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }

@@ -143,6 +143,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dd04: simhash pairs come from the segment equi-join, never a cartesian") {
+    val p = planOf("dd04_simhash")
+    // pigeonhole banding: candidates meet in an equi-join keyed by
+    // (seg, segval) — the pair space is never enumerated
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the signature pipeline is materialized once (localCheckpoint); both
+    // join sides read it back instead of recomputing scan+md5+aggs
+    assert("documents\\.parquet".r.findAllIn(p).size === 0)
+  }
+
   test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
     val p = planOf("tx07_winnow_fingerprint")
     assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
