@@ -210,7 +210,13 @@ object Dedup {
 
   /** The dd03 candidate-pair relation as a SQL CTE block (DuckDB dialect),
     * shared by the dd03 oracle and the clustering oracle (dd06). Exposes
-    * `lsh_pairs(doc_a, doc_b)`. */
+    * `lsh_pairs(doc_a, doc_b)`.
+    *
+    * Mirrors the Spark side's EXACT-COLLAPSE-FIRST semantics: docs with an
+    * identical full signature form a class linked by star edges from the
+    * class min (they are certain duplicates — dd01's tier); only class
+    * representatives enter the banding, so no bucket ever contains an
+    * exact-duplicate pile. */
   private val lshPairsCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
@@ -220,14 +226,28 @@ object Dedup {
       |sig AS (SELECT doc_id, seed,
       |          min(md5(seed::VARCHAR || '|' || tok)) AS mh
       |        FROM sh, seeds GROUP BY doc_id, seed),
-      |bands AS (SELECT doc_id, seed // 4 AS band,
-      |            string_agg(mh, '|' ORDER BY seed) AS band_key
-      |          FROM sig GROUP BY doc_id, seed // 4),
-      |lsh_pairs AS (
+      |sigk AS (SELECT doc_id, string_agg(mh, '|' ORDER BY seed) AS sig_key
+      |         FROM sig GROUP BY doc_id),
+      |cls AS (SELECT sig_key, min(doc_id) AS rep FROM sigk GROUP BY sig_key),
+      |star AS (SELECT c.rep AS doc_a, k.doc_id AS doc_b
+      |         FROM sigk k JOIN cls c ON k.sig_key = c.sig_key
+      |         WHERE k.doc_id <> c.rep),
+      |bands AS (SELECT s.doc_id, s.seed // 4 AS band,
+      |            string_agg(s.mh, '|' ORDER BY s.seed) AS band_key
+      |          FROM sig s
+      |          JOIN (SELECT k.doc_id FROM sigk k JOIN cls c
+      |                ON k.sig_key = c.sig_key AND k.doc_id = c.rep) r
+      |            ON s.doc_id = r.doc_id
+      |          GROUP BY s.doc_id, s.seed // 4),
+      |rep_pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.band_key = b.band_key
-      |    AND a.doc_id < b.doc_id)""".stripMargin
+      |    AND a.doc_id < b.doc_id),
+      |lsh_pairs AS (
+      |  SELECT doc_a, doc_b FROM star
+      |  UNION
+      |  SELECT doc_a, doc_b FROM rep_pairs)""".stripMargin
 
   /** MinHash + LSH banding over word-bigram shingles: k=8 hash functions
     * (seeded md5), 2 bands × 4 rows; candidate pairs = docs agreeing on an
@@ -261,23 +281,74 @@ object Dedup {
     //     That drops the candidate-pair shuffle entirely — at scale the
     //     pair stream is the one relation here that can outgrow the
     //     corpus, and it now never crosses the wire.
+    //  5. Exact-duplicate classes are collapsed BEFORE banding (see
+    //     lshPairsOf): web corpora carry huge identical-text piles
+    //     (boilerplate pages) whose members all share every band key; fed
+    //     raw into the bucket groupBy they would form one mega-bucket and
+    //     blow the collect_list buffer. Collapsing them to a class
+    //     representative first (star edges certify the class — dd01's
+    //     exact tier) bounds every bucket at one entry per DISTINCT
+    //     signature, and the residual cap turns a degenerate banding into
+    //     a loud error instead of an executor OOM.
     lshPairs(s, d).orderBy("doc_a", "doc_b")
   }
 
   /** The dd03 candidate-pair relation (doc_a < doc_b), un-ordered — shared
     * by dd03 and the cluster construction (dd06). */
-  private[pipeline] def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(Tables.spread(s, docs(s, d), "doc_id"))
-    val bands = sig.select(col("doc_id"), expr(
-      """stack(2,
-        |  0, concat_ws('|', m0, m1, m2, m3), CAST(doc_id AS STRING),
-        |  1, concat_ws('|', m4, m5, m6, m7), concat_ws('|', m0, m1, m2, m3))
-        |  AS (band, band_key, prev_key)
-        |""".stripMargin))
+  private[pipeline] def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsOf(minhashSig(Tables.spread(s, docs(s, d), "doc_id")))
+
+  /** LSH candidate pairs from a minhash signature frame (doc_id, m0..m7).
+    *
+    * Exact-collapse-first: docs with an IDENTICAL full signature are
+    * certain duplicates (same min-shingle under all 8 hashes — in practice
+    * identical or near-identical text). Each such class is emitted as star
+    * edges (class-min → member) and only the representative enters the
+    * banding, so an exact-duplicate pile of any size contributes ONE bucket
+    * entry instead of a clique. The pair set differs from clique expansion
+    * only WITHIN such classes (star instead of all-pairs); connected
+    * components — the thing every downstream consumer (dd06, the cleaning
+    * chains) derives — are identical, which `DedupSpec` pins.
+    *
+    * After the collapse, any bucket still larger than `maxBucket` means the
+    * banding itself has degenerated for this corpus (too few bands/rows for
+    * the near-dup density); quadratic in-bucket expansion would OOM, so the
+    * operator fails LOUDLY with sizes instead — the dd07 df-cap discipline,
+    * with a diagnosable error in place of silent pair loss. The check is a
+    * count-only aggregate that runs BEFORE any collect_list materializes. */
+  private[graft] def lshPairsOf(sigFrame: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val mCols = (0 until 8).map(k => col(s"m$k"))
+    // consumed twice (class groupBy + rep join) — one short row per doc
+    val sig = sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
+      .localCheckpoint()
+    val classes = sig.groupBy("sig_key").agg(min("doc_id").as("rep"))
+    // the groupBy hash-partitions on sig_key; the join back reuses that
+    // partitioning on the aggregated side
+    val withRep = sig.join(classes, "sig_key")
+    val star = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val bands = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), expr(
+        """stack(2,
+          |  0, concat_ws('|', m0, m1, m2, m3), CAST(doc_id AS STRING),
+          |  1, concat_ws('|', m4, m5, m6, m7), concat_ws('|', m0, m1, m2, m3))
+          |  AS (band, band_key, prev_key)
+          |""".stripMargin))
+      // consumed twice (cap probe + expansion); 2 short rows per rep
+      .localCheckpoint()
+    val over = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .agg(count(lit(1)).as("n_over"), max("bn").as("max_bn")).first()
+    if (over.getLong(0) > 0) throw new IllegalStateException(
+      s"dd03: ${over.getLong(0)} LSH bucket(s) exceed maxBucket=$maxBucket " +
+        s"after exact-duplicate collapse (largest: ${over.getLong(1)} " +
+        "distinct signatures in one bucket). The banding has degenerated " +
+        "for this corpus — use more bands/rows per band, or raise maxBucket")
     // band 0's prev_key is the doc_id itself (unique per doc → the
     // equality below never holds → band 0 emits every in-bucket pair);
     // band 1 suppresses pairs band 0 already emitted.
-    bands.groupBy("band", "band_key")
+    val repPairs = bands.groupBy("band", "band_key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("prev_key"))))
         .as("ids"))
       .filter(size(col("ids")) > 1)
@@ -289,6 +360,7 @@ object Dedup {
           |                  x.prev_key = y.prev_key AS seen)),
           |    p -> NOT p.seen)))) AS p""".stripMargin))
       .select("p.doc_a", "p.doc_b")
+    star.union(repPairs)
   }
 
   /** Near-dup CLUSTERS from the LSH pair graph: connected components by

@@ -55,6 +55,73 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("lshPairs: an all-identical corpus collapses to star edges, no mega-bucket") {
+    import spark.implicits._
+    // 2000 copies of one text: every doc has the SAME signature, so before
+    // the exact-collapse this was ONE bucket of 2000 docs — a 2M-element
+    // in-bucket pair expansion inside a single aggregation buffer. Now the
+    // class collapses to its min-id representative and the pair output is
+    // the n-1 star, with every bucket at size 1.
+    val docs = (1L to 2000L).map(i => (i, "the same boilerplate page text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshPairsOf(Dedup.minhashSig(docs), maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.length === 1999)
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2).toSeq === (2L to 2000L))
+  }
+
+  test("lshPairs: a degenerated banding fails loudly instead of expanding") {
+    import spark.implicits._
+    // 10 DISTINCT signatures that share band 0 (m0..m3 equal): the collapse
+    // cannot help, so the bucket genuinely holds 10 entries and the cap
+    // must refuse the quadratic expansion with a diagnosable error.
+    val sig = (1L to 10L).map(i =>
+        (i, "a", "b", "c", "d", s"e$i", s"f$i", s"g$i", s"h$i"))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    val e = intercept[IllegalStateException] {
+      Dedup.lshPairsOf(sig, maxBucket = 5).collect()
+    }
+    assert(e.getMessage.contains("maxBucket=5"))
+    assert(e.getMessage.contains("10"))
+  }
+
+  test("lshPairs: star-collapse preserves components and stays within clique pairs") {
+    import spark.implicits._
+    // Random signature frames over a tiny alphabet (forcing band collisions
+    // AND identical-signature classes): the star form must yield exactly
+    // the connected components of the full clique expansion — that is the
+    // contract every consumer (dd06, the cleaning chains) relies on — and
+    // emit only pairs the clique form would also emit.
+    val genSig: Gen[(Long, String, String, String, String)] = for {
+      id <- Gen.choose(1L, 24L)
+      b0 <- Gen.oneOf("x", "y", "z")   // band-0 key
+      b1 <- Gen.oneOf("p", "q", "r")   // band-1 key
+    } yield (id, b0, b1, b0, b1)
+    val prop = Prop.forAll(Gen.choose(2, 24).flatMap(n =>
+        Gen.listOfN(n, genSig))) { rows =>
+      val docs = rows.distinctBy(_._1)
+      val sig = docs.map { case (id, b0, b1, _, _) =>
+        (id, b0, b0, b0, b0, b1, b1, b1, b1) }
+        .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+      val clique = (for {
+        a <- docs; b <- docs
+        if a._1 < b._1 && (a._2 == b._2 || a._3 == b._3)
+      } yield (a._1, b._1)).distinct
+      val got = Dedup.lshPairsOf(sig, maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sameComponents = clique.isEmpty && got.isEmpty || {
+        val want = unionFind(clique)
+        val have = unionFind(got.toSeq)
+        want == have
+      }
+      sameComponents && got.subsetOf(clique.toSet)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("a 30-vertex path (worst-case diameter) converges on both paths") {
     import spark.implicits._
     val chain = (0L until 29L).map(i => (i, i + 1))

