@@ -77,32 +77,57 @@ object Dedup {
       |  JOIN n nb ON nb.doc_id = p.doc_b
       |WHERE CAST(p.shared AS DOUBLE) / (na.n_sh + nb.n_sh - p.shared) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    // Exact all-pairs Jaccard is inherently quadratic (a naive join on
-    // shingle emits Σ df² rows — 73M at sf0.1 — because this corpus has a
-    // tiny, uniform shingle vocabulary where prefix/frequency filtering
-    // cannot prune). So do the quadratic work at memory-bandwidth speed
-    // instead of through a shuffle: encode each doc's shingle set as a
-    // fixed-width BITMAP over the global shingle dictionary, then a
-    // broadcast nested-loop self-join computes |A∩B| with bit_count on
-    // longs — zero shuffle on the pair space, fully codegen'd. This is the
-    // small/medium-N exact tier; the 100 TB path is dd03 (MinHash+LSH),
-    // with this operator verifying LSH candidate pairs exactly.
+    ngramJaccardPairs(s, d)
+  }
+
+  /** The dd02 body, with the broadcast-tier admission guard exposed for
+    * tests. Exact all-pairs Jaccard is inherently quadratic (a naive join
+    * on shingle emits Σ df² rows — 73M at sf0.1 — because this corpus has
+    * a tiny, uniform shingle vocabulary where prefix/frequency filtering
+    * cannot prune). So do the quadratic work at memory-bandwidth speed
+    * instead of through a shuffle: encode each doc's shingle set as a
+    * fixed-width BITMAP over the global shingle dictionary, then a
+    * broadcast nested-loop self-join computes |A∩B| with bit_count on
+    * longs — zero shuffle on the pair space, fully codegen'd.
+    *
+    * TIER CONTRACT, enforced not assumed: the packed bitmaps live on the
+    * driver and every executor, the same memory contract as any broadcast
+    * hash-join side — so a size probe (counted BEFORE anything is
+    * collected) refuses the tier loudly once nDocs × bitmapWidth exceeds
+    * `maxBroadcastBytes`, naming the scale path: dd03/dd07 for candidate
+    * generation plus [[jaccardVerify]] for exact confirmation, which
+    * compute the same Jaccard without any driver-resident state. The
+    * discipline mirrors pipe04's guarded eval-side broadcast. */
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String,
+      maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     val t = 0.5
     // spread: the shingle explode below feeds both the dictionary and the
     // per-doc set assembly; off a single-row-group scan it would run
-    // serial (see Tables.spread).
+    // serial (see Tables.spread). localCheckpoint: consumed by the size
+    // probe, the dictionary AND the set assembly — one corpus pass total.
     val sh = Tables.spread(s, docs(s, d), "doc_id")
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(bigramShingles).as("shingle"))
       .distinct()
+      .localCheckpoint()
+    // Admission probe: one count-only aggregate, BEFORE any collect.
+    val probe = sh.agg(countDistinct("doc_id").as("n_docs"),
+      countDistinct("shingle").as("vocabulary")).first()
+    val (nDocs, vocabSize) = (probe.getLong(0), probe.getLong(1))
+    val estBytes = nDocs * ((vocabSize / 64 + 1) * 8 + 48)
+    if (estBytes > maxBroadcastBytes) throw new IllegalStateException(
+      s"dd02 is the exact small/medium-N tier: $nDocs docs x " +
+        s"${vocabSize / 64 + 1}-word bitmaps = ~$estBytes bytes exceeds " +
+        s"the $maxBroadcastBytes-byte broadcast budget. At this scale " +
+        "generate candidates with dd03 (MinHash+LSH) or dd07 (winnowing) " +
+        "and confirm them exactly with Dedup.jaccardVerify — no " +
+        "driver-resident state, same Jaccard semantics")
     // Global shingle dictionary: dense ids 1..V (deterministic order).
     val rank = sh.select(col("shingle")).distinct()
       .select(col("shingle"),
         row_number().over(Window.orderBy("shingle")).as("rk"))
-    // ONE action: per-doc dictionary-encoded shingle sets. This side is
-    // dim-sized (one row per doc, ~50 ints each) and must fit in a
-    // broadcast for the nested-loop kernel regardless — the same memory
-    // contract as any broadcast hash join side.
+    // ONE action: per-doc dictionary-encoded shingle sets (one row per
+    // doc, ~50 ints each — admission-checked above).
     import s.implicits._
     val sets: Array[(Long, Array[Int])] = sh.join(broadcast(rank), "shingle")
       .groupBy("doc_id").agg(collect_set(col("rk")).as("rks"))
@@ -143,6 +168,38 @@ object Dedup {
       out
     }.toDF("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** EXACT Jaccard confirmation of a candidate-pair relation — the scale
+    * path dd02's guard points at. `pairs` (doc_a, doc_b) comes from any
+    * candidate generator (dd03's LSH buckets, dd07's winnow pieces);
+    * each pair is verified against the true word-bigram shingle sets and
+    * kept when Jaccard ≥ `threshold`, with dd02's exact semantics and
+    * rounding.
+    *
+    * Scale shape: per-DOC shingle arrays (bounded by document length, a
+    * per-row projection — never a per-bucket buffer), two equi-joins to
+    * attach each side's set to the pair stream, and a codegen'd
+    * array_intersect per pair. Work is O(|pairs| × doc length): linear in
+    * the candidate stream, no driver-resident state, no pair-space
+    * blowup — candidates already bounded it. */
+  def jaccardVerify(docsDf: DataFrame, pairs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"), array_distinct(bigramShingles).as("sh"))
+      .filter(size(col("sh")) > 0)
+    pairs.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .withColumn("shared", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac", col("shared") /
+        (size(col("sha")) + size(col("shb")) - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.StableRound.r4(col("jac")).as("jaccard"))
   }
 
   /** Word-bigram shingles of a token-array column `l`, EMPTY for docs with

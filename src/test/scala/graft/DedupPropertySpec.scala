@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -120,6 +121,46 @@ class DedupPropertySpec extends AnyFunSuite {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("dd02: the broadcast-tier guard refuses an over-budget corpus loudly") {
+    // a 1 KiB budget is below any real corpus — the probe must throw
+    // BEFORE collecting anything, and the message must name the scale path
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(SparkTestSession.spark,
+        SparkTestSession.sfDir, maxBroadcastBytes = 1024L)
+    }
+    assert(e.getMessage.contains("jaccardVerify"))
+    assert(e.getMessage.contains("dd03"))
+  }
+
+  test("jaccardVerify on all pairs reproduces dd02's exact output") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, SparkTestSession.sfDir)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toSeq.toDF("doc_a", "doc_b")
+    val got = Dedup.jaccardVerify(docs, allPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.dd02NgramJaccard.run(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // the fixture must actually exercise the compare
+  }
+
+  test("jaccardVerify(LSH candidates) is exactly dd02 restricted to candidates") {
+    // the production chain: dd03 candidates -> exact confirmation. Every
+    // confirmed pair must appear in dd02's all-pairs truth with the SAME
+    // rounded Jaccard (the verifier adds no false positives).
+    val spark0 = spark
+    val d = SparkTestSession.sfDir
+    val docs = graft.tables.Tables.documents(spark0, d)
+    val cand = Dedup.lshPairsOf(Dedup.minhashSig(docs))
+    val got = Dedup.jaccardVerify(docs, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = Dedup.dd02NgramJaccard.run(spark0, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(truth))
   }
 
   test("a 30-vertex path (worst-case diameter) converges on both paths") {
