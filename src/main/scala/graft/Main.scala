@@ -43,11 +43,13 @@ object Main {
       sys.exit(1)
     }
     var i = 0
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     def value(flag: String): String = {
       if (i + 1 >= args.length) usage(s"$flag requires a value")
       i += 1; args(i)
     }
     while (i < args.length) {
+      seen += args(i)
       args(i) match {
         case "--db" =>
           value("--db").split("=", 2) match {
@@ -88,8 +90,18 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    if (compactDir.isDefined && (dbs.nonEmpty || report))
-      usage("--compact is a standalone maintenance mode; drop --db/--report")
+    // Mode separation, enforced not implied: every flag belongs to exactly
+    // one mode, and a flag from the other mode is an error rather than a
+    // silent no-op (the reference CLIs fail on unknown parameter combos).
+    val compactFlags = Set("--compact", "--target-bytes", "--dry-run")
+    if (compactDir.isDefined) {
+      val stray = seen.filterNot(compactFlags)
+      if (stray.nonEmpty) usage(
+        "--compact is a standalone maintenance mode; scheduler-only " +
+          s"flag(s) given: ${stray.mkString(", ")} (allowed with " +
+          "--compact: --target-bytes, --dry-run)")
+    } else if (seen.contains("--target-bytes"))
+      usage("--target-bytes only applies to --compact maintenance runs")
     if (compactDir.isDefined) {
       // maintenance mode (the IndexOptimize analog): print the plan
       // (dry-run echo, ref CE:197), then execute THE SAME SNAPSHOT unless

@@ -42,7 +42,18 @@ object Compaction {
     * < 2×target: a group's last file starts inside the bucket and adds
     * < target of its own. Both windows ride ONE exchange — same key,
     * same order. */
-  def plan(files: DataFrame, targetBytes: Long): DataFrame = {
+  def plan(files: DataFrame, targetBytes: Long): DataFrame =
+    planWithMembers(files, targetBytes).drop("members")
+
+  /** plan() plus an explicit sorted `members` file-list column per group.
+    * Execution consumes THIS (the membership travels with the plan row);
+    * the members-free projection is the report/oracle surface (array
+    * columns are not hash-comparable there). Deriving membership any
+    * other way — e.g. re-filtering the listing by the [first_file,
+    * last_file] range — silently depends on groups being contiguous in
+    * path order, an invariant a future packing change could break. */
+  private[graft] def planWithMembers(files: DataFrame,
+      targetBytes: Long): DataFrame = {
     val small = col("bytes") < targetBytes
     val w = Window.partitionBy("table_name").orderBy("file")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -62,16 +73,17 @@ object Compaction {
         .otherwise(concat(lit("solo:"), col("file"))))
       .groupBy("table_name", "segment", "grp")
       .agg(count(lit(1)).as("n_files"), sum("bytes").as("group_bytes"),
-        min("file").as("first_file"), max("file").as("last_file"))
+        min("file").as("first_file"), max("file").as("last_file"),
+        sort_array(collect_list(col("file"))).as("members"))
       .withColumn("action",
         when(col("n_files") >= 2, "merge").otherwise("noop"))
       .drop("segment", "grp")
       .orderBy("table_name", "first_file")
   }
 
-  /** Actionable merge groups only. */
+  /** Actionable merge groups only (with their `members` lists). */
   def merges(files: DataFrame, targetBytes: Long): DataFrame =
-    plan(files, targetBytes).filter(col("action") === "merge")
+    planWithMembers(files, targetBytes).filter(col("action") === "merge")
 
   /** File listing (name, bytes) for every table under a sf-style dir —
     * recursive, so partitioned tables contribute their leaf files. */
@@ -126,17 +138,18 @@ object Compaction {
     * fits and the next run re-plans the remainder (the planner is
     * idempotent: already-merged groups re-plan as noop).
     *
-    * Crash safety without a manifest (plain parquet): the merged file is
-    * RENAMED INTO THE TABLE before any original is deleted, and every
-    * rename/delete return code is checked (HDFS-style filesystems return
-    * false instead of throwing). Data LOSS is therefore impossible — the
-    * worst crash window (after the rename, before the deletes finish)
-    * leaves the group's rows readable TWICE (merged + surviving
-    * originals). Duplicates are loud (check_rowcounts / dd01 flag them)
-    * and the recovery is mechanical: delete the originals the merged
-    * file supersedes. That is the right failure direction for an
-    * integrity engine; exactly-once swaps need a table format with a
-    * manifest (Delta/Iceberg). */
+    * Crash safety (plain parquet): the merged file is RENAMED INTO THE
+    * TABLE before any original is deleted, and every rename/delete return
+    * code is checked (HDFS-style filesystems return false instead of
+    * throwing). Data LOSS is therefore impossible — the worst crash
+    * window (after the rename, before the deletes finish) leaves the
+    * group's rows readable TWICE (merged + surviving originals).
+    * Duplicates are loud (check_rowcounts / dd01 flag them) and a
+    * sidecar manifest written to `.compact-tmp/manifest-<i>.json` BEFORE
+    * the swap names exactly which originals the merged file supersedes,
+    * so recovery is mechanical. That is the right failure direction for
+    * an integrity engine; exactly-once swaps need a table format with a
+    * transactional manifest (Delta/Iceberg). */
   def compact(spark: SparkSession, tableDir: String,
       targetBytes: Long): Int =
     compact(spark, tableDir, tableFiles(spark, tableDir), targetBytes)
@@ -149,22 +162,36 @@ object Compaction {
       targetBytes: Long): Int = {
     val dirPath = new Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // membership travels WITH each plan row (see planWithMembers) — never
+    // re-derived from the listing, so a packing-rule change cannot make
+    // execution read or delete the wrong files
     val groups = merges(files, targetBytes)
-      .select("first_file", "last_file").collect()
-    val paths = files.collect().map(_.getAs[String]("file")).sorted
+      .select("members").collect()
+      .map(_.getSeq[String](0))
     val tmp = new Path(dirPath, ".compact-tmp")
-    groups.zipWithIndex.foreach { case (g, i) =>
-      val lo = g.getString(0); val hi = g.getString(1)
-      val members = paths.filter(p => p >= lo && p <= hi)
+    groups.zipWithIndex.foreach { case (members, i) =>
       val out = new Path(tmp, s"merge-$i")
       spark.read.parquet(members: _*).coalesce(1)
         .write.mode("overwrite").parquet(out.toString)
       val part = fs.listStatus(out)
         .find(_.getPath.getName.endsWith(".parquet")).get.getPath
-      // land the merged file FIRST (unique name — cannot collide), then
-      // retire the originals; abort loudly on any false return
       val dest = new Path(dirPath,
         s"merged-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet")
+      // sidecar manifest FIRST: if the swap below is interrupted between
+      // the rename and the deletes, .compact-tmp/manifest-<i>.json says
+      // exactly which originals the landed merged file supersedes —
+      // recovery is mechanical (delete the listed originals), not a
+      // row-count forensics exercise. Removed with the staging dir on
+      // success.
+      val manifest = new Path(tmp, s"manifest-$i.json")
+      val mout = fs.create(manifest, true)
+      try mout.write(
+        (s"""{"merged": "$dest", "supersedes": [""" +
+          members.map(m => "\"" + m + "\"").mkString(", ") + "]}\n")
+          .getBytes("UTF-8"))
+      finally mout.close()
+      // land the merged file (unique name — cannot collide), then retire
+      // the originals; abort loudly on any false return
       if (!fs.rename(part, dest))
         throw new java.io.IOException(
           s"compact: rename $part -> $dest failed; originals intact")
@@ -172,7 +199,7 @@ object Compaction {
         if (!fs.delete(new Path(p), false))
           throw new java.io.IOException(
             s"compact: delete $p failed after landing $dest — group rows " +
-              "are duplicated until it is removed")
+              s"are duplicated until it is removed (see $manifest)")
       }
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)

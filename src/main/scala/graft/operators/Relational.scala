@@ -315,7 +315,8 @@ object Relational {
       upper(col("p_name")).as("up"),
       substring(col("p_name"), 1, 8).as("pre"),
       length(col("p_name")).as("len"),
-      regexp_replace(col("p_name"), " ", "_").as("und"),
+      // single-char literal substitution: translate, not a regex engine
+      translate(col("p_name"), " ", "_").as("und"),
       instr(col("p_name"), "a").as("pos_a"),
       trim(col("p_name")).as("trimmed"))
       .orderBy("p_partkey")

@@ -557,14 +557,18 @@ object TextAnalysis {
     "tx11_token_commonness",
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |              FROM documents),
-      |wc AS (SELECT doc_id, count(*) OVER (PARTITION BY tok) AS c FROM toks)
+      |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |wc AS (SELECT doc_id, count(*) OVER (PARTITION BY tok) AS c FROM t)
       |SELECT doc_id, count(*) AS n_tokens,
       |  CAST(sum(c) AS BIGINT) AS freq_sum,
       |  floor(sum(c) * 1.0 / count(*) * 100 + 0.5) / 100 AS avg_commonness
       |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.StableRound
+    // phantom '' tokens (leading/trailing/double spaces) are not
+    // vocabulary — same token definition as tx03/tx06/tx10
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
     toks
       .withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
       .groupBy("doc_id")

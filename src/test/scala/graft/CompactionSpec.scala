@@ -123,6 +123,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(replan.isEmpty)
   }
 
+  test("planWithMembers: explicit member lists partition the listing exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // execution consumes the members column — so it must name every input
+    // file exactly once across groups, and agree with n_files. This is
+    // the invariant that frees execution from the contiguous-range
+    // assumption the old [first_file, last_file] re-derivation baked in.
+    val genFiles: Gen[List[(String, String, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 3 * T))
+    } yield sizes.zipWithIndex.map { case (sz, i) =>
+      (if (i % 2 == 0) "a" else "b", f"f$i%03d", sz)
+    }
+    val prop = Prop.forAll(genFiles) { fs =>
+      val plan = Compaction.planWithMembers(listing(fs: _*), T).collect()
+      val members = plan.flatMap(_.getSeq[String](
+        plan.head.fieldIndex("members")))
+      val sizeOk = plan.forall(r =>
+        r.getAs[Long]("n_files") == r.getSeq[String](
+          r.fieldIndex("members")).size.toLong)
+      members.sorted.toSeq == fs.map(_._2).sorted && sizeOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("packing invariants hold on random listings (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genFiles: Gen[List[(String, String, Long)]] = for {
