@@ -19,8 +19,60 @@ import graft.model.CheckObject
   * SURVEY.md §7.4 hard-problem #3); the MERGE itself is pure Scala over the
   * loaded rows, with identical semantics to the reference's 3 clauses.
   */
-final class StateStore(spark: SparkSession, path: String) {
+final class StateStore(spark: SparkSession, path: String,
+    leaseTtlMs: Long = 10 * 60 * 1000L) {
   import spark.implicits._
+
+  private val lockPath = new Path(path + ".lock")
+  private val ownerId = java.util.UUID.randomUUID().toString
+
+  /** Mutual exclusion for the save() swap — the minimal lake analog of
+    * the reference's queue-claim semantics (ref ola/Queue.sql:7-21: rows
+    * claimed under UPDLOCK so two sessions never run the same work;
+    * dead-session liveness reset at DatabaseIntegrityCheck.sql:1198-1207).
+    * Spark owns parallelism WITHIN a run (SURVEY §2.11), but nothing
+    * stops an operator from launching two drivers against one state
+    * path — without this, the second driver's rename swap silently
+    * clobbers the first's just-written history. The lease is an
+    * exclusively-created marker file: concurrent holders fail LOUDLY;
+    * a holder that died is healed via TTL (a lease older than
+    * `leaseTtlMs` is broken with a warning — save() holds it for
+    * seconds, so minutes-old means a dead driver, the reference's
+    * liveness-reset semantics). */
+  private[graft] def acquireLease(): Unit = {
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lockPath)) {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lockPath).getModificationTime
+      if (age < leaseTtlMs) throw new IllegalStateException(
+        s"state path is leased by another live run (lock $lockPath, " +
+          s"age ${age} ms < ttl ${leaseTtlMs} ms). Two graft drivers " +
+          "must not share a state path concurrently; if the other " +
+          "driver is dead, the lease self-heals after the ttl")
+      System.err.println(
+        s"[state] breaking stale lease at $lockPath (age ${age} ms)")
+      fs.delete(lockPath, false)
+    }
+    try {
+      // create(overwrite=false) is the atomic claim: exactly one of two
+      // racing drivers gets the file, the other lands in catch below
+      val out = fs.create(lockPath, false)
+      try out.write(
+        (s"""{"owner": "$ownerId", """ +
+          s""""acquired_ms": ${System.currentTimeMillis()}}""")
+          .getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"lost the state-lease race at $lockPath — another run claimed " +
+          "it concurrently", e)
+    }
+  }
+
+  private[graft] def releaseLease(): Unit = {
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lockPath)) fs.delete(lockPath, false)
+  }
 
   def load(): Seq[CheckObject] = {
     val p = new Path(path)
@@ -46,20 +98,26 @@ final class StateStore(spark: SparkSession, path: String) {
   }
 
   /** Atomic rewrite: write `<path>.tmp`, swap via rename so a killed run
-    * never leaves a half-written state (ref: DBMS atomicity, §7.4 #3). */
+    * never leaves a half-written state (ref: DBMS atomicity, §7.4 #3).
+    * The whole write+swap runs under the state lease (see acquireLease):
+    * a second driver on the same path fails loudly instead of silently
+    * clobbering the tmp/old/current generation chain. */
   def save(rows: Seq[CheckObject]): Unit = {
-    val ds: Dataset[CheckObject] = rows.toDS()
-    val tmp = path + ".tmp"
-    val old = path + ".old"
-    ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pTmp = new Path(tmp)
-    val pOld = new Path(old)
-    if (fs.exists(pOld)) fs.delete(pOld, true)
-    if (fs.exists(p)) fs.rename(p, pOld)
-    fs.rename(pTmp, p)
-    fs.delete(pOld, true)
+    acquireLease()
+    try {
+      val ds: Dataset[CheckObject] = rows.toDS()
+      val tmp = path + ".tmp"
+      val old = path + ".old"
+      ds.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pTmp = new Path(tmp)
+      val pOld = new Path(old)
+      if (fs.exists(pOld)) fs.delete(pOld, true)
+      if (fs.exists(p)) fs.rename(p, pOld)
+      fs.rename(pTmp, p)
+      fs.delete(pOld, true)
+    } finally releaseLease()
   }
 }
 

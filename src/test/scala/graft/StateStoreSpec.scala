@@ -131,6 +131,36 @@ class StateStoreSpec extends AnyFunSuite {
       "the complete tmp is strictly newer than the swapped path")
   }
 
+  test("two drivers on one state path: the second save fails loudly") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val store1 = new graft.state.StateStore(spark, s"$dir/state")
+    val store2 = new graft.state.StateStore(spark, s"$dir/state")
+    // driver 1 is mid-save (holds the lease) when driver 2's save lands
+    store1.acquireLease()
+    val e = intercept[IllegalStateException] {
+      store2.save(Seq(obj(1, "a")))
+    }
+    assert(e.getMessage.contains("leased by another live run"))
+    // the loser must not have clobbered anything
+    assert(store1.load().isEmpty)
+    store1.releaseLease()
+    store2.save(Seq(obj(1, "a")))
+    assert(store2.load().size === 1)
+  }
+
+  test("a dead driver's lease self-heals after the ttl") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val crashed = new graft.state.StateStore(spark, s"$dir/state")
+    crashed.acquireLease() // driver dies here, lease left behind
+    Thread.sleep(10)
+    val healer = new graft.state.StateStore(spark, s"$dir/state",
+      leaseTtlMs = 1L)
+    healer.save(Seq(obj(1, "a"))) // breaks the stale lease, then proceeds
+    assert(healer.load().size === 1)
+  }
+
   test("IncrementalMean Aggregator replays the IC:706 recurrence exactly") {
     import SparkTestSession.spark
     import graft.functions.IncrementalMean
