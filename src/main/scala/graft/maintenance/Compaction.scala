@@ -206,13 +206,61 @@ object Compaction {
     groups.length
   }
 
-  /** Dry-run report over the sf dir. The fixture tables are one healthy
-    * file each, so this surfaces solo noop rows (the clean-lake report);
-    * the merge path is exercised on real multi-file directories and
-    * synthetic listings in CompactionSpec. Rows-only gate (file sizes are
-    * not visible to the oracle's table views). */
-  val maint01CompactionPlan: Q = Q.noOracle("maint01_compaction_plan") {
-    (s, d) => plan(listFiles(s, d), targetBytes = 256 * 1024)
+  /** STRICT-oracled planner gate: the full packing algebra (segment
+    * windows, start-offset bucketing, merge/noop classification) runs in
+    * both engines over the same deterministic synthetic listing — 40
+    * "files" whose integer byte sizes derive from `orders` aggregates, a
+    * mix of small runs and at-target solos at target 100. Real-filesystem
+    * listings exercise the identical plan() via the CLI and
+    * CompactionSpec (file sizes on disk are invisible to the oracle's
+    * table views; the ALGEBRA is what an oracle can pin, and now does). */
+  val maint01CompactionPlan: Q = Q(
+    "maint01_compaction_plan",
+    """WITH listing AS (
+      |  SELECT 'evt' AS table_name,
+      |    'f' || lpad(CAST(o_orderkey % 40 AS VARCHAR), 3, '0') AS file,
+      |    CAST((sum(o_custkey) + count(*)) % 341 + 10 AS BIGINT) AS bytes
+      |  FROM orders GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT *, sum(CASE WHEN bytes >= 100 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY table_name ORDER BY file
+      |            ROWS UNBOUNDED PRECEDING) AS segment
+      |  FROM listing),
+      |cum AS (
+      |  SELECT *, sum(CASE WHEN bytes < 100 THEN bytes ELSE 0 END)
+      |      OVER (PARTITION BY table_name, segment ORDER BY file
+      |            ROWS UNBOUNDED PRECEDING)
+      |    - CASE WHEN bytes < 100 THEN bytes ELSE 0 END AS cum_start
+      |  FROM seg),
+      |grp AS (
+      |  SELECT *, CASE WHEN bytes < 100
+      |    THEN CAST(cum_start // 100 AS VARCHAR)
+      |    ELSE 'solo:' || file END AS g
+      |  FROM cum)
+      |SELECT table_name, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
+      |  min(file) AS first_file, max(file) AS last_file,
+      |  CASE WHEN count(*) >= 2 THEN 'merge' ELSE 'noop' END AS action
+      |FROM grp GROUP BY table_name, segment, g
+      |ORDER BY table_name, first_file""".stripMargin) { (s, d) =>
+    plan(syntheticListing(s, d), targetBytes = 100L)
+  }
+
+  /** The deterministic 40-file listing the maint01 oracle plans over:
+    * integer-exact byte sizes in [10, 350] from `orders` aggregates —
+    * small-file runs straddling the 100-byte target plus at-target
+    * solos, so every packing rule (segmenting, start-offset bucketing,
+    * solo noops) fires. */
+  private[graft] def syntheticListing(s: SparkSession,
+      d: String): DataFrame = {
+    val orders = graft.tables.Tables.orders(s, d)
+    orders
+      .groupBy((col("o_orderkey") % 40).as("gid"))
+      .agg(((sum(col("o_custkey")) + count(lit(1))) % 341 + 10)
+        .cast("long").as("bytes"))
+      .select(lit("evt").as("table_name"),
+        concat(lit("f"), lpad(col("gid").cast("string"), 3, "0")).as("file"),
+        col("bytes"))
   }
 
   val queries: Seq[Q] = Seq(maint01CompactionPlan)

@@ -45,6 +45,20 @@ class SchedulerSpec extends AnyFunSuite {
     assert(r.violations === 0L)
   }
 
+  test("scheduler_dryrun matches the committed golden command list") {
+    // the full fixture dry-run, gated file-exactly: any change to command
+    // synthesis, selection, or ordering must consciously update the
+    // committed golden (src/test/resources/golden_scheduler_dryrun.txt)
+    val got = graft.scheduler.SchedulerQueries.schedulerDryrun
+      .run(spark, SparkTestSession.sfDir)
+      .collect().sortBy(_.getInt(0))
+      .map(r => s"${r.getInt(0)}|${r.getString(1)}")
+    val golden = scala.io.Source
+      .fromResource("golden_scheduler_dryrun.txt").getLines().toSeq
+      .filter(_.nonEmpty)
+    assert(got.toSeq === golden)
+  }
+
   test("real run on clean fixtures: zero violations, stats recorded") {
     val statePath = tmp()
     val cfg = CheckConfig(databases = "testdb",
