@@ -19,6 +19,11 @@ import graft.state.StateStore
   *     [--physical-only] [--no-data-purity] [--max-dop N]
   *     [--database-order POLICY] [--dry-run]
   *     [--state PATH] [--log PATH] [--report]
+  *     [--print-schedule]                       (echo crontab lines for the
+  *       nightly full pass + the 15-minute incremental pass, the lake
+  *       analog of ref ola/MaintenanceSolution.sql:7821 ff. job creation)
+  *     [--incremental [--checkpoint ROOT]]      (arrived-data mode: check
+  *       only files landed since the last checkpoint — O(new files))
   *     [--compact TABLE_DIR --target-bytes N]   (maintenance mode:
   *       plan is printed; executed unless --dry-run)
   */
@@ -31,6 +36,9 @@ object Main {
     var report = false
     var compactDir: Option[String] = None
     var targetBytes = 128L * 1024 * 1024
+    var incremental = false
+    var checkpointRoot = "/tmp/graft-incremental"
+    var printSchedule = false
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -38,7 +46,8 @@ object Main {
           "[--databases DSL] [--objects DSL] [--time-limit SECONDS] " +
           "[--physical-only] [--no-data-purity] [--max-dop N] " +
           "[--database-order POLICY] [--dry-run] [--state PATH] " +
-          "[--log PATH] [--report] " +
+          "[--log PATH] [--report] [--print-schedule] " +
+          "[--incremental [--checkpoint ROOT]] " +
           "[--compact TABLE_DIR --target-bytes N]")
       sys.exit(1)
     }
@@ -69,6 +78,9 @@ object Main {
             DatabaseOrder.parse(value("--database-order"))
               .fold(usage, identity))
         case "--dry-run" => cfg = cfg.copy(execute = false)
+        case "--incremental" => incremental = true
+        case "--checkpoint" => checkpointRoot = value("--checkpoint")
+        case "--print-schedule" => printSchedule = true
         case "--compact" => compactDir = Some(value("--compact"))
         case "--target-bytes" =>
           targetBytes = scala.util.Try(value("--target-bytes").toLong)
@@ -80,6 +92,28 @@ object Main {
         case other => usage(s"unknown arg $other")
       }
       i += 1
+    }
+
+    if (printSchedule) {
+      // The reference completes its install story by creating the SQL
+      // Agent jobs (ref ola/MaintenanceSolution.sql:7821 ff.); the lake
+      // analog is a cron/Airflow entry. Echo ready-to-paste crontab lines
+      // bound to THIS invocation's --db/--state/--log arguments.
+      val dbArgs = dbs.toSeq.sortBy(_._1)
+        .map { case (n, p) => s"--db $n=$p" }.mkString(" ")
+      val logArg = logPath.fold("")(p => s" --log $p")
+      val submit = "spark-submit --class graft.Main graft.jar"
+      println("# graft scheduled-run bootstrap — paste into crontab -e")
+      println("# (ref ola/MaintenanceSolution.sql:7821 ff.: the reference")
+      println("#  creates SQL Agent jobs; on a lake the scheduler is cron)")
+      println("# nightly full integrity pass (daily idempotence makes")
+      println("# re-runs safe, ref IC:664-665):")
+      println(s"17 1 * * * $submit $dbArgs --state $statePath$logArg")
+      println("# arrived-data incremental check, every 15 minutes")
+      println("# (O(new files) per pass — see --incremental):")
+      println(s"*/15 * * * * $submit $dbArgs --incremental " +
+        s"--checkpoint $checkpointRoot$logArg")
+      return
     }
 
     val spark = SparkSession.builder()
@@ -102,6 +136,16 @@ object Main {
           "--compact: --target-bytes, --dry-run)")
     } else if (seen.contains("--target-bytes"))
       usage("--target-bytes only applies to --compact maintenance runs")
+    if (incremental) {
+      val allowed = Set("--incremental", "--db", "--checkpoint", "--log")
+      val stray = seen.filterNot(allowed)
+      if (stray.nonEmpty) usage(
+        "--incremental checks arrived files only; full-run flag(s) given: " +
+          s"${stray.mkString(", ")} (allowed with --incremental: --db, " +
+          "--checkpoint, --log)")
+      if (dbs.isEmpty) usage("--incremental requires at least one --db")
+    } else if (seen.contains("--checkpoint"))
+      usage("--checkpoint only applies to --incremental runs")
     if (compactDir.isDefined) {
       // maintenance mode (the IndexOptimize analog): print the plan
       // (dry-run echo, ref CE:197), then execute THE SAME SNAPSHOT unless
@@ -114,6 +158,17 @@ object Main {
         val n = maintenance.Compaction.compact(spark, dir, files, targetBytes)
         println(s"compacted: $n group(s)")
       } else println("dry-run: plan not executed")
+    } else if (incremental) {
+      // arrived-data tier: O(new files) per pass (see IncrementalScheduler)
+      val logObj = new CommandLog(spark, logPath)
+      val r = scheduler.IncrementalScheduler.run(spark,
+        new DirInventory(spark, dbs), checkpointRoot, logObj, SystemClock)
+      logObj.flush()
+      r.executedCommands.foreach(c => println(s"executed: $c"))
+      println(s"violations: ${r.violations}")
+      if (r.errors > 0) println(s"errors: ${r.errors} (checks failed to run)")
+      if (r.violations > 0) sys.exit(2)
+      if (r.errors > 0) sys.exit(3)
     } else if (report) {
       val store = new StateStore(spark, statePath)
       // ref IC:770-786: the manual inspection queries

@@ -9,6 +9,7 @@ import graft.executor.CommandLog
 import graft.model.{CheckConfig, ManualClock}
 import graft.scheduler.Scheduler
 import graft.state.StateStore
+import graft.tables.Tables
 
 /** End-to-end scheduler behavior with a deterministic clock
   * (SURVEY.md §7.2 minimum slice + §7.4 #2): dry-run command goldens,
@@ -57,6 +58,47 @@ class SchedulerSpec extends AnyFunSuite {
       .fromResource("golden_scheduler_dryrun.txt").getLines().toSeq
       .filter(_.nonEmpty)
     assert(got.toSeq === golden)
+  }
+
+  test("incremental tier: second run touches only newly arrived files " +
+      "and logs incremental commands") {
+    import graft.scheduler.IncrementalScheduler
+    val base = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val dbDir = s"$base/db"
+    val cp = s"$base/checkpoints"
+    // a directory-shaped table so files can arrive into it
+    Tables.nation(spark, SparkTestSession.sfDir)
+      .write.parquet(s"$dbDir/nation.parquet")
+    val nBase = Tables.nation(spark, SparkTestSession.sfDir).count()
+
+    val log = new CommandLog(spark, None)
+    val clock = new graft.model.ManualClock(
+      Instant.parse("2026-01-01T00:00:00Z"), tickMs = 10)
+    val inv = new DirInventory(spark, Map("db" -> dbDir))
+    val r1 = IncrementalScheduler.run(spark, inv, cp, log, clock)
+    assert(r1.executedCommands ===
+      Seq("CHECKTABLE INCREMENTAL [db].[main].[nation] WITH NO_INFOMSGS, " +
+        "DATA_PURITY"))
+    assert(r1.violations === 0L && r1.errors === 0L)
+    val sums1 = spark.read.parquet(s"$cp/db/nation/summaries")
+    assert(sums1.agg(org.apache.spark.sql.functions.sum("rows_checked"))
+      .first().getLong(0) === nBase)
+
+    // three rows arrive as a new file; the second run must validate ONLY
+    // those (the checkpoint remembers the first generation)
+    Tables.nation(spark, SparkTestSession.sfDir).limit(3)
+      .write.mode("append").parquet(s"$dbDir/nation.parquet")
+    val r2 = IncrementalScheduler.run(spark, inv, cp, log, clock)
+    assert(r2.violations === 0L && r2.errors === 0L)
+    val sums2 = spark.read.parquet(s"$cp/db/nation/summaries")
+      .orderBy("batch_id").collect()
+    assert(sums2.length === 2)
+    assert(sums2.last.getAs[Long]("rows_checked") === 3L,
+      "second pass re-validated already-checked files")
+    // both passes flowed through the executor choke point into the log
+    assert(log.entries.size === 2)
+    assert(log.entries.forall(_.command.startsWith("CHECKTABLE INCREMENTAL")))
+    assert(log.entries.forall(_.error_number === Some(0)))
   }
 
   test("real run on clean fixtures: zero violations, stats recorded") {
