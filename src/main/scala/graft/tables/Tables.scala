@@ -47,10 +47,25 @@ object Tables {
     * repartition ALSO satisfies the next groupBy's distribution (one
     * shuffle where a naive plan runs two).
     *
+    * SELF-RETIRING on real lakes: when the frame's lineage already reads
+    * enough files to keep every core busy (≥ half the default
+    * parallelism — `inputFiles` is a metadata probe, no job runs), the
+    * repartition is skipped and the multi-file scan's natural splits are
+    * used as-is. The fixture workaround therefore costs nothing where it
+    * isn't needed, which `BASELINE.md` §multi-file quantifies.
+    * `SPARK_GRAFT_FORCE_SPREAD=always|never` overrides for A/B
+    * benchmarking.
+    *
     * Only worth it when per-row compute dominates: a plain sum/min scan is
     * cheaper serial than shuffled. */
   def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val n = s.sparkContext.defaultParallelism
-    df.repartition(n, col(key))
+    sys.env.get("SPARK_GRAFT_FORCE_SPREAD") match {
+      case Some("never")  => df
+      case Some("always") => df.repartition(n, col(key))
+      case _ =>
+        if (df.inputFiles.length >= n / 2) df
+        else df.repartition(n, col(key))
+    }
   }
 }
