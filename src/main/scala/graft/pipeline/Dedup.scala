@@ -376,13 +376,14 @@ object Dedup {
   private[graft] def lshPairsOf(sigFrame: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     val mCols = (0 until 8).map(k => col(s"m$k"))
-    // consumed twice (class groupBy + rep join) — one short row per doc
-    val sig = sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
+    // class representative via ONE window over sig_key — a groupBy+join
+    // formulation pays the same exchange PLUS a join; the window attaches
+    // min(doc_id) to every row in a single pass over the one shuffle.
+    // localCheckpoint: consumed by both the star branch and the banding.
+    val withRep = sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
+      .withColumn("rep", min("doc_id").over(
+        Window.partitionBy(col("sig_key"))))
       .localCheckpoint()
-    val classes = sig.groupBy("sig_key").agg(min("doc_id").as("rep"))
-    // the groupBy hash-partitions on sig_key; the join back reuses that
-    // partitioning on the aggregated side
-    val withRep = sig.join(classes, "sig_key")
     val star = withRep.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val bands = withRep.filter(col("doc_id") === col("rep"))
