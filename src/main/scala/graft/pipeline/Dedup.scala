@@ -745,7 +745,55 @@ object Dedup {
       .filter(col("shared_pieces") >= 2)
   }
 
+  /** The PRODUCTION dedup chain end-to-end, strictly oracled: candidates
+    * from BOTH detectors (dd03's word-shingle LSH ∪ dd07's char-level
+    * winnowing — each catches near-dups the other misses), confirmed
+    * exactly by [[jaccardVerify]] at dd02's threshold. This is the shape
+    * that replaces dd02 once the corpus outgrows the broadcast tier:
+    * candidate generation is bucketed (linear-ish), verification is
+    * linear in the candidate stream, and nothing driver-resident exists.
+    * Output = dd02's exact all-pairs truth restricted to detector
+    * candidates (the restriction IS the scale trade, quantified by
+    * sim05-style recall in `DedupPropertySpec`'s subset property). */
+  val dd08CandidateJaccard: Q = Q(
+    "dd08_candidate_jaccard",
+    s"""WITH $lshPairsCte,
+       |${TextAnalysis.winnowMinimaCte},
+       |pieces AS (SELECT DISTINCT doc_id, mn AS piece FROM m
+       |           WHERE i <= n_h - 16),
+       |rare AS (SELECT piece FROM pieces
+       |         GROUP BY piece HAVING count(*) BETWEEN 2 AND 20),
+       |wpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pieces a JOIN rare r ON a.piece = r.piece
+       |  JOIN pieces b ON a.piece = b.piece AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |cand AS (SELECT doc_a, doc_b FROM lsh_pairs
+       |         UNION SELECT doc_a, doc_b FROM wpairs),
+       |nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shr AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.tok = a.tok
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b,
+       |  floor(CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared)
+       |    * 10000 + 0.5) / 10000 AS jaccard
+       |FROM shr s
+       |  JOIN nsh na ON na.doc_id = s.doc_a
+       |  JOIN nsh nb ON nb.doc_id = s.doc_b
+       |WHERE CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docsDf = docs(s, d)
+    val cand = lshPairs(s, d)
+      .union(winnowPairs(Tables.spread(s, docsDf, "doc_id"))
+        .select("doc_a", "doc_b"))
+      .distinct()
+    jaccardVerify(docsDf, cand).orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
-    dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs)
+    dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard)
 }
