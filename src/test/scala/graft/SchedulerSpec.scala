@@ -101,6 +101,31 @@ class SchedulerSpec extends AnyFunSuite {
     assert(log.entries.forall(_.error_number === Some(0)))
   }
 
+  test("scheduler_state_after_run and command_log match committed goldens") {
+    // the two real-run inspection views are deterministic (fixed clock,
+    // clean fixtures); gate them file-exactly like the dry-run so every
+    // rows-only scheduler surface is consciously versioned
+    val state = graft.scheduler.SchedulerQueries.schedulerStateAfterRun
+      .run(spark, SparkTestSession.sfDir).collect()
+      .map(r => s"${r.getString(0)}|${r.getLong(1)}|" +
+        s"${if (r.getBoolean(2)) "True" else "False"}|${r.getString(3)}|" +
+        r.getString(4))
+      .sorted
+    val goldenState = scala.io.Source
+      .fromResource("golden_scheduler_state.txt").getLines().toSeq
+      .filter(_.nonEmpty).sorted
+    assert(state.toSeq === goldenState)
+    val logRows = graft.scheduler.SchedulerQueries.schedulerCommandLog
+      .run(spark, SparkTestSession.sfDir).collect()
+      .map(r => s"${r.getString(0)}|${r.getString(1)}|" +
+        s"${r.get(2)}|${r.getString(3)}")
+      .sorted
+    val goldenLog = scala.io.Source
+      .fromResource("golden_command_log.txt").getLines().toSeq
+      .filter(_.nonEmpty).sorted
+    assert(logRows.toSeq === goldenLog)
+  }
+
   test("real run on clean fixtures: zero violations, stats recorded") {
     val statePath = tmp()
     val cfg = CheckConfig(databases = "testdb",
