@@ -99,6 +99,20 @@ object Main {
       // Agent jobs (ref ola/MaintenanceSolution.sql:7821 ff.); the lake
       // analog is a cron/Airflow entry. Echo ready-to-paste crontab lines
       // bound to THIS invocation's --db/--state/--log arguments.
+      // Only flags the echoed lines can CARRY are accepted: silently
+      // dropping a given --objects/--time-limit from the printed jobs
+      // would install a schedule that runs with different config than
+      // the invocation specified.
+      val allowed = Set("--print-schedule", "--db", "--state", "--log",
+        "--checkpoint")
+      val stray = seen.filterNot(allowed)
+      if (stray.nonEmpty) usage(
+        s"--print-schedule cannot carry ${stray.mkString(", ")} into the " +
+          "echoed jobs; configure those in the pasted line manually " +
+          "(accepted here: --db, --state, --log, --checkpoint)")
+      if (dbs.isEmpty)
+        usage("--print-schedule requires at least one --db (the echoed " +
+          "jobs must name the databases they check)")
       val dbArgs = dbs.toSeq.sortBy(_._1)
         .map { case (n, p) => s"--db $n=$p" }.mkString(" ")
       val logArg = logPath.fold("")(p => s" --log $p")

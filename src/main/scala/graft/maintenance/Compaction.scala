@@ -184,10 +184,19 @@ object Compaction {
       // row-count forensics exercise. Removed with the staging dir on
       // success.
       val manifest = new Path(tmp, s"manifest-$i.json")
+      // paths are operator data, not trusted JSON: escape them (a quote
+      // or backslash in a legal filename would otherwise corrupt the one
+      // artifact that exists for crash recovery)
+      def jstr(v: String): String = "\"" + v.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       val mout = fs.create(manifest, true)
       try mout.write(
-        (s"""{"merged": "$dest", "supersedes": [""" +
-          members.map(m => "\"" + m + "\"").mkString(", ") + "]}\n")
+        (s"""{"merged": ${jstr(dest.toString)}, "supersedes": [""" +
+          members.map(jstr).mkString(", ") + "]}\n")
           .getBytes("UTF-8"))
       finally mout.close()
       // land the merged file (unique name — cannot collide), then retire

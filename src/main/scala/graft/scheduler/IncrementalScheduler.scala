@@ -52,15 +52,25 @@ object IncrementalScheduler {
       inventory.objects(db).foreach { o =>
         val cmd = s"CHECKTABLE INCREMENTAL [$db].[${o.schema_name}]." +
           s"[${o.object_name}] WITH NO_INFOMSGS, DATA_PURITY"
+        // The per-batch tally lives OUTSIDE the retried action and is
+        // keyed by micro-batch id: a transient failure mid-stream makes
+        // the executor re-run the action, but the stream's checkpoint
+        // skips already-committed batches — an in-action counter would
+        // silently lose their violations on the retry. Keyed entries
+        // survive the retry (committed batches keep their first-attempt
+        // counts) and an at-least-once foreachBatch replay overwrites
+        // its own key instead of double-counting.
+        val perBatch =
+          new java.util.concurrent.ConcurrentHashMap[Long, Long]()
         val res = executor.run(db, o.schema_name, o.object_name,
           o.object_type, cmd, "DBCC_CHECKTABLE_INC") {
           val schema = spark.read.parquet(o.path).schema
-          val viol = new java.util.concurrent.atomic.AtomicLong(0L)
-          Streams.incrementalCheck(spark, o.path, schema,
-            batch => summarize(batch, viol),
+          Streams.incrementalCheckById(spark, o.path, schema,
+            (batch, id) => summarize(batch, id, perBatch),
             s"$checkpointRoot/$db/${o.object_name}/_checkpoint",
             s"$checkpointRoot/$db/${o.object_name}/summaries")
-          viol.get()
+          import scala.jdk.CollectionConverters._
+          perBatch.values().asScala.foldLeft(0L)(_ + _)
         }
         executed += cmd
         if (res.violations < 0L) errors += 1 else violations += res.violations
@@ -71,9 +81,12 @@ object IncrementalScheduler {
 
   /** One summary row per micro-batch: rows validated + entirely-null rows
     * (the violations). Collected once so the violation tally and the
-    * written summary come from the same pass over the batch. */
-  private def summarize(batch: DataFrame,
-      viol: java.util.concurrent.atomic.AtomicLong): DataFrame = {
+    * written summary come from the same pass over the batch; the tally is
+    * recorded under the batch id (replay-idempotent, retry-durable — see
+    * the caller). */
+  private def summarize(batch: DataFrame, batchId: Long,
+      perBatch: java.util.concurrent.ConcurrentHashMap[Long, Long])
+      : DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     val allNull = batch.schema.fieldNames
@@ -82,7 +95,7 @@ object IncrementalScheduler {
     val r = batch.agg(count(lit(1)).as("rows_checked"),
       sum(when(allNull, 1L).otherwise(0L)).as("null_rows")).first()
     val nullRows = if (r.isNullAt(1)) 0L else r.getLong(1)
-    viol.addAndGet(nullRows)
+    perBatch.put(batchId, nullRows)
     Seq((r.getLong(0), nullRows)).toDF("rows_checked", "null_rows")
   }
 }

@@ -49,9 +49,19 @@ final class StateStore(spark: SparkSession, path: String,
           s"age ${age} ms < ttl ${leaseTtlMs} ms). Two graft drivers " +
           "must not share a state path concurrently; if the other " +
           "driver is dead, the lease self-heals after the ttl")
+      // Break the stale lease by RENAME, not delete: rename is atomic on
+      // HDFS/local, so of two drivers healing the same dead lease exactly
+      // ONE wins the rename — the loser must NOT blind-delete (it could
+      // destroy the winner's fresh lock) and instead loses the race
+      // loudly. (On S3-class stores without atomic rename the lease is
+      // advisory; a conditional-PUT lock service is the real analog.)
+      val broken = new Path(path + s".lock.broken-$ownerId")
+      if (!fs.rename(lockPath, broken)) throw new IllegalStateException(
+        s"stale lease at $lockPath was claimed by another healing driver " +
+          "concurrently — retry after it finishes")
       System.err.println(
-        s"[state] breaking stale lease at $lockPath (age ${age} ms)")
-      fs.delete(lockPath, false)
+        s"[state] broke stale lease at $lockPath (age ${age} ms)")
+      fs.delete(broken, false)
     }
     try {
       // create(overwrite=false) is the atomic claim: exactly one of two
@@ -69,9 +79,22 @@ final class StateStore(spark: SparkSession, path: String,
     }
   }
 
+  /** Release ONLY a lease this instance owns: a delete without the owner
+    * check could destroy the fresh lock of a driver that broke our stale
+    * lease while we were suspended past the ttl. */
   private[graft] def releaseLease(): Unit = {
     val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(lockPath)) fs.delete(lockPath, false)
+    if (fs.exists(lockPath)) {
+      val mine = try {
+        val in = fs.open(lockPath)
+        try {
+          val buf = new Array[Byte](4096)
+          val n = math.max(in.read(buf), 0)
+          new String(buf, 0, n, "UTF-8").contains(ownerId)
+        } finally in.close()
+      } catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(lockPath, false)
+    }
   }
 
   def load(): Seq[CheckObject] = {

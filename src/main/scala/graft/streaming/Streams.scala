@@ -362,13 +362,25 @@ object Streams {
   def incrementalCheck(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType,
       checkFn: DataFrame => DataFrame,
+      checkpoint: String, outPath: String): Unit =
+    incrementalCheckById(spark, srcDir, schema, (b, _) => checkFn(b),
+      checkpoint, outPath)
+
+  /** Same, with the micro-batch id passed to `checkFn` — callers that
+    * accumulate per-batch results OUTSIDE the stream (e.g. a violations
+    * tally that must survive a mid-stream retry) key them by this id, so
+    * an at-least-once foreachBatch replay OVERWRITES its batch's entry
+    * instead of double-counting it. */
+  def incrementalCheckById(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkFn: (DataFrame, Long) => DataFrame,
       checkpoint: String, outPath: String): Unit = {
     val q = spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        checkFn(batch)
+        checkFn(batch, id)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$outPath/batch_id=$id")
         ()

@@ -47,24 +47,30 @@ object Tables {
     * repartition ALSO satisfies the next groupBy's distribution (one
     * shuffle where a naive plan runs two).
     *
-    * SELF-RETIRING on real lakes: when the frame's lineage already reads
-    * enough files to keep every core busy (≥ half the default
-    * parallelism — `inputFiles` is a metadata probe, no job runs), the
-    * repartition is skipped and the multi-file scan's natural splits are
-    * used as-is. The fixture workaround therefore costs nothing where it
-    * isn't needed, which `BASELINE.md` §multi-file quantifies.
+    * SELF-RETIRING on real lakes: when the frame already materializes in
+    * enough partitions to keep every core busy (≥ half the default
+    * parallelism — probed from the planned RDD, no job runs), the
+    * repartition is skipped. For a bare scan that is the file-split
+    * count (a 24-file table parallelizes itself); for a derived frame it
+    * is the real post-shuffle layout — NOT the leaf-file count, which
+    * says nothing about how a filtered/windowed frame is actually laid
+    * out. The fixture workaround therefore costs nothing where it isn't
+    * needed, which `BASELINE.md` §multi-file quantifies.
     * `SPARK_GRAFT_FORCE_SPREAD=always|never` overrides for A/B
     * benchmarking.
     *
     * Only worth it when per-row compute dominates: a plain sum/min scan is
-    * cheaper serial than shuffled. */
+    * cheaper serial than shuffled. Callers whose repartition is a
+    * DISTRIBUTION requirement (aligning a downstream agg so an exploded
+    * stream shuffles once, e.g. dd04) repartition explicitly instead of
+    * going through this. */
   def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val n = s.sparkContext.defaultParallelism
     sys.env.get("SPARK_GRAFT_FORCE_SPREAD") match {
       case Some("never")  => df
       case Some("always") => df.repartition(n, col(key))
       case _ =>
-        if (df.inputFiles.length >= n / 2) df
+        if (df.rdd.getNumPartitions >= n / 2) df
         else df.repartition(n, col(key))
     }
   }

@@ -126,6 +126,27 @@ class SchedulerSpec extends AnyFunSuite {
     assert(logRows.toSeq === goldenLog)
   }
 
+  test("incremental tier: entirely-null rows count as violations (8939)") {
+    import graft.scheduler.IncrementalScheduler
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-incv").toString
+    val dbDir = s"$base/db"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(1L, "a"), Row(null, null), Row(2L, "b")),
+        schema)
+      .write.parquet(s"$dbDir/t.parquet")
+    val log = new CommandLog(spark, None)
+    val r = IncrementalScheduler.run(spark,
+      new DirInventory(spark, Map("db" -> dbDir)), s"$base/cp", log,
+      new graft.model.ManualClock(Instant.parse("2026-01-01T00:00:00Z"),
+        tickMs = 10))
+    assert(r.violations === 1L)
+    assert(log.entries.head.error_number === Some(8939))
+  }
+
   test("real run on clean fixtures: zero violations, stats recorded") {
     val statePath = tmp()
     val cfg = CheckConfig(databases = "testdb",
