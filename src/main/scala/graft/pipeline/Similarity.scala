@@ -339,6 +339,99 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Corpus clustering by k-means over QUANTIZED embeddings (k = 8, three
+    * Lloyd iterations) — the curation primitive behind cluster-balanced
+    * sampling and semantic dedup of training corpora. Everything after
+    * sim06's int8 quantization is EXACT integer arithmetic: squared-L2
+    * distances are integer sums, the argmin breaks ties by cluster id
+    * (a total order), and the centroid update is round-half-up of the
+    * integer mean via one double division of exactly-representable
+    * integers — so the whole iterative algorithm is bit-reproducible and
+    * the oracle runs the SAME three unrolled iterations in SQL.
+    *
+    * Scale shape: the per-iteration work is one equi-join of the
+    * dim-exploded codes (n·dims rows, checkpointed once) against a
+    * k·dims centroid relation — n·dims·k comparison rows that reduce
+    * map-side into per-(vec, cluster) distance sums, then one window
+    * argmin and one groupBy centroid update, all on the same exchange
+    * keys. Iterations are plan-truncated with localCheckpoint, exactly
+    * like dd06's propagation loop. Init = the k lowest vec_ids
+    * (deterministic; k-means++ would add data-dependent randomness the
+    * oracle could not replay). */
+  val sim07KmeansClusters: Q = Q(
+    "sim07_kmeans_clusters", {
+      val iter = (i: Int) => {
+        val prev = s"c${i - 1}"
+        s"""d$i AS (
+           |  SELECT q.vec_id, c.cluster,
+           |    sum((q.q - c.c) * (q.q - c.c)) AS dist2
+           |  FROM q JOIN $prev c ON q.d = c.d GROUP BY 1, 2),
+           |a$i AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+           |    FROM d$i) WHERE rk = 1),
+           |c$i AS (
+           |  SELECT a.cluster, q.d,
+           |    CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*) + 0.5)
+           |      AS BIGINT) AS c
+           |  FROM q JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      }
+      s"""WITH q AS (
+         |  SELECT vec_id, d,
+         |    CAST(greatest(-127, least(127,
+         |      floor(CAST(embedding[d + 1] AS DOUBLE) * 64.0 + 0.5)))
+         |      AS BIGINT) AS q
+         |  FROM (SELECT vec_id, embedding,
+         |          unnest(range(len(embedding))) AS d FROM embeddings)),
+         |init AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+         |c0 AS (SELECT i.cluster, q.d, q.q AS c
+         |       FROM q JOIN init i USING (vec_id)),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT cluster, count(*) AS n_members, min(vec_id) AS exemplar
+         |FROM a3 GROUP BY cluster ORDER BY cluster""".stripMargin
+    }) { (s, d) =>
+    val k = 8
+    val n = s.sparkContext.defaultParallelism
+    // dim-exploded integer codes: reused by every iteration's distance
+    // join AND centroid update — one scan, one checkpoint
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        expr("CAST(greatest(-127L, least(127L, " +
+          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT)").as("q"))
+      .repartition(n, col("vec_id"))
+      .localCheckpoint()
+    val initIds = q.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy("vec_id")) - 1)
+    var centroids = q.join(broadcast(initIds), "vec_id")
+      .select(col("cluster"), col("d"), col("q").as("c"))
+      .localCheckpoint()
+    var assign: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 3) {
+      val dist = q.join(broadcast(centroids), "d")
+        .groupBy("vec_id", "cluster")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
+      assign = dist.withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
+        .filter(col("rk") === 1).select("vec_id", "cluster")
+      centroids = q.join(assign, "vec_id")
+        .groupBy("cluster", "d")
+        .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("c"))
+        .localCheckpoint()
+    }
+    assign.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), min("vec_id").as("exemplar"))
+      .orderBy("cluster")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
-    sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK)
+    sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
+    sim07KmeansClusters)
 }
