@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q
@@ -358,43 +358,47 @@ object Similarity {
     * like dd06's propagation loop. Init = the k lowest vec_ids
     * (deterministic; k-means++ would add data-dependent randomness the
     * oracle could not replay). */
-  val sim07KmeansClusters: Q = Q(
-    "sim07_kmeans_clusters", {
-      val iter = (i: Int) => {
-        val prev = s"c${i - 1}"
-        s"""d$i AS (
-           |  SELECT q.vec_id, c.cluster,
-           |    sum((q.q - c.c) * (q.q - c.c)) AS dist2
-           |  FROM q JOIN $prev c ON q.d = c.d GROUP BY 1, 2),
-           |a$i AS (
-           |  SELECT vec_id, cluster FROM (
-           |    SELECT vec_id, cluster, row_number() OVER (
-           |      PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
-           |    FROM d$i) WHERE rk = 1),
-           |c$i AS (
-           |  SELECT a.cluster, q.d,
-           |    CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*) + 0.5)
-           |      AS BIGINT) AS c
-           |  FROM q JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
-      }
-      s"""WITH q AS (
-         |  SELECT vec_id, d,
-         |    CAST(greatest(-127, least(127,
-         |      floor(CAST(embedding[d + 1] AS DOUBLE) * 64.0 + 0.5)))
-         |      AS BIGINT) AS q
-         |  FROM (SELECT vec_id, embedding,
-         |          unnest(range(len(embedding))) AS d FROM embeddings)),
-         |init AS (
-         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-         |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8)),
-         |c0 AS (SELECT i.cluster, q.d, q.q AS c
-         |       FROM q JOIN init i USING (vec_id)),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
-         |SELECT cluster, count(*) AS n_members, min(vec_id) AS exemplar
-         |FROM a3 GROUP BY cluster ORDER BY cluster""".stripMargin
-    }) { (s, d) =>
+  /** The k-means CTE chain (DuckDB dialect), exposing `a3(vec_id,
+    * cluster)` — shared by the sim07 oracle and the cluster-balanced
+    * sampling oracle (pipe12). */
+  private val kmeansCte: String = {
+    val iter = (i: Int) => {
+      val prev = s"c${i - 1}"
+      s"""d$i AS (
+         |  SELECT q.vec_id, c.cluster,
+         |    sum((q.q - c.c) * (q.q - c.c)) AS dist2
+         |  FROM q JOIN $prev c ON q.d = c.d GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+         |    FROM d$i) WHERE rk = 1),
+         |c$i AS (
+         |  SELECT a.cluster, q.d,
+         |    CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*) + 0.5)
+         |      AS BIGINT) AS c
+         |  FROM q JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    }
+    s"""q AS (
+       |  SELECT vec_id, d,
+       |    CAST(greatest(-127, least(127,
+       |      floor(CAST(embedding[d + 1] AS DOUBLE) * 64.0 + 0.5)))
+       |      AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(len(embedding))) AS d FROM embeddings)),
+       |init AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+       |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8)),
+       |c0 AS (SELECT i.cluster, q.d, q.q AS c
+       |       FROM q JOIN init i USING (vec_id)),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
+  /** The k-means assignment frame (vec_id, cluster) after 3 iterations —
+    * the Spark twin of `kmeansCte`'s `a3`, shared by sim07 and pipe12. */
+  private[pipeline] def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val n = s.sparkContext.defaultParallelism
     // dim-exploded integer codes: reused by every iteration's distance
@@ -411,8 +415,12 @@ object Similarity {
         row_number().over(Window.orderBy("vec_id")) - 1)
     var centroids = q.join(broadcast(initIds), "vec_id")
       .select(col("cluster"), col("d"), col("q").as("c"))
-      .localCheckpoint()
-    var assign: org.apache.spark.sql.DataFrame = null
+    var assign: DataFrame = null
+    // the whole 3-iteration chain stays LAZY — unlike dd06's convergence
+    // loop there is no per-round action, so the entire Lloyd recursion
+    // compiles into ONE job over the checkpointed code relation instead
+    // of paying a materialization (and its scheduling floor) per round;
+    // the centroid relations are k·dims rows and broadcast-hinted
     for (_ <- 1 to 3) {
       val dist = q.join(broadcast(centroids), "d")
         .groupBy("vec_id", "cluster")
@@ -424,14 +432,45 @@ object Similarity {
         .groupBy("cluster", "d")
         .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
           .cast("long").as("c"))
-        .localCheckpoint()
     }
-    assign.groupBy("cluster")
+    assign
+  }
+
+  val sim07KmeansClusters: Q = Q(
+    "sim07_kmeans_clusters",
+    s"""WITH $kmeansCte
+       |SELECT cluster, count(*) AS n_members, min(vec_id) AS exemplar
+       |FROM a3 GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+    kmeansAssign(s, d).groupBy("cluster")
       .agg(count(lit(1)).as("n_members"), min("vec_id").as("exemplar"))
       .orderBy("cluster")
   }
 
+  /** Cluster-BALANCED curation sample: up to 20 vectors per k-means
+    * cluster, picked by md5(vec_id) rank — a deterministic "random" draw
+    * both engines replay. This is the downstream half of sim07's
+    * curation story: a corpus whose clusters are sampled evenly instead
+    * of dominated by the biggest semantic blob. Per-cluster rank is one
+    * window on the assignment frame (k·20 rows out); at 100 TB the
+    * sample is the only thing that leaves the cluster. */
+  val pipe12ClusterSample: Q = Q(
+    "pipe12_cluster_sample",
+    s"""WITH $kmeansCte
+       |SELECT cluster, vec_id FROM (
+       |  SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM a3) WHERE rk <= 20
+       |ORDER BY cluster, vec_id""".stripMargin) { (s, d) =>
+    kmeansAssign(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .filter(col("rk") <= 20)
+      .select("cluster", "vec_id")
+      .orderBy("cluster", "vec_id")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
-    sim07KmeansClusters)
+    sim07KmeansClusters, pipe12ClusterSample)
 }
