@@ -793,7 +793,67 @@ object Dedup {
     jaccardVerify(docsDf, cand).orderBy("doc_a", "doc_b")
   }
 
+  /** SEMANTIC dedup for UNLABELED corpora: embedding-cosine near-dup
+    * pairs blocked by learned k-means clusters (sim07's assignment)
+    * instead of dd05's given label column — the published SemDeDup
+    * pattern (cluster the embedding space, compare only within a
+    * cluster). dd05 needs curated metadata; dd09 needs nothing but the
+    * vectors, which is the situation a web-scale training corpus is
+    * actually in.
+    *
+    * Scale shape: ONE equi-join on cluster id — pair work is Σ c_i²
+    * over cluster sizes, never corpus². At 100 TB k grows with the
+    * corpus (k ≈ n / target cluster size; here the fixture k=8) so
+    * cluster populations — and with them the per-bucket quadratic —
+    * stay bounded; the assignment frame is checkpointed once so the
+    * 3-iteration Lloyd chain does not replay per join side. The known
+    * trade (also SemDeDup's): a near-dup pair split across a cluster
+    * boundary is missed — recall against the exact dd05-style truth is
+    * the sim05-style evaluation, not a correctness bug. */
+  val dd09SemanticDedup: Q = Q(
+    "dd09_semantic_dedup",
+    s"""WITH ${Similarity.kmeansCte},
+       |pairs AS (
+       |  SELECT ca.cluster, ca.vec_id AS vec_a, cb.vec_id AS vec_b
+       |  FROM a3 ca JOIN a3 cb
+       |    ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id)
+       |SELECT p.cluster, p.vec_a, p.vec_b,
+       |  floor(list_dot_product(a.embedding, b.embedding) /
+       |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+       |     sqrt(list_dot_product(b.embedding, b.embedding)), 0)
+       |    * 10000 + 0.5) / 10000 AS cosine
+       |FROM pairs p
+       |  JOIN embeddings a ON a.vec_id = p.vec_a
+       |  JOIN embeddings b ON b.vec_id = p.vec_b
+       |WHERE list_dot_product(a.embedding, b.embedding) /
+       |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+       |     sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    import graft.functions.VectorOps
+    // one row per vector: (cluster, embedding, norm) — checkpointed so
+    // BOTH sides of the in-cluster self-join read the materialized
+    // assignment instead of re-running the Lloyd iterations
+    val assigned = Tables.embeddings(s, d)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .join(Similarity.kmeansAssign(s, d), "vec_id")
+      .localCheckpoint()
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        Similarity.cosineFromNorms(VectorOps.dot(col("ea"), col("eb")),
+          col("na"), col("nb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        graft.functions.StableRound.r4(col("cos")).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
-    dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard)
+    dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
+    dd09SemanticDedup)
 }

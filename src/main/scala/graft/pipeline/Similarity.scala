@@ -359,9 +359,9 @@ object Similarity {
     * (deterministic; k-means++ would add data-dependent randomness the
     * oracle could not replay). */
   /** The k-means CTE chain (DuckDB dialect), exposing `a3(vec_id,
-    * cluster)` — shared by the sim07 oracle and the cluster-balanced
-    * sampling oracle (pipe12). */
-  private val kmeansCte: String = {
+    * cluster)` — shared by the sim07 oracle, the cluster-balanced
+    * sampling oracle (pipe12) and the semantic-dedup oracle (dd09). */
+  private[pipeline] val kmeansCte: String = {
     val iter = (i: Int) => {
       val prev = s"c${i - 1}"
       s"""d$i AS (
@@ -397,7 +397,8 @@ object Similarity {
   }
 
   /** The k-means assignment frame (vec_id, cluster) after 3 iterations —
-    * the Spark twin of `kmeansCte`'s `a3`, shared by sim07 and pipe12. */
+    * the Spark twin of `kmeansCte`'s `a3`, shared by sim07, pipe12 and
+    * the semantic-dedup blocker (dd09). */
   private[pipeline] def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val n = s.sparkContext.defaultParallelism
