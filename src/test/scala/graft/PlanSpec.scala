@@ -161,6 +161,20 @@ class PlanSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p).size === 0)
   }
 
+  test("dd09: semantic-dedup pairs come from the cluster equi-join, never a cartesian") {
+    val p = planOf("dd09_semantic_dedup")
+    // multi-probe blocking: candidates meet in an equi-join keyed by
+    // cluster id — the pair space is never enumerated
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the probe frame (Lloyd chain included) is materialized once
+    // (localCheckpoint); both self-join sides read it back instead of
+    // re-running the 3-iteration k-means
+    assert("embeddings\\.parquet".r.findAllIn(p).size === 0)
+    // per-pair scoring stays on the codegen'd kernel
+    assert(p.contains("float_dot"))
+  }
+
   test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
     val p = planOf("tx07_winnow_fingerprint")
     assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
