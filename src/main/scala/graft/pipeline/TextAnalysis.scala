@@ -578,8 +578,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Character-bigram Shannon entropy per document — the information-
+    * density quality signal: templated/repetitive text (keyboard mash,
+    * boilerplate, base64 runs have distinctive values too) sits well
+    * below natural prose, and "low character entropy" is a standard
+    * corpus-filter feature alongside tx02's ratio rules and tx05's
+    * bigram repetition. H = log2(n) − Σ c·log2(c) / n over per-doc
+    * bigram counts (the numerically-stable rearrangement of
+    * −Σ p·log2 p: counts stay integers until one final division).
+    *
+    * Scale shape: explode → count per (doc, bigram) → fold per doc.
+    * Two map-side-combining aggregations; the per-row lambda
+    * alternative (array_distinct + a filter per distinct bigram) is
+    * quadratic in document length, so the relational form is the one
+    * that survives long documents. Flag threshold 5.5 bits ≈ the
+    * bottom 5% of the fixture distribution (observed 4.6-6.6). */
+  val tx12CharEntropy: Q = Q(
+    "tx12_char_entropy",
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+      |    i -> substr(text, i, 2))) AS b
+      |  FROM documents WHERE length(text) >= 2),
+      |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000 + 0.5)
+      |    / 10000 AS entropy,
+      |  (log2(sum(c)) - sum(c * log2(c)) / sum(c)) < 5.5 AS flagged
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val h = log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c")
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+      )).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        StableRound.r4(h).as("entropy"), (h < 5.5).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
-    tx11TokenCommonness)
+    tx11TokenCommonness, tx12CharEntropy)
 }

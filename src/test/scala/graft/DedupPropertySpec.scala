@@ -123,6 +123,35 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dd09: multi-probe emission is exactly-once and within the exact truth") {
+    // the oracle REPLAYS the first-match-wins logic, so a suppression bug
+    // that double-emits pairs sharing both probes would pass the hash gate
+    // in both engines — this asserts uniqueness independently, against
+    // driver-computed truth
+    val rows = Dedup.dd09SemanticDedup.run(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ids = rows.map(p => (p._1, p._2)).toSeq
+    assert(ids.distinct.length === ids.length,
+      "a pair sharing both probes was emitted more than once")
+    // every emitted pair must satisfy the threshold under an independent
+    // driver-side cosine (1e-9 tolerance for accumulation-order ulps)
+    val vecs = graft.tables.Tables.embeddings(spark, SparkTestSession.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(rows.forall { case (a, b, _) =>
+      cos(vecs(a), vecs(b)) >= 0.35 - 1e-9 })
+  }
+
   test("dd02: the broadcast-tier guard refuses an over-budget corpus loudly") {
     // a 1 KiB budget is below any real corpus — the probe must throw
     // BEFORE collecting anything, and the message must name the scale path
