@@ -853,6 +853,13 @@ object Dedup {
        |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
        |     sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    semanticPairs(s, d).orderBy("vec_a", "vec_b")
+  }
+
+  /** The dd09 pair relation (cluster, vec_a < vec_b, cosine), un-ordered
+    * — shared by dd09, its recall gate (dd10) and the end-to-end prune
+    * (pipe13). See [[dd09SemanticDedup]] for the multi-probe design. */
+  private[pipeline] def semanticPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorOps
     // probes pivoted wide — (vec_id, c1, c2): the window and the pivot
     // groupBy ride the same hash partitioning on vec_id
@@ -894,7 +901,6 @@ object Dedup {
       .filter(col("cos") >= 0.35)
       .select(col("cluster"), col("vec_a"), col("vec_b"),
         graft.functions.StableRound.r4(col("cos")).as("cosine"))
-      .orderBy("vec_a", "vec_b")
   }
 
   /** The quality gate for dd09's cluster-blocking trade (sim05's role for
@@ -952,8 +958,61 @@ object Dedup {
     }
   }
 
+  /** Semantic dedup taken to its OPERATIONAL conclusion (what SemDeDup
+    * actually ships): dd09's pair graph → connected components (dd06's
+    * size-adaptive primitive — pairwise keep-min is wrong for chains) →
+    * keep one representative per component — reported as the one-row
+    * corpus datasheet (n_vectors, n_dup_pairs, n_clusters, n_pruned,
+    * n_kept). All counts integer-exact; the oracle replays the closure
+    * as a recursive CTE over the same pair SQL.
+    *
+    * Scale shape: pairs are bucket-bounded (dd09), the component pass
+    * is O(edges) with the driver/distributed switch, and the three
+    * one-row stat frames meet in trivial broadcast joins — nothing here
+    * outgrows the pair stream. */
+  val pipe13SemanticPrune: Q = {
+    val dd09Sql = dd09SemanticDedup.oracle.get
+    val cut = dd09Sql.lastIndexOf("ORDER BY")
+    require(cut >= 0, "dd09 oracle lost its trailing ORDER BY")
+    val found = dd09Sql.substring(0, cut)
+    Q(
+      "pipe13_semantic_prune",
+      s"""WITH RECURSIVE found AS (SELECT vec_a, vec_b FROM ($found)),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM found
+         |          UNION SELECT vec_b, vec_a FROM found),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE e.dst <> r.src),
+         |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |         FROM reach GROUP BY src)
+         |SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+         |  (SELECT count(*) FROM found) AS n_dup_pairs,
+         |  count(DISTINCT cluster_id) AS n_clusters,
+         |  count(*) - count(DISTINCT cluster_id) AS n_pruned,
+         |  (SELECT count(*) FROM embeddings)
+         |    - (count(*) - count(DISTINCT cluster_id)) AS n_kept
+         |FROM comp""".stripMargin) { (s, d) =>
+      // one materialization serves the pair count AND the component pass
+      val pairs = semanticPairs(s, d).select("vec_a", "vec_b")
+        .localCheckpoint()
+      val comp = connectedComponents(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      val compStats = comp.agg(count(lit(1)).as("n_matched"),
+        countDistinct("cluster_id").as("n_clusters"))
+      val nVec = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
+      val nPairs = pairs.agg(count(lit(1)).as("n_dup_pairs"))
+      nVec.crossJoin(nPairs).crossJoin(compStats)
+        .select(col("n_vectors"), col("n_dup_pairs"), col("n_clusters"),
+          (col("n_matched") - col("n_clusters")).as("n_pruned"),
+          (col("n_vectors") - (col("n_matched") - col("n_clusters")))
+            .as("n_kept"))
+    }
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
-    dd09SemanticDedup, dd10SemdedupRecall)
+    dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune)
 }
