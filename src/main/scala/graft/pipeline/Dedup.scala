@@ -871,12 +871,17 @@ object Dedup {
     // carried for the first-match-wins suppression — checkpointed so
     // BOTH sides of the self-join read the materialized probe frame
     // instead of re-running the Lloyd iterations
-    val assigned = Tables.embeddings(s, d)
+    // checkpoint BEFORE the probe stack: the materialized frame is one
+    // row per VECTOR (the embedding array is the dominant payload);
+    // stacking first would store every embedding twice. The stack is a
+    // cheap generator each join side re-applies to the checkpointed rows.
+    val perVec = Tables.embeddings(s, d)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .join(pm, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c1"),
-        col("c2"), expr("stack(2, 1, c1, 2, c2) AS (pr, cluster)"))
       .localCheckpoint()
+    val assigned = perVec.select(col("vec_id"), col("embedding"),
+      col("nrm"), col("c1"), col("c2"),
+      expr("stack(2, 1, c1, 2, c2) AS (pr, cluster)"))
     val a = assigned.select(col("cluster"), col("pr").as("pra"),
       col("c1").as("c1a"), col("c2").as("c2a"),
       col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -913,49 +918,55 @@ object Dedup {
     * instead. Found ⊆ truth by construction (same unrounded threshold),
     * so recall = n_found / n_true; the left join computes it honestly
     * rather than assuming the subset property. */
-  val dd10SemdedupRecall: Q = {
-    // reuse dd09's oracle verbatim as the found-pair subquery; fail
-    // LOUDLY if its shape drifts (sim05's text-surgery discipline)
-    val dd09Sql = dd09SemanticDedup.oracle.get
-    val cut = dd09Sql.lastIndexOf("ORDER BY")
+  /** dd09's oracle with the trailing presentation ORDER BY stripped, for
+    * nesting as a found-pair subquery (sim05's text-surgery discipline:
+    * fail LOUDLY if the source shape drifts). Shared by dd10 and pipe13
+    * so the two consumers cannot diverge. */
+  private lazy val dd09CoreSql: String = {
+    val sql = dd09SemanticDedup.oracle.get
+    val cut = sql.lastIndexOf("ORDER BY")
     require(cut >= 0, "dd09 oracle lost its trailing ORDER BY")
-    val found = dd09Sql.substring(0, cut)
-    Q(
-      "dd10_semdedup_recall",
-      s"""WITH truth AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.embedding, b.embedding) /
-         |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-         |       sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35),
-         |found AS (SELECT vec_a, vec_b FROM ($found))
-         |SELECT count(*) AS n_true, count(f.vec_a) AS n_found,
-         |  floor(CAST(count(f.vec_a) AS DOUBLE) / count(*) * 10000 + 0.5)
-         |    / 10000 AS recall
-         |FROM truth t LEFT JOIN found f
-         |  ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b""".stripMargin) { (s, d) =>
-      import graft.functions.VectorOps
-      val e = Tables.embeddings(s, d)
-        .withColumn("nrm", VectorOps.norm(col("embedding")))
-      val a = e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      // fixture-scale brute force: broadcast one corpus copy, stream the
-      // other (sim01's probe shape) — the full pair space never shuffles
-      val truth = broadcast(a).crossJoin(b)
-        .filter(col("vec_a") < col("vec_b"))
-        .filter(Similarity.cosineFromNorms(
-          VectorOps.dot(col("ea"), col("eb")),
-          col("na"), col("nb")) >= 0.35)
-        .select("vec_a", "vec_b")
-      val found = dd09SemanticDedup.run(s, d)
-        .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
-      truth.join(found, Seq("vec_a", "vec_b"), "left")
-        .agg(count(lit(1)).as("n_true"), count("hit").as("n_found"),
-          graft.functions.StableRound.r4(
-            count("hit").cast("double") / count(lit(1))).as("recall"))
-    }
+    sql.substring(0, cut)
+  }
+
+  val dd10SemdedupRecall: Q = Q(
+    "dd10_semdedup_recall",
+    s"""WITH truth AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.embedding, b.embedding) /
+       |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+       |       sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35),
+       |found AS (SELECT vec_a, vec_b FROM ($dd09CoreSql))
+       |SELECT count(*) AS n_true, count(f.vec_a) AS n_found,
+       |  floor(CAST(count(f.vec_a) AS DOUBLE)
+       |    / nullif(count(*), 0) * 10000 + 0.5) / 10000 AS recall
+       |FROM truth t LEFT JOIN found f
+       |  ON t.vec_a = f.vec_a AND t.vec_b = f.vec_b""".stripMargin) { (s, d) =>
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    // fixture-scale brute force: broadcast one corpus copy, stream the
+    // other (sim01's probe shape) — the full pair space never shuffles
+    val truth = broadcast(a).crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(Similarity.cosineFromNorms(
+        VectorOps.dot(col("ea"), col("eb")),
+        col("na"), col("nb")) >= 0.35)
+      .select("vec_a", "vec_b")
+    val found = semanticPairs(s, d)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
+    truth.join(found, Seq("vec_a", "vec_b"), "left")
+      // nullif: an empty truth set (no pair reaches the threshold — the
+      // normal case on a clean sample) must yield NULL recall on both
+      // engines, not an ANSI DIVIDE_BY_ZERO crash
+      .agg(count(lit(1)).as("n_true"), count("hit").as("n_found"),
+        graft.functions.StableRound.r4(count("hit").cast("double") /
+          nullif(count(lit(1)).cast("double"), lit(0.0))).as("recall"))
   }
 
   /** Semantic dedup taken to its OPERATIONAL conclusion (what SemDeDup
@@ -970,14 +981,9 @@ object Dedup {
     * is O(edges) with the driver/distributed switch, and the three
     * one-row stat frames meet in trivial broadcast joins — nothing here
     * outgrows the pair stream. */
-  val pipe13SemanticPrune: Q = {
-    val dd09Sql = dd09SemanticDedup.oracle.get
-    val cut = dd09Sql.lastIndexOf("ORDER BY")
-    require(cut >= 0, "dd09 oracle lost its trailing ORDER BY")
-    val found = dd09Sql.substring(0, cut)
-    Q(
+  val pipe13SemanticPrune: Q = Q(
       "pipe13_semantic_prune",
-      s"""WITH RECURSIVE found AS (SELECT vec_a, vec_b FROM ($found)),
+      s"""WITH RECURSIVE found AS (SELECT vec_a, vec_b FROM ($dd09CoreSql)),
          |edges AS (SELECT vec_a AS src, vec_b AS dst FROM found
          |          UNION SELECT vec_b, vec_a FROM found),
          |reach(src, dst) AS (
@@ -1009,7 +1015,6 @@ object Dedup {
           (col("n_vectors") - (col("n_matched") - col("n_clusters")))
             .as("n_kept"))
     }
-  }
 
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,

@@ -299,12 +299,20 @@ object Similarity {
     * (at real scale: write the codes column once, scan it instead of the
     * floats); search is sim01's broadcast-probe cross join over the 4×
     * denser corpus. */
+  /** The ONE spelling of the int8 affine code `clamp(floor(x·64 + 0.5),
+    * ±127)` — engine-portable SQL shared by sim06 (both sides), the
+    * k-means CTE and the probe frame, so a scale tweak cannot drift one
+    * copy from the others and silently break the integer-exactness
+    * contract. Call sites add their own outer CAST (BIGINT for integer
+    * arithmetic, FLOAT to feed the FloatDot kernel). */
+  private def quantCode(x: String): String =
+    s"greatest(-127, least(127, floor(CAST($x AS DOUBLE) * 64.0 + 0.5)))"
+
   val sim06QuantizedTopK: Q = Q(
     "sim06_quantized_topk",
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT vec_id, list_transform(embedding,
-      |    x -> CAST(greatest(-127, least(127,
-      |           floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS cd
+      |    x -> CAST(${quantCode("x")} AS BIGINT)) AS cd
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, cd AS qcd FROM c WHERE vec_id < 10),
       |scored AS (
@@ -321,8 +329,8 @@ object Similarity {
     // floor(double) is BIGINT in Spark (DOUBLE in DuckDB) — numerically
     // identical here; both sides clamp then hold the code as an exact
     // small integer.
-    val codes = expr("transform(embedding, x -> CAST(greatest(-127L, " +
-      "least(127L, floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS FLOAT))")
+    val codes = expr(
+      s"""transform(embedding, x -> CAST(${quantCode("x")} AS FLOAT))""")
     val c = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), codes.as("cd"))
     val q = broadcast(c.filter(col("vec_id") < 10)
@@ -354,36 +362,42 @@ object Similarity {
     * k·dims centroid relation — n·dims·k comparison rows that reduce
     * map-side into per-(vec, cluster) distance sums, then one window
     * argmin and one groupBy centroid update, all on the same exchange
-    * keys. Iterations are plan-truncated with localCheckpoint, exactly
-    * like dd06's propagation loop. Init = the k lowest vec_ids
+    * keys. The 3-iteration chain stays LAZY — no per-round action, so
+    * the whole Lloyd recursion compiles into ONE job over the one
+    * checkpointed code relation (unlike dd06's convergence loop, which
+    * must count per round). Init = the k lowest vec_ids
     * (deterministic; k-means++ would add data-dependent randomness the
     * oracle could not replay). */
   /** The k-means CTE chain (DuckDB dialect), exposing `a3(vec_id,
     * cluster)` — shared by the sim07 oracle, the cluster-balanced
     * sampling oracle (pipe12) and the semantic-dedup oracle (dd09). */
   private[pipeline] val kmeansCte: String = {
+    // round i ranks against round i-1's centroids; the LAST round needs
+    // only the distance frame + assignment (a centroid update after the
+    // final assignment would be dead weight in both engines)
     val iter = (i: Int) => {
       val prev = s"c${i - 1}"
-      s"""d$i AS (
-         |  SELECT q.vec_id, c.cluster,
-         |    sum((q.q - c.c) * (q.q - c.c)) AS dist2
-         |  FROM q JOIN $prev c ON q.d = c.d GROUP BY 1, 2),
-         |a$i AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT vec_id, cluster, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
-         |    FROM d$i) WHERE rk = 1),
-         |c$i AS (
-         |  SELECT a.cluster, q.d,
-         |    CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*) + 0.5)
-         |      AS BIGINT) AS c
-         |  FROM q JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+      val rank =
+        s"""d$i AS (
+           |  SELECT q.vec_id, c.cluster,
+           |    sum((q.q - c.c) * (q.q - c.c)) AS dist2
+           |  FROM q JOIN $prev c ON q.d = c.d GROUP BY 1, 2),
+           |a$i AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+           |    FROM d$i) WHERE rk = 1)""".stripMargin
+      if (i >= 3) rank else rank +
+        s""",
+           |c$i AS (
+           |  SELECT a.cluster, q.d,
+           |    CAST(floor(CAST(sum(q.q) AS DOUBLE) / count(*) + 0.5)
+           |      AS BIGINT) AS c
+           |  FROM q JOIN a$i a USING (vec_id) GROUP BY 1, 2)""".stripMargin
     }
     s"""q AS (
        |  SELECT vec_id, d,
-       |    CAST(greatest(-127, least(127,
-       |      floor(CAST(embedding[d + 1] AS DOUBLE) * 64.0 + 0.5)))
-       |      AS BIGINT) AS q
+       |    CAST(${quantCode("embedding[d + 1]")} AS BIGINT) AS q
        |  FROM (SELECT vec_id, embedding,
        |          unnest(range(len(embedding))) AS d FROM embeddings)),
        |init AS (
@@ -410,8 +424,7 @@ object Similarity {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
-        expr("CAST(greatest(-127L, least(127L, " +
-          "floor(CAST(x AS DOUBLE) * 64.0D + 0.5D))) AS BIGINT)").as("q"))
+        expr(s"""CAST(${quantCode("x")} AS BIGINT)""").as("q"))
       .repartition(n, col("vec_id"))
       .localCheckpoint()
     val initIds = q.select("vec_id").distinct().orderBy("vec_id").limit(k)
@@ -425,17 +438,21 @@ object Similarity {
     // compiles into ONE job over the checkpointed code relation instead
     // of paying a materialization (and its scheduling floor) per round;
     // the centroid relations are k·dims rows and broadcast-hinted
-    for (_ <- 1 to 3) {
+    for (i <- 1 to 3) {
       dist = q.join(broadcast(centroids), "d")
         .groupBy("vec_id", "cluster")
         .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
-      val assign = dist.withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
-        .filter(col("rk") === 1).select("vec_id", "cluster")
-      centroids = q.join(assign, "vec_id")
-        .groupBy("cluster", "d")
-        .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
-          .cast("long").as("c"))
+      // the final round only RANKS (probes come from its distance frame);
+      // a centroid update after the last assignment would be dead code
+      if (i < 3) {
+        val assign = dist.withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
+          .filter(col("rk") === 1).select("vec_id", "cluster")
+        centroids = q.join(assign, "vec_id")
+          .groupBy("cluster", "d")
+          .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("c"))
+      }
     }
     dist.withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
