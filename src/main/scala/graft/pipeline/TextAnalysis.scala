@@ -588,11 +588,15 @@ object TextAnalysis {
     * −Σ p·log2 p: counts stay integers until one final division).
     *
     * Scale shape: explode → count per (doc, bigram) → fold per doc.
-    * Two map-side-combining aggregations; the per-row lambda
-    * alternative (array_distinct + a filter per distinct bigram) is
-    * quadratic in document length, so the relational form is the one
-    * that survives long documents. Flag threshold 5.5 bits ≈ the
-    * bottom 5% of the fixture distribution (observed 4.6-6.6). */
+    * The NARROW doc rows are hash-partitioned on doc_id BEFORE the
+    * explode (dd04's distribution trick): HashPartitioning(doc_id)
+    * satisfies the clustered distribution of BOTH downstream groupBys
+    * (partial-key subset), so the 100×-wider bigram stream never
+    * crosses the wire — one exchange of the cheap side total. The
+    * per-row lambda alternative (array_distinct + a filter per distinct
+    * bigram) is quadratic in document length, so the relational form is
+    * the one that survives long documents. Flag threshold 5.5 bits ≈
+    * the bottom 5% of the fixture distribution (observed 4.6-6.6). */
   val tx12CharEntropy: Q = Q(
     "tx12_char_entropy",
     """WITH bg AS (
@@ -609,6 +613,7 @@ object TextAnalysis {
     val h = log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c")
     Tables.documents(s, d)
       .filter(length(col("text")) >= 2)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
       )).as("b"))

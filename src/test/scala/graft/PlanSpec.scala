@@ -175,6 +175,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("float_dot"))
   }
 
+  test("tx12: both entropy aggregations ride ONE narrow-side exchange") {
+    val p = planOf("tx12_char_entropy")
+    // the doc rows are hash-partitioned on doc_id BEFORE the explode;
+    // HashPartitioning(doc_id) satisfies both groupBys' distributions
+    // (partial-key subset), so the 100×-wider bigram stream never
+    // shuffles — the only other exchange is the presentation sort's
+    // range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("sim08: PQ search is equi-join only; the query LUT broadcasts") {
+    val p = planOf("sim08_pq_topk")
+    // the pair space is never enumerated — candidates meet on the
+    // (sub, cluster) key, and the ≤|q|·m·k-row LUT ships broadcast
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
     val p = planOf("tx07_winnow_fingerprint")
     assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
