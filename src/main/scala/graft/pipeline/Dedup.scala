@@ -1016,8 +1016,67 @@ object Dedup {
             .as("n_kept"))
     }
 
+  /** Per-document duplication PROFILE: the fraction of a doc's distinct
+    * 5-token shingles that occur in any OTHER copy of the corpus (shingle
+    * document-frequency ≥ 2) — the "duplication ratio" corpus-card
+    * measurement (RefinedWeb/Gopher report exactly this per source) that
+    * complements the pair-finding tier: dd01-dd09 decide WHICH docs to
+    * drop; dd11 measures HOW duplicated each survivor still is, so a
+    * curation run can gate sources on contamination instead of guessing.
+    *
+    * Integer-exact end to end: distinct-shingle and duplicated-shingle
+    * counts are integers, the ratio is one final division, and the 0.5
+    * flag threshold compares the exact ratio — no float drift possible.
+    *
+    * Scale shape (tx11's discipline — window, not a count self-join): the
+    * per-doc distinct collapse is MAP-SIDE (`array_distinct` on the
+    * in-row shingle array — no shuffle of raw shingle instances); the
+    * document frequency is a window count riding ONE exchange on the
+    * shingle key, so the corpus is scanned once and no join re-ships it;
+    * only the per-doc rollup re-keys. Zipf-skewed boilerplate shingles
+    * are the known hazard at 100 TB; q22's salting is the escalation if
+    * one shingle dominates a partition. */
+  val dd11DupProfile: Q = Q(
+    "dd11_dup_profile",
+    """WITH toks AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |       FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(l) - 3),
+      |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+      |              l[i+3] || ' ' || l[i+4]))) AS sh
+      |       FROM toks WHERE len(l) >= 5),
+      |wdf AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df
+      |        FROM sh)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
+      |    * 10000 + 0.5) / 10000 AS dup_ratio,
+      |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5
+      |    AS flagged
+      |FROM wdf GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val dup = sum(when(col("df") >= 2, 1).otherwise(0))
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+      .filter(size(col("l")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(l) - 5)," +
+          " i -> array_join(slice(l, i + 1, 5), ' '))"))).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        dup.cast("long").as("n_dup"),
+        StableRound.r4(dup * lit(1.0) / count(lit(1))).as("dup_ratio"),
+        (dup * lit(1.0) / count(lit(1)) >= 0.5).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
-    dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune)
+    dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune,
+    dd11DupProfile)
 }

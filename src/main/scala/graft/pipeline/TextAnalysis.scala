@@ -624,8 +624,71 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-trained bigram language-model score per document — the
+    * CCNet-style perplexity proxy without an external LM: train MLE
+    * bigram counts on the corpus itself, then score each doc by its mean
+    * log2 P(v|u) = log2 C(u,v) − log2 C(u,·). Docs whose token
+    * transitions are rare corpus-wide (shuffled text, gibberish,
+    * off-distribution boilerplate) score low; fluent in-distribution
+    * text scores high. No smoothing is needed: every scored bigram is in
+    * the training counts by construction (C(u,v) ≥ 1).
+    *
+    * Counts stay integers until the per-bigram log (tx12's discipline);
+    * the flag compares the ROUNDED mean so both engines decide it on the
+    * identical r4 double. Threshold −5.0 ≈ the bottom 2% of the fixture
+    * distribution (observed −5.26..−4.70).
+    *
+    * Scale shape (tx11's window discipline, twice over): both training
+    * counts are WINDOW counts over the one exploded bigram stream —
+    * C(u,·) partitioned by the context u, C(u,v) partitioned by (u, b).
+    * Ordering the windows context-first lets the second ride the first's
+    * exchange (HashPartitioning(u) satisfies the (u, b) clustering — the
+    * tx12 subset trick applied to windows), so the corpus is scanned
+    * once, never joined, and crosses the wire exactly twice: once keyed
+    * by context, once for the per-doc rollup. The Zipfian mega-context
+    * ("the …") is the known skew hazard; q22's salting is the
+    * escalation if one context dominates a partition. */
+  val tx13BigramLm: Q = Q(
+    "tx13_bigram_lm",
+    """WITH toks AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |       FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |         i -> l[i] || ' ' || l[i+1])) AS b
+      |       FROM toks WHERE len(l) >= 2),
+      |wc AS (SELECT doc_id,
+      |         log2(CAST(count(*) OVER (PARTITION BY b) AS DOUBLE)) -
+      |         log2(CAST(count(*) OVER (PARTITION BY string_split(b, ' ')[1])
+      |           AS DOUBLE)) AS lp
+      |       FROM bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  floor(sum(lp) / count(*) * 10000 + 0.5) / 10000 AS avg_logprob,
+      |  floor(sum(lp) / count(*) * 10000 + 0.5) / 10000 < -5.0
+      |    AS flagged
+      |FROM wc GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    // positional bigrams (NOT distinct — every transition instance counts
+    // for both training and scoring); context column u first, so both
+    // window counts ride the u exchange
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(Dedup.bigramShingles).as("b"))
+      .withColumn("u", split(col("b"), " ")(0))
+    val lp =
+      log2(count(lit(1)).over(Window.partitionBy("u", "b")).cast("double")) -
+        log2(count(lit(1)).over(Window.partitionBy("u")).cast("double"))
+    val alp = StableRound.r4(sum("lp") / count(lit(1)))
+    bg.withColumn("lp", lp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        alp.as("avg_logprob"), (alp < -5.0).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
-    tx11TokenCommonness, tx12CharEntropy)
+    tx11TokenCommonness, tx12CharEntropy, tx13BigramLm)
 }

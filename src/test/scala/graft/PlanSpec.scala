@@ -194,6 +194,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("dd11: document frequency is a window riding one shingle exchange") {
+    val p = planOf("dd11_dup_profile")
+    // tx11's discipline: df is a window count, not a count self-join —
+    // the corpus is scanned once and the only hash exchanges are the
+    // shingle window and the per-doc rollup
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+  }
+
+  test("tx13: both LM window counts ride ONE context exchange") {
+    val p = planOf("tx13_bigram_lm")
+    // the (u, b) window's clustering is satisfied by the u window's
+    // HashPartitioning(u) (the tx12 subset trick applied to windows), so
+    // the bigram stream crosses the wire only at the context exchange
+    // and the per-doc rollup — one corpus scan, no joins
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+  }
+
   test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
     val p = planOf("tx07_winnow_fingerprint")
     assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
