@@ -499,32 +499,15 @@ object Similarity {
       .orderBy("cluster", "vec_id")
   }
 
-  /** Product-quantization ANN (PQ-ADC): the codebook-compression tier
-    * that completes the index family (sim02 IVF prunes the corpus, sim04
-    * LSH buckets it, sim06 SQ8 shrinks scalars 4× — PQ shrinks VECTORS to
-    * m codebook ids: 8 bytes here vs 256, a 32× smaller scan). Train: the
-    * 64-dim code space splits into m=8 subspaces of 8 dims; each gets a
-    * k=16 Lloyd codebook (3 iterations) over the int8 codes — the same
-    * integer-exact recurrence as sim07, keyed by (sub, cluster), so the
-    * whole train+encode+search pipeline is bit-reproducible and the
-    * oracle replays it unrolled. Search: asymmetric distance — the
-    * query's exact per-(sub, cluster) distance table IS the final
-    * iteration's distance frame; broadcast the ≤ |q|·m·k-row LUT against
-    * the m-codes-per-vector corpus, sum per (query, neighbor).
-    *
-    * Scale shape: training joins ride (sub, d)/(vec_id, sub) keys over
-    * the one checkpointed code relation; search is the PQ promise — a
-    * broadcast LUT joined to a corpus of 8-byte code rows, one map-side-
-    * combining sum per pair, top-k via window. Nothing driver-resident,
-    * no float anywhere after quantization.
-    *
-    * Honesty note (dd10's discipline): recall@5 vs the exact L2 truth is
-    * 0.24 at sf0.1 — the fixture's embeddings are near-random, PQ's
-    * worst case (no subspace manifold to exploit; k=32/64 codebooks were
-    * measured no better). The operator demonstrates the index shape; on
-    * real embedding manifolds PQ recall is far higher, and the
-    * sim05-style eval is how a deployment would gate it. */
-  val sim08PqTopK: Q = {
+  /** The PQ codebook-training CTE chain (DuckDB dialect): m=8 subspaces ×
+    * k=16 Lloyd codebooks over the int8 codes, 3 unrolled iterations —
+    * exposes `pq` (dim-exploded codes), `pa3` (the per-(vec, sub) code
+    * assignment) and `pd3` (the final per-(vec, sub, cluster) distance
+    * frame, which doubles as the queries' exact ADC lookup table).
+    * Shared by sim08 (flat PQ-ADC scan) and sim09 (IVF-PQ); every CTE
+    * name is pq-prefixed so the chain composes with `kmeansCte` in a
+    * single WITH clause without collisions. */
+  private[pipeline] val pqCte: String = {
     val iter = (i: Int) => {
       val prev = s"pc${i - 1}"
       val rank =
@@ -548,21 +531,93 @@ object Similarity {
            |    ON q.vec_id = a.vec_id AND q.sub = a.sub
            |  GROUP BY 1, 2, 3)""".stripMargin
     }
-    Q(
+    s"""pq AS (
+       |  SELECT vec_id, d // 8 AS sub, d,
+       |    CAST(${quantCode("embedding[d + 1]")} AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(len(embedding))) AS d FROM embeddings)),
+       |pqinit AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+       |  FROM (SELECT DISTINCT vec_id FROM pq ORDER BY vec_id LIMIT 16)),
+       |pc0 AS (SELECT q.sub, i.cluster, q.d, q.q AS c
+       |        FROM pq q JOIN pqinit i USING (vec_id)),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
+  /** PQ training, Spark side: the final-iteration distance frame
+    * (vec_id, sub, cluster, dist2), localCheckpoint'ed — the corpus code
+    * assignment (per-(vec, sub) argmin) and the query ADC lookup tables
+    * both derive from it, so every consumer shares ONE training run.
+    * Twin of `pqCte`'s `pd3`. */
+  private[pipeline] def pqDistFrame(s: SparkSession, d: String): DataFrame = {
+    val n = s.sparkContext.defaultParallelism
+    val pq = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), expr("d DIV 8").as("sub"), col("d"),
+        expr(s"""CAST(${quantCode("x")} AS BIGINT)""").as("q"))
+      .repartition(n, col("vec_id"))
+      .localCheckpoint()
+    val initIds = pq.select("vec_id").distinct().orderBy("vec_id").limit(16)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy("vec_id")) - 1)
+    var cent = pq.join(broadcast(initIds), "vec_id")
+      .select(col("sub"), col("cluster"), col("d"), col("q").as("c"))
+    var dist: DataFrame = null
+    // lazy 3-iteration chain over the one checkpointed code relation
+    // (sim07's discipline); centroid relations are m·k·dims rows,
+    // broadcast-hinted
+    for (i <- 1 to 3) {
+      dist = pq.join(broadcast(cent), Seq("sub", "d"))
+        .groupBy("vec_id", "sub", "cluster")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
+          .as("dist2"))
+      if (i < 3) {
+        val assign = dist.withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id", "sub")
+              .orderBy(col("dist2"), col("cluster"))))
+          .filter(col("rk") === 1).select("vec_id", "sub", "cluster")
+        cent = pq.join(assign, Seq("vec_id", "sub"))
+          .groupBy("sub", "cluster", "d")
+          .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
+            .cast("long").as("c"))
+      }
+    }
+    // the frame is consumed at least twice (corpus codes via argmin +
+    // the query LUT) — materialize it once
+    dist.localCheckpoint()
+  }
+
+  /** Product-quantization ANN (PQ-ADC): the codebook-compression tier
+    * that completes the index family (sim02 IVF prunes the corpus, sim04
+    * LSH buckets it, sim06 SQ8 shrinks scalars 4× — PQ shrinks VECTORS to
+    * m codebook ids: 8 bytes here vs 256, a 32× smaller scan). Train: the
+    * 64-dim code space splits into m=8 subspaces of 8 dims; each gets a
+    * k=16 Lloyd codebook (3 iterations) over the int8 codes — the same
+    * integer-exact recurrence as sim07, keyed by (sub, cluster), so the
+    * whole train+encode+search pipeline is bit-reproducible and the
+    * oracle replays it unrolled (`pqCte`/`pqDistFrame`). Search:
+    * asymmetric distance — the query's exact per-(sub, cluster) distance
+    * table IS the final iteration's distance frame; broadcast the
+    * ≤ |q|·m·k-row LUT against the m-codes-per-vector corpus, sum per
+    * (query, neighbor).
+    *
+    * Scale shape: training joins ride (sub, d)/(vec_id, sub) keys over
+    * the one checkpointed code relation; search is the PQ promise — a
+    * broadcast LUT joined to a corpus of 8-byte code rows, one map-side-
+    * combining sum per pair, top-k via window. Nothing driver-resident,
+    * no float anywhere after quantization.
+    *
+    * Honesty note (dd10's discipline): recall@5 vs the exact L2 truth is
+    * 0.24 at sf0.1 — the fixture's embeddings are near-random, PQ's
+    * worst case (no subspace manifold to exploit; k=32/64 codebooks were
+    * measured no better). The operator demonstrates the index shape; on
+    * real embedding manifolds PQ recall is far higher, and the
+    * sim05-style eval is how a deployment would gate it. */
+  val sim08PqTopK: Q = Q(
       "sim08_pq_topk",
-      s"""WITH pq AS (
-         |  SELECT vec_id, d // 8 AS sub, d,
-         |    CAST(${quantCode("embedding[d + 1]")} AS BIGINT) AS q
-         |  FROM (SELECT vec_id, embedding,
-         |          unnest(range(len(embedding))) AS d FROM embeddings)),
-         |init AS (
-         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-         |  FROM (SELECT DISTINCT vec_id FROM pq ORDER BY vec_id LIMIT 16)),
-         |pc0 AS (SELECT q.sub, i.cluster, q.d, q.q AS c
-         |        FROM pq q JOIN init i USING (vec_id)),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)},
+      s"""WITH $pqCte,
          |lut AS (SELECT vec_id AS query_id, sub, cluster, dist2
          |        FROM pd3 WHERE vec_id < 10),
          |scored AS (
@@ -577,41 +632,7 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, rk, neighbor_id, dist_est FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-      val n = s.sparkContext.defaultParallelism
-      val pq = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .select(col("vec_id"), expr("d DIV 8").as("sub"), col("d"),
-          expr(s"""CAST(${quantCode("x")} AS BIGINT)""").as("q"))
-        .repartition(n, col("vec_id"))
-        .localCheckpoint()
-      val initIds = pq.select("vec_id").distinct().orderBy("vec_id").limit(16)
-        .withColumn("cluster",
-          row_number().over(Window.orderBy("vec_id")) - 1)
-      var cent = pq.join(broadcast(initIds), "vec_id")
-        .select(col("sub"), col("cluster"), col("d"), col("q").as("c"))
-      var dist: DataFrame = null
-      // lazy 3-iteration chain over the one checkpointed code relation
-      // (sim07's discipline); centroid relations are m·k·dims rows,
-      // broadcast-hinted
-      for (i <- 1 to 3) {
-        dist = pq.join(broadcast(cent), Seq("sub", "d"))
-          .groupBy("vec_id", "sub", "cluster")
-          .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
-            .as("dist2"))
-        if (i < 3) {
-          val assign = dist.withColumn("rk", row_number().over(
-              Window.partitionBy("vec_id", "sub")
-                .orderBy(col("dist2"), col("cluster"))))
-            .filter(col("rk") === 1).select("vec_id", "sub", "cluster")
-          cent = pq.join(assign, Seq("vec_id", "sub"))
-            .groupBy("sub", "cluster", "d")
-            .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
-              .cast("long").as("c"))
-        }
-      }
-      // the final distance frame is consumed TWICE (corpus codes via
-      // argmin + the query LUT) — materialize it once
-      val d3 = dist.localCheckpoint()
+      val d3 = pqDistFrame(s, d)
       val codes = d3.withColumn("rk", row_number().over(
           Window.partitionBy("vec_id", "sub")
             .orderBy(col("dist2"), col("cluster"))))
@@ -630,9 +651,89 @@ object Similarity {
         .select("query_id", "rk", "neighbor_id", "dist_est")
         .orderBy("query_id", "rk")
     }
+
+  /** IVF-PQ ANN — the composed index (the FAISS IVFPQ architecture, and
+    * the one that actually runs at 100 TB): sim07's coarse k-means
+    * restricts each query's candidates to its nprobe=2 nearest coarse
+    * cells, and sim08's PQ-ADC ranks ONLY those candidates. sim08 alone
+    * still streams every corpus code row past every query; here the ADC
+    * scan shrinks by k/nprobe (4× at k=8 — in production k ~ √n and the
+    * factor is thousands). Both trainers are the existing integer-exact
+    * Lloyd chains, so the whole composite — coarse probes, candidate
+    * lists, ADC sums — is bit-reproducible and the oracle replays it
+    * from the same two CTE chains, composed in one WITH clause.
+    *
+    * Scale shape: ONE coarse Lloyd chain serves the corpus assignment
+    * (rk=1) and the query probes (rk≤2) from the same checkpointed probe
+    * frame; candidates form by an equi-join of the broadcast probe list
+    * against the coarse assignment (never a pair enumeration); the ADC
+    * join ships only probed-cell code rows, with the ≤|q|·m·k-row LUT
+    * broadcast. Honesty note (dd10's discipline): recall@5 vs sim06's
+    * exact quantized ranking is 0.22 at sf0.1 — the near-random fixture
+    * embeddings are the worst case for BOTH tiers (PQ alone measures
+    * 0.24; the coarse restriction costs 0.02 here); on real embedding
+    * manifolds IVF-PQ is the standard billion-scale trade and a
+    * deployment would gate nprobe/k with a sim05-style eval. */
+  val sim09IvfPqTopK: Q = Q(
+    "sim09_ivfpq_topk",
+    s"""WITH $kmeansCte,
+       |$pqCte,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+       |    FROM d3 WHERE vec_id < 10) WHERE rk <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN a3 a USING (cluster)
+       |  WHERE a.vec_id <> p.query_id),
+       |lut AS (SELECT vec_id AS query_id, sub, cluster, dist2
+       |        FROM pd3 WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(sum(l.dist2) AS BIGINT) AS dist_est
+       |  FROM cand c
+       |  JOIN pa3 a ON a.vec_id = c.neighbor_id
+       |  JOIN lut l ON l.query_id = c.query_id
+       |    AND l.sub = a.sub AND l.cluster = a.cluster
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist_est, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, dist_est FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    // ONE coarse Lloyd chain: corpus assignment = rk 1, query probes =
+    // rk ≤ 2 of the same checkpointed frame
+    val pr = kmeansProbes(s, d, 2).localCheckpoint()
+    val probes = broadcast(pr.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cluster")))
+    val coarse = pr.filter(col("rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cluster"))
+    val cand = probes.join(coarse, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val d3 = pqDistFrame(s, d)
+    val codes = d3.withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "sub")
+          .orderBy(col("dist2"), col("cluster"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cluster"))
+    val lut = broadcast(d3.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("sub"), col("cluster"),
+        col("dist2")))
+    codes.join(cand, "neighbor_id")
+      .join(lut, Seq("query_id", "sub", "cluster"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("dist2").as("dist_est"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dist_est"), col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "rk", "neighbor_id", "dist_est")
+      .orderBy("query_id", "rk")
   }
 
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
-    sim07KmeansClusters, sim08PqTopK, pipe12ClusterSample)
+    sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample)
 }

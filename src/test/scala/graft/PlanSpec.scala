@@ -215,6 +215,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
   }
 
+  test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
+    val p = planOf("sim09_ivfpq_topk")
+    // the coarse probe restriction and the ADC ranking are both hash
+    // joins — the pair space is never enumerated
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
   test("tx07: winnow fingerprint is per-row (no shuffle before the sort)") {
     val p = planOf("tx07_winnow_fingerprint")
     assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
