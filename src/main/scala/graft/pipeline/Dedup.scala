@@ -1074,9 +1074,78 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact repeated-SUBSTRING span extraction — the sequence-level half of
+    * exact dedup (the RefinedWeb/"Deduplicating Training Data Makes LMs
+    * Better" operator): instead of dropping whole documents, find the
+    * maximal token spans that recur verbatim in some OTHER document, so a
+    * curation pass can excise boilerplate (headers, licence blocks, nav
+    * chrome) while keeping the unique remainder. A token position is
+    * duplicated iff its 5-token shingle occurs in at least one other doc
+    * (corpus occurrences > in-doc occurrences — pure within-doc repetition
+    * is tx05's job, not cross-doc contamination); consecutive duplicated
+    * positions merge into one maximal span.
+    *
+    * Scale shape: the suffix-array the paper builds is a single-node
+    * luxury — relationally the same answer is two window counts over ONE
+    * exploded shingle stream (tx13's discipline): corpus occurrences
+    * partitioned by the shingle, in-doc occurrences by (shingle, doc) —
+    * the second rides the first's exchange (HashPartitioning(sh)
+    * satisfies the (sh, doc_id) clustering). Survivor positions re-key
+    * ONCE by doc for the run-grouping window (pos − row_number, the ev10
+    * island trick) and the span rollup rides that same doc exchange. One
+    * corpus scan, two wide exchanges, no join ever ships the corpus.
+    * Zipf-skewed boilerplate shingles are the hazard; q22's salting is
+    * the escalation. */
+  val dd12DupSpans: Q = Q(
+    "dd12_dup_spans",
+    """WITH toks AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |       FROM documents),
+      |shp AS (SELECT doc_id, d AS pos,
+      |         l[d+1] || ' ' || l[d+2] || ' ' || l[d+3] || ' ' ||
+      |         l[d+4] || ' ' || l[d+5] AS sh
+      |       FROM (SELECT doc_id, l, unnest(range(len(l) - 4)) AS d
+      |             FROM toks WHERE len(l) >= 5)),
+      |w AS (SELECT doc_id, pos,
+      |        count(*) OVER (PARTITION BY sh) AS total,
+      |        count(*) OVER (PARTITION BY sh, doc_id) AS indoc
+      |      FROM shp),
+      |runs AS (SELECT doc_id, pos,
+      |           pos - row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY pos) AS grp
+      |         FROM w WHERE total > indoc)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens,
+      |  count(*) AS n_positions
+      |FROM runs GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    val shp = docs(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+      .filter(size(col("l")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(l) - 5)," +
+          " i -> array_join(slice(l, i + 1, 5), ' '))")).as(Seq("pos", "sh")))
+    // broader partition first so the (sh, doc_id) count rides the sh
+    // exchange (tx13's subset trick)
+    shp
+      .withColumn("total", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("indoc",
+        count(lit(1)).over(Window.partitionBy("sh", "doc_id")))
+      .filter(col("total") > col("indoc"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + 5).cast("long").as("span_tokens"),
+        count(lit(1)).as("n_positions"))
+      .select("doc_id", "span_start", "span_tokens", "n_positions")
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
     dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune,
-    dd11DupProfile)
+    dd11DupProfile, dd12DupSpans)
 }

@@ -687,8 +687,97 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher rule-based document filter (Rae et al. 2021 §A1.1, the
+    * public-web-corpus standard): named boolean RULES with hard
+    * thresholds, complementing tx02's continuous quality score — a
+    * curation run wants to know WHICH rule killed a doc, not just that a
+    * composite dipped. Rules kept from the paper (the fixture has no
+    * newlines, so the line-shape rules are vacuous here and omitted):
+    * word count in [50, 100000]; mean word length in [3, 10]; ≥ 80% of
+    * words contain an alphabetic character; symbol-to-word ratio
+    * ("#"/"...") ≤ 0.1; at least 2 distinct English stop words present.
+    *
+    * Everything is IN-ROW over the token array (integer counts, one
+    * division per ratio, r4-rounded for the cross-engine gate): one scan,
+    * no shuffle but the output sort — embarrassingly parallel at any
+    * scale. */
+  val tx14GopherRules: Q = Q(
+    "tx14_gopher_rules",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
+      |    length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS n_symbols
+      |  FROM documents),
+      |m AS (SELECT doc_id, len(l) AS n_words,
+      |    list_sum(list_transform(l, x -> length(x))) AS sum_len,
+      |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS n_alpha,
+      |    n_symbols,
+      |    (CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'be') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'that') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'have') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'with') THEN 1 ELSE 0 END)
+      |      AS stop_hits
+      |  FROM w WHERE len(l) > 0)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  floor(CAST(sum_len AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+      |    AS mean_word_len,
+      |  floor(CAST(n_alpha AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+      |    AS alpha_ratio,
+      |  CAST(stop_hits AS BIGINT) AS stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+      |  CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+      |    AS pass_mean_len,
+      |  CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS pass_alpha,
+      |  CAST(n_symbols AS DOUBLE) / n_words <= 0.1 AS pass_symbol,
+      |  stop_hits >= 2 AS pass_stop,
+      |  (n_words BETWEEN 50 AND 100000)
+      |    AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
+      |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+      |    AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+      |    AND stop_hits >= 2 AS gopher_pass
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(w =>
+      when(array_contains(col("l"), w), 1).otherwise(0)).reduce(_ + _)
+    val meanLen = col("sum_len").cast("double") / col("n_words")
+    val alphaR = col("n_alpha").cast("double") / col("n_words")
+    val symbolR = col("n_symbols").cast("double") / col("n_words")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"),
+        expr("""length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) div 3""")
+          .cast("long").as("n_symbols"))
+      .filter(size(col("l")) > 0)
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
+        expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long")
+          .as("n_alpha"),
+        col("n_symbols"), stopHits.cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        StableRound.r4(meanLen).as("mean_word_len"),
+        StableRound.r4(alphaR).as("alpha_ratio"),
+        col("stop_hits"),
+        col("n_words").between(50, 100000).as("pass_word_count"),
+        meanLen.between(3, 10).as("pass_mean_len"),
+        (alphaR >= 0.8).as("pass_alpha"),
+        (symbolR <= 0.1).as("pass_symbol"),
+        (col("stop_hits") >= 2).as("pass_stop"),
+        (col("n_words").between(50, 100000) && meanLen.between(3, 10)
+          && alphaR >= 0.8 && symbolR <= 0.1 && col("stop_hits") >= 2)
+          .as("gopher_pass"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
-    tx11TokenCommonness, tx12CharEntropy, tx13BigramLm)
+    tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules)
 }

@@ -401,7 +401,83 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** Temperature-resampled language mixture (α = 0.5) — the multilingual
+    * rebalancing standard (mBERT/XLM-R exponential smoothing): sampling
+    * share q_l ∝ p_l^α flattens the head language toward the tail, and
+    * each language's keep-rate is q_l·total / n_l. Keyed on `lang` (the
+    * fixture's one skewed attribute — en is ~2.8× any other language);
+    * selection is the pipe02 md5-bucket so membership is a pure function
+    * of doc_id and the SAME docs are kept on every engine and every
+    * rerun.
+    *
+    * Integer-exact end to end — no float ever gates a row: p^0.5 enters
+    * as w_l = floor(sqrt(n_l)·10^6) (IEEE sqrt is correctly rounded, so
+    * both engines compute the identical integer), the normalizer is an
+    * integer SUM of those, targets are integer `div`s, and the keep
+    * threshold compares md5-bucket mod 10^6 against an integer. A float
+    * formulation would hinge on the sum-order of Σ p^α — exactly the
+    * cross-engine drift this corpus-wide gate cannot afford. (At 100 TB
+    * the w·total products approach BIGINT range; production widens the
+    * intermediate to DECIMAL(38,0) — same plan shape.)
+    *
+    * Scale shape: per-lang counts are one tiny combine-heavy groupBy; the
+    * rate table is a handful of rows crossJoin-broadcast back; selection
+    * is a broadcast join + per-row hash compare; realized counts are a
+    * second tiny groupBy. Two corpus scans, zero wide shuffles. */
+  val pipe14TemperatureMix: Q = Q(
+    "pipe14_temperature_mix",
+    """WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_docs,
+      |        CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w
+      |      FROM s),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+      |             CAST(sum(n_docs) AS BIGINT) AS total FROM w),
+      |r AS (SELECT w.lang, w.n_docs,
+      |        (w.w * t.total) // t.w_total AS target_docs,
+      |        least(1000000,
+      |          ((w.w * t.total) // t.w_total) * 1000000 // w.n_docs)
+      |          AS thr
+      |      FROM w, t),
+      |k AS (SELECT d.lang, count(*) AS n_sampled
+      |      FROM documents d JOIN r ON d.lang = r.lang
+      |      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+      |              ::BIGINT % 1000000 < r.thr
+      |      GROUP BY 1)
+      |SELECT r.lang, r.n_docs, r.target_docs, r.thr,
+      |  coalesce(k.n_sampled, 0) AS n_sampled,
+      |  floor(CAST(coalesce(k.n_sampled, 0) AS DOUBLE) / r.n_docs
+      |    * 10000 + 0.5) / 10000 AS keep_rate
+      |FROM r LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin) { (s, d) =>
+    // n_langs rows; materialized once so the totals agg, the rate table
+    // and the final report all reuse it instead of re-scanning the corpus
+    val perLang = Tables.documents(s, d)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs")) * 1000000).cast("long"))
+      .localCheckpoint()
+    val totals = perLang.agg(sum("w").as("w_total"),
+      sum("n_docs").as("total"))
+    val rates = perLang.crossJoin(broadcast(totals))
+      .withColumn("target_docs", expr("(w * total) div w_total"))
+      .withColumn("thr",
+        least(lit(1000000L), expr("target_docs * 1000000 div n_docs")))
+      .select("lang", "n_docs", "target_docs", "thr")
+    val sampled = Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000000L)))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("thr"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    rates.join(broadcast(sampled), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("target_docs"), col("thr"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        StableRound.r4(coalesce(col("n_sampled"), lit(0L)).cast("double")
+          / col("n_docs")).as("keep_rate"))
+      .orderBy("lang")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
     pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample,
-    pipe07PackBins, pipe08ShardShuffle, pipe09CorpusCard, pipe11EpochPlan)
+    pipe07PackBins, pipe08ShardShuffle, pipe09CorpusCard, pipe11EpochPlan,
+    pipe14TemperatureMix)
 }

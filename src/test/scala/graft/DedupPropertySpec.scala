@@ -203,4 +203,32 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(got === want, s"threshold $thr")
     }
   }
+
+  test("dd12: spans are exactly the cross-doc shared runs, never within-doc") {
+    import spark.implicits._
+    // the fixture exercises dd12 on organic dups; this pins the CLASSES:
+    // whole-doc dup -> one full-width span; a 5-token run shared mid-doc
+    // -> one minimal span at the right offset on BOTH sides; within-doc
+    // repetition alone -> no span (that is tx05's signal, not cross-doc
+    // contamination); sub-shingle docs -> absent.
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12", "en", "t", 0L),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12", "en", "t", 0L),
+      (3L, "c1 c2 c3 c4 c5 s1 s2 s3 s4 s5 c6 c7 c8 c9", "en", "t", 0L),
+      (4L, "d1 d2 d3 d4 s1 s2 s3 s4 s5 d5 d6 d7", "en", "t", 0L),
+      (5L, "e1 e2 e3 e4 e5 e6 r r r r r r r r e7", "en", "t", 0L),
+      (6L, "f1 f2 f3", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.dd12DupSpans.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, 12L, 8L),  // whole doc: positions 0..7, 8+5-1=12 tokens
+      (2L, 0L, 12L, 8L),
+      (3L, 5L, 5L, 1L),   // only the exact "s1..s5" shingle is shared
+      (4L, 4L, 5L, 1L)))  // same run, its offset in doc 4
+  }
 }

@@ -215,6 +215,31 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
   }
 
+  test("dd12: both span df window counts ride ONE shingle exchange; no join") {
+    val p = planOf("dd12_dup_spans")
+    // corpus-occurrence and in-doc-occurrence counts are windows over the
+    // one exploded shingle stream — HashPartitioning(sh) satisfies the
+    // (sh, doc_id) clustering, so the only hash exchanges are the shingle
+    // window and the per-doc run-grouping (whose rollup rides it)
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+  }
+
+  test("tx14: gopher rules are per-row (no shuffle before the sort)") {
+    val p = planOf("tx14_gopher_rules")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
+  }
+
+  test("pipe14: rate table broadcasts back; the corpus never sort-merge-joins") {
+    val p = planOf("pipe14_temperature_mix")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    // the per-lang count frame is checkpointed, so the FINAL job scans the
+    // corpus exactly once (the selection pass); counts were one prior scan
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash

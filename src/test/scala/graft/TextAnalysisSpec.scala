@@ -55,4 +55,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       .filter(length(col("m")) =!= 32).count()
     assert(probe === 0L)
   }
+
+  test("tx14: each gopher rule trips independently on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val fluent = ("the quick brown fox jumps over that lazy dog " +
+      "and then they have fun with friends ") // 16 words, all rules pass
+    Seq(
+      (1L, (fluent * 4).trim, "en", "t", 0L),               // 64 w: all pass
+      (2L, "the cat and dog have fun with mice", "en", "t", 0L), // 8 w
+      (3L, ("a " * 58).trim + " the and", "en", "t", 0L),   // mean len ~1.07
+      (4L, (fluent.trim.split(" ").take(12).mkString(" ") + " " +
+        ("12345 " * 48)).trim, "en", "t", 0L),              // alpha 12/60
+      (5L, (fluent.trim.split(" ").take(13).mkString(" ") + " " +
+        (fluent * 3).trim + " " + ("# " * 8)).trim, "en", "t", 0L), // 69 w, 8 '#'
+      (6L, ("cat " * 60).trim, "en", "t", 0L)               // no stop words
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.tx14GopherRules.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flags(id: Long): (Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      val r = rows(id)
+      (r.getAs[Boolean]("pass_word_count"), r.getAs[Boolean]("pass_mean_len"),
+        r.getAs[Boolean]("pass_alpha"), r.getAs[Boolean]("pass_symbol"),
+        r.getAs[Boolean]("pass_stop"))
+    }
+    assert(flags(1L) === ((true, true, true, true, true)))
+    assert(rows(1L).getAs[Boolean]("gopher_pass"))
+    assert(flags(2L) === ((false, true, true, true, true))) // too short only
+    assert(flags(3L) === ((true, false, true, true, true))) // mean len only
+    assert(flags(4L) === ((true, true, false, true, true))) // alpha only
+    assert(flags(5L) === ((true, true, true, false, true))) // symbols only
+    assert(flags(6L) === ((true, true, true, true, false))) // stops only
+    assert((2L to 6L).forall(!rows(_).getAs[Boolean]("gopher_pass")))
+  }
 }

@@ -116,4 +116,27 @@ class TrainingDataSpec extends AnyFunSuite {
       if (epochs < 4.0) assert(planned === target)
     }
   }
+
+  test("pipe14: temperature resample flattens the head and conserves budget") {
+    val rows = TrainingData.pipe14TemperatureMix.run(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("target_docs")).sum <= total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("thr") <= 1000000L)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+    val head = rows.maxBy(_.getAs[Long]("n_docs"))
+    val tail = rows.minBy(_.getAs[Long]("n_docs"))
+    // alpha=0.5 flattening: the head language is genuinely downsampled,
+    // the tail is kept in full (its sqrt-share exceeds its raw share)
+    assert(head.getAs[Long]("thr") < 1000000L)
+    assert(head.getAs[Long]("n_sampled") < head.getAs[Long]("n_docs"))
+    assert(tail.getAs[Long]("thr") === 1000000L)
+    assert(tail.getAs[Long]("n_sampled") === tail.getAs[Long]("n_docs"))
+    // membership is a pure function of doc_id: a re-run samples the
+    // identical counts (no RNG anywhere)
+    val again = TrainingData.pipe14TemperatureMix.run(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("n_sampled"))).toSeq
+      === again.map(r => (r.getString(0), r.getAs[Long]("n_sampled"))).toSeq)
+  }
 }
