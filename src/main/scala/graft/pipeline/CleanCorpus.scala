@@ -195,5 +195,126 @@ object CleanCorpus {
       .select("doc_id", "text")
   }
 
-  val queries: Seq[Q] = Seq(pipe01CleanCorpus, pipe10CleanWinnow)
+  /** Filter funnel report — the per-stage attrition table every curation
+    * run publishes (which rule kills how many docs, in pipeline order):
+    * exact dedup first (pipe01's stage order), then the five tx14 Gopher
+    * rules. Each document is attributed to its FIRST failing stage (a
+    * CASE cascade — the funnel semantics: a doc both duplicated and
+    * too short counts against dedup, the stage that would actually have
+    * removed it), so stage kill counts are disjoint and n_in/n_out chain
+    * exactly.
+    *
+    * Scale shape: per-doc verdicts are one corpus scan whose only wide
+    * exchange is the content-hash window (dd01's dup criterion); the
+    * funnel itself is a 6-row stage dimension left-joined to the
+    * first-fail counts with a 6-row running-sum window — driver-trivial
+    * relations at any corpus size. The empty-partition Window warning
+    * this emits is a 6-row frame, not a data path. */
+  val pipe15FilterFunnel: Q = Q(
+    "pipe15_filter_funnel",
+    """WITH w AS (SELECT doc_id, md5(text) AS h,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
+      |    length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS n_symbols
+      |  FROM documents),
+      |m AS (SELECT doc_id, n_symbols, len(l) AS n_words,
+      |    list_sum(list_transform(l, x -> length(x))) AS sum_len,
+      |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS n_alpha,
+      |    (CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'be') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'that') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'have') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(l, 'with') THEN 1 ELSE 0 END)
+      |      AS stop_hits,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |  FROM w),
+      |f AS (SELECT CASE
+      |    WHEN rn > 1 THEN 1
+      |    WHEN n_words NOT BETWEEN 50 AND 100000 THEN 2
+      |    WHEN CAST(sum_len AS DOUBLE) / nullif(n_words, 0)
+      |      NOT BETWEEN 3 AND 10 THEN 3
+      |    WHEN CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) < 0.8 THEN 4
+      |    WHEN CAST(n_symbols AS DOUBLE) / nullif(n_words, 0) > 0.1 THEN 5
+      |    WHEN stop_hits < 2 THEN 6
+      |    ELSE 0 END AS fs
+      |  FROM m),
+      |killed AS (SELECT fs, count(*) AS nk FROM f WHERE fs > 0 GROUP BY 1),
+      |stages(stage_order, stage) AS (VALUES (1, 'exact_dup'),
+      |  (2, 'word_count'), (3, 'mean_word_len'), (4, 'alpha_ratio'),
+      |  (5, 'symbol_ratio'), (6, 'stop_words')),
+      |tot AS (SELECT count(*) AS n FROM f)
+      |SELECT CAST(s.stage_order AS BIGINT) AS stage_order, s.stage,
+      |  CAST(tot.n - coalesce(sum(coalesce(k.nk, 0))
+      |    OVER (ORDER BY s.stage_order
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS n_in,
+      |  CAST(coalesce(k.nk, 0) AS BIGINT) AS n_killed,
+      |  CAST(tot.n - sum(coalesce(k.nk, 0))
+      |    OVER (ORDER BY s.stage_order
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_out
+      |FROM stages s LEFT JOIN killed k ON k.fs = s.stage_order
+      |CROSS JOIN tot ORDER BY stage_order""".stripMargin) { (sp, d) =>
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(w =>
+      when(array_contains(col("l"), w), 1).otherwise(0)).reduce(_ + _)
+    val m = Tables.documents(sp, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"),
+        expr("""length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) div 3""")
+          .cast("long").as("n_symbols"))
+      .select(col("doc_id"), col("n_symbols"),
+        size(col("l")).cast("long").as("n_words"),
+        expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long")
+          .as("n_alpha"),
+        stopHits.cast("long").as("stop_hits"),
+        row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+          .as("rn"))
+    val nw = expr("nullif(n_words, 0)")
+    val fs = when(col("rn") > 1, 1)
+      .when(!col("n_words").between(50, 100000), 2)
+      .when(!(col("sum_len").cast("double") / nw).between(3, 10), 3)
+      .when(col("n_alpha").cast("double") / nw < 0.8, 4)
+      .when(col("n_symbols").cast("double") / nw > 0.1, 5)
+      .when(col("stop_hits") < 2, 6)
+      .otherwise(0)
+    // ONE corpus consumer: the ≤7-row first-fail counts carry both the
+    // kill table and (summed) the total; checkpointed (pipe14's pattern)
+    // so the kill/total consumers replay 7 rows, not the corpus scan
+    val counts = m.select(fs.as("fs"))
+      .groupBy("fs").agg(count(lit(1)).as("nk"))
+      .localCheckpoint()
+    val killed = counts.filter(col("fs") > 0)
+    val tot = counts.agg(sum("nk").as("n"))
+    val stages = Seq(1L -> "exact_dup", 2L -> "word_count",
+      3L -> "mean_word_len", 4L -> "alpha_ratio", 5L -> "symbol_ratio",
+      6L -> "stop_words").toDF("stage_order", "stage")
+    // 6-row frame: the un-partitioned windows are intentional
+    val cumBefore = Window.orderBy("stage_order")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumThrough = Window.orderBy("stage_order")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stages
+      .join(broadcast(killed), col("stage_order") === col("fs"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_killed", coalesce(col("nk"), lit(0L)))
+      .select(col("stage_order"), col("stage"),
+        (col("n") - coalesce(sum("n_killed").over(cumBefore), lit(0L)))
+          .as("n_in"),
+        col("n_killed"),
+        (col("n") - sum("n_killed").over(cumThrough)).as("n_out"))
+      .orderBy("stage_order")
+  }
+
+  val queries: Seq[Q] = Seq(pipe01CleanCorpus, pipe10CleanWinnow,
+    pipe15FilterFunnel)
 }

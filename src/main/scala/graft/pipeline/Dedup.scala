@@ -1143,9 +1143,95 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Cross-source contamination matrix — the inter-dump overlap
+    * measurement every multi-crawl curation run reports (RefinedWeb
+    * measures exactly this across CommonCrawl dumps before choosing a
+    * dedup order): for every source pair, how many distinct 5-token
+    * shingles they share, each side's containment (shared / own
+    * vocabulary), and the Jaccard. High containment of A in B means A is
+    * mostly recycled B content — drop A's duplicates first.
+    *
+    * Scale shape: the shingle stream groups ONCE by shingle and
+    * collect_set's the sources — the set is bounded by |sources| (a
+    * catalog-sized constant, ~20 here), so the agg buffer never sees a
+    * mega-bucket even on a shingle every source contains; pair expansion
+    * is in-row over that bounded set (≤ |sources|² struct pairs), and
+    * per-source totals ride the SAME aggregated frame (one explode of
+    * n_shingle-row sets, no second corpus scan). The totals and the pair
+    * counts are |sources|-sized relations joined broadcast. One corpus
+    * scan, one wide exchange; no join ever carries the corpus. */
+  val dd13SourceOverlap: Q = Q(
+    "dd13_source_overlap",
+    """WITH toks AS (SELECT source,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |       FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |         l[d+1] || ' ' || l[d+2] || ' ' || l[d+3] || ' ' ||
+      |         l[d+4] || ' ' || l[d+5] AS sh
+      |       FROM (SELECT source, l, unnest(range(len(l) - 4)) AS d
+      |             FROM toks WHERE len(l) >= 5)),
+      |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      |c AS (SELECT a.source AS src_a, b.source AS src_b,
+      |        count(*) AS shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT c.src_a, c.src_b, CAST(c.shared AS BIGINT) AS shared,
+      |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+      |  floor(CAST(c.shared AS DOUBLE) / ta.n * 10000 + 0.5) / 10000
+      |    AS containment_a,
+      |  floor(CAST(c.shared AS DOUBLE) / tb.n * 10000 + 0.5) / 10000
+      |    AS containment_b,
+      |  floor(CAST(c.shared AS DOUBLE) / (ta.n + tb.n - c.shared)
+      |    * 10000 + 0.5) / 10000 AS jaccard
+      |FROM c JOIN tot ta ON ta.source = c.src_a
+      |       JOIN tot tb ON tb.source = c.src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    // distinct sources per shingle in ONE exchange — collect_set both
+    // dedups (no separate DISTINCT pass) and bounds the bucket at
+    // |sources|, unlike a doc-keyed collect_list
+    val srcSets = docs(s, d)
+      .select(col("source"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+      .filter(size(col("l")) >= 5)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(l) - 5)," +
+          " i -> array_join(slice(l, i + 1, 5), ' '))")).as("sh"))
+      .groupBy("sh").agg(array_sort(collect_set("source")).as("srcs"))
+      // two consumers (totals and pairs): persist, not localCheckpoint —
+      // this frame is shingle-cardinality (corpus-sized), and persist
+      // keeps lineage so an evicted block recomputes instead of failing
+      .persist()
+    val totals = srcSets
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = srcSets
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> transform(" +
+          "slice(srcs, i + 2, size(srcs))," +
+          " y -> named_struct('src_a', x, 'src_b', y))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "n_a")), "src_a")
+      .join(broadcast(totals.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        StableRound.r4(col("shared").cast("double") / col("n_a"))
+          .as("containment_a"),
+        StableRound.r4(col("shared").cast("double") / col("n_b"))
+          .as("containment_b"),
+        StableRound.r4(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
     dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune,
-    dd11DupProfile, dd12DupSpans)
+    dd11DupProfile, dd12DupSpans, dd13SourceOverlap)
 }

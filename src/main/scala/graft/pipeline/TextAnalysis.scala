@@ -776,8 +776,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Hashed linear quality classifier — the fastText-style model-based
+    * filter (Joulin et al. 2016's hashing trick; the architecture behind
+    * the LLaMA/CCNet "looks like a reference page" classifiers): each
+    * token hashes into one of 256 weight buckets, the doc score is the
+    * mean bucket weight, and the keep decision is its sign. The WEIGHTS
+    * are a marked deterministic fake (md5-derived integers in
+    * [-500, 500] — this container ships no trained model), mirroring the
+    * multimodal decode policy: the plumbing that matters at scale — the
+    * hashing trick, the fixed-size bucket table, in-row scoring with no
+    * vocabulary join — is the real contract, and swapping real trained
+    * weights in changes one lambda.
+    *
+    * Integer-exact gate: score_sum is an integer fold, the keep decision
+    * compares score_sum ≥ 0 (never the rounded double), so both engines
+    * decide every row identically. Scale shape: ONE in-row aggregate
+    * lambda per doc — no explode, no shuffle but the presentation sort;
+    * a real-weights variant broadcasts a 256-row weight table and the
+    * shape is unchanged. */
+  val tx15HashClassifier: Q = Q(
+    "tx15_hash_classifier",
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |s AS (SELECT doc_id, len(l) AS n_tokens,
+      |    list_sum(list_transform(l, x ->
+      |      ('0x' || substr(md5('w' ||
+      |          (('0x' || substr(md5(x), 1, 8))::BIGINT % 256)::VARCHAR),
+      |        1, 8))::BIGINT % 1001 - 500)) AS score_sum
+      |  FROM w WHERE len(l) > 0)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(score_sum AS BIGINT) AS score_sum,
+      |  floor(CAST(score_sum AS DOUBLE) / (1000 * n_tokens) * 10000 + 0.5)
+      |    / 10000 AS score,
+      |  score_sum >= 0 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+      .filter(size(col("l")) > 0)
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"),
+        expr("""aggregate(l, 0L, (a, x) -> a +
+          cast(conv(substring(md5(concat('w', cast(
+            cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) % 256
+          as string))), 1, 8), 16, 10) as bigint) % 1001 - 500)""")
+          .as("score_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        StableRound.r4(col("score_sum").cast("double")
+          / (lit(1000) * col("n_tokens"))).as("score"),
+        (col("score_sum") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
-    tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules)
+    tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
+    tx15HashClassifier)
 }

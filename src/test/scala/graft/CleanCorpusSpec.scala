@@ -104,4 +104,46 @@ class CleanCorpusSpec extends AnyFunSuite {
       .groupBy("band", "band_key").count().filter(col("count") > 1).count()
     assert(buckets === 0L)
   }
+
+  test("pipe15: funnel chains exactly and one doc dies per stage on a crafted corpus") {
+    import spark.implicits._
+    val fluent = ("the quick brown fox jumps over that lazy dog " +
+      "and then they have fun with friends ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      (1L, (fluent * 4).trim, "en", "t", 0L),               // survives
+      (2L, (fluent * 4).trim, "en", "t", 0L),               // exact_dup
+      (3L, "the cat and dog have fun with mice", "en", "t", 0L), // word_count
+      (4L, ("a " * 58).trim + " the and", "en", "t", 0L),   // mean_word_len
+      (5L, (fluent.trim.split(" ").take(12).mkString(" ") + " " +
+        ("12345 " * 48)).trim, "en", "t", 0L),              // alpha_ratio
+      (6L, (fluent.trim.split(" ").take(13).mkString(" ") + " " +
+        (fluent * 3).trim + " " + ("# " * 8)).trim, "en", "t", 0L), // symbol
+      (7L, ("cat " * 60).trim, "en", "t", 0L)               // stop_words
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = CleanCorpus.pipe15FilterFunnel.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows === Array(
+      (1L, "exact_dup", 7L, 1L, 6L), (2L, "word_count", 6L, 1L, 5L),
+      (3L, "mean_word_len", 5L, 1L, 4L), (4L, "alpha_ratio", 4L, 1L, 3L),
+      (5L, "symbol_ratio", 3L, 1L, 2L), (6L, "stop_words", 2L, 1L, 1L)))
+  }
+
+  test("pipe15: on the fixture, n_in/n_out chain and stages partition the kills") {
+    val rows = CleanCorpus.pipe15FilterFunnel.run(spark, sfDir).collect()
+    assert(rows.length === 6)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") === b.getAs[Long]("n_in"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out")
+        === r.getAs[Long]("n_in") - r.getAs[Long]("n_killed"))
+    }
+    val total = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(rows.head.getAs[Long]("n_in") === total)
+    assert(rows.last.getAs[Long]("n_out")
+      === total - rows.map(_.getAs[Long]("n_killed")).sum)
+  }
 }

@@ -231,4 +231,26 @@ class DedupPropertySpec extends AnyFunSuite {
       (3L, 5L, 5L, 1L),   // only the exact "s1..s5" shingle is shared
       (4L, 4L, 5L, 1L)))  // same run, its offset in doc 4
   }
+
+  test("dd13: overlap matrix reports exactly the shared shingles, pairwise") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ovl").toString
+    // A and B share exactly ONE 5-token shingle; C shares nothing
+    Seq(
+      (1L, "x1 x2 x3 x4 x5 a1 a2 a3 a4 a5", "en", "A", 0L),
+      (2L, "b1 b2 b3 x1 x2 x3 x4 x5", "en", "B", 0L),
+      (3L, "c1 c2 c3 c4 c5", "en", "C", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.dd13SourceOverlap.run(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert(r.getAs[Long]("shared") === 1L)
+    assert(r.getAs[Long]("n_a") === 6L) // 10 tokens -> 6 distinct shingles
+    assert(r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Double]("containment_a") === 0.1667)
+    assert(r.getAs[Double]("containment_b") === 0.25)
+    assert(r.getAs[Double]("jaccard") === 0.1111) // 1 / (6 + 4 - 1)
+  }
 }

@@ -240,6 +240,35 @@ class PlanSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
 
+  test("tx15: hashed classifier is per-row (no shuffle before the sort)") {
+    val p = planOf("tx15_hash_classifier")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy range part
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
+  test("dd13: source sets combine map-side, one wide exchange, totals broadcast") {
+    val p = planOf("dd13_source_overlap")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the shingle stream collapses to (sh -> source set) with a partial
+    // (map-side) collect_set before its ONE wide exchange
+    assert(p.contains("partial_collect_set"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2)
+    // both consumers (totals, pairs) read the persisted frame, not a
+    // recomputed corpus scan
+    assert(p.contains("InMemoryTableScan"))
+  }
+
+  test("pipe15: corpus is consumed once (checkpointed counts); funnel joins broadcast") {
+    val p = planOf("pipe15_filter_funnel")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    // the per-doc pass ran once, eagerly, at the counts checkpoint — the
+    // funnel report plan touches only the 7-row ExistingRDD
+    assert(!p.contains("documents.parquet"))
+    assert(p.contains("ExistingRDD"))
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash

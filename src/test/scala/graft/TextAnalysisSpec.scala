@@ -89,4 +89,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(flags(6L) === ((true, true, true, true, false))) // stops only
     assert((2L to 6L).forall(!rows(_).getAs[Boolean]("gopher_pass")))
   }
+
+  test("tx15: hashed scores are per-token additive, bounded, sign-gated") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hashclf").toString
+    Seq(
+      (1L, "foo", "en", "t", 0L),
+      (2L, "foo foo foo", "en", "t", 0L),
+      (3L, "bar", "en", "t", 0L),
+      (4L, "foo bar", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.tx15HashClassifier.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def ssum(id: Long): Long = m(id).getAs[Long]("score_sum")
+    // the same token always hits the same bucket: a doc of n copies
+    // scores exactly n times the single-token doc, and the MEAN is equal
+    assert(ssum(2L) === 3L * ssum(1L))
+    assert(m(2L).getAs[Double]("score") === m(1L).getAs[Double]("score"))
+    // mixed doc's sum is the token-weight sum
+    assert(ssum(4L) === ssum(1L) + ssum(3L))
+    // weights live in [-500, 500]; the keep gate is the integer sign
+    m.values.foreach { r =>
+      assert(math.abs(r.getAs[Long]("score_sum"))
+        <= 500L * r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("score_sum") >= 0L))
+      assert(math.abs(r.getAs[Double]("score")) <= 0.5)
+    }
+  }
 }
