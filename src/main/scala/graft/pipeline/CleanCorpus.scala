@@ -212,7 +212,7 @@ object CleanCorpus {
     * this emits is a 6-row frame, not a data path. */
   val pipe15FilterFunnel: Q = Q(
     "pipe15_filter_funnel",
-    """WITH w AS (SELECT doc_id, md5(text) AS h,
+    s"""WITH w AS (SELECT doc_id, md5(text) AS h,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
       |    length(text) - length(replace(text, '#', ''))
       |      + (length(text) - length(replace(text, '...', ''))) // 3
@@ -222,14 +222,7 @@ object CleanCorpus {
       |    list_sum(list_transform(l, x -> length(x))) AS sum_len,
       |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
       |      AS n_alpha,
-      |    (CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'be') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'that') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'have') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'with') THEN 1 ELSE 0 END)
+      |    ${TextAnalysis.stopHitsSql("l")}
       |      AS stop_hits,
       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
       |  FROM w),
@@ -262,9 +255,7 @@ object CleanCorpus {
       |CROSS JOIN tot ORDER BY stage_order""".stripMargin) { (sp, d) =>
     import sp.implicits._
     import org.apache.spark.sql.expressions.Window
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = stops.map(w =>
-      when(array_contains(col("l"), w), 1).otherwise(0)).reduce(_ + _)
+    val stopHits = TextAnalysis.stopHitsCol(col("l"))
     val m = Tables.documents(sp, d)
       .select(col("doc_id"), md5(col("text")).as("h"),
         expr("filter(split(text, ' '), x -> x <> '')").as("l"),

@@ -222,6 +222,79 @@ object Multimodal {
     }
   }
 
+  /** Audio segmentation (VAD-shaped): the audio path the tier was
+    * missing — fake-decode the payload into 25 ms PCM frames (40 bytes
+    * each), score per-frame energy, and roll contiguous above-threshold
+    * frames into speech segments (the pos − row_number island trick,
+    * dd12's discipline). The DECODE is the marked deterministic fake
+    * (per-frame energy = md5-derived integer in [0, 1000), reproducible
+    * in portable SQL like mm01's checksum); a real deployment swaps the
+    * frame-energy lambda for a codec + RMS window and the plumbing —
+    * typed per-partition batch decode, frame generator, island rollup —
+    * is unchanged.
+    *
+    * Scale shape: decode + frame generation are per-partition (no
+    * shuffle); the only wide exchange is the per-doc island window, and
+    * the segment rollup rides it (partial-key subset). Mean energy stays
+    * an integer sum until one r2 division. */
+  val mm06AudioSegments: Q = Q(
+    "mm06_audio_segments",
+    """WITH f AS (SELECT doc_id, md5(text) AS h,
+      |    unnest(range(octet_length(encode(text)) // 40)) AS frame_idx
+      |  FROM documents WHERE octet_length(encode(text)) >= 40),
+      |e AS (SELECT doc_id, frame_idx,
+      |    ('0x' || substr(md5(h || ':' || frame_idx::VARCHAR), 1, 8))::BIGINT
+      |      % 1000 AS energy
+      |  FROM f),
+      |sp AS (SELECT doc_id, frame_idx, energy,
+      |    frame_idx - row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY frame_idx) AS grp
+      |  FROM e WHERE energy >= 200)
+      |SELECT doc_id, CAST(min(frame_idx) AS BIGINT) AS seg_start,
+      |  count(*) AS seg_frames,
+      |  floor(CAST(sum(energy) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+      |    AS avg_energy
+      |FROM sp GROUP BY doc_id, grp
+      |ORDER BY doc_id, seg_start""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.StableRound
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+        batch.flatMap { case (id, payload) =>
+          val nFrames = payload.length / 40
+          if (nFrames == 0) Iterator.empty
+          else {
+            // DETERMINISTIC FAKE frame energy: md5(hex(md5(payload)) +
+            // ":" + idx) first 4 bytes big-endian, mod 1000 — the SQL
+            // twin is md5(md5(text) || ':' || idx)
+            val h = dig.digest(payload).map("%02x".format(_)).mkString
+            (0 until nFrames).iterator.map { fi =>
+              val d2 = dig.digest(s"$h:$fi".getBytes("UTF-8"))
+              val v = ((d2(0) & 0xffL) << 24) | ((d2(1) & 0xffL) << 16) |
+                ((d2(2) & 0xffL) << 8) | (d2(3) & 0xffL)
+              (id, fi, v % 1000)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "energy")
+    frames
+      .filter(col("energy") >= 200)
+      .withColumn("grp", col("frame_idx") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("frame_idx")))
+      .groupBy("doc_id", "grp")
+      .agg(min("frame_idx").cast("long").as("seg_start"),
+        count(lit(1)).as("seg_frames"),
+        StableRound.r2(sum("energy").cast("double") / count(lit(1)))
+          .as("avg_energy"))
+      .select("doc_id", "seg_start", "seg_frames", "avg_energy")
+      .orderBy("doc_id", "seg_start")
+  }
+
   val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan,
-    mm04FeatureExtract, mm05FeatureProbe)
+    mm04FeatureExtract, mm05FeatureProbe, mm06AudioSegments)
 }

@@ -25,6 +25,25 @@ object TextAnalysis {
   private def lexValues: String =
     lexicon.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
+  /** The lexicon's English stop words — the parameter of the Gopher
+    * stop-word rule (tx14/pipe15/pipe16). The paper's own set is tuned
+    * for real web English; the engine uses its ONE shared lexicon so the
+    * rule, tx01/tx02 and the composed pipelines can never drift apart. */
+  private[pipeline] def enStops: Seq[String] =
+    lexicon.filter(_._1 == "en").map(_._2)
+
+  /** `Σ [stop word present]` over a token-list column, as DuckDB SQL. */
+  private[pipeline] def stopHitsSql(listCol: String): String =
+    enStops.map(w =>
+      s"(CASE WHEN list_contains($listCol, '$w') THEN 1 ELSE 0 END)")
+      .mkString("\n      |    + ")
+
+  /** The same sum as a Spark Column over an array column. */
+  private[pipeline] def stopHitsCol(listCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    enStops.map(w =>
+      when(array_contains(listCol, w), 1).otherwise(0)).reduce(_ + _)
+
   /** Language ID: argmax stopword-hit ratio per language; docs with no
     * hits are 'und'. */
   val tx01LangId: Q = Q(
@@ -695,7 +714,8 @@ object TextAnalysis {
     * newlines, so the line-shape rules are vacuous here and omitted):
     * word count in [50, 100000]; mean word length in [3, 10]; ≥ 80% of
     * words contain an alphabetic character; symbol-to-word ratio
-    * ("#"/"...") ≤ 0.1; at least 2 distinct English stop words present.
+    * ("#"/"...") ≤ 0.1; at least 2 distinct stop words from the engine's shared EN lexicon
+    * present (the paper's rule parameterized by [[enStops]]).
     *
     * Everything is IN-ROW over the token array (integer counts, one
     * division per ratio, r4-rounded for the cross-engine gate): one scan,
@@ -703,7 +723,7 @@ object TextAnalysis {
     * scale. */
   val tx14GopherRules: Q = Q(
     "tx14_gopher_rules",
-    """WITH w AS (SELECT doc_id,
+    s"""WITH w AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
       |    length(text) - length(replace(text, '#', ''))
       |      + (length(text) - length(replace(text, '...', ''))) // 3
@@ -714,14 +734,7 @@ object TextAnalysis {
       |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
       |      AS n_alpha,
       |    n_symbols,
-      |    (CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'be') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'that') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'have') THEN 1 ELSE 0 END)
-      |    + (CASE WHEN list_contains(l, 'with') THEN 1 ELSE 0 END)
+      |    ${stopHitsSql("l")}
       |      AS stop_hits
       |  FROM w WHERE len(l) > 0)
       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -743,9 +756,7 @@ object TextAnalysis {
       |    AND stop_hits >= 2 AS gopher_pass
       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.StableRound
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = stops.map(w =>
-      when(array_contains(col("l"), w), 1).otherwise(0)).reduce(_ + _)
+    val stopHits = stopHitsCol(col("l"))
     val meanLen = col("sum_len").cast("double") / col("n_words")
     val alphaR = col("n_alpha").cast("double") / col("n_words")
     val symbolR = col("n_symbols").cast("double") / col("n_words")
@@ -829,9 +840,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Encoding / mojibake QC — the transcode-health gate a crawl corpus
+    * runs before any text analysis: per-doc ASCII share (CJK text is
+    * legitimately low — the ratio is a feature, not a verdict), plus
+    * hard counts of the two unambiguous damage signals: C0 control
+    * characters (excluding tab/newline/CR) and U+FFFD replacement
+    * characters (the residue of a bad transcode). `clean` is the
+    * integer-count gate, never a float.
+    *
+    * Everything is per-row (two regex strips + one translate over the
+    * doc string): zero shuffle but the presentation sort. The fixture
+    * corpus is transcode-clean by construction, so the damage columns
+    * are pinned by the crafted-corpus spec rather than the oracle. */
+  val tx16EncodingQc: Q = Q(
+    "tx16_encoding_qc",
+    """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+      |    length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_ascii,
+      |    length(text) - length(regexp_replace(text,
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_control,
+      |    length(text) - length(replace(text, chr(65533), ''))
+      |      AS n_replacement
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(n_ascii AS BIGINT) AS n_ascii,
+      |  floor(CAST(n_ascii AS DOUBLE) / n_chars * 10000 + 0.5) / 10000
+      |    AS ascii_ratio,
+      |  CAST(n_control AS BIGINT) AS n_control,
+      |  CAST(n_replacement AS BIGINT) AS n_replacement,
+      |  n_control = 0 AND n_replacement = 0 AS clean
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+          .cast("long").as("n_ascii"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+          .as("n_control"),
+        (length(col("text")) - length(translate(col("text"), "\uFFFD", "")))
+          .cast("long").as("n_replacement"))
+      .select(col("doc_id"), col("n_chars"), col("n_ascii"),
+        StableRound.r4(col("n_ascii").cast("double") / col("n_chars"))
+          .as("ascii_ratio"),
+        col("n_control"), col("n_replacement"),
+        (col("n_control") === 0 && col("n_replacement") === 0).as("clean"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
     tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
-    tx15HashClassifier)
+    tx15HashClassifier, tx16EncodingQc)
 }

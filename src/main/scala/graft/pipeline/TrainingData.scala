@@ -476,8 +476,92 @@ object TrainingData {
       .orderBy("lang")
   }
 
+  /** Training-manifest builder — the end product a curation run hands to
+    * the training job: exact-dedup survivors that pass the tx14 Gopher
+    * gate, assigned to pipe02's hash split and pipe08's md5 shard (the
+    * SAME formulas, so a doc's placement here always agrees with those
+    * operators), rolled up per (split, shard) with doc/token counts and
+    * an order-independent content hash (check_content_hash's sum-of-
+    * md5-prefix fold) — the manifest line a trainer checks before and
+    * after a data handoff.
+    *
+    * Scale shape: one corpus scan; the only wide exchange is the dd01
+    * content-hash window (the dedup criterion), then the per-(split,
+    * shard) rollup is a ≤24-group combine-heavy groupBy riding a
+    * map-side partial. No joins at all. */
+  val pipe16TrainManifest: Q = Q(
+    "pipe16_train_manifest",
+    s"""WITH w AS (SELECT doc_id, md5(text) AS h,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
+      |    length(text) - length(replace(text, '#', ''))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3
+      |      AS n_symbols
+      |  FROM documents),
+      |m AS (SELECT doc_id, h, n_symbols, len(l) AS n_words,
+      |    list_sum(list_transform(l, x -> length(x))) AS sum_len,
+      |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
+      |      AS n_alpha,
+      |    ${TextAnalysis.stopHitsSql("l")}
+      |      AS stop_hits,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |  FROM w),
+      |surv AS (SELECT doc_id, h, n_words FROM m
+      |  WHERE rn = 1 AND n_words BETWEEN 50 AND 100000
+      |    AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+      |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+      |    AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+      |    AND stop_hits >= 2),
+      |a AS (SELECT n_words, h,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      AS dh
+      |  FROM surv)
+      |SELECT CASE WHEN dh % 100 < 80 THEN 'train'
+      |            WHEN dh % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(dh % 8 AS BIGINT) AS shard,
+      |  count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      |  CAST(sum(('0x' || substr(h, 1, 8))::BIGINT) AS BIGINT)
+      |    AS content_hash
+      |FROM a GROUP BY 1, 2 ORDER BY split, shard""".stripMargin) { (sp, d) =>
+    val stopHits = TextAnalysis.stopHitsCol(col("l"))
+    val m = Tables.documents(sp, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("l"),
+        expr("""length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) div 3""")
+          .cast("long").as("n_symbols"))
+      .select(col("doc_id"), col("h"), col("n_symbols"),
+        size(col("l")).cast("long").as("n_words"),
+        expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long")
+          .as("n_alpha"),
+        stopHits.cast("long").as("stop_hits"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("h").orderBy("doc_id")).as("rn"))
+    val surv = m.filter(col("rn") === 1
+      && col("n_words").between(50, 100000)
+      && (col("sum_len").cast("double") / col("n_words")).between(3, 10)
+      && col("n_alpha").cast("double") / col("n_words") >= 0.8
+      && col("n_symbols").cast("double") / col("n_words") <= 0.1
+      && col("stop_hits") >= 2)
+    surv
+      .withColumn("dh",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when(pmod(col("dh"), lit(100)) < 80, "train")
+          .when(pmod(col("dh"), lit(100)) < 90, "val")
+          .otherwise("test"))
+      .withColumn("shard", pmod(col("dh"), lit(8)))
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+          .as("content_hash"))
+      .orderBy("split", "shard")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
     pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample,
     pipe07PackBins, pipe08ShardShuffle, pipe09CorpusCard, pipe11EpochPlan,
-    pipe14TemperatureMix)
+    pipe14TemperatureMix, pipe16TrainManifest)
 }

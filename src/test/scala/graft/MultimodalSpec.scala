@@ -60,4 +60,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(scores.toSeq === scores.sorted.reverse.toSeq)
     scores.foreach(s => assert(s >= -1.0001 && s <= 1.0001 && !s.isNaN))
   }
+
+  test("mm06: segments are maximal non-silent islands with in-range energy") {
+    import graft.pipeline.Multimodal
+    val rows = Multimodal.mm06AudioSegments.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("seg_frames") >= 1L)
+      val e = r.getAs[Double]("avg_energy")
+      assert(e >= 200.0 && e < 1000.0) // every member frame is >= 200
+    }
+    // maximality: consecutive segments of one doc are separated by at
+    // least one silent frame (else the island trick would have merged
+    // them)
+    rows.groupBy(_.getLong(0)).values.foreach { segs =>
+      segs.sortBy(_.getAs[Long]("seg_start")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("seg_start")
+            > a.getAs[Long]("seg_start") + a.getAs[Long]("seg_frames"))
+        case _ =>
+      }
+    }
+    // determinism: the fake decode is a pure function of the payload
+    val again = Multimodal.mm06AudioSegments.run(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

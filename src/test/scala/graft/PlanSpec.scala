@@ -269,6 +269,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"))
   }
 
+  test("mm06: decode is per-partition; segments ride ONE doc exchange, no join") {
+    val p = planOf("mm06_audio_segments")
+    assert(!p.contains("Join"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    // island window keys by doc_id; the segment rollup on (doc_id, grp)
+    // rides the same exchange (partial-key subset)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("tx16: encoding QC is per-row (no shuffle before the sort)") {
+    val p = planOf("tx16_encoding_qc")
+    assert("Exchange".r.findAllIn(p).size === 1)
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
+  test("pipe16: manifest is one scan, two exchanges, zero joins") {
+    val p = planOf("pipe16_train_manifest")
+    assert(!p.contains("Join"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    // content-hash window, then the (split, shard) rollup re-keys once
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+    assert(p.contains("partial_count")) // rollup combines map-side
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash

@@ -117,4 +117,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("score")) <= 0.5)
     }
   }
+
+  test("tx16: control and replacement chars are counted; CJK is low-ascii clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-encqc").toString
+    Seq(
+      (1L, "plain ascii text", "en", "t", 0L),
+      (2L, "bad\u0001ctrl\u001fdoc", "en", "t", 0L),
+      (3L, "lost \uFFFD bytes \uFFFD here", "en", "t", 0L),
+      (4L, "\u4e2d\u6587\u6587\u672c ok", "zh", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.tx16EncodingQc.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("ascii_ratio") === 1.0)
+    assert(m(1L).getAs[Boolean]("clean"))
+    assert(m(2L).getAs[Long]("n_control") === 2L)
+    assert(!m(2L).getAs[Boolean]("clean"))
+    assert(m(3L).getAs[Long]("n_replacement") === 2L)
+    assert(!m(3L).getAs[Boolean]("clean"))
+    // CJK: legitimately low ASCII share, but CLEAN — the ratio is a
+    // feature, the verdict comes only from the damage counts
+    assert(m(4L).getAs[Double]("ascii_ratio") < 0.5)
+    assert(m(4L).getAs[Boolean]("clean"))
+  }
 }

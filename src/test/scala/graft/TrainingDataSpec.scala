@@ -139,4 +139,21 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getAs[Long]("n_sampled"))).toSeq
       === again.map(r => (r.getString(0), r.getAs[Long]("n_sampled"))).toSeq)
   }
+
+  test("pipe16: manifest population equals the pipe15 funnel's survivors") {
+    val manifest = TrainingData.pipe16TrainManifest.run(spark, sfDir).collect()
+    assert(manifest.nonEmpty)
+    manifest.foreach { r =>
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+      assert((0L to 7L).contains(r.getAs[Long]("shard")))
+      // every surviving doc has >= 50 words (the word_count gate held)
+      assert(r.getAs[Long]("n_tokens") >= 50L * r.getAs[Long]("n_docs"))
+    }
+    // the funnel and the manifest are two views of the SAME gate: total
+    // manifest docs == funnel survivors after the last stage
+    val funnel = graft.pipeline.CleanCorpus.pipe15FilterFunnel
+      .run(spark, sfDir).collect()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum
+      === funnel.last.getAs[Long]("n_out"))
+  }
 }
