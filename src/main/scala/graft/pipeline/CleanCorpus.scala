@@ -213,27 +213,19 @@ object CleanCorpus {
   val pipe15FilterFunnel: Q = Q(
     "pipe15_filter_funnel",
     s"""WITH w AS (SELECT doc_id, md5(text) AS h,
-      |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
-      |    length(text) - length(replace(text, '#', ''))
-      |      + (length(text) - length(replace(text, '...', ''))) // 3
-      |      AS n_symbols
+      |    ${TextAnalysis.tokListSql} AS l,
+      |    ${TextAnalysis.nSymbolsSql} AS n_symbols
       |  FROM documents),
-      |m AS (SELECT doc_id, n_symbols, len(l) AS n_words,
-      |    list_sum(list_transform(l, x -> length(x))) AS sum_len,
-      |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
-      |      AS n_alpha,
-      |    ${TextAnalysis.stopHitsSql("l")}
-      |      AS stop_hits,
+      |m AS (SELECT doc_id, n_symbols, ${TextAnalysis.gopherMetricsSql},
       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
       |  FROM w),
       |f AS (SELECT CASE
       |    WHEN rn > 1 THEN 1
-      |    WHEN n_words NOT BETWEEN 50 AND 100000 THEN 2
-      |    WHEN CAST(sum_len AS DOUBLE) / nullif(n_words, 0)
-      |      NOT BETWEEN 3 AND 10 THEN 3
-      |    WHEN CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) < 0.8 THEN 4
-      |    WHEN CAST(n_symbols AS DOUBLE) / nullif(n_words, 0) > 0.1 THEN 5
-      |    WHEN stop_hits < 2 THEN 6
+      |    WHEN NOT (${TextAnalysis.gopherRulesSql(0)}) THEN 2
+      |    WHEN NOT (${TextAnalysis.gopherRulesSql(1)}) THEN 3
+      |    WHEN NOT (${TextAnalysis.gopherRulesSql(2)}) THEN 4
+      |    WHEN NOT (${TextAnalysis.gopherRulesSql(3)}) THEN 5
+      |    WHEN NOT (${TextAnalysis.gopherRulesSql(4)}) THEN 6
       |    ELSE 0 END AS fs
       |  FROM m),
       |killed AS (SELECT fs, count(*) AS nk FROM f WHERE fs > 0 GROUP BY 1),
@@ -255,28 +247,17 @@ object CleanCorpus {
       |CROSS JOIN tot ORDER BY stage_order""".stripMargin) { (sp, d) =>
     import sp.implicits._
     import org.apache.spark.sql.expressions.Window
-    val stopHits = TextAnalysis.stopHitsCol(col("l"))
-    val m = Tables.documents(sp, d)
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"),
-        expr("""length(text) - length(replace(text, '#', ''))
-          + (length(text) - length(replace(text, '...', ''))) div 3""")
-          .cast("long").as("n_symbols"))
-      .select(col("doc_id"), col("n_symbols"),
-        size(col("l")).cast("long").as("n_words"),
-        expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("sum_len"),
-        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long")
-          .as("n_alpha"),
-        stopHits.cast("long").as("stop_hits"),
-        row_number().over(Window.partitionBy("h").orderBy("doc_id"))
-          .as("rn"))
-    val nw = expr("nullif(n_words, 0)")
+    val m = TextAnalysis.withGopherMetrics(
+        Tables.documents(sp, d).withColumn("h", md5(col("text"))))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+    val rules = TextAnalysis.gopherRuleCols
     val fs = when(col("rn") > 1, 1)
-      .when(!col("n_words").between(50, 100000), 2)
-      .when(!(col("sum_len").cast("double") / nw).between(3, 10), 3)
-      .when(col("n_alpha").cast("double") / nw < 0.8, 4)
-      .when(col("n_symbols").cast("double") / nw > 0.1, 5)
-      .when(col("stop_hits") < 2, 6)
+      .when(!rules(0), 2)
+      .when(!rules(1), 3)
+      .when(!rules(2), 4)
+      .when(!rules(3), 5)
+      .when(!rules(4), 6)
       .otherwise(0)
     // ONE corpus consumer: the ≤7-row first-fail counts carry both the
     // kill table and (summed) the total; checkpointed (pipe14's pattern)

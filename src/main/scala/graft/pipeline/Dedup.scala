@@ -1154,12 +1154,14 @@ object Dedup {
     * Scale shape: the shingle stream groups ONCE by shingle and
     * collect_set's the sources — the set is bounded by |sources| (a
     * catalog-sized constant, ~20 here), so the agg buffer never sees a
-    * mega-bucket even on a shingle every source contains; pair expansion
-    * is in-row over that bounded set (≤ |sources|² struct pairs), and
-    * per-source totals ride the SAME aggregated frame (one explode of
-    * n_shingle-row sets, no second corpus scan). The totals and the pair
-    * counts are |sources|-sized relations joined broadcast. One corpus
-    * scan, one wide exchange; no join ever carries the corpus. */
+    * mega-bucket even on a shingle every source contains. Each set then
+    * emits, IN-ROW, both its pair structs and one ('src', '') total
+    * marker, so pair counts AND per-source totals fall out of a single
+    * map-side-combined aggregation over one consumer — the corpus-sized
+    * set frame is never cached and never read twice. Only the resulting
+    * ≤ |sources|²+|sources| row table is checkpointed (it has two
+    * readers), and the totals join back broadcast. One corpus scan, one
+    * wide exchange; no join ever carries the corpus. */
   val dd13SourceOverlap: Q = Q(
     "dd13_source_overlap",
     """WITH toks AS (SELECT source,
@@ -1198,21 +1200,26 @@ object Dedup {
         "transform(sequence(0, size(l) - 5)," +
           " i -> array_join(slice(l, i + 1, 5), ' '))")).as("sh"))
       .groupBy("sh").agg(array_sort(collect_set("source")).as("srcs"))
-      // two consumers (totals and pairs): persist, not localCheckpoint —
-      // this frame is shingle-cardinality (corpus-sized), and persist
-      // keeps lineage so an evicted block recomputes instead of failing
-      .persist()
-    val totals = srcSets
-      .select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = srcSets
-      .filter(size(col("srcs")) >= 2)
+    // ONE consumer of the corpus-sized frame: each shingle's bounded set
+    // emits BOTH its in-row pair structs and a ('src', '') total marker,
+    // so pair counts and per-source totals fall out of a single
+    // ≤ |sources|²+|sources| group aggregation (map-side combined) —
+    // nothing corpus-sized is ever cached or recomputed. The tiny agg
+    // result has two readers (totals/pairs), so IT is checkpointed.
+    val tagged = srcSets
       .select(explode(expr(
-        "flatten(transform(srcs, (x, i) -> transform(" +
+        "concat(" +
+          "flatten(transform(srcs, (x, i) -> transform(" +
           "slice(srcs, i + 2, size(srcs))," +
-          " y -> named_struct('src_a', x, 'src_b', y))))")).as("p"))
+          " y -> named_struct('src_a', x, 'src_b', y))))," +
+          " transform(srcs, x -> named_struct('src_a', x, 'src_b', '')))"))
+        .as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
+      .localCheckpoint()
+    val totals = tagged.filter(col("src_b") === "")
+      .select(col("src_a").as("source"), col("shared").as("n"))
+    val pairs = tagged.filter(col("src_b") =!= "")
     pairs
       .join(broadcast(totals.withColumnRenamed("source", "src_a")
         .withColumnRenamed("n", "n_a")), "src_a")

@@ -32,17 +32,86 @@ object TextAnalysis {
   private[pipeline] def enStops: Seq[String] =
     lexicon.filter(_._1 == "en").map(_._2)
 
-  /** `Σ [stop word present]` over a token-list column, as DuckDB SQL. */
+  /** `Σ [stop word present]` over a token-list column, as DuckDB SQL
+    * (single-line, so it composes into any SQL string regardless of the
+    * caller's margin/formatting conventions). */
   private[pipeline] def stopHitsSql(listCol: String): String =
     enStops.map(w =>
       s"(CASE WHEN list_contains($listCol, '$w') THEN 1 ELSE 0 END)")
-      .mkString("\n      |    + ")
+      .mkString(" + ")
 
   /** The same sum as a Spark Column over an array column. */
   private[pipeline] def stopHitsCol(listCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     enStops.map(w =>
       when(array_contains(listCol, w), 1).otherwise(0)).reduce(_ + _)
+
+  /** Gopher rule thresholds (Rae et al. 2021 §A1.1) — ONE definition
+    * shared by tx14 and the composed pipelines (pipe15 funnel, pipe16
+    * manifest), so the filter and the reports built on it can never
+    * drift. */
+  private[pipeline] object Gopher {
+    val minWords = 50
+    val maxWords = 100000
+    val minMeanLen = 3
+    val maxMeanLen = 10
+    val minAlpha = 0.8
+    val maxSymbol = 0.1
+    val minStops = 2
+  }
+
+  // The shared Gopher metric/rule EXPRESSIONS — DuckDB side. All
+  // single-line so they interpolate into any SQL string safely.
+  private[pipeline] val tokListSql: String =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[pipeline] val nSymbolsSql: String =
+    "length(text) - length(replace(text, '#', '')) + " +
+      "(length(text) - length(replace(text, '...', ''))) // 3"
+  /** The m-CTE metric list over a token-list column `l`. */
+  private[pipeline] def gopherMetricsSql: String =
+    "len(l) AS n_words, " +
+      "list_sum(list_transform(l, x -> length(x))) AS sum_len, " +
+      "len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha, " +
+      s"${stopHitsSql("l")} AS stop_hits"
+  /** The five rules as PASS predicates, in funnel order. */
+  private[pipeline] def gopherRulesSql: Seq[String] = Seq(
+    s"n_words BETWEEN ${Gopher.minWords} AND ${Gopher.maxWords}",
+    "CAST(sum_len AS DOUBLE) / nullif(n_words, 0) BETWEEN " +
+      s"${Gopher.minMeanLen} AND ${Gopher.maxMeanLen}",
+    s"CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) >= ${Gopher.minAlpha}",
+    s"CAST(n_symbols AS DOUBLE) / nullif(n_words, 0) <= ${Gopher.maxSymbol}",
+    s"stop_hits >= ${Gopher.minStops}")
+  private[pipeline] def gopherPassSql: String =
+    gopherRulesSql.map(r => s"($r)").mkString(" AND ")
+
+  // … and Spark side: add the metric columns, then the same five rules.
+  /** Adds l, n_symbols, n_words, sum_len, n_alpha, stop_hits to a frame
+    * carrying `text` (Catalyst collapses the projection chain). */
+  private[pipeline] def withGopherMetrics(df: DataFrame): DataFrame =
+    df.withColumn("l", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("n_symbols", expr(
+        "length(text) - length(replace(text, '#', '')) + " +
+          "(length(text) - length(replace(text, '...', ''))) div 3")
+        .cast("long"))
+      .withColumn("n_words", size(col("l")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(l, 0L, (a, x) -> a + length(x))"))
+      .withColumn("n_alpha",
+        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long"))
+      .withColumn("stop_hits", stopHitsCol(col("l")).cast("long"))
+  /** The five rules as PASS predicates over those columns, funnel order. */
+  private[pipeline] def gopherRuleCols: Seq[org.apache.spark.sql.Column] = {
+    val nw = expr("nullif(n_words, 0)")
+    Seq(
+      col("n_words").between(Gopher.minWords, Gopher.maxWords),
+      (col("sum_len").cast("double") / nw)
+        .between(Gopher.minMeanLen, Gopher.maxMeanLen),
+      col("n_alpha").cast("double") / nw >= Gopher.minAlpha,
+      col("n_symbols").cast("double") / nw <= Gopher.maxSymbol,
+      col("stop_hits") >= Gopher.minStops)
+  }
+  private[pipeline] def gopherPassCol: org.apache.spark.sql.Column =
+    gopherRuleCols.reduce(_ && _)
 
   /** Language ID: argmax stopword-hit ratio per language; docs with no
     * hits are 'und'. */
@@ -723,19 +792,10 @@ object TextAnalysis {
     * scale. */
   val tx14GopherRules: Q = Q(
     "tx14_gopher_rules",
-    s"""WITH w AS (SELECT doc_id,
-      |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
-      |    length(text) - length(replace(text, '#', ''))
-      |      + (length(text) - length(replace(text, '...', ''))) // 3
-      |      AS n_symbols
+    s"""WITH w AS (SELECT doc_id, $tokListSql AS l,
+      |    $nSymbolsSql AS n_symbols
       |  FROM documents),
-      |m AS (SELECT doc_id, len(l) AS n_words,
-      |    list_sum(list_transform(l, x -> length(x))) AS sum_len,
-      |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
-      |      AS n_alpha,
-      |    n_symbols,
-      |    ${stopHitsSql("l")}
-      |      AS stop_hits
+      |m AS (SELECT doc_id, n_symbols, $gopherMetricsSql
       |  FROM w WHERE len(l) > 0)
       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
       |  floor(CAST(sum_len AS DOUBLE) / n_words * 10000 + 0.5) / 10000
@@ -743,47 +803,29 @@ object TextAnalysis {
       |  floor(CAST(n_alpha AS DOUBLE) / n_words * 10000 + 0.5) / 10000
       |    AS alpha_ratio,
       |  CAST(stop_hits AS BIGINT) AS stop_hits,
-      |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
-      |  CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
-      |    AS pass_mean_len,
-      |  CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS pass_alpha,
-      |  CAST(n_symbols AS DOUBLE) / n_words <= 0.1 AS pass_symbol,
-      |  stop_hits >= 2 AS pass_stop,
-      |  (n_words BETWEEN 50 AND 100000)
-      |    AND (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10)
-      |    AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
-      |    AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
-      |    AND stop_hits >= 2 AS gopher_pass
+      |  ${gopherRulesSql(0)} AS pass_word_count,
+      |  ${gopherRulesSql(1)} AS pass_mean_len,
+      |  ${gopherRulesSql(2)} AS pass_alpha,
+      |  ${gopherRulesSql(3)} AS pass_symbol,
+      |  ${gopherRulesSql(4)} AS pass_stop,
+      |  $gopherPassSql AS gopher_pass
       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.StableRound
-    val stopHits = stopHitsCol(col("l"))
     val meanLen = col("sum_len").cast("double") / col("n_words")
     val alphaR = col("n_alpha").cast("double") / col("n_words")
-    val symbolR = col("n_symbols").cast("double") / col("n_words")
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"),
-        expr("""length(text) - length(replace(text, '#', ''))
-          + (length(text) - length(replace(text, '...', ''))) div 3""")
-          .cast("long").as("n_symbols"))
+    val rules = gopherRuleCols
+    withGopherMetrics(Tables.documents(s, d))
       .filter(size(col("l")) > 0)
-      .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
-        expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("sum_len"),
-        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long")
-          .as("n_alpha"),
-        col("n_symbols"), stopHits.cast("long").as("stop_hits"))
       .select(col("doc_id"), col("n_words"),
         StableRound.r4(meanLen).as("mean_word_len"),
         StableRound.r4(alphaR).as("alpha_ratio"),
         col("stop_hits"),
-        col("n_words").between(50, 100000).as("pass_word_count"),
-        meanLen.between(3, 10).as("pass_mean_len"),
-        (alphaR >= 0.8).as("pass_alpha"),
-        (symbolR <= 0.1).as("pass_symbol"),
-        (col("stop_hits") >= 2).as("pass_stop"),
-        (col("n_words").between(50, 100000) && meanLen.between(3, 10)
-          && alphaR >= 0.8 && symbolR <= 0.1 && col("stop_hits") >= 2)
-          .as("gopher_pass"))
+        rules(0).as("pass_word_count"),
+        rules(1).as("pass_mean_len"),
+        rules(2).as("pass_alpha"),
+        rules(3).as("pass_symbol"),
+        rules(4).as("pass_stop"),
+        gopherPassCol.as("gopher_pass"))
       .orderBy("doc_id")
   }
 

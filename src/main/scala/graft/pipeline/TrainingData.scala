@@ -492,25 +492,14 @@ object TrainingData {
   val pipe16TrainManifest: Q = Q(
     "pipe16_train_manifest",
     s"""WITH w AS (SELECT doc_id, md5(text) AS h,
-      |    list_filter(string_split(text, ' '), x -> x <> '') AS l,
-      |    length(text) - length(replace(text, '#', ''))
-      |      + (length(text) - length(replace(text, '...', ''))) // 3
-      |      AS n_symbols
+      |    ${TextAnalysis.tokListSql} AS l,
+      |    ${TextAnalysis.nSymbolsSql} AS n_symbols
       |  FROM documents),
-      |m AS (SELECT doc_id, h, n_symbols, len(l) AS n_words,
-      |    list_sum(list_transform(l, x -> length(x))) AS sum_len,
-      |    len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]')))
-      |      AS n_alpha,
-      |    ${TextAnalysis.stopHitsSql("l")}
-      |      AS stop_hits,
+      |m AS (SELECT doc_id, h, n_symbols, ${TextAnalysis.gopherMetricsSql},
       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
       |  FROM w),
       |surv AS (SELECT doc_id, h, n_words FROM m
-      |  WHERE rn = 1 AND n_words BETWEEN 50 AND 100000
-      |    AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
-      |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
-      |    AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
-      |    AND stop_hits >= 2),
+      |  WHERE rn = 1 AND ${TextAnalysis.gopherPassSql}),
       |a AS (SELECT n_words, h,
       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
       |      AS dh
@@ -522,28 +511,11 @@ object TrainingData {
       |  CAST(sum(('0x' || substr(h, 1, 8))::BIGINT) AS BIGINT)
       |    AS content_hash
       |FROM a GROUP BY 1, 2 ORDER BY split, shard""".stripMargin) { (sp, d) =>
-    val stopHits = TextAnalysis.stopHitsCol(col("l"))
-    val m = Tables.documents(sp, d)
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"),
-        expr("""length(text) - length(replace(text, '#', ''))
-          + (length(text) - length(replace(text, '...', ''))) div 3""")
-          .cast("long").as("n_symbols"))
-      .select(col("doc_id"), col("h"), col("n_symbols"),
-        size(col("l")).cast("long").as("n_words"),
-        expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("sum_len"),
-        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long")
-          .as("n_alpha"),
-        stopHits.cast("long").as("stop_hits"),
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("h").orderBy("doc_id")).as("rn"))
-    val surv = m.filter(col("rn") === 1
-      && col("n_words").between(50, 100000)
-      && (col("sum_len").cast("double") / col("n_words")).between(3, 10)
-      && col("n_alpha").cast("double") / col("n_words") >= 0.8
-      && col("n_symbols").cast("double") / col("n_words") <= 0.1
-      && col("stop_hits") >= 2)
+    val m = TextAnalysis.withGopherMetrics(
+        Tables.documents(sp, d).withColumn("h", md5(col("text"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")))
+    val surv = m.filter(col("rn") === 1 && TextAnalysis.gopherPassCol)
     surv
       .withColumn("dh",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)

@@ -246,17 +246,16 @@ class PlanSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
 
-  test("dd13: source sets combine map-side, one wide exchange, totals broadcast") {
+  test("dd13: pair/total counts ride one checkpointed table; totals broadcast") {
     val p = planOf("dd13_source_overlap")
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
-    // the shingle stream collapses to (sh -> source set) with a partial
-    // (map-side) collect_set before its ONE wide exchange
-    assert(p.contains("partial_collect_set"))
     assert("BroadcastHashJoin".r.findAllIn(p).size === 2)
-    // both consumers (totals, pairs) read the persisted frame, not a
-    // recomputed corpus scan
-    assert(p.contains("InMemoryTableScan"))
+    // the corpus pipeline (scan -> shingle explode -> bounded collect_set
+    // -> tagged pair/total emission -> count) ran ONCE, eagerly, into the
+    // |sources|²-row checkpoint; the final plan reads only that table
+    assert(!p.contains("documents.parquet"))
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 3)
   }
 
   test("pipe15: corpus is consumed once (checkpointed counts); funnel joins broadcast") {
