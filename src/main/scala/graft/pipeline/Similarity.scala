@@ -733,7 +733,48 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Range (radius) search — the vector-DB operator complementing top-k:
+    * ALL neighbors within a similarity radius, however many there are.
+    * Top-k answers "the 5 closest"; range answers "everything at least
+    * this similar" — the right primitive for near-dup sweeps ("collect
+    * every candidate above 0.25") and for recall-controlled retrieval,
+    * where the caller bounds quality, not cardinality.
+    *
+    * The radius gate compares the ROUNDED cosine on both engines (house
+    * discipline: membership must never flip on a float ulp). This is the
+    * exact tier — broadcast queries streamed against the corpus scan, one
+    * pass, no shuffle of the corpus; the scale path restricts candidates
+    * by IVF cell exactly as sim02/sim09 do (same join, threshold instead
+    * of window), so it is not re-spelled here. */
+  val sim10RangeSearch: Q = Q(
+    "sim10_range_search",
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    floor((${cosineSql("q.embedding", "c.embedding")}) * 10000 + 0.5)
+       |      / 10000 AS cosine
+       |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, cosine FROM scored
+       |WHERE cosine >= 0.25
+       |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), VectorOps.norm(col("embedding")).as("cn"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", StableRound.r4(
+        cosineFromNorms(VectorOps.dot(col("qe"), col("ce")),
+          col("qn"), col("cn"))))
+      .filter(col("cosine") >= 0.25)
+      .select("query_id", "neighbor_id", "cosine")
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
-    sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample)
+    sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample,
+    sim10RangeSearch)
 }

@@ -292,6 +292,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count")) // rollup combines map-side
   }
 
+  test("sim10: radius scan broadcasts queries; corpus streams on FloatDot") {
+    val p = planOf("sim10_range_search")
+    assert(p.contains("float_dot"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert("embeddings\\.parquet".r.findAllIn(p).size === 2) // q + corpus
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash

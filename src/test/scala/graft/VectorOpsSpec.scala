@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.VectorOps
 
 class VectorOpsSpec extends AnyFunSuite {
-  import SparkTestSession.spark
+  import SparkTestSession.{spark, sfDir}
 
   test("FloatDot matches manual dot product (codegen path)") {
     val s = spark
@@ -105,5 +105,27 @@ class VectorOpsSpec extends AnyFunSuite {
       df.select(VectorOps.dot(col("a"), col("b"))).collect()
     }
     assert(e.getMessage.toLowerCase.contains("float"))
+  }
+
+  test("sim10: range result is exactly the brute-force pairs above the radius") {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions._
+    // completeness + soundness against the same scored pair space the
+    // top-k baseline uses: every returned pair clears the radius, and the
+    // count matches an independent recompute (no pair silently dropped)
+    val got = Similarity.sim10RangeSearch.run(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Double]("cosine") >= 0.25))
+    val e = graft.tables.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val expected = q.crossJoin(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", graft.functions.StableRound.r4(
+        Similarity.cosine(col("qe"), col("ce"))))
+      .filter(col("cosine") >= 0.25)
+      .count()
+    assert(got.length.toLong === expected)
   }
 }
