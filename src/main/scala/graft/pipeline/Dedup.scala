@@ -1236,9 +1236,64 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Representative selection: turn dd06's near-dup clusters into the
+    * keep/drop decision a dedup pass actually ships — per cluster, KEEP
+    * the longest member (ties → smallest doc_id; "keep the longest" is
+    * the standard web-corpus policy: truncations and teasers lose to the
+    * full article they duplicate). One row per cluster: the survivor,
+    * its length, and how many members it retires.
+    *
+    * Scale shape: the cluster labels are one row per MATCHED doc (sparse
+    * — the corpus-sized unmatched remainder never enters), joined to the
+    * narrow (doc_id, n_chars) projection of documents. The argmax is a
+    * window over cluster_id and the rollup a groupBy over the SAME key,
+    * so both ride one exchange of the sparse label table. At 100 TB the
+    * cost is dominated by dd06's component step, not this decision pass. */
+  val dd14ClusterReps: Q = Q(
+    "dd14_cluster_reps",
+    s"""WITH RECURSIVE $lshPairsCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+       |          UNION SELECT doc_b, doc_a FROM lsh_pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |  WHERE e.dst <> r.src),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |         FROM reach GROUP BY src),
+       |scored AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+       |SELECT cluster_id,
+       |  max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc,
+       |  max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
+       |  count(*) AS n_members, count(*) - 1 AS n_dropped
+       |FROM scored GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) {
+    (s, d) =>
+    val labels = connectedComponents(lshPairs(s, d))
+    // narrow length projection; the label table is the sparse side, so it
+    // streams into a broadcast of nothing — both are doc_id-keyed and the
+    // join is the only corpus-touching step
+    val sized = labels.join(
+      docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+    // argmax by (n_chars desc, doc_id) then rollup — same cluster_id key,
+    // so the groupBy reuses the window's exchange
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    sized.withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),
+        max(when(col("rk") === 1, col("n_chars"))).as("keep_chars"),
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
     dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune,
-    dd11DupProfile, dd12DupSpans, dd13SourceOverlap)
+    dd11DupProfile, dd12DupSpans, dd13SourceOverlap, dd14ClusterReps)
 }

@@ -773,8 +773,146 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
   }
 
+  /** MMR (maximal marginal relevance) diverse top-k: greedy re-rank of
+    * each query's top-8 exact candidates picking 3 results that balance
+    * relevance against redundancy — score = λ·rel − (1−λ)·max-sim-to-
+    * already-picked, λ = 0.7 (Carbonell & Goldstein 1998). Plain top-k
+    * returns three copies of the same near-duplicate answer; MMR is the
+    * retrieval-diversity operator that doesn't.
+    *
+    * The greedy loop is UNROLLED relationally (k = 3 fixed): each round
+    * is one join + one argmax window — no driver iteration, no UDF. All
+    * ranking inputs are the ROUNDED cosines (house discipline), and the
+    * blend 0.7·rel − 0.3·sim of two identically-rounded doubles is an
+    * exactly-determined IEEE op on both engines, so selection can never
+    * flip on a float ulp; remaining ties break by cand_id.
+    *
+    * Scale shape: after the candidate stage (sim01's broadcast-queries ×
+    * streamed-corpus scan; at production scale any ANN tier — sim02/
+    * sim09 — feeds the same contract), everything operates on 8 rows ×
+    * |queries| and 56 pair rows × |queries| — per-query-tiny frames that
+    * AQE broadcasts; the candidate frame is localCheckpoint'd because
+    * four consumers (pairs, round 1/2/3) would otherwise re-run the
+    * corpus scan. */
+  val sim11MmrTopK: Q = Q(
+    "sim11_mmr_topk",
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    c.embedding AS ce,
+       |    floor((${cosineSql("q.embedding", "c.embedding")}) * 10000 + 0.5)
+       |      / 10000 AS rel
+       |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+       |cand AS (SELECT query_id, cand_id, ce, rel, rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rk FROM scored) WHERE rk <= 8),
+       |pairs AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |    floor((${cosineSql("a.ce", "b.ce")}) * 10000 + 0.5) / 10000
+       |      AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+       |s1 AS (SELECT query_id, cand_id, rel FROM cand WHERE rk = 1),
+       |m2 AS (SELECT c.query_id, c.cand_id, c.rel,
+       |    0.7 * c.rel - 0.3 * p.sim AS score
+       |  FROM cand c
+       |  JOIN s1 ON s1.query_id = c.query_id AND c.cand_id <> s1.cand_id
+       |  JOIN pairs p ON p.query_id = c.query_id AND p.ca = c.cand_id
+       |    AND p.cb = s1.cand_id),
+       |s2 AS (SELECT query_id, cand_id, rel FROM (
+       |    SELECT query_id, cand_id, rel, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+       |    FROM m2) WHERE rk = 1),
+       |m3 AS (SELECT c.query_id, c.cand_id, c.rel,
+       |    0.7 * c.rel - 0.3 * max(p.sim) AS score
+       |  FROM cand c
+       |  JOIN s1 ON s1.query_id = c.query_id
+       |  JOIN s2 ON s2.query_id = c.query_id
+       |  JOIN pairs p ON p.query_id = c.query_id AND p.ca = c.cand_id
+       |    AND (p.cb = s1.cand_id OR p.cb = s2.cand_id)
+       |  WHERE c.cand_id <> s1.cand_id AND c.cand_id <> s2.cand_id
+       |  GROUP BY c.query_id, c.cand_id, c.rel),
+       |s3 AS (SELECT query_id, cand_id, rel FROM (
+       |    SELECT query_id, cand_id, rel, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+       |    FROM m3) WHERE rk = 1)
+       |SELECT query_id, 1 AS pick, cand_id AS neighbor_id, rel FROM s1
+       |UNION ALL SELECT query_id, 2, cand_id, rel FROM s2
+       |UNION ALL SELECT query_id, 3, cand_id, rel FROM s3
+       |ORDER BY query_id, pick""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorOps.norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      VectorOps.norm(col("embedding")).as("cn"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("rel", StableRound.r4(
+        cosineFromNorms(VectorOps.dot(col("qe"), col("ce")),
+          col("qn"), col("cn"))))
+    // four consumers (pair matrix + three greedy rounds): checkpoint the
+    // 8-per-query candidate frame so the corpus scan runs exactly once
+    val cand = scored
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("cand_id"))))
+      .filter(col("rk") <= 8)
+      .select("query_id", "cand_id", "ce", "cn", "rel", "rk")
+      .localCheckpoint()
+    val pairs = cand
+      .select(col("query_id"), col("cand_id").as("ca"),
+        col("ce").as("ea"), col("cn").as("na"))
+      .join(cand.select(col("query_id"), col("cand_id").as("cb"),
+        col("ce").as("eb"), col("cn").as("nb")), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("sim", StableRound.r4(
+        cosineFromNorms(VectorOps.dot(col("ea"), col("eb")),
+          col("na"), col("nb"))))
+      .select("query_id", "ca", "cb", "sim")
+      .localCheckpoint()
+    // one row per query — broadcastable at ANY corpus scale (the picked
+    // sets grow with |queries|, not |corpus|), so the hint is structural,
+    // not a fixture-size bet
+    val s1 = broadcast(cand.filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id").as("s1_id"),
+        col("rel").as("s1_rel")))
+    val m2 = cand.join(s1, "query_id")
+      .filter(col("cand_id") =!= col("s1_id"))
+      .join(pairs.select(col("query_id"), col("ca").as("cand_id"),
+        col("cb").as("s1_id"), col("sim")),
+        Seq("query_id", "cand_id", "s1_id"))
+      .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("sim"))
+    val s2 = broadcast(m2
+      .withColumn("rk2", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rk2") === 1)
+      .select(col("query_id"), col("cand_id").as("s2_id"),
+        col("rel").as("s2_rel")))
+    val m3 = cand.join(s1, "query_id").join(s2, "query_id")
+      .filter(col("cand_id") =!= col("s1_id") &&
+        col("cand_id") =!= col("s2_id"))
+      .join(pairs.select(col("query_id"), col("ca").as("cand_id"),
+        col("cb"), col("sim")), Seq("query_id", "cand_id"))
+      .filter(col("cb") === col("s1_id") || col("cb") === col("s2_id"))
+      .groupBy("query_id", "cand_id", "rel")
+      .agg(max("sim").as("maxsim"))
+      .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+    val s3 = m3
+      .withColumn("rk3", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("cand_id"))))
+      .filter(col("rk3") === 1)
+      .select(col("query_id"), col("cand_id").as("s3_id"),
+        col("rel").as("s3_rel"))
+    s1.select(col("query_id"), lit(1).as("pick"),
+        col("s1_id").as("neighbor_id"), col("s1_rel").as("rel"))
+      .union(s2.select(col("query_id"), lit(2).as("pick"),
+        col("s2_id").as("neighbor_id"), col("s2_rel").as("rel")))
+      .union(s3.select(col("query_id"), lit(3).as("pick"),
+        col("s3_id").as("neighbor_id"), col("s3_rel").as("rel")))
+      .orderBy("query_id", "pick")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
     sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample,
-    sim10RangeSearch)
+    sim10RangeSearch, sim11MmrTopK)
 }

@@ -930,9 +930,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit per source: regress log(term frequency) on log(rank)
+    * over each source's top-500 terms. Natural text follows Zipf with
+    * slope ≈ −1; a source whose slope is shallow (≫ −1) or whose fit is
+    * poor (low R²) is template/machine output — a corpus-level quality
+    * signal complementing the per-doc tiers (tx02/tx12/tx14). Token
+    * definition shared with tx03/tx06/tx10/tx11 (space split, '' is not
+    * vocabulary); rank ties broken by token so the regression inputs are
+    * engine-independent.
+    *
+    * Scale shape: documents scanned once; the exploded token stream
+    * combines map-side into per-(source, token) counts — ONE wide
+    * exchange, the same volume as any unigram-count pass. The rank
+    * window then runs per source over the count table (vocabulary-sized,
+    * orders of magnitude smaller than the corpus), and the regression
+    * folds 500 rows per source. Zipf skew on mega-tokens is absorbed by
+    * the map-side combine, not a shuffle hazard. */
+  val tx17ZipfFit: Q = Q(
+    "tx17_zipf_fit",
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |freq AS (SELECT source, tok, count(*) AS c FROM toks
+      |         WHERE tok <> '' GROUP BY 1, 2),
+      |ranked AS (SELECT source, c,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY c DESC, tok) AS rk
+      |  FROM freq)
+      |SELECT source, count(*) AS n_terms,
+      |  floor(regr_slope(ln(c), ln(rk)) * 10000 + 0.5) / 10000
+      |    AS zipf_slope,
+      |  floor(regr_r2(ln(c), ln(rk)) * 10000 + 0.5) / 10000 AS fit_r2
+      |FROM ranked WHERE rk <= 500 GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val freq = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("tok"))
+    freq.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 500)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        StableRound.r4(regr_slope(log(col("c")), log(col("rk"))))
+          .as("zipf_slope"),
+        StableRound.r4(regr_r2(log(col("c")), log(col("rk"))))
+          .as("fit_r2"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
     tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
-    tx15HashClassifier, tx16EncodingQc)
+    tx15HashClassifier, tx16EncodingQc, tx17ZipfFit)
 }

@@ -253,4 +253,30 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(r.getAs[Double]("containment_b") === 0.25)
     assert(r.getAs[Double]("jaccard") === 0.1111) // 1 / (6 + 4 - 1)
   }
+
+  test("dd14: keep_doc is the longest member (min doc_id on ties); counts add up") {
+    // reference recompute from dd06's own labels — dd14 must agree with
+    // the keep-the-longest policy on every cluster, not just the fixture's
+    val chars = graft.tables.Tables.documents(spark, SparkTestSession.sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Dedup.dd06DupClusters.run(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (cl, ms) =>
+        val members = ms.map(_._1)
+        val keep = members.minBy(d => (-chars(d), d))
+        (cl, keep, chars(keep), members.length.toLong,
+          members.length.toLong - 1)
+      }.toSet
+    val got = Dedup.dd14ClusterReps.run(spark, SparkTestSession.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // every cluster retires at least one member by construction
+    got.foreach { case (_, _, _, n, dropped) =>
+      assert(n >= 2 && dropped === n - 1)
+    }
+  }
 }

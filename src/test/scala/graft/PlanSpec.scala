@@ -301,6 +301,39 @@ class PlanSpec extends AnyFunSuite {
     assert("embeddings\\.parquet".r.findAllIn(p).size === 2) // q + corpus
   }
 
+  test("tx17: one corpus scan; rank window and regression ride two exchanges") {
+    val p = planOf("tx17_zipf_fit")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    // (source, tok) count + the per-source rank window; the regression
+    // groupBy reuses the window's hashpartitioning(source)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+    assert(p.contains("partial_regr_slope")) // map-side combined fit
+    // top-500 pruned BEFORE the full per-source sort materializes
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("dd14: label join broadcasts; argmax window and rollup share one exchange") {
+    val p = planOf("dd14_cluster_reps")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // ONE hashpartitioning(cluster_id) serves the keep-doc window AND the
+    // per-cluster aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(p.contains("partial_max")) // rollup combines map-side
+  }
+
+  test("sim11: greedy rounds reuse the checkpointed candidates; picked sets broadcast") {
+    val p = planOf("sim11_mmr_topk")
+    // the corpus scan ran ONCE into the candidate checkpoint — no greedy
+    // round re-reads the parquet
+    assert("embeddings\\.parquet".r.findAllIn(p).size === 0)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4)
+    assert(!p.contains("CartesianProduct"))
+    // s1/s2 (one row per query) join broadcast into rounds 2 and 3
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash

@@ -141,4 +141,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(4L).getAs[Double]("ascii_ratio") < 0.5)
     assert(m(4L).getAs[Boolean]("clean"))
   }
+
+  test("tx17: slope matches closed-form least squares on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    // one source, token frequencies 8/4/2/1 → ranks 1..4, no rank ties
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).mkString(" ")
+    Seq((1L, text, "en", "S", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.tx17ZipfFit.run(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(0) === "S" && r.getLong(1) === 4L)
+    // ordinary least squares of ln(freq) on ln(rank), computed directly
+    val x = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val y = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val (mx, my) = (x.sum / 4, y.sum / 4)
+    val slope = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      x.map(a => (a - mx) * (a - mx)).sum
+    assert(math.abs(r.getDouble(2) - slope) < 1e-3)
+    assert(r.getDouble(2) < 0) // Zipf: frequency falls with rank
+  }
+
+  test("tx17: every fixture source fits with negative slope and sane R2") {
+    val rows = TextAnalysis.tx17ZipfFit.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 500L)
+      assert(r.getDouble(2) < 0, s"source ${r.getString(0)} slope not < 0")
+      val r2 = r.getDouble(3)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
 }

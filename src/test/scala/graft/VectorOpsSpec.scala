@@ -128,4 +128,48 @@ class VectorOpsSpec extends AnyFunSuite {
       .count()
     assert(got.length.toLong === expected)
   }
+
+  test("sim11: picks equal a reference greedy MMR over the same rounded scores") {
+    import graft.pipeline.Similarity
+    // driver-side reference implementation of the unrolled relational
+    // greedy: same rounded cosines, same λ, same tiebreaks — the query
+    // must agree pick for pick
+    val vecs = graft.tables.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def cos(a: Long, b: Long) = {
+      val (va, vb) = (vecs(a), vecs(b))
+      r4(dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+    }
+    // literals 0.7/0.3 exactly as both engines spell them — (1 - 0.7) is
+    // 0.30000000000000004 in IEEE and would NOT reproduce the query
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(q, c)))
+        .sortBy { case (c, rel) => (-rel, c) }
+        .take(8)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      picks += cand.head
+      (2 to 3).foreach { _ =>
+        val best = cand.filterNot(c => picks.exists(_._1 == c._1))
+          .map { case (c, rel) =>
+            val pen = picks.map(p => cos(c, p._1)).max
+            (c, rel, 0.7 * rel - 0.3 * pen)
+          }
+          .minBy { case (c, _, score) => (-score, c) }
+        picks += ((best._1, best._2))
+      }
+      picks.zipWithIndex.map { case ((c, rel), i) => (q, i + 1, c, rel) }
+    }.toSet
+    val got = Similarity.sim11MmrTopK.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === expected)
+  }
 }
