@@ -1249,9 +1249,25 @@ object Dedup {
     * window over cluster_id and the rollup a groupBy over the SAME key,
     * so both ride one exchange of the sparse label table. At 100 TB the
     * cost is dominated by dd06's component step, not this decision pass. */
-  val dd14ClusterReps: Q = Q(
-    "dd14_cluster_reps",
-    s"""WITH RECURSIVE $lshPairsCte,
+  /** Shared keep/drop decision over dd06's clusters: every clustered doc
+    * with its cluster_id, length, and keep-rank (rk 1 = the survivor —
+    * longest member, doc_id tiebreak). dd14 aggregates this; pipe17 uses
+    * rk > 1 as the drop list. */
+  private def keepDecision(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(lshPairs(s, d))
+    val sized = labels.join(
+      docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    sized.withColumn("rk", row_number().over(w))
+  }
+
+  /** SQL twin of [[keepDecision]]: components of the LSH pair graph plus
+    * the per-cluster keep-rank, as `scored(cluster_id, doc_id, n_chars,
+    * rk)`. Shared by dd14 and pipe17 so both oracles state the identical
+    * decision. */
+  private val clusterKeepCte =
+    s"""$lshPairsCte,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
        |          UNION SELECT doc_b, doc_a FROM lsh_pairs),
        |reach(src, dst) AS (
@@ -1265,24 +1281,21 @@ object Dedup {
        |  SELECT c.cluster_id, c.doc_id, d.n_chars,
        |    row_number() OVER (PARTITION BY c.cluster_id
        |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
-       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)""".stripMargin
+
+  val dd14ClusterReps: Q = Q(
+    "dd14_cluster_reps",
+    s"""WITH RECURSIVE $clusterKeepCte
        |SELECT cluster_id,
        |  max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc,
        |  max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars,
        |  count(*) AS n_members, count(*) - 1 AS n_dropped
        |FROM scored GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) {
     (s, d) =>
-    val labels = connectedComponents(lshPairs(s, d))
-    // narrow length projection; the label table is the sparse side, so it
-    // streams into a broadcast of nothing — both are doc_id-keyed and the
-    // join is the only corpus-touching step
-    val sized = labels.join(
-      docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
     // argmax by (n_chars desc, doc_id) then rollup — same cluster_id key,
-    // so the groupBy reuses the window's exchange
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    sized.withColumn("rk", row_number().over(w))
+    // so the groupBy reuses the decision window's exchange; the label
+    // table is the sparse side and broadcasts into the length join
+    keepDecision(s, d)
       .groupBy("cluster_id")
       .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),
         max(when(col("rk") === 1, col("n_chars"))).as("keep_chars"),
@@ -1291,9 +1304,73 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Dedup-aware mixture shift: how the near-dup pass (dd14's keep/drop
+    * decision) moves each source's share of the corpus. Boilerplate-heavy
+    * sources lose disproportionally many docs to dedup, so the mixture a
+    * curator tuned BEFORE dedup (pipe03) is not the mixture that trains —
+    * this is the diagnostic that quantifies the skew (drop rate per
+    * source, share before/after, signed shift).
+    *
+    * Scale shape: ONE corpus scan — the sparse drop list (clustered docs
+    * with keep-rank > 1) broadcasts into a left join, and per-source
+    * before/dropped counts fall out of a single map-side-combined
+    * aggregation; totals are re-aggregated from the |sources|-row result
+    * and broadcast back. No corpus shuffle at all. */
+  val pipe17DedupMixture: Q = Q(
+    "pipe17_dedup_mixture",
+    s"""WITH RECURSIVE $clusterKeepCte,
+       |dropped AS (SELECT doc_id FROM scored WHERE rk > 1),
+       |surv AS (SELECT source FROM documents
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |b AS (SELECT source, count(*) AS n_before FROM documents GROUP BY 1),
+       |a AS (SELECT source, count(*) AS n_after FROM surv GROUP BY 1),
+       |m AS (SELECT b.source, b.n_before,
+       |        coalesce(a.n_after, 0) AS n_after
+       |      FROM b LEFT JOIN a ON a.source = b.source),
+       |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+       |             CAST(sum(n_after) AS BIGINT) AS ta FROM m)
+       |SELECT m.source, m.n_before, m.n_after,
+       |  floor(CAST(m.n_before - m.n_after AS DOUBLE) / m.n_before
+       |    * 10000 + 0.5) / 10000 AS drop_rate,
+       |  floor(CAST(m.n_before AS DOUBLE) / t.tb * 10000 + 0.5) / 10000
+       |    AS share_before,
+       |  floor(CAST(m.n_after AS DOUBLE) / t.ta * 10000 + 0.5) / 10000
+       |    AS share_after,
+       |  floor((CAST(m.n_after AS DOUBLE) / t.ta
+       |    - CAST(m.n_before AS DOUBLE) / t.tb) * 10000 + 0.5) / 10000
+       |    AS share_shift
+       |FROM m, t ORDER BY source""".stripMargin) { (s, d) =>
+    val dropped = keepDecision(s, d).filter(col("rk") > 1)
+      .select(col("doc_id"), lit(1).as("is_dropped"))
+    // count(col) ignores nulls → dropped-per-source from the same scan
+    // two consumers (totals + output) of the |sources|-row aggregate:
+    // checkpoint it so the corpus scan and the decision pipeline run once
+    val per = docs(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"),
+        count(col("is_dropped")).as("n_dropped"))
+      .withColumn("n_after", col("n_before") - col("n_dropped"))
+      .localCheckpoint()
+    val totals = per.agg(sum("n_before").as("tb"), sum("n_after").as("ta"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_before"), col("n_after"),
+        graft.functions.StableRound.r4(
+          col("n_dropped").cast("double") / col("n_before")).as("drop_rate"),
+        graft.functions.StableRound.r4(
+          col("n_before").cast("double") / col("tb")).as("share_before"),
+        graft.functions.StableRound.r4(
+          col("n_after").cast("double") / col("ta")).as("share_after"),
+        graft.functions.StableRound.r4(
+          col("n_after").cast("double") / col("ta")
+            - col("n_before").cast("double") / col("tb")).as("share_shift"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
     dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune,
-    dd11DupProfile, dd12DupSpans, dd13SourceOverlap, dd14ClusterReps)
+    dd11DupProfile, dd12DupSpans, dd13SourceOverlap, dd14ClusterReps,
+    pipe17DedupMixture)
 }

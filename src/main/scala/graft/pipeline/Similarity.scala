@@ -911,8 +911,68 @@ object Similarity {
       .orderBy("query_id", "pick")
   }
 
+  /** kNN label classification: predict each query vector's label by
+    * majority vote of its 5 nearest neighbors (exact cosine), reporting
+    * the per-query verdict. The standard embedding-space sanity check —
+    * labels that kNN cannot recover signal an embedding/label mismatch
+    * before any training run spends on it. Vote ties break toward the
+    * smaller label; ranking uses rounded cosines (house discipline).
+    *
+    * Scale shape: sim01's candidate pattern (queries broadcast, corpus
+    * streamed through the codegen'd FloatDot once, WindowGroupLimit
+    * prunes to top-5 per query before any full sort). Everything after —
+    * the vote groupBy (query_id, labels) and the argmax window — keys on
+    * supersets of query_id, so the whole post-scan pipeline rides ONE
+    * exchange of 5·|queries| rows. */
+  val sim12KnnClassify: Q = Q(
+    "sim12_knn_classify",
+    s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+       |           WHERE vec_id < 50),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS true_label,
+       |    c.label AS nlabel, c.vec_id AS neighbor_id,
+       |    floor((${cosineSql("q.embedding", "c.embedding")}) * 10000 + 0.5)
+       |      / 10000 AS cosine
+       |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+       |top5 AS (SELECT query_id, true_label, nlabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+       |  WHERE rk <= 5),
+       |votes AS (SELECT query_id, true_label, nlabel, count(*) AS v
+       |          FROM top5 GROUP BY 1, 2, 3)
+       |SELECT query_id, true_label, nlabel AS pred_label,
+       |  true_label = nlabel AS correct
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY v DESC, nlabel) AS pr FROM votes) WHERE pr = 1
+       |ORDER BY query_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qe"), VectorOps.norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nlabel"), col("embedding").as("ce"),
+      VectorOps.norm(col("embedding")).as("cn"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", StableRound.r4(
+        cosineFromNorms(VectorOps.dot(col("qe"), col("ce")),
+          col("qn"), col("cn"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .groupBy("query_id", "true_label", "nlabel")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("v").desc, col("nlabel"))))
+      .filter(col("pr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nlabel").as("pred_label"),
+        (col("true_label") === col("nlabel")).as("correct"))
+      .orderBy("query_id")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
     sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample,
-    sim10RangeSearch, sim11MmrTopK)
+    sim10RangeSearch, sim11MmrTopK, sim12KnnClassify)
 }

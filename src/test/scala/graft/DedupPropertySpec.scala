@@ -279,4 +279,24 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(n >= 2 && dropped === n - 1)
     }
   }
+
+  test("pipe17: shares sum to ~1 and drops reconcile with dd14") {
+    val rows = Dedup.pipe17DedupMixture.run(spark, SparkTestSession.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // shares are r4-rounded, so the sums land within |sources|·1e-4 of 1
+    val eps = rows.length * 1e-4
+    assert(math.abs(rows.map(_.getAs[Double]("share_before")).sum - 1) < eps)
+    assert(math.abs(rows.map(_.getAs[Double]("share_after")).sum - 1) < eps)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_after") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Long]("n_after") >= 0L)
+    }
+    // total docs dropped must equal dd14's per-cluster drop counts
+    val dropped = rows.map(r =>
+      r.getAs[Long]("n_before") - r.getAs[Long]("n_after")).sum
+    val dd14Dropped = Dedup.dd14ClusterReps.run(spark, SparkTestSession.sfDir)
+      .collect().map(_.getAs[Long]("n_dropped")).sum
+    assert(dropped === dd14Dropped)
+  }
 }

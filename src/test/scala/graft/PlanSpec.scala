@@ -334,6 +334,26 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
   }
 
+  test("pipe17: totals and output share one checkpointed per-source aggregate") {
+    val p = planOf("pipe17_dedup_mixture")
+    // the corpus scan + keep/drop pipeline ran ONCE into the checkpoint;
+    // neither consumer re-reads parquet
+    assert("documents\\.parquet".r.findAllIn(p).size === 0)
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2)
+  }
+
+  test("sim12: top-5, vote and argmax all ride one query_id exchange") {
+    val p = planOf("sim12_knn_classify")
+    assert(p.contains("float_dot"))
+    assert("embeddings\\.parquet".r.findAllIn(p).size === 2) // q + corpus
+    // query filter pushed to the scan
+    assert(p.contains("LessThan(vec_id,50)"))
+    // vote groupBy and pred window key on supersets of query_id — the
+    // top-5 window's exchange is the ONLY hashpartitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2) // top-5 + argmax
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash

@@ -172,4 +172,36 @@ class VectorOpsSpec extends AnyFunSuite {
       .toSet
     assert(got === expected)
   }
+
+  test("sim12: verdicts equal a reference top-5 majority vote") {
+    import graft.pipeline.Similarity
+    val rows = graft.tables.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val expected = vecs.keys.filter(_ < 50).toSeq.sorted.map { q =>
+      val top5 = vecs.keys.filter(_ != q).toSeq
+        .map { c =>
+          val (vq, vc) = (vecs(q), vecs(c))
+          (c, r4(dot(vq, vc) /
+            (math.sqrt(dot(vq, vq)) * math.sqrt(dot(vc, vc)))))
+        }
+        .sortBy { case (c, rel) => (-rel, c) }.take(5)
+      val pred = top5.groupBy(p => labels(p._1))
+        .map { case (l, ps) => (l, ps.size) }.toSeq
+        .minBy { case (l, v) => (-v, l) }._1
+      (q, labels(q), pred, labels(q) == pred)
+    }.toSet
+    val got = Similarity.sim12KnnClassify.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    assert(got === expected)
+  }
 }
