@@ -1367,10 +1367,78 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * k=8 signature-agreement estimate (matches/8) NEXT TO the exact
+    * shingle Jaccard, with the absolute error. The estimator-honesty
+    * gate for the minhash tier — same role dd10 plays for semantic
+    * dedup and sim05 for IVF: the sketch must be measured against the
+    * truth it approximates, on the pairs it actually emits (E[est] =
+    * true Jaccard is the published MinHash property; k=8 makes the
+    * estimate coarse, which is exactly what this surface shows).
+    *
+    * Scale shape: signatures are computed ONCE (checkpointed — three
+    * consumers: the banding and both sides of the agreement join); the
+    * agreement join is candidate-pairs × 8 signature columns (narrow,
+    * pair-sized), and the exact side is dd08's jaccardVerify on the
+    * same candidate set — never all-pairs. */
+  val dd15MinhashCalibration: Q = Q(
+    "dd15_minhash_calibration",
+    s"""WITH $lshPairsCte,
+       |m AS (SELECT p.doc_a, p.doc_b,
+       |        CAST(count(CASE WHEN a.mh = b.mh THEN 1 END) AS BIGINT)
+       |          AS n_match
+       |      FROM lsh_pairs p
+       |      JOIN sig a ON a.doc_id = p.doc_a
+       |      JOIN sig b ON b.doc_id = p.doc_b AND b.seed = a.seed
+       |      GROUP BY 1, 2),
+       |nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shr AS (SELECT p.doc_a, p.doc_b, count(*) AS shared
+       |        FROM lsh_pairs p
+       |        JOIN sh a ON a.doc_id = p.doc_a
+       |        JOIN sh b ON b.doc_id = p.doc_b AND b.tok = a.tok
+       |        GROUP BY 1, 2),
+       |j AS (SELECT m.doc_a, m.doc_b, m.n_match,
+       |        CAST(m.n_match AS DOUBLE) / 8 AS est_sim,
+       |        floor(CAST(coalesce(s.shared, 0) AS DOUBLE)
+       |          / (na.n_sh + nb.n_sh - coalesce(s.shared, 0))
+       |          * 10000 + 0.5) / 10000 AS jaccard
+       |      FROM m
+       |      LEFT JOIN shr s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+       |      JOIN nsh na ON na.doc_id = m.doc_a
+       |      JOIN nsh nb ON nb.doc_id = m.doc_b)
+       |SELECT doc_a, doc_b, n_match, est_sim, jaccard,
+       |  floor(abs(est_sim - jaccard) * 10000 + 0.5) / 10000 AS abs_err
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docsDf = docs(s, d)
+    // three consumers of the signature frame (banding + both agreement
+    // sides): checkpoint so the shingle/md5 pipeline runs once
+    val sig = minhashSig(Tables.spread(s, docsDf, "doc_id"))
+      .localCheckpoint()
+    val pairs = lshPairsOf(sig)
+    val aSide = sig.select(col("doc_id").as("doc_a") +:
+      (0 until 8).map(k => col(s"m$k").as(s"a$k")): _*)
+    val bSide = sig.select(col("doc_id").as("doc_b") +:
+      (0 until 8).map(k => col(s"m$k").as(s"b$k")): _*)
+    val est = pairs.join(aSide, "doc_a").join(bSide, "doc_b")
+      .withColumn("n_match", (0 until 8)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .select("doc_a", "doc_b", "n_match")
+    est.join(jaccardVerify(docsDf, pairs, threshold = 0.0),
+        Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / 8).as("est_sim"),
+        col("jaccard"),
+        graft.functions.StableRound.r4(
+          abs(col("n_match").cast("double") / 8 - col("jaccard")))
+          .as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[Q] = Seq(
     dd01ExactDedup, dd02NgramJaccard, dd03MinhashLsh, dd04Simhash,
     dd05EmbeddingDup, dd06DupClusters, dd07WinnowPairs, dd08CandidateJaccard,
     dd09SemanticDedup, dd10SemdedupRecall, pipe13SemanticPrune,
     dd11DupProfile, dd12DupSpans, dd13SourceOverlap, dd14ClusterReps,
-    pipe17DedupMixture)
+    pipe17DedupMixture, dd15MinhashCalibration)
 }

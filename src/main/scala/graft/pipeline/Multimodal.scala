@@ -295,6 +295,62 @@ object Multimodal {
       .orderBy("doc_id", "seg_start")
   }
 
+  /** Image near-duplicate groups by perceptual hash — the multimodal
+    * dedup operator: hash every decoded image (a real deployment: 8×8
+    * luma downsample → DCT → 64 sign bits, i.e. classic pHash), group
+    * by hash, report every group of 2+. The DECODE+HASH step is the
+    * marked deterministic fake (first 64 bits of md5(payload), hex —
+    * reproducible in SQL, which keeps the query strict-oracled); a real
+    * pHash swaps the per-partition lambda without touching the plan.
+    *
+    * With a real pHash, NEAR-duplicates (hamming ≤ 2 over 64 bits)
+    * compose via dd04's pigeonhole banding on hash segments — the fake
+    * hash has no near-collisions by construction, so this query ships
+    * the exact-group tier and documents the banding as the extension.
+    *
+    * Scale shape: per-partition hash (no shuffle), ONE combine-heavy
+    * groupBy on the 16-char hash — dd01's exact-dedup shape with the
+    * hash computed from bytes instead of text. The member list is
+    * CAPPED at 20 sample docs (rank window before the agg — dd07's
+    * bounded-bucket discipline), so a boilerplate image repeated 10⁸
+    * times costs a 20-entry buffer, never a mega-group; the full count
+    * still reports. The rank window and the groupBy share one phash
+    * exchange. */
+  val mm07PhashDup: Q = Q(
+    "mm07_phash_dup",
+    """WITH h AS (SELECT doc_id, substr(md5(text), 1, 16) AS phash
+      |           FROM documents),
+      |r AS (SELECT phash, doc_id, row_number() OVER (
+      |        PARTITION BY phash ORDER BY doc_id) AS rk FROM h)
+      |SELECT phash, count(*) AS n_images,
+      |  min(doc_id) AS rep_doc,
+      |  string_agg(CASE WHEN rk <= 20 THEN CAST(doc_id AS VARCHAR) END,
+      |    ',' ORDER BY doc_id) AS sample_docs
+      |FROM r GROUP BY phash HAVING count(*) >= 2
+      |ORDER BY phash""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        // FAKE pHash (see doc comment): hex of md5(payload)[0..7]
+        val dg = md5.get().digest(payload)
+        (id, dg.take(8).map(b => f"${b & 0xff}%02x").mkString)
+      })
+      .toDF("doc_id", "phash")
+    hashed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("phash").orderBy("doc_id")))
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_images"), min("doc_id").as("rep_doc"),
+        array_join(transform(sort_array(
+          collect_list(when(col("rk") <= 20, col("doc_id")))),
+          _.cast("string")), ",").as("sample_docs"))
+      .filter(col("n_images") >= 2)
+      .orderBy("phash")
+  }
+
   val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan,
-    mm04FeatureExtract, mm05FeatureProbe, mm06AudioSegments)
+    mm04FeatureExtract, mm05FeatureProbe, mm06AudioSegments, mm07PhashDup)
 }

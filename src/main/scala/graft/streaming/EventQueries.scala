@@ -397,8 +397,98 @@ object EventQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Peak concurrency per day — the interval-overlap counting pattern
+    * (the one windowed shape ev01-ev11 did not cover): each ev03 session
+    * contributes +1 at its (day-clipped) start and −1 at its end, a
+    * running sum over the ordered deltas is the live concurrency, and
+    * the per-day max with its first-reached timestamp is the capacity
+    * answer ("how many sessions were open at once, and when").
+    * Sessions spanning midnight are split across the days they touch.
+    * Tie rule: starts sort before ends at the same instant (delta DESC),
+    * so touching sessions count as concurrent; (user_id, session_no)
+    * complete the ORDER BY so the running sum is deterministic.
+    *
+    * Scale shape: the sweep runs on SESSION endpoints (2 rows per
+    * session-day — orders of magnitude fewer than events), partitioned
+    * by day, so each window group is one day's sessions. A day with
+    * ~10⁹+ sessions would need the associative two-level scan (partial
+    * sums per partition + prefix offsets) or an hour sub-key with
+    * carried-in counts — the same primitive, noted not spelled. */
+  val ev12PeakConcurrency: Q = Q(
+    "ev12_peak_concurrency",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_no
+      |  FROM g),
+      |sess AS (SELECT user_id, session_no, min(ts) AS session_start,
+      |           max(ts) AS session_end
+      |         FROM s GROUP BY 1, 2),
+      |d AS (SELECT user_id, session_no, session_start, session_end,
+      |        CAST(unnest(generate_series(CAST(session_start AS DATE),
+      |          CAST(session_end AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+      |      FROM sess),
+      |del AS (
+      |  SELECT day, user_id, session_no,
+      |    greatest(session_start, CAST(day AS TIMESTAMP)) AS t, 1 AS delta
+      |  FROM d
+      |  UNION ALL
+      |  SELECT day, user_id, session_no,
+      |    least(session_end, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+      |      - INTERVAL 1 MICROSECOND), -1
+      |  FROM d),
+      |r AS (SELECT day, t, delta,
+      |        sum(delta) OVER (PARTITION BY day
+      |          ORDER BY t, delta DESC, user_id, session_no
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |      FROM del),
+      |p AS (SELECT day, t, delta, conc,
+      |        max(conc) OVER (PARTITION BY day) AS peak FROM r)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(peak AS BIGINT) AS peak_concurrency,
+      |  min(CASE WHEN conc = peak THEN t END) AS peak_ts,
+      |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sessions
+      |FROM p GROUP BY day, peak ORDER BY day""".stripMargin) { (s, d) =>
+    // two delta projections consume the session frame — checkpoint the
+    // (small) session list so sessionization runs once
+    val sess = sessionize(Tables.events(s, d))
+      .select("user_id", "session_no", "session_start", "session_end")
+      .withColumn("day", explode(expr(
+        "sequence(to_date(session_start), to_date(session_end))")))
+      .localCheckpoint()
+    val dayStart = col("day").cast("timestamp")
+    val dayEnd = expr(
+      "CAST(day AS TIMESTAMP) + INTERVAL '1' DAY - INTERVAL '1' MICROSECOND")
+    val del = sess.select(col("day"), col("user_id"), col("session_no"),
+        greatest(col("session_start"), dayStart).as("t"),
+        lit(1).as("delta"))
+      .union(sess.select(col("day"), col("user_id"), col("session_no"),
+        least(col("session_end"), dayEnd).as("t"), lit(-1).as("delta")))
+    val wRun = Window.partitionBy("day")
+      .orderBy(col("t"), col("delta").desc, col("user_id"),
+        col("session_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    del.withColumn("conc", sum("delta").over(wRun))
+      .withColumn("peak", max("conc").over(Window.partitionBy("day")))
+      .groupBy("day", "peak")
+      .agg(min(when(col("conc") === col("peak"), col("t"))).as("peak_ts"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("peak").as("peak_concurrency"), col("peak_ts"),
+        col("n_sessions"))
+      .orderBy("day")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
     ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks,
     ev07Funnel, ev08CohortRetention, ev09Transitions, ev10ActiveIslands,
-    ev11RateAnomaly)
+    ev11RateAnomaly, ev12PeakConcurrency)
 }

@@ -299,4 +299,20 @@ class DedupPropertySpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("n_dropped")).sum
     assert(dropped === dd14Dropped)
   }
+
+  test("dd15: calibration covers exactly dd03's candidates, arithmetic consistent") {
+    val pairs3 = Dedup.dd03MinhashLsh.run(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.dd15MinhashCalibration
+      .run(spark, SparkTestSession.sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === pairs3)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("n_match")
+      assert(m >= 0 && m <= 8)
+      assert(r.getAs[Double]("est_sim") === m / 8.0)
+      val err = math.floor(math.abs(m / 8.0 - r.getAs[Double]("jaccard"))
+        * 10000 + 0.5) / 10000
+      assert(r.getAs[Double]("abs_err") === err)
+    }
+  }
 }

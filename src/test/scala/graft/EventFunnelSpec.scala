@@ -76,4 +76,29 @@ class EventFunnelSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ev12: peak, peak time and midnight split match a crafted timeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    val base = 1772323200L // 2026-03-01 00:00:00 UTC
+    def ns(sec: Long): Long = (base + sec) * 1000000000L
+    // u1: session 10:00-10:10; u2: point session 10:05 (peak 2 on day 1);
+    // u3: 23:50 -> 00:10 next day (20min gap => ONE session split across
+    // the midnight boundary); u4: point session 00:05 day 2 (peak 2)
+    Seq(
+      (1L, ns(36000L), 1L, "view", 1.0, "{}"),
+      (2L, ns(36600L), 1L, "view", 1.0, "{}"),
+      (3L, ns(36300L), 2L, "view", 1.0, "{}"),
+      (4L, ns(85800L), 3L, "view", 1.0, "{}"),
+      (5L, ns(87000L), 3L, "view", 1.0, "{}"),
+      (6L, ns(86700L), 4L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventQueries.ev12PeakConcurrency.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000L, r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2026-03-01", 2L, base + 36300L, 3L),
+      ("2026-03-02", 2L, base + 86700L, 2L)))
+  }
 }

@@ -85,4 +85,24 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.mm06AudioSegments.run(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("mm07: byte-identical payloads group; distinct payloads don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    // docs 1/3/7 share bytes; 2/5 share bytes; 4/6 are singletons
+    Seq(
+      (1L, "same image bytes A", "en", "t", 0L),
+      (2L, "same image bytes B", "en", "t", 0L),
+      (3L, "same image bytes A", "en", "t", 0L),
+      (4L, "unique payload one", "en", "t", 0L),
+      (5L, "same image bytes B", "en", "t", 0L),
+      (6L, "unique payload two", "en", "t", 0L),
+      (7L, "same image bytes A", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mm07PhashDup.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("n_images"), r.getAs[Long]("rep_doc"),
+        r.getAs[String]("sample_docs"))).toSet
+    assert(got === Set((3L, 1L, "1,3,7"), (2L, 2L, "2,5")))
+  }
 }

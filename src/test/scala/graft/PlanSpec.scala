@@ -354,6 +354,34 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2) // top-5 + argmax
   }
 
+  test("mm07: rank cap and dup-group rollup share one phash exchange") {
+    val p = planOf("mm07_phash_dup")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("ev12: sweep windows and rollup all ride one day exchange") {
+    val p = planOf("ev12_peak_concurrency")
+    // sessionization ran once into the checkpoint; both delta projections
+    // read it
+    assert("events\\.parquet".r.findAllIn(p).size === 0)
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2)
+    // running sum, per-day max and the (day, peak) rollup share one
+    // hashpartitioning(day)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("dd15: signatures reused via checkpoint; no pair-space blowup") {
+    val p = planOf("dd15_minhash_calibration")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the signature pipeline ran ONCE; banding + both agreement sides
+    // read the checkpoint
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3)
+    // only jaccardVerify's two shingle-set sides re-read the corpus
+    assert("documents\\.parquet".r.findAllIn(p).size === 2)
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash
