@@ -351,6 +351,50 @@ object Multimodal {
       .orderBy("phash")
   }
 
+  /** Modality-coverage audit: which documents have a paired embedding
+    * (vec_id aligned to doc_id) and which vectors are orphans — the
+    * alignment check a multimodal training set needs before any joint
+    * text+vector training run (the sf0.1 fixture really is partial:
+    * 5000 docs, 2000 vectors). Per source: doc count, paired count,
+    * missing count, coverage ratio; orphan vectors report under the
+    * '(orphan)' pseudo-source.
+    *
+    * Scale shape: one id-keyed full outer join (both sides shuffle once
+    * on the join key — unavoidable for an alignment audit) feeding a
+    * |sources|-group rollup with map-side partials. Nothing wider than
+    * (id, source) ever moves. */
+  val mm08ModalityCoverage: Q = Q(
+    "mm08_modality_coverage",
+    """WITH j AS (SELECT coalesce(d.source, '(orphan)') AS source,
+      |    d.doc_id, e.vec_id
+      |  FROM documents d FULL JOIN embeddings e ON e.vec_id = d.doc_id)
+      |SELECT source,
+      |  CAST(count(doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+      |    THEN 1 END) AS BIGINT) AS n_paired,
+      |  CAST(count(doc_id) - count(CASE WHEN doc_id IS NOT NULL
+      |    AND vec_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_missing,
+      |  floor(CAST(count(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT
+      |    NULL THEN 1 END) AS DOUBLE) / nullif(count(doc_id), 0)
+      |    * 10000 + 0.5) / 10000 AS coverage
+      |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val j = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(s, d).select(col("vec_id")),
+        col("vec_id") === col("doc_id"), "full")
+      .select(coalesce(col("source"), lit("(orphan)")).as("source"),
+        col("doc_id"), col("vec_id"))
+    val paired = count(when(
+      col("doc_id").isNotNull && col("vec_id").isNotNull, 1))
+    j.groupBy("source")
+      .agg(count(col("doc_id")).as("n_docs"), paired.as("n_paired"),
+        (count(col("doc_id")) - paired).as("n_missing"),
+        StableRound.r4(paired.cast("double") /
+          nullif(count(col("doc_id")), lit(0))).as("coverage"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan,
-    mm04FeatureExtract, mm05FeatureProbe, mm06AudioSegments, mm07PhashDup)
+    mm04FeatureExtract, mm05FeatureProbe, mm06AudioSegments, mm07PhashDup,
+    mm08ModalityCoverage)
 }

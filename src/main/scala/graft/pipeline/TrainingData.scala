@@ -532,8 +532,53 @@ object TrainingData {
       .orderBy("split", "shard")
   }
 
+  /** Length-based curriculum schedule over pipe08's shards: rank the 8
+    * training shards by mean token count, shortest first — the classic
+    * curriculum (easy/short examples early, long-tail later), expressed
+    * as the shard consumption order a trainer reads. Reuses pipe08's
+    * exact md5 shard formula so the schedule can never disagree with the
+    * shard assignment it orders; the ranking key is the UNROUNDED mean
+    * (identical double on both engines), shard id as tiebreak.
+    *
+    * Scale shape: one corpus scan folding per-shard doc/token counts
+    * map-side into 8 groups; the rank window runs over the 8-row
+    * aggregate. The schedule costs the scan, nothing more. */
+  val pipe18CurriculumOrder: Q = Q(
+    "pipe18_curriculum_order",
+    """WITH t AS (SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+      |      AS shard,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS n_tokens
+      |  FROM documents)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+      |    AS mean_tokens,
+      |  row_number() OVER (ORDER BY CAST(sum(n_tokens) AS DOUBLE)
+      |    / count(*), shard) AS curriculum_rank
+      |FROM t GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    val shard = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(8))
+    Tables.documents(s, d)
+      .select(shard.as("shard"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"))
+      .withColumn("mean_u",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .withColumn("curriculum_rank", row_number().over(
+        Window.orderBy(col("mean_u"), col("shard"))))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        StableRound.r2(col("mean_u")).as("mean_tokens"),
+        col("curriculum_rank"))
+      .orderBy("shard")
+  }
+
   val queries: Seq[Q] = Seq(pipe02TrainSplit, pipe03MixtureWeights,
     pipe04Decontaminate, pipe05PackChunks, pipe06StratifiedSample,
     pipe07PackBins, pipe08ShardShuffle, pipe09CorpusCard, pipe11EpochPlan,
-    pipe14TemperatureMix, pipe16TrainManifest)
+    pipe14TemperatureMix, pipe16TrainManifest, pipe18CurriculumOrder)
 }

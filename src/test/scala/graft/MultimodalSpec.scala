@@ -105,4 +105,26 @@ class MultimodalSpec extends AnyFunSuite {
         r.getAs[String]("sample_docs"))).toSet
     assert(got === Set((3L, 1L, "1,3,7"), (2L, 2L, "2,5")))
   }
+
+  test("mm08: paired/missing/orphan accounting on a crafted misalignment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    // source A: docs 1,2 (vec for 2 only); source B: doc 3 (vec); vec 4
+    // has NO doc -> '(orphan)'
+    Seq(
+      (1L, "a", "en", "A", 1L), (2L, "b", "en", "A", 1L),
+      (3L, "c", "en", "B", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((2L, Array(1.0f), 0), (3L, Array(1.0f), 0), (4L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Multimodal.mm08ModalityCoverage.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+    assert(got === Set(
+      ("A", 2L, 1L, 1L, 0.5),
+      ("B", 1L, 1L, 0L, 1.0),
+      ("(orphan)", 0L, 0L, 0L, null)))
+  }
 }

@@ -382,6 +382,25 @@ class PlanSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p).size === 2)
   }
 
+  test("pipe18: schedule is one scan folding map-side into 8 shard groups") {
+    val p = planOf("pipe18_curriculum_order")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("partial_count") && p.contains("partial_sum"))
+    assert(!p.contains("Join"))
+  }
+
+  test("mm08: alignment audit is one id join plus a source rollup") {
+    val p = planOf("mm08_modality_coverage")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert("embeddings\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // embeddings scan reads ONLY the join key — not the wide vectors
+    val vecRead = p.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("vec_id")).get
+    assert(vecRead.contains("ReadSchema: struct<vec_id:bigint>"))
+  }
+
   test("sim09: IVF-PQ candidates form by equi-join; probe list and LUT broadcast") {
     val p = planOf("sim09_ivfpq_topk")
     // the coarse probe restriction and the ADC ranking are both hash

@@ -156,4 +156,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(manifest.map(_.getAs[Long]("n_docs")).sum
       === funnel.last.getAs[Long]("n_out"))
   }
+
+  test("pipe18: schedule agrees with pipe08's shards and orders by mean length") {
+    // reference recompute: shard means from pipe08's own assignment
+    // joined to tx03's token definition
+    val shardOf = TrainingData.pipe08ShardShuffle.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val byShard = toks.groupBy(t => shardOf(t._1))
+      .map { case (sh, ts) =>
+        sh -> (ts.length.toLong, ts.map(_._2).sum)
+      }
+    val rows = TrainingData.pipe18CurriculumOrder.run(spark, sfDir)
+      .collect()
+    assert(rows.length === byShard.size)
+    rows.foreach { r =>
+      val (nDocs, total) = byShard(r.getLong(0))
+      assert(r.getLong(1) === nDocs)
+      assert(r.getLong(2) === total)
+    }
+    // ranks are the permutation sorting shards by unrounded mean (shard
+    // tiebreak)
+    val expectedOrder = byShard.toSeq
+      .sortBy { case (sh, (n, tot)) => (tot.toDouble / n, sh) }
+      .map(_._1)
+    val gotOrder = rows.sortBy(_.getInt(4)).map(_.getLong(0)).toSeq
+    assert(gotOrder === expectedOrder)
+  }
 }
