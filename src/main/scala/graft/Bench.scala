@@ -25,11 +25,17 @@ object Bench {
     // Best of two runs per query: the first pays codegen compilation and
     // shuffle-file warmup, the second is the steady-state number a
     // long-running cluster actually sees.
+    // None = the action THREW: a crashed query must never be recorded as a
+    // (tiny) time — round 5 logged 21 analysis-time crashes as 60 ms
+    // "wins" and poisoned the bench comparison.
     def time(fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Double = {
+        => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query threw: ${e.getMessage}")
+        None
+      }
     }
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=dd03_minhash_lsh,q01_... times just
     // those queries; unset (the driver's mode) runs the full suite.
@@ -37,12 +43,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // empty/blank var = no filter, not an empty run
     var rescued = List.empty[String]
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // scheduler_state_after_run must price a REAL scheduler pass per
         // sample, not a hit on the memoized run another query triggered
-        def sample(): Double = {
+        def sample(): Option[Double] = {
           if (name == "scheduler_state_after_run")
             graft.scheduler.SchedulerQueries.clearRealRunCache()
           time(fn)
@@ -51,14 +58,22 @@ object Bench {
         // by >2× — the run was hit by an external CPU-contention window,
         // not by the query itself. Rescued queries are recorded in the
         // JSON so the methodology shift (min-of-3) stays visible.
-        val t1 = sample(); val t2 = sample()
-        val best = math.min(t1, t2)
-        name -> (if (math.max(t1, t2) > 2 * best) {
-                   rescued ::= name; math.min(best, sample())
-                 } else best)
+        // A query whose BOTH samples throw is recorded as -1 (and listed
+        // in "failed"), excluded from the total — a crash is not a time.
+        (sample(), sample()) match {
+          case (None, None) => failed ::= name; name -> -1.0
+          case (a, b) =>
+            val ts = Seq(a, b).flatten
+            val best = ts.min
+            name -> (if (ts.size < 2 || ts.max > 2 * best) {
+                       rescued ::= name
+                       math.min(best, sample().getOrElse(best))
+                     } else best)
+        }
       }
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision record (methodology + rescued list + 9-digit samples):
     // goes to a repo file and an EARLY stdout line. The FINAL stdout line is
     // a compact twin, because the bench harness captures only the last
@@ -67,7 +82,7 @@ object Bench {
     // got truncated mid-line in rounds 1-3 (BENCH_r*.json "parsed": null).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those)","rescued":$resc}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those); -1 = query threw (listed in failed, excluded from total)","rescued":$resc,"failed":$failJson}"""
     println(full)
     // persist only FULL runs: a SPARK_GRAFT_BENCH_ONLY dev subset must
     // not clobber the repo's full-suite record
@@ -96,7 +111,7 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""
         else s""","omitted":${omitted.size},"omitted_sec":${short(omitted.map(_._2).sum, 2)}"""
-      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","rescued":${rescued.size}$om}"""
+      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","rescued":${rescued.size},"failed":$failJson$om}"""
     }
     // Keep the SLOWEST queries (the ones a grader compares) and fold the
     // rest into an omitted-count + omitted-seconds summary if the full map

@@ -23,6 +23,7 @@ object Verify {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       // Driver contract: result dir name must EQUAL the oracle_sql.json key
       // (bare query name, no extension) or the DuckDB compare never runs.
@@ -30,6 +31,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +53,17 @@ object Verify {
     val json = selectedOracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Broken must never be invisible (round-5 lesson: 21 crashed queries
+    // were silently absent from the driver's comparison). A throwing query
+    // leaves a durable marker: _errors.json maps name → message. Exit code
+    // stays 0 — the driver must still compare the queries that DID run.
+    if (failures.nonEmpty) {
+      val errJson = failures
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

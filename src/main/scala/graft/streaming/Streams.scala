@@ -20,17 +20,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Bounded stream over events.parquet (ns timestamps read as long then
-    * truncated to µs — same as graft.tables.Tables.events). */
+  /** Bounded stream over events.parquet, with the same schema-conditional
+    * ns-as-long shim as graft.tables.Tables.events (fixture generations
+    * have shipped `ts` both as TIMESTAMP(NANOS) and as timestamp[us]). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file source wants a directory: glob-filter the sf dir down to
     // the events table
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed aggregation with a watermark. */

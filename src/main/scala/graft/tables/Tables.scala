@@ -24,13 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and truncate to µs —
-    * the same truncation DuckDB applies, so oracle comparison stays exact. */
+  /** events.parquet has shipped `ts` two ways across fixture generations:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — readable
+    * only via the nanos-as-long legacy conf) and plain timestamp[us].
+    * Probe the scan's schema and shim ONLY the nanos-as-long case; a µs
+    * timestamp passes through untouched. Both land on µs precision, the
+    * same truncation DuckDB applies, so oracle comparison stays exact. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // tz-less timestamp[us]: normalize to TimestampType so every
+        // downstream consumer (long casts, getTimestamp, window arith)
+        // sees ONE type across fixture generations. Under the UTC session
+        // every operator here runs with, the µs value is unchanged —
+        // exactly what the nanos shim produced.
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
