@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.tables.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -264,7 +265,7 @@ object CleanCorpus {
     // so the kill/total consumers replay 7 rows, not the corpus scan
     val counts = m.select(fs.as("fs"))
       .groupBy("fs").agg(count(lit(1)).as("nk"))
-      .localCheckpoint()
+      .materialized
     val killed = counts.filter(col("fs") > 0)
     val tot = counts.agg(sum("nk").as("n"))
     val stages = Seq(1L -> "exact_dup", 2L -> "word_count",

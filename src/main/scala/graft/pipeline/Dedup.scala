@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.tables.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -109,7 +110,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), explode(bigramShingles).as("shingle"))
       .distinct()
-      .localCheckpoint()
+      .materialized
     // Admission probe: one count-only aggregate, BEFORE any collect.
     val probe = sh.agg(countDistinct("doc_id").as("n_docs"),
       countDistinct("shingle").as("vocabulary")).first()
@@ -383,7 +384,7 @@ object Dedup {
     val withRep = sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
       .withColumn("rep", min("doc_id").over(
         Window.partitionBy(col("sig_key"))))
-      .localCheckpoint()
+      .materialized
     val star = withRep.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val bands = withRep.filter(col("doc_id") === col("rep"))
@@ -394,7 +395,7 @@ object Dedup {
           |  AS (band, band_key, prev_key)
           |""".stripMargin))
       // consumed twice (cap probe + expansion); 2 short rows per rep
-      .localCheckpoint()
+      .materialized
     val over = bands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
       .agg(count(lit(1)).as("n_over"), max("bn").as("max_bn")).first()
@@ -475,7 +476,7 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // two consumers per iteration (neighbor-min join + convergence test)
-      .localCheckpoint()
+      .materialized
     // the count is served from the checkpoint just materialized
     if (edges.count() <= smallGraphMaxEdges)
       return smallGraphComponents(edges)
@@ -509,7 +510,7 @@ object Dedup {
           least(
             least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))),
             coalesce(col("jump_lbl"), col("lbl"))).as("nlbl"))
-        .localCheckpoint() // eager: one materialization serves both uses
+        .materialized // eager: one materialization serves both uses
       changed = step.filter(col("nlbl") =!= col("lbl")).count()
       labels = step.select(col("v"), col("nlbl").as("lbl"))
       iter += 1
@@ -601,7 +602,7 @@ object Dedup {
       // consumed by both sides of the segment join below; without the
       // checkpoint the whole signature pipeline (scan + explode + md5 +
       // two aggs) runs twice. One long per doc — trivially small.
-      .localCheckpoint()
+      .materialized
     // Pair generation by PIGEONHOLE BANDING, not a cartesian product: split
     // the 16-bit signature into 3 segments (6|5|5 bits). Hamming distance
     // ≤ 2 means the differing bits touch at most 2 segments, so every
@@ -728,7 +729,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(Winnow.fingerprintCol(col("text"), 8, 16, Int.MaxValue))
           .as("piece"))
-      .localCheckpoint()
+      .materialized
     val rare = pieces.groupBy("piece")
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20))
@@ -878,7 +879,7 @@ object Dedup {
     val perVec = Tables.embeddings(s, d)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .join(pm, "vec_id")
-      .localCheckpoint()
+      .materialized
     val assigned = perVec.select(col("vec_id"), col("embedding"),
       col("nrm"), col("c1"), col("c2"),
       expr("stack(2, 1, c1, 2, c2) AS (pr, cluster)"))
@@ -1002,7 +1003,7 @@ object Dedup {
          |FROM comp""".stripMargin) { (s, d) =>
       // one materialization serves the pair count AND the component pass
       val pairs = semanticPairs(s, d).select("vec_a", "vec_b")
-        .localCheckpoint()
+        .materialized
       val comp = connectedComponents(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       val compStats = comp.agg(count(lit(1)).as("n_matched"),
@@ -1216,7 +1217,7 @@ object Dedup {
         .as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
-      .localCheckpoint()
+      .materialized
     val totals = tagged.filter(col("src_b") === "")
       .select(col("src_a").as("source"), col("shared").as("n"))
     val pairs = tagged.filter(col("src_b") =!= "")
@@ -1351,7 +1352,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_before"),
         count(col("is_dropped")).as("n_dropped"))
       .withColumn("n_after", col("n_before") - col("n_dropped"))
-      .localCheckpoint()
+      .materialized
     val totals = per.agg(sum("n_before").as("tb"), sum("n_after").as("ta"))
     per.crossJoin(broadcast(totals))
       .select(col("source"), col("n_before"), col("n_after"),
@@ -1413,7 +1414,7 @@ object Dedup {
     // three consumers of the signature frame (banding + both agreement
     // sides): checkpoint so the shingle/md5 pipeline runs once
     val sig = minhashSig(Tables.spread(s, docsDf, "doc_id"))
-      .localCheckpoint()
+      .materialized
     val pairs = lshPairsOf(sig)
     val aSide = sig.select(col("doc_id").as("doc_a") +:
       (0 until 8).map(k => col(s"m$k").as(s"a$k")): _*)

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.tables.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -415,48 +416,83 @@ object Similarity {
     * cluster). rk=1 is the assignment proper (sim07/pipe12); rk≤2 is the
     * multi-probe blocking dd09 uses to recover boundary-straddling
     * near-dup pairs — the IVF nprobe trade applied to dedup. */
+  /** Quantized code VECTORS, one array row per vector — the shared input
+    * of both Lloyd trainers. Kept as arrays (never dim-exploded corpus-
+    * wide): distance work happens in-row inside codegen. */
+  private def quantVecs(s: SparkSession, d: String): DataFrame = {
+    val n = s.sparkContext.defaultParallelism
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(${quantCode("x")} AS BIGINT))")
+          .as("qv"))
+      .repartition(n, col("vec_id"))
+      .materialized
+  }
+
+  /** Per-row (dist2, cluster) structs against a LITERAL centroid table —
+    * integer-exact squared L2, all inside whole-stage codegen: no join, no
+    * shuffle, no window. Lexicographic struct order makes array_min /
+    * array_sort reproduce the oracle's ORDER BY dist2, cluster tiebreak. */
+  private def distStructs(qv: Column,
+      centroids: Seq[(Int, Array[Long])]): Column =
+    transform(
+      array(centroids.map { case (cl, c) =>
+        struct(typedLit(c.toSeq).as("c"), lit(cl).as("cluster"))
+      }: _*),
+      c => struct(
+        aggregate(zip_with(qv, c.getField("c"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+          .as("dist2"),
+        c.getField("cluster").as("cluster")))
+
   private[pipeline] def kmeansProbes(s: SparkSession, d: String,
+      nprobe: Int): DataFrame =
+    kmeansProbesFrom(quantVecs(s, d), nprobe)
+
+  /** Same, over an already-materialized code relation — lets a composite
+    * consumer (sim09: coarse + PQ tiers) train both codebooks off ONE
+    * checkpoint instead of two. */
+  private[pipeline] def kmeansProbesFrom(vecs: DataFrame,
       nprobe: Int): DataFrame = {
     val k = 8
-    val n = s.sparkContext.defaultParallelism
-    // dim-exploded integer codes: reused by every iteration's distance
-    // join AND centroid update — one scan, one checkpoint
-    val q = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"),
-        expr(s"""CAST(${quantCode("x")} AS BIGINT)""").as("q"))
-      .repartition(n, col("vec_id"))
-      .localCheckpoint()
-    val initIds = q.select("vec_id").distinct().orderBy("vec_id").limit(k)
-      .withColumn("cluster",
-        row_number().over(Window.orderBy("vec_id")) - 1)
-    var centroids = q.join(broadcast(initIds), "vec_id")
-      .select(col("cluster"), col("d"), col("q").as("c"))
-    var dist: DataFrame = null
-    // the whole 3-iteration chain stays LAZY — unlike dd06's convergence
-    // loop there is no per-round action, so the entire Lloyd recursion
-    // compiles into ONE job over the checkpointed code relation instead
-    // of paying a materialization (and its scheduling floor) per round;
-    // the centroid relations are k·dims rows and broadcast-hinted
-    for (i <- 1 to 3) {
-      dist = q.join(broadcast(centroids), "d")
-        .groupBy("vec_id", "cluster")
-        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist2"))
-      // the final round only RANKS (probes come from its distance frame);
-      // a centroid update after the last assignment would be dead code
-      if (i < 3) {
-        val assign = dist.withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
-          .filter(col("rk") === 1).select("vec_id", "cluster")
-        centroids = q.join(assign, "vec_id")
-          .groupBy("cluster", "d")
-          .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
-            .cast("long").as("c"))
+    // init: the k smallest vec_ids' code vectors, cluster = rank — the
+    // oracle's pqinit/init shape, collected once (k rows)
+    var centroids: Seq[(Int, Array[Long])] =
+      vecs.orderBy("vec_id").limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, i) => i -> r.getSeq[Long](1).toArray
       }
+    // Lloyd iterations, MLlib-style: assignment is a pure projection over
+    // the literal centroids (zero shuffles); the update aggregates
+    // (cluster, d) partial sums map-side and round-trips ≤ k·dims longs
+    // through the driver — the same driver-resident footprint any
+    // distributed k-means carries, at any corpus size. Two updates +
+    // final ranking = 3 assignment passes, matching the oracle's
+    // unrolled 3-iteration CTE chain exactly (integer arithmetic, same
+    // floor(sum/count + 0.5) update, same (dist2, cluster) tiebreak).
+    for (_ <- 1 to 2) {
+      val sums = vecs
+        .select(array_min(distStructs(col("qv"), centroids))
+            .getField("cluster").as("cluster"),
+          posexplode(col("qv")).as(Seq("d", "q")))
+        .groupBy("cluster", "d")
+        .agg(sum("q").as("sm"), count(lit(1)).as("n"))
+        .collect()
+      // a cluster that lost every member drops out — same as the oracle,
+      // where it simply has no centroid rows next iteration
+      centroids = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (cl, rows) =>
+          val dims = rows.sortBy(_.getInt(1))
+          cl -> dims.map(r =>
+            math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong)
+            .toArray
+        }
     }
-    dist.withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist2"), col("cluster"))))
-      .filter(col("rk") <= nprobe).select("vec_id", "rk", "cluster")
+    // final pass: nprobe nearest centroids per vector, ranked in-row
+    vecs.select(col("vec_id"),
+        posexplode(slice(array_sort(distStructs(col("qv"), centroids)),
+          1, nprobe)).as(Seq("pos", "p")))
+      .select(col("vec_id"), (col("pos") + 1).as("rk"),
+        col("p.cluster").as("cluster"))
   }
 
   /** The k-means assignment frame (vec_id, cluster) after 3 iterations —
@@ -551,42 +587,73 @@ object Similarity {
     * assignment (per-(vec, sub) argmin) and the query ADC lookup tables
     * both derive from it, so every consumer shares ONE training run.
     * Twin of `pqCte`'s `pd3`. */
-  private[pipeline] def pqDistFrame(s: SparkSession, d: String): DataFrame = {
-    val n = s.sparkContext.defaultParallelism
-    val pq = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), expr("d DIV 8").as("sub"), col("d"),
-        expr(s"""CAST(${quantCode("x")} AS BIGINT)""").as("q"))
-      .repartition(n, col("vec_id"))
-      .localCheckpoint()
-    val initIds = pq.select("vec_id").distinct().orderBy("vec_id").limit(16)
-      .withColumn("cluster",
-        row_number().over(Window.orderBy("vec_id")) - 1)
-    var cent = pq.join(broadcast(initIds), "vec_id")
-      .select(col("sub"), col("cluster"), col("d"), col("q").as("c"))
-    var dist: DataFrame = null
-    // lazy 3-iteration chain over the one checkpointed code relation
-    // (sim07's discipline); centroid relations are m·k·dims rows,
-    // broadcast-hinted
-    for (i <- 1 to 3) {
-      dist = pq.join(broadcast(cent), Seq("sub", "d"))
-        .groupBy("vec_id", "sub", "cluster")
-        .agg(sum((col("q") - col("c")) * (col("q") - col("c")))
-          .as("dist2"))
-      if (i < 3) {
-        val assign = dist.withColumn("rk", row_number().over(
-            Window.partitionBy("vec_id", "sub")
-              .orderBy(col("dist2"), col("cluster"))))
-          .filter(col("rk") === 1).select("vec_id", "sub", "cluster")
-        cent = pq.join(assign, Seq("vec_id", "sub"))
-          .groupBy("sub", "cluster", "d")
-          .agg(floor(sum("q").cast("double") / count(lit(1)) + 0.5)
-            .cast("long").as("c"))
+  private[pipeline] def pqDistFrame(s: SparkSession, d: String): DataFrame =
+    pqDistFrameFrom(quantVecs(s, d))
+
+  /** Same, over an already-materialized code relation (see
+    * [[kmeansProbesFrom]]). */
+  private[pipeline] def pqDistFrameFrom(vecs: DataFrame): DataFrame = {
+    val m = 8
+    val k = 16
+    // init: the k smallest vec_ids' code vectors, sliced per subspace —
+    // collected once (k rows); subDim falls out of the data
+    val initRows = vecs.orderBy("vec_id").limit(k).collect()
+    val subDim = initRows.head.getSeq[Long](1).length / m
+    // per-subspace codebooks: sub -> Seq[(cluster, centroid)]
+    var centroids: Map[Int, Seq[(Int, Array[Long])]] =
+      (0 until m).map { sb =>
+        sb -> initRows.toSeq.zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Long](1).slice(sb * subDim, (sb + 1) * subDim)
+            .toArray
+        }
+      }.toMap
+    // (vec_id, sub, sv): the per-subspace code slices, derived in-row
+    // from the one checkpointed array relation — never corpus-exploded
+    def subRows = vecs.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .withColumn("sv",
+        slice(col("qv"), col("sub") * subDim + 1, lit(subDim)))
+    // distance structs against THIS sub's literal codebook
+    def dists(cent: Map[Int, Seq[(Int, Array[Long])]]): Column = {
+      val bySub = array((0 until m).map(sb =>
+        array(cent(sb).map { case (cl, c) =>
+          struct(typedLit(c.toSeq).as("c"), lit(cl).as("cluster"))
+        }: _*)): _*)
+      transform(element_at(bySub, col("sub") + 1), c =>
+        struct(
+          aggregate(zip_with(col("sv"), c.getField("c"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+            .as("dist2"),
+          c.getField("cluster").as("cluster")))
+    }
+    // same MLlib-style recurrence as kmeansProbes, keyed by subspace:
+    // assignment in-row over literal codebooks, update = one map-side-
+    // combined aggregate collecting ≤ m·k·subDim longs to the driver
+    for (_ <- 1 to 2) {
+      val sums = subRows
+        .select(col("sub"),
+          array_min(dists(centroids)).getField("cluster").as("cluster"),
+          posexplode(col("sv")).as(Seq("dl", "q")))
+        .groupBy("sub", "cluster", "dl")
+        .agg(sum("q").as("sm"), count(lit(1)).as("n"))
+        .collect()
+      centroids = sums.groupBy(_.getInt(0)).map { case (sb, rows) =>
+        sb -> rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+          .map { case (cl, dims) =>
+            cl -> dims.sortBy(_.getInt(2)).map(r =>
+              math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong)
+              .toArray
+          }
       }
     }
-    // the frame is consumed at least twice (corpus codes via argmin +
-    // the query LUT) — materialize it once
-    dist.localCheckpoint()
+    // final distance frame (vec_id, sub, cluster, dist2) = the oracle's
+    // pd3: consumed at least twice (corpus codes via argmin + the query
+    // LUT) — materialize it once
+    subRows.select(col("vec_id"), col("sub"),
+        explode(dists(centroids)).as("p"))
+      .select(col("vec_id"), col("sub"), col("p.cluster").as("cluster"),
+        col("p.dist2").as("dist2"))
+      .materialized
   }
 
   /** Product-quantization ANN (PQ-ADC): the codebook-compression tier
@@ -703,9 +770,11 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rk, neighbor_id, dist_est FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    // ONE coarse Lloyd chain: corpus assignment = rk 1, query probes =
-    // rk ≤ 2 of the same checkpointed frame
-    val pr = kmeansProbes(s, d, 2).localCheckpoint()
+    // ONE quantized code checkpoint feeds BOTH trainers; one coarse
+    // Lloyd chain: corpus assignment = rk 1, query probes = rk ≤ 2 of
+    // the same frame
+    val vecs = quantVecs(s, d)
+    val pr = kmeansProbesFrom(vecs, 2).materialized
     val probes = broadcast(pr.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cluster")))
     val coarse = pr.filter(col("rk") === 1)
@@ -713,7 +782,7 @@ object Similarity {
     val cand = probes.join(coarse, "cluster")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    val d3 = pqDistFrame(s, d)
+    val d3 = pqDistFrameFrom(vecs)
     val codes = d3.withColumn("rk", row_number().over(
         Window.partitionBy("vec_id", "sub")
           .orderBy(col("dist2"), col("cluster"))))
@@ -857,7 +926,7 @@ object Similarity {
         .orderBy(col("rel").desc, col("cand_id"))))
       .filter(col("rk") <= 8)
       .select("query_id", "cand_id", "ce", "cn", "rel", "rk")
-      .localCheckpoint()
+      .materialized
     val pairs = cand
       .select(col("query_id"), col("cand_id").as("ca"),
         col("ce").as("ea"), col("cn").as("na"))
@@ -868,7 +937,7 @@ object Similarity {
         cosineFromNorms(VectorOps.dot(col("ea"), col("eb")),
           col("na"), col("nb"))))
       .select("query_id", "ca", "cb", "sim")
-      .localCheckpoint()
+      .materialized
     // one row per query — broadcastable at ANY corpus scale (the picked
     // sets grow with |queries|, not |corpus|), so the hint is structural,
     // not a fixture-size bet

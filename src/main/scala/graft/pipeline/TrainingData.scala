@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.tables.Checkpoints.CheckpointOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q
@@ -453,7 +454,7 @@ object TrainingData {
     val perLang = Tables.documents(s, d)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", floor(sqrt(col("n_docs")) * 1000000).cast("long"))
-      .localCheckpoint()
+      .materialized
     val totals = perLang.agg(sum("w").as("w_total"),
       sum("n_docs").as("total"))
     val rates = perLang.crossJoin(broadcast(totals))

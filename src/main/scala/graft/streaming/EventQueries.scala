@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.tables.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -463,7 +464,7 @@ object EventQueries {
       .select("user_id", "session_no", "session_start", "session_end")
       .withColumn("day", explode(expr(
         "sequence(to_date(session_start), to_date(session_end))")))
-      .localCheckpoint()
+      .materialized
     val dayStart = col("day").cast("timestamp")
     val dayEnd = expr(
       "CAST(day AS TIMESTAMP) + INTERVAL '1' DAY - INTERVAL '1' MICROSECOND")

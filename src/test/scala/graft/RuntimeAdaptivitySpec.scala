@@ -59,6 +59,29 @@ class RuntimeAdaptivitySpec extends AnyFunSuite {
     }
   }
 
+  test("reliable-checkpoint mode: iterative tiers produce identical results") {
+    // localCheckpoint (the default) is executor-resident with severed
+    // lineage: an executor loss mid-chain kills a long iterative job. On a
+    // real cluster spark.graft.reliableCheckpoint=true moves every
+    // materialization point to the reliable checkpoint store (executor
+    // loss -> task retry against storage, not job death). This pins the
+    // OTHER half of that contract: the config changes durability only,
+    // never results — the Lloyd trainer (sim07) and the component loop
+    // (dd06) return bit-identical frames under both modes.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val local07 = SparkEntry.queries("sim07_kmeans_clusters")(spark, sfDir)
+      .collect().toSeq
+    val local06 = SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)
+      .collect().toSeq
+    spark.sparkContext.setCheckpointDir(ckDir)
+    withConf("spark.graft.reliableCheckpoint" -> "true") {
+      assert(SparkEntry.queries("sim07_kmeans_clusters")(spark, sfDir)
+        .collect().toSeq === local07)
+      assert(SparkEntry.queries("dd06_dup_clusters")(spark, sfDir)
+        .collect().toSeq === local06)
+    }
+  }
+
   test("AQE splits a skewed shuffle partition (automatic salting)") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
