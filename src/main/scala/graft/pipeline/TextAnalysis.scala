@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q
+import graft.functions.StableRound
 import graft.tables.Tables
 
 /** Text-analysis operators for training-data pipelines (north-star
@@ -980,9 +981,66 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Automated Readability Index per document — the readability member of
+    * the quality-filter family (tx02 ratios, tx14 Gopher rules gate form;
+    * ARI adds the grade-level signal curricula sort on, cf. pipe18's
+    * length proxy). ARI is chosen over Flesch because its inputs are pure
+    * INTEGER counts (characters, words, sentences — no syllable
+    * estimation), so both engines compute the identical formula over
+    * identical integers: 4.71·(chars/words) + 0.5·(words/sentences) −
+    * 21.43, floor-rounded to 2 dp (house rule), with the grade band
+    * derived FROM the rounded score so no float ulp can flip a bucket.
+    * Terminator-less text counts as one sentence; an empty text (0 words)
+    * degrades to NULL/'unscored' via nullif on both engines. Per-row
+    * integer counting, zero shuffles before the final sort. */
+  val tx18Readability: Q = Q(
+    "tx18_readability",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    length(replace(text, ' ', '')) AS chars,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS words,
+      |    greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+      |      x -> x <> '')), 1) AS sentences
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, chars, words, sentences,
+      |    floor((4.71 * (CAST(chars AS DOUBLE) / nullif(words, 0))
+      |      + 0.5 * (CAST(words AS DOUBLE) / sentences) - 21.43) * 100
+      |      + 0.5) / 100 AS ari
+      |  FROM c)
+      |SELECT doc_id, chars, words, sentences, ari,
+      |  CASE WHEN ari IS NULL THEN 'unscored'
+      |       WHEN ari < 6 THEN 'elementary'
+      |       WHEN ari < 10 THEN 'middle'
+      |       WHEN ari < 14 THEN 'high'
+      |       ELSE 'college' END AS band
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d).select(
+      col("doc_id"),
+      length(expr("replace(text, ' ', '')")).as("chars"),
+      size(expr("filter(split(text, ' '), x -> x != '')")).as("words"),
+      greatest(
+        size(expr("filter(split(text, '[.!?]+'), x -> x != '')")), lit(1))
+        .as("sentences"))
+    val sc = c.withColumn("ari", StableRound.r2(
+      lit(4.71) * (col("chars").cast("double") /
+        nullif(col("words"), lit(0)))
+        + lit(0.5) * (col("words").cast("double") / col("sentences"))
+        - lit(21.43)))
+    sc.select(col("doc_id"), col("chars"), col("words"), col("sentences"),
+        col("ari"),
+        when(col("ari").isNull, "unscored")
+          .when(col("ari") < 6, "elementary")
+          .when(col("ari") < 10, "middle")
+          .when(col("ari") < 14, "high")
+          .otherwise("college").as("band"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
     tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
-    tx15HashClassifier, tx16EncodingQc, tx17ZipfFit)
+    tx15HashClassifier, tx16EncodingQc, tx17ZipfFit, tx18Readability)
 }

@@ -488,8 +488,51 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** DAU + 7-day rolling distinct actives per day (the DAU/WAU pair) —
+    * the windowed-DISTINCT operator every engagement dashboard runs, and
+    * a shape worth getting right: a sliding count(DISTINCT) window or a
+    * day-range self-join rescans the event stream once per day it
+    * covers. Instead the stream collapses ONCE to distinct (user,
+    * active-day) rows, each row fans out in-row to the ≤7 cover days it
+    * contributes to, and one aggregation counts distinct users per cover
+    * day — DAU rides the same exchange as a conditional distinct (only
+    * rows whose active day IS the cover day). The fan-out volume is
+    * 7·|user-days|, independent of raw event count; at 100 TB the first
+    * distinct is the only corpus-sized exchange. Cover days with no
+    * activity of their own (the tail past the last event) are dropped by
+    * the dau > 0 gate on both engines. */
+  val ev13RollingActives: Q = Q(
+    "ev13_rolling_actives",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cov AS (
+      |  SELECT user_id, d, d + CAST(o AS INTEGER) AS cover_day
+      |  FROM act, range(7) AS t(o))
+      |SELECT strftime(cover_day, '%Y-%m-%d') AS day,
+      |  count(DISTINCT CASE WHEN d = cover_day THEN user_id END) AS dau,
+      |  count(DISTINCT user_id) AS active_7d
+      |FROM cov GROUP BY cover_day
+      |HAVING count(DISTINCT CASE WHEN d = cover_day THEN user_id END) > 0
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .select(col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(6))).as("o"))
+      .select(col("user_id"), col("d"),
+        date_add(col("d"), col("o")).as("cover_day"))
+      .groupBy("cover_day")
+      .agg(
+        countDistinct(when(col("d") === col("cover_day"), col("user_id")))
+          .as("dau"),
+        countDistinct("user_id").as("active_7d"))
+      .filter(col("dau") > 0)
+      .select(date_format(col("cover_day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("active_7d"))
+      .orderBy("day")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
     ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks,
     ev07Funnel, ev08CohortRetention, ev09Transitions, ev10ActiveIslands,
-    ev11RateAnomaly, ev12PeakConcurrency)
+    ev11RateAnomaly, ev12PeakConcurrency, ev13RollingActives)
 }

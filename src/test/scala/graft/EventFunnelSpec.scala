@@ -101,4 +101,23 @@ class EventFunnelSpec extends AnyFunSuite {
       ("2026-03-01", 2L, base + 36300L, 3L),
       ("2026-03-02", 2L, base + 86700L, 2L)))
   }
+
+  test("ev13: cover-day fan-out equals a per-day range scan of user-days") {
+    // reference: for every day with activity, DAU = distinct users active
+    // THAT day; active_7d = distinct users active in [day-6, day] — the
+    // definition a naive range self-join implements, computed driver-side
+    val userDays = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "to_date(ts) AS d").distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val expect = userDays.map(_._2).distinct.sorted.map { day =>
+      val win = userDays.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6)) }
+      (day.toString,
+        userDays.filter(_._2 == day).map(_._1).distinct.length.toLong,
+        win.map(_._1).distinct.length.toLong)
+    }
+    val got = EventQueries.ev13RollingActives.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expect.toSeq)
+  }
 }

@@ -175,4 +175,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r2 >= 0.0 && r2 <= 1.0)
     }
   }
+
+  test("tx18: ARI matches hand computation; edge docs degrade as specified") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ari").toString
+    Seq(
+      (1L, "The cat sat. The dog ran!", "en", "t", 0L), // 6 words, 2 sents
+      (2L, "no terminator here", "en", "t", 0L),        // 1 implied sentence
+      (3L, "", "en", "t", 0L),                          // 0 words -> unscored
+      (4L, "!!!", "en", "t", 0L)                        // punct only: 1 word
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.tx18Readability.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: chars = len("The cat sat. The dog ran!") - 5 spaces = 20,
+    // words = 6, sentences = 2
+    val ari1 = math.floor((4.71 * (20.0 / 6) + 0.5 * (6.0 / 2) - 21.43)
+      * 100 + 0.5) / 100
+    assert(rows(1L).getInt(1) === 20 && rows(1L).getInt(2) === 6 &&
+      rows(1L).getInt(3) === 2)
+    assert(rows(1L).getDouble(4) === ari1)
+    assert(rows(2L).getInt(3) === 1) // terminator-less: one sentence
+    assert(rows(3L).isNullAt(4) && rows(3L).getString(5) === "unscored")
+    // every band agrees with its rounded score on the real fixture
+    TextAnalysis.tx18Readability.run(spark, sfDir).collect().foreach { r =>
+      val band = r.getString(5)
+      if (r.isNullAt(4)) assert(band === "unscored")
+      else {
+        val a = r.getDouble(4)
+        val want = if (a < 6) "elementary" else if (a < 10) "middle"
+          else if (a < 14) "high" else "college"
+        assert(band === want, s"doc ${r.getLong(0)}: ari=$a band=$band")
+      }
+    }
+  }
 }
