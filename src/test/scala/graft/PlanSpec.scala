@@ -520,4 +520,22 @@ class PlanSpec extends AnyFunSuite {
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!read.contains("props") && !read.contains("event_type"))
   }
+
+  test("ev13: cover-day fan-out is in-row — no join, pruned scan") {
+    val p = planOf("ev13_rolling_actives")
+    // the fan-out is a generator over the collapsed user-day rows, never
+    // a day-range join; the scan reads only (user_id, ts)
+    assert(!p.contains("Join"))
+    assert(p.contains("Generate explode"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("user_id") && !read.contains("props") &&
+      !read.contains("event_type") && !read.contains("value"))
+  }
+
+  test("tx18: readability is per-row (no shuffle before the sort)") {
+    val p = planOf("tx18_readability")
+    assert("Exchange".r.findAllIn(p).size === 1) // the final sort only
+    assert(!p.contains("Join"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
 }
