@@ -371,9 +371,10 @@ object Dedup {
     * After the collapse, any bucket still larger than `maxBucket` means the
     * banding itself has degenerated for this corpus (too few bands/rows for
     * the near-dup density); quadratic in-bucket expansion would OOM, so the
-    * operator fails LOUDLY with sizes instead — the dd07 df-cap discipline,
-    * with a diagnosable error in place of silent pair loss. The check is a
-    * count-only aggregate that runs BEFORE any collect_list materializes. */
+    * operator fails LOUDLY with the offending size instead — the dd07
+    * df-cap discipline, with a diagnosable error in place of silent pair
+    * loss. The check is a window count riding the expansion's own
+    * exchange, raised BEFORE any collect_list buffer materializes. */
   private[graft] def lshPairsOf(sigFrame: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     val mCols = (0 until 8).map(k => col(s"m$k"))
@@ -394,20 +395,28 @@ object Dedup {
           |  1, concat_ws('|', m4, m5, m6, m7), concat_ws('|', m0, m1, m2, m3))
           |  AS (band, band_key, prev_key)
           |""".stripMargin))
-      // consumed twice (cap probe + expansion); 2 short rows per rep
-      .materialized
-    val over = bands.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
-      .agg(count(lit(1)).as("n_over"), max("bn").as("max_bn")).first()
-    if (over.getLong(0) > 0) throw new IllegalStateException(
-      s"dd03: ${over.getLong(0)} LSH bucket(s) exceed maxBucket=$maxBucket " +
-        s"after exact-duplicate collapse (largest: ${over.getLong(1)} " +
-        "distinct signatures in one bucket). The banding has degenerated " +
-        "for this corpus — use more bands/rows per band, or raise maxBucket")
+    // The cap guard rides the SAME exchange as the expansion, as a window
+    // count evaluated BEFORE any collect_list buffer exists: an oversize
+    // bucket raises from inside the window stage (bounded rows, no OOM
+    // exposure) instead of paying a separate probe job + a bands
+    // checkpoint per call — this path is shared by dd03/dd06/dd08/dd14/
+    // dd15/pipe17, so the two jobs saved multiply across the suite.
+    val guarded = bands
+      .withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("band", "band_key")))
+      .withColumn("cap_guard", when(col("bn") > maxBucket, raise_error(
+        concat(
+          lit("dd03: LSH bucket exceeds maxBucket=" + maxBucket +
+            " after exact-duplicate collapse ("),
+          col("bn"),
+          lit(" distinct signatures in one bucket). The banding has " +
+            "degenerated for this corpus — use more bands/rows per " +
+            "band, or raise maxBucket")))))
+      .filter(col("cap_guard").isNull)
     // band 0's prev_key is the doc_id itself (unique per doc → the
     // equality below never holds → band 0 emits every in-bucket pair);
     // band 1 suppresses pairs band 0 already emitted.
-    val repPairs = bands.groupBy("band", "band_key")
+    val repPairs = guarded.groupBy("band", "band_key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("prev_key"))))
         .as("ids"))
       .filter(size(col("ids")) > 1)

@@ -80,11 +80,16 @@ class DedupPropertySpec extends AnyFunSuite {
     val sig = (1L to 10L).map(i =>
         (i, "a", "b", "c", "d", s"e$i", s"f$i", s"g$i", s"h$i"))
       .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
-    val e = intercept[IllegalStateException] {
+    // the guard raises from inside the window stage (executor-side
+    // raise_error), so it surfaces wrapped in Spark's job failure — walk
+    // the cause chain for the diagnosable message
+    val e = intercept[Throwable] {
       Dedup.lshPairsOf(sig, maxBucket = 5).collect()
     }
-    assert(e.getMessage.contains("maxBucket=5"))
-    assert(e.getMessage.contains("10"))
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxBucket=5"))
+    assert(msgs.contains("10"))
   }
 
   test("lshPairs: star-collapse preserves components and stays within clique pairs") {
