@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.tables.Checkpoints.CheckpointOps
 import graft.tables.Tables
 
 /** Multimodal-column plumbing (north-star surface): image/audio/video as
@@ -316,6 +317,22 @@ object Multimodal {
     * times costs a 20-entry buffer, never a mega-group; the full count
     * still reports. The rank window and the groupBy share one phash
     * exchange. */
+  /** The fake-pHash frame (doc_id, 16-hex phash) shared by mm07/mm09:
+    * per-partition decode+hash over the byte payload — a real pHash swaps
+    * this lambda without touching either consumer's plan. */
+  private def fakePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        // FAKE pHash (see mm07 doc comment): hex of md5(payload)[0..7]
+        val dg = md5.get().digest(payload)
+        (id, dg.take(8).map(b => f"${b & 0xff}%02x").mkString)
+      })
+      .toDF("doc_id", "phash")
+  }
+
   val mm07PhashDup: Q = Q(
     "mm07_phash_dup",
     """WITH h AS (SELECT doc_id, substr(md5(text), 1, 16) AS phash
@@ -328,18 +345,8 @@ object Multimodal {
       |    ',' ORDER BY doc_id) AS sample_docs
       |FROM r GROUP BY phash HAVING count(*) >= 2
       |ORDER BY phash""".stripMargin) { (s, d) =>
-    import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) =>
-        // FAKE pHash (see doc comment): hex of md5(payload)[0..7]
-        val dg = md5.get().digest(payload)
-        (id, dg.take(8).map(b => f"${b & 0xff}%02x").mkString)
-      })
-      .toDF("doc_id", "phash")
-    hashed
+    fakePhash(s, d)
       .withColumn("rk", row_number().over(
         Window.partitionBy("phash").orderBy("doc_id")))
       .groupBy("phash")
@@ -394,7 +401,90 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** Per-hex-char hamming distance between two 16-hex pHashes, as an
+    * in-row integer fold both engines replay exactly. */
+  private def hammingSql(pa: String, pb: String): String =
+    s"""aggregate(transform(sequence(1, 16), i ->
+       |  bit_count((instr('0123456789abcdef', substring($pa, i, 1)) - 1)
+       |          ^ (instr('0123456789abcdef', substring($pb, i, 1)) - 1))),
+       |  0, (acc, x) -> acc + x)""".stripMargin
+
+  /** Image NEAR-duplicate pairs by perceptual-hash hamming distance — the
+    * banding extension mm07's doc comment promises, shipped: the 64-bit
+    * pHash splits into 4×16-bit segments; hamming ≤ 2 can corrupt at most
+    * 2 segments, so every qualifying pair agrees EXACTLY on ≥2 (a fortiori
+    * ≥1) segments — dd04's pigeonhole argument at the image tier.
+    * Candidates form by the segment-bucket groupBy (in-row pair expansion,
+    * never a corpus self-join), are deduped across the 4 bands by one
+    * candidate-sized exchange, and the exact hamming verdict is an in-row
+    * integer fold over the hex chars (bit_count of per-char XOR) — no
+    * float, both engines bit-agree. The hash is the same marked
+    * deterministic fake as mm07 (md5-derived, so near-collisions are
+    * structurally rare: expect exact-dup pairs at hamming 0); a real DCT
+    * pHash swaps the per-partition lambda and populates the 1-2 band.
+    *
+    * Scale shape: per-partition hash, one (band, seg) exchange with tiny
+    * buckets (65536 buckets per band), candidate-sized dedup + verify —
+    * O(candidates), the dd08 discipline. */
+  val mm09PhashNearDup: Q = Q(
+    "mm09_phash_near_dup",
+    """WITH h AS (SELECT doc_id, substr(md5(text), 1, 16) AS phash
+      |           FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(o AS INTEGER) AS band,
+      |    substr(phash, CAST(o * 4 + 1 AS INTEGER), 4) AS seg
+      |  FROM h, range(4) AS t(o)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM segs a JOIN segs b
+      |    ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id),
+      |d AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      bit_count(xor(
+      |        strpos('0123456789abcdef',
+      |          substr(ha.phash, CAST(i AS INTEGER), 1)) - 1,
+      |        strpos('0123456789abcdef',
+      |          substr(hb.phash, CAST(i AS INTEGER), 1)) - 1))))
+      |      AS hamming
+      |  FROM cand c
+      |  JOIN h ha ON ha.doc_id = c.doc_a
+      |  JOIN h hb ON hb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming,
+      |  hamming = 0 AS is_exact
+      |FROM d WHERE hamming <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // three consumers (banding + both verify sides): hash once
+    val h = fakePhash(s, d).materialized
+    val cand = h
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), i -> substring(phash, i * 4 + 1, 4))"))
+        .as(Seq("band", "seg")))
+      .groupBy("band", "seg")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select("p.doc_a", "p.doc_b")
+      // a pair agreeing on several bands surfaces once per band — one
+      // candidate-sized dedup exchange
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("doc_a"), col("phash").as("pa")),
+        "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("phash").as("pb")),
+        "doc_b")
+      .withColumn("hamming", expr(hammingSql("pa", "pb")).cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (col("hamming") === 0).as("is_exact"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[Q] = Seq(mm01DecodeMeta, mm02FrameSample, mm03ResizePlan,
     mm04FeatureExtract, mm05FeatureProbe, mm06AudioSegments, mm07PhashDup,
-    mm08ModalityCoverage)
+    mm08ModalityCoverage, mm09PhashNearDup)
 }

@@ -1038,9 +1038,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document TF-IDF top-5 keywords — the canonical keyword-extraction
+    * / relevance-weighting operator (the corpus-level counterpart of
+    * tx11's commonness: tx11 scores a doc by how COMMON its tokens are,
+    * this surfaces what makes a doc DISTINCTIVE). tf = in-doc count,
+    * df = docs containing the token (a window count over the already-
+    * distinct (doc, token) frame — no count-distinct, no self-join),
+    * idf = ln(N/df) with N a broadcast scalar. Ranking and output use the
+    * floor-rounded score with a token tiebreak, so no float ulp (or libm
+    * ln difference) can flip a keyword across engines.
+    *
+    * Scale shape: one (doc, token) exchange for tf, the df window rides a
+    * token exchange over the VOCABULARY-sized count table, and the top-5
+    * window (WindowGroupLimit-pruned) re-keys by doc — three exchanges,
+    * each over collapsed counts, never the raw token stream twice. */
+  val tx19TfidfKeywords: Q = Q(
+    "tx19_tfidf_keywords",
+    """WITH tok AS (
+      |  SELECT doc_id, t AS token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(
+      |          string_split(text, ' '), x -> x <> '')) AS t
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf,
+      |    floor(tf * ln(CAST(n_docs AS DOUBLE)
+      |      / count(*) OVER (PARTITION BY token)) * 10000 + 0.5) / 10000
+      |      AS tfidf
+      |  FROM tok, n)
+      |SELECT doc_id, rk, token, tf, tfidf FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, token) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    val docsDf = Tables.documents(s, d)
+    val tok = Tables.spread(s, docsDf, "doc_id")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))
+    val scored = tok.crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", StableRound.r4(col("tf") *
+        log(col("n_docs").cast("double") /
+          count(lit(1)).over(Window.partitionBy("token")))))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "rk", "token", "tf", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
     tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
-    tx15HashClassifier, tx16EncodingQc, tx17ZipfFit, tx18Readability)
+    tx15HashClassifier, tx16EncodingQc, tx17ZipfFit, tx18Readability,
+    tx19TfidfKeywords)
 }

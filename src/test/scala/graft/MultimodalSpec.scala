@@ -127,4 +127,41 @@ class MultimodalSpec extends AnyFunSuite {
       ("B", 1L, 1L, 0L, 1.0),
       ("(orphan)", 0L, 0L, 0L, null)))
   }
+
+  test("mm09: identical payloads pair at hamming 0; distinct ones verify out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-phnd").toString
+    // 1,2,5 share a payload (one hamming-0 clique), 3 and 4 are unique —
+    // the md5 fake has no near-collisions, so candidates that reach the
+    // verify via a chance segment match must be REJECTED by hamming > 2
+    Seq(
+      (1L, "same image bytes", "en", "t", 0L),
+      (2L, "same image bytes", "en", "t", 0L),
+      (3L, "different bytes", "en", "t", 0L),
+      (4L, "yet another payload", "en", "t", 0L),
+      (5L, "same image bytes", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mm09PhashNearDup.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0L, true), (1L, 5L, 0L, true),
+      (2L, 5L, 0L, true)))
+  }
+
+  test("mm09: the hex hamming fold equals bit-level distance on known hashes") {
+    import spark.implicits._
+    // f=1111 vs e=1110 -> 1 bit; 0 vs 3 -> 2 bits; identical tails -> 0
+    val df = Seq(
+      ("ffffffffffffffff", "efffffffffffffff", 1L),
+      ("0000000000000000", "3000000000000000", 2L),
+      ("0123456789abcdef", "0123456789abcdef", 0L),
+      ("0000000000000000", "ffffffffffffffff", 64L)
+    ).toDF("pa", "pb", "want")
+    val rows = df.withColumn("got", expr(
+      """aggregate(transform(sequence(1, 16), i ->
+        |  bit_count((instr('0123456789abcdef', substring(pa, i, 1)) - 1)
+        |          ^ (instr('0123456789abcdef', substring(pb, i, 1)) - 1))),
+        |  0, (acc, x) -> acc + x)""".stripMargin).cast("long")).collect()
+    rows.foreach(r => assert(r.getAs[Long]("got") === r.getAs[Long]("want")))
+  }
 }

@@ -33,10 +33,12 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   // Queries whose correct result can legitimately be empty at sf0.001.
-  // mm07: the fixture has no byte-identical documents below sf0.1, so
-  // there are no exact-hash groups to report (crafted-corpus coverage in
-  // MultimodalSpec).
-  private val mayBeEmpty = Set("q09_anti_join", "mm07_phash_dup")
+  // mm07/mm09: the fixture has no byte-identical documents below sf0.1
+  // (and the md5 fake pHash has no near-collisions by construction), so
+  // there are no exact-hash groups / near-dup pairs to report
+  // (crafted-corpus coverage in MultimodalSpec).
+  private val mayBeEmpty =
+    Set("q09_anti_join", "mm07_phash_dup", "mm09_phash_near_dup")
 
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes at sf0.001") {

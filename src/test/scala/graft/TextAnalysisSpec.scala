@@ -209,4 +209,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tx19: tf-idf matches hand computation on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    // 'cat' in 1/3 docs (idf ln 3), 'the' in all (idf 0), 'dog' in 2/3
+    Seq(
+      (1L, "the cat cat sat", "en", "t", 0L),
+      (2L, "the dog ran", "en", "t", 0L),
+      (3L, "the dog dog slept", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val got = TextAnalysis.tx19TfidfKeywords.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val doc1 = got.filter(_._1 == 1L)
+    // doc 1: cat tf=2 idf=ln(3) tops; sat tf=1 idf=ln(3); the tf=1 idf=0
+    assert(doc1.map(t => (t._2, t._3, t._4, t._5)).toSeq === Seq(
+      (1, "cat", 2L, r4(2 * math.log(3.0))),
+      (2, "sat", 1L, r4(math.log(3.0))),
+      (3, "the", 1L, 0.0)))
+    // top-5 cap: no doc emits more than 5 keywords, ranks are 1..k
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length))
+    }
+  }
 }
