@@ -297,6 +297,26 @@ object Streams {
       }
   }
 
+  /** Streaming DAU + 7-day rolling actives (ev13's streaming twin).
+    * count(DISTINCT) is not a streaming aggregate, so the distinct is
+    * SPELLED as state: dropDuplicates collapses to (user, active-day)
+    * rows exactly once across the whole stream, the in-row cover-day
+    * fan-out is stateless, a second dropDuplicates makes (user,
+    * cover-day) exactly-once, and the final count is a plain streaming
+    * agg — the standard stacked-dedup decomposition of a distinct
+    * count. DAU rides the same pipeline keyed by (user, day) directly.
+    * State is one row per user-day (DAU) / 7 per user-day (rolling) —
+    * on an unbounded source both dedups take a watermark and become
+    * dropDuplicatesWithinWatermark, the dedupByEventId pattern. */
+  def rollingActives(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .dropDuplicates("user_id", "d")
+      .select(col("user_id"),
+        explode(expr("sequence(d, d + INTERVAL 6 DAYS)")).as("cover_day"))
+      .dropDuplicates("user_id", "cover_day")
+      .groupBy("cover_day").agg(count(lit(1)).as("active_7d"))
+
   /** Run a bounded streaming query into a memory sink; returns the sink
     * contents after all input is processed. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

@@ -138,6 +138,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming rolling actives equal batch ev13's 7-day distinct counts") {
+    // stacked-dedup decomposition of count(DISTINCT): every (user, day)
+    // exactly once, fan out, every (user, cover_day) exactly once, count
+    val streamed = Streams.runToMemory(spark,
+      Streams.rollingActives(Streams.eventsStream(spark, sfDir)),
+      "rolling_sink", OutputMode.Complete())
+      .selectExpr("date_format(cover_day, 'yyyy-MM-dd') AS day",
+        "active_7d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = EventQueries.ev13RollingActives.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // batch drops zero-DAU tail days; every batch day must agree exactly
+    assert(batch.nonEmpty)
+    batch.foreach { case (day, n) =>
+      assert(streamed.get(day).contains(n), s"day $day: $n vs ${streamed.get(day)}")
+    }
+  }
+
   test("streaming funnel state machine equals batch ev07") {
     // Update-mode state machine: the memory sink holds one row per
     // (user, batch). Funnel state is MONOTONE (each stage timestamp is
