@@ -796,9 +796,18 @@ object Dedup {
        |WHERE CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docsDf = docs(s, d)
-    val cand = lshPairs(s, d)
-      .union(winnowPairs(Tables.spread(s, docsDf, "doc_id"))
-        .select("doc_a", "doc_b"))
+    // the two candidate generators are independent pipelines with their
+    // own eager materializations — submit them from concurrent threads
+    // so their job chains interleave (sim09's parallel-job-group
+    // pattern); results are deterministic frames either way
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fLsh = Future(lshPairs(s, d))
+    val fWin = Future(winnowPairs(Tables.spread(s, docsDf, "doc_id"))
+      .select("doc_a", "doc_b"))
+    val cand = Await.result(fLsh, Duration.Inf)
+      .union(Await.result(fWin, Duration.Inf))
       .distinct()
     jaccardVerify(docsDf, cand).orderBy("doc_a", "doc_b")
   }

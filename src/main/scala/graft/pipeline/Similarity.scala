@@ -770,11 +770,21 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rk, neighbor_id, dist_est FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-    // ONE quantized code checkpoint feeds BOTH trainers; one coarse
-    // Lloyd chain: corpus assignment = rk 1, query probes = rk ≤ 2 of
-    // the same frame
+    // ONE quantized code checkpoint feeds BOTH trainers, and the two
+    // trainers are independent until the search composes them — submit
+    // their job chains from CONCURRENT threads (Spark schedules jobs
+    // from multiple threads; neither iterative chain saturates the
+    // cluster alone, so the per-iteration job floor is paid once, not
+    // twice — the production pattern of parallel job groups). The coarse
+    // chain: corpus assignment = rk 1, query probes = rk ≤ 2 of the
+    // same frame.
     val vecs = quantVecs(s, d)
-    val pr = kmeansProbesFrom(vecs, 2).materialized
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fPr = Future(kmeansProbesFrom(vecs, 2).materialized)
+    val fD3 = Future(pqDistFrameFrom(vecs))
+    val pr = Await.result(fPr, Duration.Inf)
     val probes = broadcast(pr.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cluster")))
     val coarse = pr.filter(col("rk") === 1)
@@ -782,7 +792,7 @@ object Similarity {
     val cand = probes.join(coarse, "cluster")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    val d3 = pqDistFrameFrom(vecs)
+    val d3 = Await.result(fD3, Duration.Inf)
     val codes = d3.withColumn("rk", row_number().over(
         Window.partitionBy("vec_id", "sub")
           .orderBy(col("dist2"), col("cluster"))))
