@@ -210,8 +210,23 @@ object EventQueries {
       |       WHEN min(first_view) IS NOT NULL THEN 1 ELSE 0 END AS stage,
       |  min(first_purchase) IS NOT NULL AS converted
       |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    funnelFirsts(s, d)
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"),
+        when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .when(col("first_view").isNotNull, 1).otherwise(0).as("stage"),
+        col("first_purchase").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
+  /** Per-user funnel stage timestamps (first_view / first_click /
+    * first_purchase with the strict ordering constraints) — ev07's core,
+    * shared with ev14's latency rollup. All three stage windows ride ONE
+    * user_id exchange. */
+  private def funnelFirsts(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
-    val stages = Tables.events(s, d)
+    Tables.events(s, d)
       .withColumn("first_view",
         min(when(col("event_type") === "view", col("ts"))).over(byUser))
       .withColumn("first_click",
@@ -220,17 +235,10 @@ object EventQueries {
       .withColumn("first_purchase",
         min(when(col("event_type") === "purchase" &&
           col("ts") > col("first_click"), col("ts"))).over(byUser))
-    stages.groupBy("user_id")
+      .groupBy("user_id")
       .agg(min("first_view").as("first_view"),
         min("first_click").as("first_click"),
         min("first_purchase").as("first_purchase"))
-      .select(col("user_id"), col("first_view"), col("first_click"),
-        col("first_purchase"),
-        when(col("first_purchase").isNotNull, 3)
-          .when(col("first_click").isNotNull, 2)
-          .when(col("first_view").isNotNull, 1).otherwise(0).as("stage"),
-        col("first_purchase").isNotNull.as("converted"))
-      .orderBy("user_id")
   }
 
   /** Cohort retention (the other classic product-analytics matrix, next
@@ -531,8 +539,62 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** Funnel conversion-latency percentiles per view-cohort week — the
+    * "how fast do converters convert" rollup every funnel ships next to
+    * ev07's "how many". Latency = first_purchase − first_view in FLOOR
+    * seconds (the cast-as-long discipline ev03 uses, = DuckDB's
+    * date_diff('second')); cohort = Monday-truncated week of first_view
+    * (ev08's convention, emitted as a string); p50/p90 are exact
+    * interpolated percentiles rounded to 4 dp on both engines (q26's
+    * convention — at 100 TB swap in approx_percentile, same plan shape).
+    * Scale: the stage windows ride ev07's single user_id exchange; the
+    * percentile rollup exchanges one row per CONVERTED user into
+    * week-sized groups. */
+  val ev14ConversionLatency: Q = Q(
+    "ev14_conversion_latency",
+    """WITH s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS first_view
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view
+      |    THEN ts END) OVER (PARTITION BY user_id) AS first_click
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_click
+      |    THEN ts END) OVER (PARTITION BY user_id) AS first_purchase
+      |  FROM s2),
+      |f AS (SELECT user_id, min(first_view) AS fv,
+      |        min(first_purchase) AS fp
+      |      FROM s3 GROUP BY user_id),
+      |conv AS (
+      |  SELECT strftime(date_trunc('week', fv), '%Y-%m-%d') AS cohort_week,
+      |    date_diff('second', fv, fp) AS latency_sec
+      |  FROM f WHERE fp IS NOT NULL)
+      |SELECT cohort_week, count(*) AS n_converted,
+      |  floor(quantile_cont(latency_sec, 0.5) * 10000 + 0.5) / 10000
+      |    AS p50_sec,
+      |  floor(quantile_cont(latency_sec, 0.9) * 10000 + 0.5) / 10000
+      |    AS p90_sec
+      |FROM conv GROUP BY cohort_week ORDER BY cohort_week""".stripMargin) {
+    (s, d) =>
+    funnelFirsts(s, d)
+      .filter(col("first_purchase").isNotNull)
+      .select(
+        date_format(date_trunc("week", col("first_view")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        (col("first_purchase").cast("long") -
+          col("first_view").cast("long")).as("latency_sec"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_converted"),
+        StableRound.r4(expr("percentile(latency_sec, 0.5)")).as("p50_sec"),
+        StableRound.r4(expr("percentile(latency_sec, 0.9)")).as("p90_sec"))
+      .orderBy("cohort_week")
+  }
+
   val queries: Seq[Q] = Seq(ev01TumblingWindow, ev02FirstPerKey,
     ev03Sessionize, ev04JsonProps, ev05SlidingWindow, ev06RecentClicks,
     ev07Funnel, ev08CohortRetention, ev09Transitions, ev10ActiveIslands,
-    ev11RateAnomaly, ev12PeakConcurrency, ev13RollingActives)
+    ev11RateAnomaly, ev12PeakConcurrency, ev13RollingActives,
+    ev14ConversionLatency)
 }

@@ -102,6 +102,35 @@ class EventFunnelSpec extends AnyFunSuite {
       ("2026-03-02", 2L, base + 86700L, 2L)))
   }
 
+  test("ev14: latency percentiles match a driver-side funnel fold") {
+    val rows = EventQueries.ev14ConversionLatency.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // reference: brute-force funnel (shared with the ev07 tests), then
+    // exact interpolated percentiles per Monday-truncated cohort week
+    val conv = bruteForce().toSeq.collect {
+      case (_, (Some(fv), _, Some(fp))) =>
+        val week = fv.toLocalDateTime.toLocalDate
+          .`with`(java.time.DayOfWeek.MONDAY).toString
+        (week, Math.floorDiv(fp.getTime, 1000L) -
+          Math.floorDiv(fv.getTime, 1000L))
+    }
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted; val rank = p * (s.length - 1)
+      val lo = s(rank.toInt); val hi = s(math.ceil(rank).toInt)
+      val v = lo + (rank - rank.toInt) * (hi - lo)
+      math.floor(v * 10000 + 0.5) / 10000
+    }
+    val expect = conv.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (w, xs) =>
+        val ls = xs.map(_._2)
+        (w, ls.length.toLong, pct(ls, 0.5), pct(ls, 0.9))
+    }
+    assert(rows.toSeq === expect)
+    assert(rows.map(_._2).sum ===
+      bruteForce().values.count(_._3.isDefined).toLong)
+  }
+
   test("ev13: cover-day fan-out equals a per-day range scan of user-days") {
     // reference: for every day with activity, DAU = distinct users active
     // THAT day; active_7d = distinct users active in [day-6, day] — the
