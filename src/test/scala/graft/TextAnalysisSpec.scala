@@ -210,6 +210,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("tx20/tx21: model scored by an independent driver fold reproduces the eval") {
+    // independent reimplementation: token slots via MessageDigest md5,
+    // labels from tx14's (separately tested) gate output, model from
+    // tx20's published weight table — the confusion counts must equal
+    // tx21's row exactly
+    val labels = TextAnalysis.tx14GopherRules.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("gopher_pass")).toMap
+    val model = TextAnalysis.tx20TrainClassifier.run(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def slot(tok: String): Int = {
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    var (tp, fp, fn, tn) = (0L, 0L, 0L, 0L)
+    graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().foreach { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (toks.nonEmpty) {
+          val x = Array.fill(16)(0L)
+          toks.foreach(t => x(slot(t)) += 1L)
+          val score = (0 until 16).map { i =>
+            val (w, mid) = model(i); w * (x(i) * 1000000L - mid)
+          }.sum
+          val (y, yhat) = (labels(r.getLong(0)), score >= 0L)
+          if (y && yhat) tp += 1 else if (!y && yhat) fp += 1
+          else if (y && !yhat) fn += 1 else tn += 1
+        }
+      }
+    val ev = TextAnalysis.tx21ClassifierEval.run(spark, sfDir).collect().head
+    assert((ev.getLong(1), ev.getLong(2), ev.getLong(3), ev.getLong(4)) ===
+      ((tp, fp, fn, tn)))
+    assert(ev.getLong(0) === tp + fp + fn + tn)
+    // the student must actually have learned: beat the majority base rate
+    val base = math.max(tp + fn, fp + tn).toDouble / ev.getLong(0)
+    assert(ev.getDouble(5) > base,
+      s"accuracy ${ev.getDouble(5)} not above base rate $base")
+  }
+
   test("tx19: tf-idf matches hand computation on a crafted corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
