@@ -632,6 +632,41 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Time-RANGE window frame — the window-family member q12/q34/q36's
+    * ROWS frames don't cover: each event's trailing-1-hour rolling sum
+    * and count per user. A RANGE frame bounds the window by the ORDER
+    * VALUE (here epoch seconds), not a row count, so ties and uneven
+    * event spacing are handled by definition — the batch form of a
+    * sliding event-time window (ev05 is the bucketed form; this is the
+    * per-event form). Ordering key is INTEGER epoch seconds on both
+    * engines, so frame membership can never flip on a sub-second
+    * representation difference. One user_id exchange; the frame scan is
+    * the window buffer. */
+  val q37RangeFrame: Q = Q(
+    "q37_range_frame",
+    """SELECT user_id, event_id,
+      |  CAST(sum(value_cents) OVER w AS BIGINT) AS hour_cents,
+      |  CAST(count(*) OVER w AS BIGINT) AS hour_events
+      |FROM (SELECT user_id, event_id, epoch(ts)::BIGINT AS ts_sec,
+      |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    // integer cents BEFORE the frame sum: a float sum's value would
+    // depend on in-frame accumulation order
+    val w = Window.partitionBy("user_id").orderBy("ts_sec")
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("ts_sec"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+      .select(col("user_id"), col("event_id"),
+        sum("value_cents").over(w).as("hour_cents"),
+        count(lit(1)).over(w).as("hour_events"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Seq[Q] = Seq(
     q01PricingSummary, q02MinPerGroup, q03FilteredMax, q04CountCompare,
     q05DupKeys, q06StringFold, q07RevenueByRegion, q08SemiJoin, q09AntiJoin,
@@ -639,5 +674,5 @@ object Relational {
     q15SplitPosexplode, q16ScalarStrings, q17Dates, q18MergeReconcile,
     q19SetOps, q20Rollup, q21ScalarSubquery, q29SetOpsAll, q31Unpivot,
     q32AvgQtyFilter, q33Lateral, q34WindowRanks, q35NotInNulls,
-    q36WindowedDistinct)
+    q36WindowedDistinct, q37RangeFrame)
 }
