@@ -538,4 +538,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
+
+  test("q37: range frame rides one user exchange; no join, pruned scan") {
+    val p = planOf("q37_range_frame")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("props") && !read.contains("event_type"))
+  }
+
+  test("ev14: latency rollup = funnel's user exchange + week groups, no join") {
+    val p = planOf("ev14_conversion_latency")
+    assert(!p.contains("Join"))
+    // user_id window exchange + cohort_week agg exchange (the user-keyed
+    // groupBy rides the window's partitioning)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+  }
+
+  test("tx19: tf-idf never rescans the corpus; df is a window, not a self-join") {
+    val p = planOf("tx19_tfidf_keywords")
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2) // tok + N scalar
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("tx21: classifier inference is in-row over the literal model") {
+    val p = planOf("tx21_classifier_eval")
+    assert(!p.contains("Join")) // model enters as a literal, never a join
+  }
 }
