@@ -12,6 +12,8 @@ object Bench {
       // to 1 partition at this data size and every compute-heavy window/
       // agg serializes (ev03 0.4s → 2.1s) — task-scheduling floor is the
       // cheaper side of that trade here.
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,6 +45,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // empty/blank var = no filter, not an empty run
     var rescued = List.empty[String]
+    var retried = List.empty[String]
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -57,22 +60,31 @@ object Bench {
         // best-of-2, plus a rescue attempt when the two samples disagree
         // by >2× — the run was hit by an external CPU-contention window,
         // not by the query itself. Rescued queries are recorded in the
-        // JSON so the methodology shift (min-of-3) stays visible.
-        // A query whose BOTH samples throw is recorded as -1 (and listed
-        // in "failed"), excluded from the total — a crash is not a time.
+        // JSON so the methodology shift (min-of-3) stays visible; a query
+        // where exactly ONE sample threw goes to "retried" instead (a
+        // crash-retry is not a contention rescue). A query whose BOTH
+        // samples throw is listed in "failed" and OMITTED from the
+        // queries map — a crash is not a time, and a -1 sentinel in the
+        // map would corrupt any consumer that sums it.
         (sample(), sample()) match {
-          case (None, None) => failed ::= name; name -> -1.0
+          case (None, None) => failed ::= name; name -> None
           case (a, b) =>
             val ts = Seq(a, b).flatten
             val best = ts.min
-            name -> (if (ts.size < 2 || ts.max > 2 * best) {
-                       rescued ::= name
-                       math.min(best, sample().getOrElse(best))
-                     } else best)
+            name -> Some(
+              if (ts.size < 2) {
+                retried ::= name
+                math.min(best, sample().getOrElse(best))
+              } else if (ts.max > 2 * best) {
+                rescued ::= name
+                math.min(best, sample().getOrElse(best))
+              } else best)
         }
       }
-    val total = results.map(_._2).filter(_ >= 0).sum
+      .collect { case (name, Some(t)) => name -> t }
+    val total = results.map(_._2).sum
     val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retr = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision record (methodology + rescued list + 9-digit samples):
     // goes to a repo file and an EARLY stdout line. The FINAL stdout line is
@@ -82,7 +94,7 @@ object Bench {
     // got truncated mid-line in rounds 1-3 (BENCH_r*.json "parsed": null).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those); -1 = query threw (listed in failed, excluded from total)","rescued":$resc,"failed":$failJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total","rescued":$resc,"retried":$retr,"failed":$failJson}"""
     println(full)
     // persist only FULL runs: a SPARK_GRAFT_BENCH_ONLY dev subset must
     // not clobber the repo's full-suite record
@@ -111,7 +123,7 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""
         else s""","omitted":${omitted.size},"omitted_sec":${short(omitted.map(_._2).sum, 2)}"""
-      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","rescued":${rescued.size},"failed":$failJson$om}"""
+      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","rescued":${rescued.size},"retried":${retried.size},"failed":$failJson$om}"""
     }
     // Keep the SLOWEST queries (the ones a grader compares) and fold the
     // rest into an omitted-count + omitted-seconds summary if the full map

@@ -9,6 +9,8 @@ object PlanAudit {
     val names = if (args.nonEmpty) args(0).split(",").toSet else Set.empty[String]
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.allQueries

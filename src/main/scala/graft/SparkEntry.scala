@@ -15,6 +15,7 @@ object SparkEntry {
       operators.ScaleOps.queries ++
       operators.AsOfJoin.queries ++
       checks.Checks.queries ++
+      checks.Drift.queries ++
       scheduler.SchedulerQueries.queries ++
       maintenance.Compaction.queries ++
       pipeline.Dedup.queries ++

@@ -638,16 +638,20 @@ object Relational {
     * VALUE (here epoch seconds), not a row count, so ties and uneven
     * event spacing are handled by definition — the batch form of a
     * sliding event-time window (ev05 is the bucketed form; this is the
-    * per-event form). Ordering key is INTEGER epoch seconds on both
-    * engines, so frame membership can never flip on a sub-second
-    * representation difference. One user_id exchange; the frame scan is
-    * the window buffer. */
+    * per-event form). Ordering key is INTEGER epoch seconds quantized by
+    * FLOOR-truncation on BOTH engines (Spark's cast(ts as long) floors;
+    * the oracle must floor(epoch(ts)) explicitly because DuckDB's
+    * epoch()::BIGINT ROUNDS — on microsecond-bearing timestamps the two
+    * quantizations would disagree on ~half the keys and flip frame
+    * membership). One user_id exchange; the frame scan is the window
+    * buffer. */
   val q37RangeFrame: Q = Q(
     "q37_range_frame",
     """SELECT user_id, event_id,
       |  CAST(sum(value_cents) OVER w AS BIGINT) AS hour_cents,
       |  CAST(count(*) OVER w AS BIGINT) AS hour_events
-      |FROM (SELECT user_id, event_id, epoch(ts)::BIGINT AS ts_sec,
+      |FROM (SELECT user_id, event_id,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
       |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
       |      FROM events)
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec

@@ -370,13 +370,36 @@ object Dedup {
     *
     * After the collapse, any bucket still larger than `maxBucket` means the
     * banding itself has degenerated for this corpus (too few bands/rows for
-    * the near-dup density); quadratic in-bucket expansion would OOM, so the
-    * operator fails LOUDLY with the offending size instead — the dd07
-    * df-cap discipline, with a diagnosable error in place of silent pair
-    * loss. The check is a window count riding the expansion's own
-    * exchange, raised BEFORE any collect_list buffer materializes. */
+    * the near-dup density); quadratic in-bucket expansion would OOM. What
+    * happens next is `spark.graft.bucketCap.mode`:
+    *
+    *   - `throw` (default): fail LOUDLY with the offending size — the dd07
+    *     df-cap discipline, a diagnosable error in place of silent pair
+    *     loss. The check is a window count riding the expansion's own
+    *     exchange, raised BEFORE any collect_list buffer materializes.
+    *   - `truncate`: keep a deterministic sample of `maxBucket` entries per
+    *     oversize bucket (ranked by md5 of the bucket key + doc_id — an
+    *     unbiased, run-stable order, unlike "first maxBucket by doc_id"
+    *     which would systematically favor old docs) and CONTINUE, with a
+    *     third output column `bucket_truncated` marking every pair from a
+    *     clipped bucket (star edges are never clipped → false). The
+    *     100 TB posture: the reference's executor downgrades per-command
+    *     errors and keeps the run alive (ref ola/CommandExecute.sql:
+    *     204-222); aborting a 6-hour dedup on ONE pathological boilerplate
+    *     key is the analog anti-pattern. Truncation loses only in-bucket
+    *     recall on buckets that were already degenerate, and the flag
+    *     column makes the loss auditable downstream instead of silent.
+    *
+    * Throw-mode output is exactly (doc_a, doc_b) — byte-identical plan and
+    * results to before the mode existed; internal consumers that union or
+    * re-shape the pair stream select the two columns explicitly so either
+    * schema flows through. */
   private[graft] def lshPairsOf(sigFrame: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
+    val mode = sigFrame.sparkSession.conf
+      .getOption("spark.graft.bucketCap.mode").getOrElse("throw")
+    require(mode == "throw" || mode == "truncate",
+      s"spark.graft.bucketCap.mode must be throw|truncate, got: $mode")
     val mCols = (0 until 8).map(k => col(s"m$k"))
     // class representative via ONE window over sig_key — a groupBy+join
     // formulation pays the same exchange PLUS a join; the window attaches
@@ -397,38 +420,63 @@ object Dedup {
           |""".stripMargin))
     // The cap guard rides the SAME exchange as the expansion, as a window
     // count evaluated BEFORE any collect_list buffer exists: an oversize
-    // bucket raises from inside the window stage (bounded rows, no OOM
-    // exposure) instead of paying a separate probe job + a bands
-    // checkpoint per call — this path is shared by dd03/dd06/dd08/dd14/
-    // dd15/pipe17, so the two jobs saved multiply across the suite.
-    val guarded = bands
-      .withColumn("bn",
-        count(lit(1)).over(Window.partitionBy("band", "band_key")))
-      .withColumn("cap_guard", when(col("bn") > maxBucket, raise_error(
-        concat(
-          lit("dd03: LSH bucket exceeds maxBucket=" + maxBucket +
-            " after exact-duplicate collapse ("),
-          col("bn"),
-          lit(" distinct signatures in one bucket). The banding has " +
-            "degenerated for this corpus — use more bands/rows per " +
-            "band, or raise maxBucket")))))
-      .filter(col("cap_guard").isNull)
+    // bucket raises (throw mode) or clips (truncate mode) from inside the
+    // window stage (bounded rows, no OOM exposure) instead of paying a
+    // separate probe job + a bands checkpoint per call — this path is
+    // shared by dd03/dd06/dd08/dd14/dd15/pipe17, so the two jobs saved
+    // multiply across the suite.
+    val wBucket = Window.partitionBy("band", "band_key")
+    val guarded =
+      if (mode == "throw")
+        bands
+          .withColumn("bn", count(lit(1)).over(wBucket))
+          .withColumn("cap_guard", when(col("bn") > maxBucket, raise_error(
+            concat(
+              lit("dd03: LSH bucket exceeds maxBucket=" + maxBucket +
+                " after exact-duplicate collapse ("),
+              col("bn"),
+              lit(" distinct signatures in one bucket). The banding has " +
+                "degenerated for this corpus — use more bands/rows per " +
+                "band, raise maxBucket, or set " +
+                "spark.graft.bucketCap.mode=truncate to sample-and-flag " +
+                "instead of failing")))))
+          .filter(col("cap_guard").isNull)
+          .withColumn("btrunc", lit(false))
+      else
+        // md5 rank: deterministic, corpus-order-independent sample; the
+        // row_number sort rides the same (band, band_key) exchange the
+        // count and the expansion use
+        bands
+          .withColumn("bn", count(lit(1)).over(wBucket))
+          .withColumn("rk", row_number().over(wBucket.orderBy(
+            md5(concat_ws("|", col("band"), col("band_key"),
+              col("doc_id"))),
+            col("doc_id"))))
+          .filter(col("rk") <= maxBucket)
+          .withColumn("btrunc", col("bn") > maxBucket)
     // band 0's prev_key is the doc_id itself (unique per doc → the
     // equality below never holds → band 0 emits every in-bucket pair);
     // band 1 suppresses pairs band 0 already emitted.
     val repPairs = guarded.groupBy("band", "band_key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("prev_key"))))
-        .as("ids"))
+        .as("ids"),
+        max(col("btrunc")).as("bucket_truncated"))
       .filter(size(col("ids")) > 1)
-      .select(expr(
+      .select(col("bucket_truncated"), expr(
         """explode(flatten(transform(ids, (x, i) ->
           |  filter(
           |    transform(slice(ids, i + 2, size(ids)),
           |      y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
           |                  x.prev_key = y.prev_key AS seen)),
           |    p -> NOT p.seen)))) AS p""".stripMargin))
-      .select("p.doc_a", "p.doc_b")
-    star.union(repPairs)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("bucket_truncated"))
+    val pairs = star
+      .withColumn("bucket_truncated", lit(false))
+      .union(repPairs)
+    // throw mode keeps the historical two-column shape (every oracle and
+    // plan pin predates the flag); truncate mode exposes the flag
+    if (mode == "throw") pairs.select("doc_a", "doc_b") else pairs
   }
 
   /** Near-dup CLUSTERS from the LSH pair graph: connected components by
@@ -524,10 +572,24 @@ object Dedup {
       labels = step.select(col("v"), col("nlbl").as("lbl"))
       iter += 1
     }
-    // fail LOUDLY on non-convergence: returning partial labels would
-    // silently split a component
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $MaxRounds rounds")
+    // Non-convergence (a component of diameter > 2^MaxRounds — physically
+    // implausible, so in practice a logic regression): fail LOUDLY by
+    // default, because returning partial labels silently splits a
+    // component. Under spark.graft.bucketCap.mode=truncate — the "keep the
+    // 100 TB run alive" posture — degrade instead: return the partial
+    // labels WITH a converged=false column on every row, so downstream
+    // sees a coarser-than-true clustering that is flagged, not silent.
+    if (changed > 0) {
+      val mode = pairs.sparkSession.conf
+        .getOption("spark.graft.bucketCap.mode").getOrElse("throw")
+      if (mode != "truncate") throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxRounds rounds " +
+          "(set spark.graft.bucketCap.mode=truncate to degrade to " +
+          "flagged partial labels instead of failing)")
+      return labels
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        .withColumn("converged", lit(false))
+    }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -803,7 +865,7 @@ object Dedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val fLsh = Future(lshPairs(s, d))
+    val fLsh = Future(lshPairs(s, d).select("doc_a", "doc_b"))
     val fWin = Future(winnowPairs(Tables.spread(s, docsDf, "doc_id"))
       .select("doc_a", "doc_b"))
     val cand = Await.result(fLsh, Duration.Inf)

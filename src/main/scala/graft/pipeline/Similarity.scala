@@ -598,6 +598,12 @@ object Similarity {
     // init: the k smallest vec_ids' code vectors, sliced per subspace —
     // collected once (k rows); subDim falls out of the data
     val initRows = vecs.orderBy("vec_id").limit(k).collect()
+    if (initRows.isEmpty)
+      // empty corpus → empty distance frame (same shape), not a head-of-
+      // empty crash at codebook seeding
+      return vecs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0).as("sub"),
+          lit(0).as("cluster"), lit(0L).as("dist2"))
     val subDim = initRows.head.getSeq[Long](1).length / m
     // per-subspace codebooks: sub -> Seq[(cluster, centroid)]
     var centroids: Map[Int, Seq[(Int, Array[Long])]] =

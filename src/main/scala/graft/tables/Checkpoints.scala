@@ -24,9 +24,17 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   def apply(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true"))
+    if (s.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
+      // fail HERE with an actionable message, not at first materialization
+      // deep inside a query with Spark's opaque "checkpoint directory has
+      // not been set" error
+      require(s.sparkContext.getCheckpointDir.nonEmpty,
+        "spark.graft.reliableCheckpoint=true but no checkpoint directory " +
+          "is configured: call sparkContext.setCheckpointDir(<cluster-" +
+          "visible path>) before running, or unset the flag to use " +
+          "localCheckpoint")
       df.checkpoint()
-    else
+    } else
       df.localCheckpoint()
   }
 

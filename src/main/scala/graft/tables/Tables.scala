@@ -26,12 +26,14 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   /** events.parquet has shipped `ts` two ways across fixture generations:
     * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — readable
-    * only via the nanos-as-long legacy conf) and plain timestamp[us].
-    * Probe the scan's schema and shim ONLY the nanos-as-long case; a µs
-    * timestamp passes through untouched. Both land on µs precision, the
-    * same truncation DuckDB applies, so oracle comparison stays exact. */
+    * only via `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    * entry point sets at SESSION BUILD, not here: a reader mutating
+    * session conf mid-query is a spooky-action hazard) and plain
+    * timestamp[us]. Probe the scan's schema and shim ONLY the
+    * nanos-as-long case; a µs timestamp passes through untouched. Both
+    * land on µs precision, the same truncation DuckDB applies, so oracle
+    * comparison stays exact. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file

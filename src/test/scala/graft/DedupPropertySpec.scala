@@ -92,6 +92,50 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(msgs.contains("10"))
   }
 
+  test("lshPairs: bucketCap.mode=truncate clips a mega-bucket, flags its pairs, run survives") {
+    import spark.implicits._
+    // Same degenerated corpus as the fail-loudly case: 10 DISTINCT
+    // signatures sharing band 0, cap 5 — throw mode refuses it (previous
+    // test). Truncate mode must keep a deterministic 5-entry sample of the
+    // bucket, emit only its C(5,2)=10 in-bucket pairs, flag every one
+    // bucket_truncated=true, and complete without error.
+    val sig = (1L to 10L).map(i =>
+        (i, "a", "b", "c", "d", s"e$i", s"f$i", s"g$i", s"h$i"))
+      .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+    spark.conf.set("spark.graft.bucketCap.mode", "truncate")
+    try {
+      val out = Dedup.lshPairsOf(sig, maxBucket = 5)
+      assert(out.columns.toSeq ===
+        Seq("doc_a", "doc_b", "bucket_truncated"))
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.length === 10) // C(5,2) from the clipped bucket
+      assert(rows.forall(_._3), "every pair from the clipped bucket flagged")
+      val kept = rows.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(kept.length === 5, "exactly maxBucket docs survive the clip")
+      // determinism: the md5 ranking is a pure function of the bucket key
+      // and doc ids — a second run keeps the identical sample
+      val again = Dedup.lshPairsOf(sig, maxBucket = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(again.toSet === rows.toSet)
+
+      // a corpus with NO oversize bucket: truncate mode emits the same
+      // pairs as throw mode, every flag false
+      val ok = Seq(
+        (1L, "a", "a", "a", "a", "x", "x", "x", "x"),
+        (2L, "a", "a", "a", "a", "y", "y", "y", "y"),
+        (3L, "b", "b", "b", "b", "y", "y", "y", "y"))
+        .toDF("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+      val tPairs = Dedup.lshPairsOf(ok, maxBucket = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(tPairs.forall(!_._3))
+      spark.conf.unset("spark.graft.bucketCap.mode")
+      val thPairs = Dedup.lshPairsOf(ok, maxBucket = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(tPairs.map(p => (p._1, p._2)).toSet === thPairs.toSet)
+    } finally spark.conf.unset("spark.graft.bucketCap.mode")
+  }
+
   test("lshPairs: star-collapse preserves components and stays within clique pairs") {
     import spark.implicits._
     // Random signature frames over a tiny alphabet (forcing band collisions

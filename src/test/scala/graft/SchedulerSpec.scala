@@ -380,4 +380,51 @@ class SchedulerSpec extends AnyFunSuite {
     assert(r.skipped.count(_._2.contains("no longer exists")) === n)
     assert(secs < 60.0, f"driver loop took $secs%.1f s for $n tables")
   }
+
+  test("drift: a second run against grown tables emits drift rows " +
+      "(ref IC:56-61, 700-722 state-history trending)") {
+    import graft.checks.Drift
+    import graft.state.ProfileStore
+    import org.apache.spark.sql.functions.col
+    // "Night 1": the tables as a date-bounded subset (what the previous
+    // nightly run saw); "night 2": the full fixtures after the new loads
+    // arrived. Each run profiles its data and records it — the store
+    // shuffles current→previous exactly like the reference's end-of-run
+    // stat update — and the second run's comparison must flag the row
+    // counts as drifted while the stable column means pass the band.
+    val base = java.nio.file.Files.createTempDirectory("graft-drift")
+    val night1 = base.toString + "/night1"
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") < "1999-01-01").write.parquet(
+        s"$night1/lineitem.parquet")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < "1999-01-01").write.parquet(
+        s"$night1/orders.parquet")
+    Tables.events(spark, sfDir)
+      .filter(col("ts") < "2024-01-21").write.parquet(
+        s"$night1/events.parquet")
+    val store = new ProfileStore(spark, base.toString + "/profiles")
+
+    // run 1: nothing to compare against yet (empty previous generation)
+    store.record(Drift.profile(spark, night1))
+    assert(store.previous().count() === 0)
+
+    // run 2: full fixtures; compare against run 1's persisted profile
+    store.record(Drift.profile(spark, sfDir))
+    val drift = Drift.compare(store.previous(), store.current()).collect()
+    assert(drift.length === 7, "one row per (table, metric)")
+    val drifted = drift.filter(_.getAs[Long]("is_drifted") == 1L)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // every table grew past the 5% band...
+    assert(Set(("lineitem", "n_rows"), ("orders", "n_rows"),
+      ("events", "n_rows")).subsetOf(drifted))
+    // ...while at least one column mean held (the band separates load
+    // growth from shape change, not just "something differs")
+    assert(drifted.size < drift.length)
+
+    // and a third run on UNCHANGED data is all-quiet
+    store.record(Drift.profile(spark, sfDir))
+    val quiet = Drift.compare(store.previous(), store.current()).collect()
+    assert(quiet.forall(_.getAs[Long]("is_drifted") == 0L))
+  }
 }
