@@ -185,11 +185,39 @@ object Dedup {
     * the candidate stream, no driver-resident state, no pair-space
     * blowup — candidates already bounded it. */
   def jaccardVerify(docsDf: DataFrame, pairs: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    val sets = docsDf
+      threshold: Double = 0.5): DataFrame =
+    jaccardVerifyFrom(shingleSets(docsDf), pairs, threshold)
+
+  /** Per-doc distinct word-bigram shingle sets (doc_id, sh) — the one
+    * derivation of a document's set representation, shared (and
+    * checkpoint-shareable) by the exact verifier and the minhash
+    * signature: min over the DISTINCT shingles equals min over all
+    * shingles, so a single materialized sets frame can feed candidate
+    * generation AND verification without re-splitting the corpus text. */
+  private[pipeline] def shingleSets(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"), array_distinct(bigramShingles).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Minhash signature derived from an (optionally checkpointed)
+    * [[shingleSets]] frame — identical m0..m7 to [[minhashSig]] (md5 mins
+    * are duplicate-insensitive), without re-deriving shingles from raw
+    * text. */
+  private[pipeline] def minhashSigFromSets(sets: DataFrame): DataFrame = {
+    val sh = sets.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val mhCols = (0 until 8).map(k =>
+      md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
+    sh.select(col("doc_id") +: mhCols: _*)
+      .groupBy("doc_id")
+      .agg(min("h0").as("m0"), min("h1").as("m1"), min("h2").as("m2"),
+        min("h3").as("m3"), min("h4").as("m4"), min("h5").as("m5"),
+        min("h6").as("m6"), min("h7").as("m7"))
+  }
+
+  /** [[jaccardVerify]] against an already-derived [[shingleSets]] frame. */
+  def jaccardVerifyFrom(sets: DataFrame, pairs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
     pairs.select("doc_a", "doc_b")
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
         "doc_a")
@@ -395,20 +423,34 @@ object Dedup {
     * re-shape the pair stream select the two columns explicitly so either
     * schema flows through. */
   private[graft] def lshPairsOf(sigFrame: DataFrame,
-      maxBucket: Int = 1000): DataFrame = {
-    val mode = sigFrame.sparkSession.conf
-      .getOption("spark.graft.bucketCap.mode").getOrElse("throw")
-    require(mode == "throw" || mode == "truncate",
-      s"spark.graft.bucketCap.mode must be throw|truncate, got: $mode")
+      maxBucket: Int = 1000): DataFrame =
+    lshPairsFromRep(sigWithRep(sigFrame), maxBucket)
+
+  /** The materialized signature-with-representative frame lshPairsOf
+    * builds: (doc_id, m0..m7, sig_key, rep). Exposed so callers with MORE
+    * consumers of the signature columns (dd15's agreement sides) can read
+    * THIS checkpoint instead of paying a second signature
+    * materialization. */
+  private[graft] def sigWithRep(sigFrame: DataFrame): DataFrame = {
     val mCols = (0 until 8).map(k => col(s"m$k"))
     // class representative via ONE window over sig_key — a groupBy+join
     // formulation pays the same exchange PLUS a join; the window attaches
     // min(doc_id) to every row in a single pass over the one shuffle.
     // localCheckpoint: consumed by both the star branch and the banding.
-    val withRep = sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
+    sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
       .withColumn("rep", min("doc_id").over(
         Window.partitionBy(col("sig_key"))))
       .materialized
+  }
+
+  /** Candidate pairs from an already-materialized [[sigWithRep]] frame —
+    * the second half of [[lshPairsOf]]. */
+  private[graft] def lshPairsFromRep(withRep: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val mode = withRep.sparkSession.conf
+      .getOption("spark.graft.bucketCap.mode").getOrElse("throw")
+    require(mode == "throw" || mode == "truncate",
+      s"spark.graft.bucketCap.mode must be throw|truncate, got: $mode")
     val star = withRep.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val bands = withRep.filter(col("doc_id") === col("rep"))
@@ -858,20 +900,28 @@ object Dedup {
        |WHERE CAST(s.shared AS DOUBLE) / (na.n_sh + nb.n_sh - s.shared) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docsDf = docs(s, d)
-    // the two candidate generators are independent pipelines with their
-    // own eager materializations — submit them from concurrent threads
-    // so their job chains interleave (sim09's parallel-job-group
+    // ONE shingle-sets checkpoint feeds both the LSH signature AND the
+    // exact verifier (min over distinct shingles = min over all — see
+    // minhashSigFromSets), so the corpus text is split exactly once.
+    // The two candidate generators are then independent pipelines with
+    // their own eager materializations — submit them from concurrent
+    // threads so their job chains interleave (sim09's parallel-job-group
     // pattern); results are deterministic frames either way
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val fLsh = Future(lshPairs(s, d).select("doc_a", "doc_b"))
-    val fWin = Future(winnowPairs(Tables.spread(s, docsDf, "doc_id"))
-      .select("doc_a", "doc_b"))
-    val cand = Await.result(fLsh, Duration.Inf)
-      .union(Await.result(fWin, Duration.Inf))
-      .distinct()
-    jaccardVerify(docsDf, cand).orderBy("doc_a", "doc_b")
+    val spreadDocs = Tables.spread(s, docsDf, "doc_id")
+    // the sets checkpoint lives INSIDE the lsh future so the winnow chain
+    // overlaps it instead of waiting behind a serial materialization
+    val fLsh = Future {
+      val sets = shingleSets(spreadDocs).materialized
+      (sets, lshPairsOf(minhashSigFromSets(sets))
+        .select("doc_a", "doc_b"))
+    }
+    val fWin = Future(winnowPairs(spreadDocs).select("doc_a", "doc_b"))
+    val (sets, lsh) = Await.result(fLsh, Duration.Inf)
+    val cand = lsh.union(Await.result(fWin, Duration.Inf)).distinct()
+    jaccardVerifyFrom(sets, cand).orderBy("doc_a", "doc_b")
   }
 
   /** SEMANTIC dedup for UNLABELED corpora: embedding-cosine near-dup
@@ -944,6 +994,11 @@ object Dedup {
     import graft.functions.VectorOps
     // probes pivoted wide — (vec_id, c1, c2): the window and the pivot
     // groupBy ride the same hash partitioning on vec_id
+    // NOTE: prefetching the embedding+norm scan on a concurrent thread
+    // while the Lloyd trainer runs was measured SLOWER here (7.2 s vs
+    // 2.5 s at sf0.1): kmeansProbes already parallelizes its own chains
+    // off the quantized-code checkpoint, and a competing wide scan just
+    // contends with the trainer's jobs — keep the pipeline serial.
     val pm = Similarity.kmeansProbes(s, d, 2)
       .groupBy("vec_id")
       .agg(max(when(col("rk") === 1, col("cluster"))).as("c1"),
@@ -1491,21 +1546,31 @@ object Dedup {
        |  floor(abs(est_sim - jaccard) * 10000 + 0.5) / 10000 AS abs_err
        |FROM j ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docsDf = docs(s, d)
-    // three consumers of the signature frame (banding + both agreement
-    // sides): checkpoint so the shingle/md5 pipeline runs once
-    val sig = minhashSig(Tables.spread(s, docsDf, "doc_id"))
-      .materialized
-    val pairs = lshPairsOf(sig)
-    val aSide = sig.select(col("doc_id").as("doc_a") +:
+    // Checkpoint LADDER, each rung feeding every consumer of the last:
+    // sets (one text-split pass) → signature-with-rep (banding + BOTH
+    // agreement sides read this one materialization — not a second
+    // signature checkpoint) → candidate pairs (estimate side + exact
+    // verify side). Nothing in the chain is derived twice, and the
+    // exact verifier reuses the sets rung instead of re-splitting text.
+    val sets = shingleSets(Tables.spread(s, docsDf, "doc_id")).materialized
+    val rep = sigWithRep(minhashSigFromSets(sets))
+    val pairs = lshPairsFromRep(rep).select("doc_a", "doc_b").materialized
+    val aSide = rep.select(col("doc_id").as("doc_a") +:
       (0 until 8).map(k => col(s"m$k").as(s"a$k")): _*)
-    val bSide = sig.select(col("doc_id").as("doc_b") +:
+    val bSide = rep.select(col("doc_id").as("doc_b") +:
       (0 until 8).map(k => col(s"m$k").as(s"b$k")): _*)
+    // the estimate side and the exact-verify side both read checkpoints
+    // only (pairs/rep/sets), so ONE final job evaluates both in parallel
+    // stages — measured: submitting them as separately-materialized
+    // concurrent chains is SLOWER here (3.63 s vs 3.16 s at sf0.1): the
+    // side outputs are tiny and the two extra checkpoint jobs cost more
+    // than the overlap buys once nothing heavy is derived twice
     val est = pairs.join(aSide, "doc_a").join(bSide, "doc_b")
       .withColumn("n_match", (0 until 8)
         .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
         .reduce(_ + _))
       .select("doc_a", "doc_b", "n_match")
-    est.join(jaccardVerify(docsDf, pairs, threshold = 0.0),
+    est.join(jaccardVerifyFrom(sets, pairs, threshold = 0.0),
         Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         (col("n_match").cast("double") / 8).as("est_sim"),
