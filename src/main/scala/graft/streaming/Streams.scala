@@ -297,6 +297,82 @@ object Streams {
       }
   }
 
+  /** One funnel CLOSING: emitted exactly once per user, the trigger in
+    * which `first_purchase` was first set. Raw stage timestamps only —
+    * cohort-week/latency derivation stays in Spark SQL downstream so the
+    * streaming and batch forms share one set of cast/trunc semantics. */
+  final case class ClosedFunnel(user_id: Long,
+      first_view: java.sql.Timestamp, first_purchase: java.sql.Timestamp)
+
+  /** Append-mode funnel closer: the same per-user three-timestamp state
+    * machine as [[streamingFunnel]], but emitting a row ONLY on the
+    * not-converted → converted transition. Funnel state is monotone
+    * (each stage timestamp is set at most once), so the transition fires
+    * at most once per user and Append mode is sound — which is what lets
+    * a streaming AGGREGATION run downstream (Spark forbids aggregates
+    * after Update-mode mapGroupsWithState, but allows them after
+    * Append-mode flatMapGroupsWithState). */
+  def streamingClosedFunnels(spark: SparkSession, events: DataFrame)
+      : Dataset[ClosedFunnel] = {
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelRow, ClosedFunnel](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelRow]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelRow(uid, None, None, None, 0, converted = false))
+          val sorted = rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0)
+          var fv = prev.first_view
+          var fc = prev.first_click
+          var fp = prev.first_purchase
+          sorted.foreach { case (_, tpe, ts) =>
+            if (tpe == "view" && fv.isEmpty) fv = Some(ts)
+            else if (tpe == "click" && fc.isEmpty &&
+              fv.exists(v => ts.compareTo(v) > 0)) fc = Some(ts)
+            else if (tpe == "purchase" && fp.isEmpty &&
+              fc.exists(c => ts.compareTo(c) > 0)) fp = Some(ts)
+          }
+          val stage =
+            if (fp.isDefined) 3 else if (fc.isDefined) 2
+            else if (fv.isDefined) 1 else 0
+          state.update(FunnelRow(uid, fv, fc, fp, stage, fp.isDefined))
+          if (fp.isDefined && prev.first_purchase.isEmpty)
+            Iterator.single(ClosedFunnel(uid, fv.get, fp.get))
+          else Iterator.empty
+      }
+  }
+
+  /** Streaming twin of batch ev14: conversion-latency percentiles per
+    * view-cohort week, over the closed-funnel stream. The projection
+    * (Monday-truncated week string, floor-second latency) and the
+    * aggregate (exact interpolated percentile, 4-dp stable rounding) are
+    * the LITERAL batch ev14 expressions, so parity is by construction
+    * once the closed-funnel sets agree. `percentile` is a
+    * TypedImperativeAggregate — the streaming state store serializes its
+    * buffer per cohort-week group, so state is one buffer per week
+    * holding one entry per converted user in that week (the same
+    * one-row-per-converted-user bound the batch rollup exchanges); at
+    * 100 TB swap in approx_percentile for a constant-size buffer, same
+    * plan shape. Complete mode: week groups are tiny (one row per
+    * calendar week) and late conversions must be able to revise their
+    * week's percentiles. */
+  def streamingConversionLatency(spark: SparkSession, events: DataFrame)
+      : DataFrame =
+    streamingClosedFunnels(spark, events)
+      .select(
+        date_format(date_trunc("week", col("first_view")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        (col("first_purchase").cast("long") -
+          col("first_view").cast("long")).as("latency_sec"))
+      .groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_converted"),
+        graft.functions.StableRound.r4(expr("percentile(latency_sec, 0.5)"))
+          .as("p50_sec"),
+        graft.functions.StableRound.r4(expr("percentile(latency_sec, 0.9)"))
+          .as("p90_sec"))
+
   /** Streaming DAU + 7-day rolling actives (ev13's streaming twin).
     * count(DISTINCT) is not a streaming aggregate, so the distinct is
     * SPELLED as state: dropDuplicates collapses to (user, active-day)

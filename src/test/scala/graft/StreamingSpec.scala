@@ -176,6 +176,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming conversion-latency percentiles equal batch ev14") {
+    // Append-mode closed-funnel stream → Complete-mode percentile agg:
+    // the sink's final table IS the rollup (Complete mode rewrites it
+    // wholesale each trigger), so compare it row-for-row against ev14.
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamingConversionLatency(spark,
+        Streams.eventsStream(spark, sfDir)),
+      "latency_sink", OutputMode.Complete())
+      .orderBy("cohort_week").collect().map(_.toSeq).toSeq
+    val batch = EventQueries.ev14ConversionLatency.run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming first-seen-per-key equals batch groupBy min") {
     val streamed = Streams.runToMemory(spark,
       Streams.firstSeenPerKey(Streams.eventsStream(spark, sfDir)),
