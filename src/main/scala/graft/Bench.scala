@@ -17,6 +17,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for the durability tax (SCALE.md "Checkpoint durability"):
+    // SPARK_GRAFT_RELIABLE_CKPT=true flips every pipeline materialization
+    // from localCheckpoint to a reliable checkpoint. Locally the dir is a
+    // tmpdir; on a cluster it would be object storage, so the local number
+    // is a FLOOR on the real tax (no network hop), still the right A/B for
+    // "how much wall-clock does executor-loss survival cost this chain".
+    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
+      spark.conf.set("spark.graft.reliableCheckpoint", "true")
+      spark.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-" +
+          java.util.UUID.randomUUID().toString)
+    }
     // Untimed warm-up: classloading, codegen compiler, parquet reader and
     // shuffle machinery init — otherwise whichever query runs first
     // absorbs ~4s of JVM start-up and the per-query numbers lie.
