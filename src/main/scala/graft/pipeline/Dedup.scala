@@ -107,8 +107,9 @@ object Dedup {
     // serial (see Tables.spread). localCheckpoint: consumed by the size
     // probe, the dictionary AND the set assembly — one corpus pass total.
     val sh = Tables.spread(s, docs(s, d), "doc_id")
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), explode(bigramShingles).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.distinctBigramsCol(col("text")))
+          .as("shingle"))
       .distinct()
       .materialized
     // Admission probe: one count-only aggregate, BEFORE any collect.
@@ -196,8 +197,8 @@ object Dedup {
     * generation AND verification without re-splitting the corpus text. */
   private[pipeline] def shingleSets(docsDf: DataFrame): DataFrame =
     docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), array_distinct(bigramShingles).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.Shingles.distinctBigramsCol(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Minhash signature derived from an (optionally checkpointed)
@@ -248,9 +249,13 @@ object Dedup {
     * streaming near-dup detector ([[graft.streaming.Streams]]). Input
     * needs (doc_id, text). */
   def minhashSig(docsDf: DataFrame): DataFrame = {
+    // DISTINCT in-row shingles (codegen'd kernel): min over the distinct
+    // shingles equals min over all, and the explode + 8 md5s then run on
+    // the smaller stream
     val sh = docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), explode(bigramShingles).as("tok"))
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.distinctBigramsCol(col("text")))
+          .as("tok"))
     val mhCols = (0 until 8).map(k =>
       md5(concat(lit(k.toString), lit("|"), col("tok"))).as(s"h$k"))
     sh.select(col("doc_id") +: mhCols: _*)
@@ -272,8 +277,8 @@ object Dedup {
       s"""array_min(transform(sh, t -> md5(concat('$k', '|', t))))"""
     ).as(s"m$k"))
     docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .select(col("doc_id"), bigramShingles.as("sh"))
+      .select(col("doc_id"),
+        graft.functions.Shingles.distinctBigramsCol(col("text")).as("sh"))
       // <2-token docs have no shingles and thus no signature — same as
       // the batch groupBy form, where they simply contribute no group
       .filter(size(col("sh")) > 0)

@@ -328,9 +328,10 @@ object TextAnalysis {
     val rr = lit(1.0) -
       size(array_distinct(col("sh"))).cast("double") / size(col("sh"))
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .filter(size(col("l")) >= 2)
-      .select(col("doc_id"), Dedup.bigramShingles.as("sh"))
+      // ≥2 tokens ⟺ the text contains a space (split keeps empty tokens)
+      .filter(col("text").contains(" "))
+      .select(col("doc_id"),
+        graft.functions.Shingles.bigramsCol(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_bigrams"),
         StableRound.r4(rr).as("rep_ratio"), (rr >= 0.1).as("flagged"))
       .orderBy("doc_id")

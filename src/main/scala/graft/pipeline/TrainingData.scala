@@ -113,9 +113,9 @@ object TrainingData {
     // corpus-wide distinct() shuffle (the oracle's DISTINCT dedupes the
     // same (doc, shingle) pairs)
     def shingles(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
       .select(col("doc_id"),
-        explode(array_distinct(Dedup.bigramShingles)).as("sh"))
+        explode(graft.functions.Shingles.distinctBigramsCol(col("text")))
+          .as("sh"))
     val docs = Tables.documents(s, d)
     val evalDocs = docs.filter(col("doc_id") % 50 === 0)
     val evalSh = shingles(evalDocs)
@@ -326,7 +326,8 @@ object TrainingData {
     import graft.functions.StableRound
     // Dedup.bigramShingles binds to a token-array column named `l`
     val rep = when(size(col("l")) >= 2,
-      (lit(1.0) - size(array_distinct(Dedup.bigramShingles))
+      (lit(1.0) - size(graft.functions.Shingles
+        .distinctBigramsCol(col("text")))
         .cast("double") / (size(col("l")) - 1)) >= 0.1)
       .otherwise(lit(false))
     Tables.documents(s, d)

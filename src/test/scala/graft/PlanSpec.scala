@@ -378,8 +378,10 @@ class PlanSpec extends AnyFunSuite {
     // the signature pipeline ran ONCE; banding + both agreement sides
     // read the checkpoint
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 3)
-    // only jaccardVerify's two shingle-set sides re-read the corpus
-    assert("documents\\.parquet".r.findAllIn(p).size === 2)
+    // the checkpoint LADDER (sets → signature-with-rep → pairs) means the
+    // corpus text was split exactly once, INTO the sets checkpoint — the
+    // final plan reads documents.parquet zero times
+    assert("documents\\.parquet".r.findAllIn(p).size === 0)
   }
 
   test("pipe18: schedule is one scan folding map-side into 8 shard groups") {

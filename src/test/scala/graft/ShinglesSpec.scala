@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Shingles
+
+/** The ShingleBigrams kernel must be element-for-element identical to the
+  * declarative spelling it replaces:
+  * `transform(sequence(0, size(l)-2), i -> concat(l[i], ' ', l[i+1]))`
+  * over `l = split(text, ' ')` (+ `array_distinct` for the set form) —
+  * including split's keep-empty-tokens regex semantics. */
+class ShinglesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",            // single bigram
+    "one",            // 1 token -> empty
+    "",               // empty text -> 1 empty token -> empty
+    " ",              // two empty tokens -> one " " bigram
+    "a  b",           // consecutive spaces -> empty middle token
+    "a b ",           // trailing space -> trailing empty token kept
+    " leading space",
+    "dup dup dup dup",            // repeated bigram (distinct collapses)
+    "héllo wörld déjà vu héllo wörld", // multibyte UTF-8 + repeat
+    "tab\tand\nnewline stay intact",   // only 0x20 splits
+  )
+
+  private def declarative(distinct: Boolean) = {
+    val base = expr(
+      """CASE WHEN size(l) >= 2
+        |  THEN transform(sequence(0, size(l) - 2),
+        |                 i -> concat(l[i], ' ', l[i+1]))
+        |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    if (distinct) array_distinct(base) else base
+  }
+
+  private def viaSpark(distinct: Boolean): Seq[Seq[String]] = {
+    import spark.implicits._
+    val kernelCol =
+      if (distinct) Shingles.distinctBigramsCol(col("text"))
+      else Shingles.bigramsCol(col("text"))
+    val rows = texts.toDF("text")
+      .select(col("text"), split(col("text"), " ").as("l"))
+      .select(kernelCol.as("k"), declarative(distinct).as("d"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1),
+        s"kernel vs declarative (distinct=$distinct)")
+    }
+    rows.map(_.getSeq[String](0))
+  }
+
+  test("kernel equals the declarative spelling on edge-case texts") {
+    viaSpark(distinct = false)
+    viaSpark(distinct = true)
+  }
+
+  test("kernel-level: slices, empties, distinct order") {
+    def k(s: String, d: Boolean): Seq[String] =
+      Shingles.bigrams(UTF8String.fromString(s), d)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    assert(k("a b c", d = false) === Seq("a b", "b c"))
+    assert(k("one", d = false) === Seq.empty)
+    assert(k("", d = false) === Seq.empty)
+    assert(k(" ", d = false) === Seq(" "))         // two empty tokens
+    assert(k("a  b", d = false) === Seq("a ", " b"))
+    assert(k("x y x y x", d = false) === Seq("x y", "y x", "x y", "y x"))
+    assert(k("x y x y x", d = true) === Seq("x y", "y x")) // first-occurrence order
+  }
+
+  test("randomized agreement with a JVM-string reference") {
+    val rnd = new scala.util.Random(7)
+    def randText(): String =
+      (0 until rnd.nextInt(30)).map(_ =>
+        if (rnd.nextInt(5) == 0) "" else ("abé" + rnd.nextInt(6)))
+        .mkString(" ")
+    for (_ <- 0 until 200) {
+      val t = randText()
+      val toks = t.split(" ", -1)
+      val ref =
+        if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      def k(d: Boolean) = Shingles.bigrams(UTF8String.fromString(t), d)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      assert(k(false) === ref, s"text=[$t]")
+      assert(k(true) === ref.distinct, s"text=[$t]")
+    }
+  }
+}
