@@ -106,11 +106,14 @@ object Dedup {
     // per-doc set assembly; off a single-row-group scan it would run
     // serial (see Tables.spread). localCheckpoint: consumed by the size
     // probe, the dictionary AND the set assembly — one corpus pass total.
+    // No corpus-wide distinct(): the kernel's per-doc DISTINCT array makes
+    // (doc_id, shingle) rows globally unique already, and skipping the
+    // dedup exchange keeps spread's hashpartitioning(doc_id) alive for the
+    // set-assembly groupBy below — two exchanges gone from the hot path.
     val sh = Tables.spread(s, docs(s, d), "doc_id")
       .select(col("doc_id"),
         explode(graft.functions.Shingles.distinctBigramsCol(col("text")))
           .as("shingle"))
-      .distinct()
       .materialized
     // Admission probe: one count-only aggregate, BEFORE any collect.
     val probe = sh.agg(countDistinct("doc_id").as("n_docs"),
@@ -132,7 +135,7 @@ object Dedup {
     // doc, ~50 ints each — admission-checked above).
     import s.implicits._
     val sets: Array[(Long, Array[Int])] = sh.join(broadcast(rank), "shingle")
-      .groupBy("doc_id").agg(collect_set(col("rk")).as("rks"))
+      .groupBy("doc_id").agg(collect_list(col("rk")).as("rks"))
       .as[(Long, Array[Int])].collect().sortBy(_._1)
     val vocab = if (sets.isEmpty) 0
       else sets.iterator.flatMap(_._2.iterator).max
