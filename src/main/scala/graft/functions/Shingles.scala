@@ -7,106 +7,137 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Word-bigram shingles of a document in ONE byte-level pass — the
+/** Word n-gram shingles of a document in ONE byte-level pass — the
   * codegen'd kernel form of
-  * `transform(sequence(0, size(l)-2), i -> concat(l[i], ' ', l[i+1]))`
-  * over `l = split(text, ' ')` (optionally `array_distinct`-ed).
+  * `transform(sequence(0, size(l)-n), i -> array_join(slice(l, i+1, n), ' '))`
+  * over `l = split(text, ' ')` (optionally empty-token-filtered first,
+  * optionally `array_distinct`-ed after).
   *
-  * Semantics are IDENTICAL to the declarative spelling (pinned by
-  * ShinglesSpec against it element-for-element):
-  *  - `split(text, ' ')` keeps empty tokens, including trailing ones
-  *    (regex split with limit -1), so consecutive spaces contribute
-  *    empty-token bigrams exactly as before;
-  *  - each bigram `tok_i ⊔ ' ' ⊔ tok_{i+1}` is, by construction, the
-  *    original text's byte slice from `start(tok_i)` to `end(tok_{i+1})`
-  *    — the delimiter is a single 0x20 byte, which can never appear
-  *    inside a multi-byte UTF-8 sequence, so the kernel just records
-  *    space positions and emits slices: zero string concatenation;
+  * Semantics are IDENTICAL to the declarative spellings they replace
+  * (pinned by ShinglesSpec element-for-element):
+  *  - `skipEmpty = false` reproduces `split(text, ' ')`, which KEEPS
+  *    empty tokens including trailing ones (regex split, limit -1);
+  *    every n-gram is then, by construction, the original text's byte
+  *    slice from `start(tok_i)` to `end(tok_{i+n-1})` — the delimiter
+  *    is a single 0x20 byte, which can never appear inside a multi-byte
+  *    UTF-8 sequence, so the kernel just records space positions and
+  *    emits slices: zero string building;
+  *  - `skipEmpty = true` reproduces `filter(split(text, ' '), x -> x <> '')`
+  *    (the tx19/dd12/dd13 tokenization): surviving tokens are no longer
+  *    contiguous in the source, so each n-gram is assembled once into a
+  *    byte buffer (token bytes + single 0x20 separators) — still one
+  *    O(bytes) pass, no per-element lambda eval;
   *  - `distinct = true` keeps first occurrences in order, matching
   *    `array_distinct`;
-  *  - fewer than 2 tokens (a text with no space) → empty array, matching
-  *    the `CASE WHEN size(l) >= 2` guard.
+  *  - fewer than n tokens → empty array, matching the `size(l) >= n`
+  *    guards (explode of the empty array emits no row, so callers can
+  *    drop the separate pre-filter).
   *
   * Why a kernel: the higher-order-function spelling runs INTERPRETED
-  * (lambda eval per element with boxed indices and a per-element concat
-  * allocation) and measured ~2.2 s for sf0.1's 5k-doc corpus — ~10 µs
-  * per bigram on a 1.5 MB input, pure expression-eval overhead. The
-  * kernel is O(bytes) per row and stays inside whole-stage codegen, the
-  * same argument as [[Winnow]]/FloatDot. At 100 TB this projection runs
-  * once per corpus scan in every dedup chain, so the constant matters.
+  * (lambda eval per element with boxed indices and per-element
+  * concat/array_join allocation) and measured ~2.2 s for sf0.1's 5k-doc
+  * corpus — ~10 µs per shingle on a 1.5 MB input, pure expression-eval
+  * overhead. The kernel stays inside whole-stage codegen, the same
+  * argument as [[Winnow]]/FloatDot. At 100 TB this projection runs once
+  * per corpus scan in every dedup chain, so the constant matters.
   */
 object Shingles {
 
   /** Static kernel invoked from both interpreted eval and generated code. */
-  def bigrams(s: UTF8String, distinct: Boolean): ArrayData = {
+  def ngrams(s: UTF8String, n: Int, skipEmpty: Boolean,
+      distinct: Boolean): ArrayData = {
     val bytes = s.getBytes
-    val n = bytes.length
-    // token boundaries: spaces at positions p0 < p1 < ... ; token i spans
-    // (prev_space+1, next_space-1). A bigram is the slice between two
-    // consecutive token starts' span: start(tok_i) .. end(tok_{i+1}).
+    val len = bytes.length
+    // token spans: starts(j) inclusive, ends(j) exclusive
     var nSpaces = 0
     var i = 0
-    while (i < n) { if (bytes(i) == 0x20) nSpaces += 1; i += 1 }
-    if (nSpaces == 0) return new GenericArrayData(Array.empty[Any])
-    // starts(j) = byte offset of token j; ends(j) = offset AFTER token j
-    val nTok = nSpaces + 1
-    val starts = new Array[Int](nTok)
-    val ends = new Array[Int](nTok)
-    starts(0) = 0
-    var t = 0
+    while (i < len) { if (bytes(i) == 0x20) nSpaces += 1; i += 1 }
+    val maxTok = nSpaces + 1
+    val starts = new Array[Int](maxTok)
+    val ends = new Array[Int](maxTok)
+    var nTok = 0
+    var tokStart = 0
     i = 0
-    while (i < n) {
-      if (bytes(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        if (!skipEmpty || i > tokStart) {
+          starts(nTok) = tokStart; ends(nTok) = i; nTok += 1
+        }
+        tokStart = i + 1
+      }
       i += 1
     }
-    ends(t) = n
-    val nBi = nTok - 1
-    if (distinct) {
-      val seen = new java.util.LinkedHashSet[UTF8String](nBi * 2)
-      var j = 0
-      while (j < nBi) {
-        seen.add(UTF8String.fromBytes(bytes, starts(j),
-          ends(j + 1) - starts(j)))
-        j += 1
+    val nGr = nTok - n + 1
+    if (nGr <= 0) return new GenericArrayData(Array.empty[Any])
+    def gram(j: Int): UTF8String =
+      if (!skipEmpty) {
+        // contiguous in the source: delimiters are single 0x20 bytes
+        UTF8String.fromBytes(bytes, starts(j), ends(j + n - 1) - starts(j))
+      } else {
+        var sz = n - 1
+        var k = j
+        while (k < j + n) { sz += ends(k) - starts(k); k += 1 }
+        val out = new Array[Byte](sz)
+        var p = 0
+        k = j
+        while (k < j + n) {
+          if (k > j) { out(p) = 0x20; p += 1 }
+          val tl = ends(k) - starts(k)
+          System.arraycopy(bytes, starts(k), out, p, tl)
+          p += tl
+          k += 1
+        }
+        UTF8String.fromBytes(out)
       }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](nGr * 2)
+      var j = 0
+      while (j < nGr) { seen.add(gram(j)); j += 1 }
       val out = new Array[Any](seen.size)
       val it = seen.iterator()
       var p = 0
       while (it.hasNext) { out(p) = it.next(); p += 1 }
       new GenericArrayData(out)
     } else {
-      val out = new Array[Any](nBi)
+      val out = new Array[Any](nGr)
       var j = 0
-      while (j < nBi) {
-        out(j) = UTF8String.fromBytes(bytes, starts(j),
-          ends(j + 1) - starts(j))
-        j += 1
-      }
+      while (j < nGr) { out(j) = gram(j); j += 1 }
       new GenericArrayData(out)
     }
   }
 
-  /** Column form: all word-bigram shingles of a text column, in order. */
-  def bigramsCol(c: Column): Column =
-    GraftSqlBridge.column(
-      ShingleBigrams(GraftSqlBridge.expression(c), distinct = false))
+  /** Back-compat entry used by generated code and the bigram wrappers. */
+  def bigrams(s: UTF8String, distinct: Boolean): ArrayData =
+    ngrams(s, 2, skipEmpty = false, distinct = distinct)
 
-  /** Column form: DISTINCT word-bigram shingles (first occurrence order). */
-  def distinctBigramsCol(c: Column): Column =
+  /** Column form: all word-bigram shingles of a text column, in order
+    * (split keep-empty tokenization). */
+  def bigramsCol(c: Column): Column = ngramsCol(c, 2,
+    skipEmpty = false, distinct = false)
+
+  /** Column form: DISTINCT word-bigram shingles (first occurrence order,
+    * split keep-empty tokenization). */
+  def distinctBigramsCol(c: Column): Column = ngramsCol(c, 2,
+    skipEmpty = false, distinct = true)
+
+  /** Column form: word n-gram shingles with explicit tokenization. */
+  def ngramsCol(c: Column, n: Int, skipEmpty: Boolean,
+      distinct: Boolean): Column =
     GraftSqlBridge.column(
-      ShingleBigrams(GraftSqlBridge.expression(c), distinct = true))
+      NGramShingles(GraftSqlBridge.expression(c), n, skipEmpty, distinct))
 }
 
 /** Catalyst expression wrapper: stays inside whole-stage codegen by
   * emitting a direct static call to the compiled kernel (the standard
   * pattern for kernels too large to inline as generated Java). */
-case class ShingleBigrams(child: Expression, distinct: Boolean)
-    extends UnaryExpression {
+case class NGramShingles(child: Expression, n: Int, skipEmpty: Boolean,
+    distinct: Boolean) extends UnaryExpression {
+  require(n >= 1, s"shingle_ngrams needs n >= 1, got $n")
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
 
-  override def prettyName: String = "shingle_bigrams"
+  override def prettyName: String = "shingle_ngrams"
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -118,11 +149,11 @@ case class ShingleBigrams(child: Expression, distinct: Boolean)
   }
 
   override def nullSafeEval(s: Any): Any =
-    Shingles.bigrams(s.asInstanceOf[UTF8String], distinct)
+    Shingles.ngrams(s.asInstanceOf[UTF8String], n, skipEmpty, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Shingles.bigrams($c, $distinct);")
+      s"${ev.value} = graft.functions.Shingles.ngrams($c, $n, $skipEmpty, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

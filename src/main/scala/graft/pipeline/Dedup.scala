@@ -235,16 +235,11 @@ object Dedup {
         graft.functions.StableRound.r4(col("jac")).as("jaccard"))
   }
 
-  /** Word-bigram shingles of a token-array column `l`, EMPTY for docs with
-    * fewer than 2 tokens. The guard matters for cross-engine parity:
-    * Spark's `sequence(0, size(l) - 2)` with size=1 is sequence(0, -1) =
-    * [0, -1] (a DESCENDING range), which fabricates null shingles, while
-    * DuckDB's `range(1, len(l))` is simply empty. */
-  private[pipeline] val bigramShingles =
-    expr("""CASE WHEN size(l) >= 2
-           |  THEN transform(sequence(0, size(l) - 2),
-           |                 i -> concat(l[i], ' ', l[i+1]))
-           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+  // Word-bigram/n-gram shingling is graft.functions.Shingles — a codegen'd
+  // kernel replacing the interpreted transform/concat spelling (ShinglesSpec
+  // pins element-for-element equality, including the <2-token empty-array
+  // guard that keeps Spark's sequence(0, -1) descending-range quirk away
+  // from the oracle comparison).
 
   /** k=8 seeded-md5 minhash signature per doc over word-bigram shingles:
     * inline hash per corpus row, ONE map-side-combining groupBy(doc_id)
@@ -1203,12 +1198,11 @@ object Dedup {
     import graft.functions.StableRound
     val dup = sum(when(col("df") >= 2, 1).otherwise(0))
     docs(s, d)
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
-      .filter(size(col("l")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(l) - 5)," +
-          " i -> array_join(slice(l, i + 1, 5), ' '))"))).as("sh"))
+      // codegen'd kernel; <5-token docs emit an empty array, so the old
+      // size(l) >= 5 pre-filter is subsumed by the explode
+      .select(col("doc_id"), explode(graft.functions.Shingles
+        .ngramsCol(col("text"), 5, skipEmpty = true, distinct = true))
+        .as("sh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -1264,12 +1258,9 @@ object Dedup {
       |FROM runs GROUP BY doc_id, grp
       |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
     val shp = docs(s, d)
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
-      .filter(size(col("l")) >= 5)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(l) - 5)," +
-          " i -> array_join(slice(l, i + 1, 5), ' '))")).as(Seq("pos", "sh")))
+      .select(col("doc_id"), posexplode(graft.functions.Shingles
+        .ngramsCol(col("text"), 5, skipEmpty = true, distinct = false))
+        .as(Seq("pos", "sh")))
     // broader partition first so the (sh, doc_id) count rides the sh
     // exchange (tx13's subset trick)
     shp
@@ -1337,12 +1328,9 @@ object Dedup {
     // dedups (no separate DISTINCT pass) and bounds the bucket at
     // |sources|, unlike a doc-keyed collect_list
     val srcSets = docs(s, d)
-      .select(col("source"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
-      .filter(size(col("l")) >= 5)
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, size(l) - 5)," +
-          " i -> array_join(slice(l, i + 1, 5), ' '))")).as("sh"))
+      .select(col("source"), explode(graft.functions.Shingles
+        .ngramsCol(col("text"), 5, skipEmpty = true, distinct = false))
+        .as("sh"))
       .groupBy("sh").agg(array_sort(collect_set("source")).as("srcs"))
     // ONE consumer of the corpus-sized frame: each shingle's bounded set
     // emits BOTH its in-row pair structs and a ('src', '') total marker,

@@ -762,10 +762,9 @@ object TextAnalysis {
     // for both training and scoring); context column u first, so both
     // window counts ride the u exchange
     val bg = Tables.documents(s, d)
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
-      .filter(size(col("l")) >= 2)
-      .select(col("doc_id"), explode(Dedup.bigramShingles).as("b"))
+      .select(col("doc_id"), explode(graft.functions.Shingles
+        .ngramsCol(col("text"), 2, skipEmpty = true, distinct = false))
+        .as("b"))
       .withColumn("u", split(col("b"), " ")(0))
     val lp =
       log2(count(lit(1)).over(Window.partitionBy("u", "b")).cast("double")) -

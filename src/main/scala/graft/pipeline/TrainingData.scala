@@ -324,7 +324,6 @@ object TrainingData {
       |  floor(avg(n_chars) * 100 + 0.5) / 100 AS mean_chars
       |FROM per""".stripMargin) { (s, d) =>
     import graft.functions.StableRound
-    // Dedup.bigramShingles binds to a token-array column named `l`
     val rep = when(size(col("l")) >= 2,
       (lit(1.0) - size(graft.functions.Shingles
         .distinctBigramsCol(col("text")))

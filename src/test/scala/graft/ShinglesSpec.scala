@@ -6,11 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Shingles
 
-/** The ShingleBigrams kernel must be element-for-element identical to the
-  * declarative spelling it replaces:
-  * `transform(sequence(0, size(l)-2), i -> concat(l[i], ' ', l[i+1]))`
-  * over `l = split(text, ' ')` (+ `array_distinct` for the set form) —
-  * including split's keep-empty-tokens regex semantics. */
+/** The NGramShingles kernel must be element-for-element identical to the
+  * declarative spellings it replaces:
+  * `transform(sequence(0, size(l)-n), i -> array_join(slice(l, i+1, n), ' '))`
+  * over `l = split(text, ' ')` (keep-empty) or
+  * `l = filter(split(text, ' '), x -> x <> '')` (skip-empty, the
+  * tx19/dd12/dd13 tokenization), with optional `array_distinct`. */
 class ShinglesSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -70,6 +71,55 @@ class ShinglesSpec extends AnyFunSuite {
     assert(k("a  b", d = false) === Seq("a ", " b"))
     assert(k("x y x y x", d = false) === Seq("x y", "y x", "x y", "y x"))
     assert(k("x y x y x", d = true) === Seq("x y", "y x")) // first-occurrence order
+  }
+
+  test("n-gram kernel equals the declarative array_join spelling") {
+    import spark.implicits._
+    for (n <- Seq(2, 3, 5); skipEmpty <- Seq(false, true);
+         distinct <- Seq(false, true)) {
+      val tokExpr =
+        if (skipEmpty) expr("filter(split(text, ' '), x -> x <> '')")
+        else split(col("text"), " ")
+      val base = expr(
+        s"""CASE WHEN size(l) >= $n
+           |  THEN transform(sequence(0, size(l) - $n),
+           |                 i -> array_join(slice(l, i + 1, $n), ' '))
+           |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+      val decl = if (distinct) array_distinct(base) else base
+      texts.toDF("text")
+        .select(col("text"), tokExpr.as("l"))
+        .select(
+          Shingles.ngramsCol(col("text"), n, skipEmpty, distinct)
+            .as("k"),
+          decl.as("d"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) === r.getSeq[String](1),
+            s"n=$n skipEmpty=$skipEmpty distinct=$distinct")
+        }
+    }
+  }
+
+  test("randomized n-gram agreement with a JVM-string reference") {
+    val rnd = new scala.util.Random(11)
+    def randText(): String =
+      (0 until rnd.nextInt(25)).map(_ =>
+        if (rnd.nextInt(4) == 0) "" else ("wé" + rnd.nextInt(5)))
+        .mkString(" ")
+    for (_ <- 0 until 150; n <- Seq(2, 5); skipEmpty <- Seq(false, true)) {
+      val t = randText()
+      val toks0 = t.split(" ", -1).toSeq
+      val toks = if (skipEmpty) toks0.filter(_.nonEmpty) else toks0
+      // split("") = [""]: the keep-empty tokenizer always has >= 1 token
+      val ref =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      def k(d: Boolean) =
+        Shingles.ngrams(UTF8String.fromString(t), n, skipEmpty, d)
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+      assert(k(false) === ref, s"text=[$t] n=$n skip=$skipEmpty")
+      assert(k(true) === ref.distinct, s"text=[$t] n=$n skip=$skipEmpty")
+    }
   }
 
   test("randomized agreement with a JVM-string reference") {
