@@ -432,18 +432,13 @@ object Similarity {
   /** Per-row (dist2, cluster) structs against a LITERAL centroid table —
     * integer-exact squared L2, all inside whole-stage codegen: no join, no
     * shuffle, no window. Lexicographic struct order makes array_min /
-    * array_sort reproduce the oracle's ORDER BY dist2, cluster tiebreak. */
+    * array_sort reproduce the oracle's ORDER BY dist2, cluster tiebreak.
+    * The distance loop is the [[graft.functions.CodeDists]] kernel (the
+    * HOF aggregate/zip_with spelling ran interpreted per element —
+    * k·dims lambda evals per row per Lloyd pass). */
   private def distStructs(qv: Column,
       centroids: Seq[(Int, Array[Long])]): Column =
-    transform(
-      array(centroids.map { case (cl, c) =>
-        struct(typedLit(c.toSeq).as("c"), lit(cl).as("cluster"))
-      }: _*),
-      c => struct(
-        aggregate(zip_with(qv, c.getField("c"),
-          (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
-          .as("dist2"),
-        c.getField("cluster").as("cluster")))
+    graft.functions.CodeDists.l2Col(qv, centroids)
 
   private[pipeline] def kmeansProbes(s: SparkSession, d: String,
       nprobe: Int): DataFrame =
@@ -619,19 +614,11 @@ object Similarity {
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
       .withColumn("sv",
         slice(col("qv"), col("sub") * subDim + 1, lit(subDim)))
-    // distance structs against THIS sub's literal codebook
-    def dists(cent: Map[Int, Seq[(Int, Array[Long])]]): Column = {
-      val bySub = array((0 until m).map(sb =>
-        array(cent(sb).map { case (cl, c) =>
-          struct(typedLit(c.toSeq).as("c"), lit(cl).as("cluster"))
-        }: _*)): _*)
-      transform(element_at(bySub, col("sub") + 1), c =>
-        struct(
-          aggregate(zip_with(col("sv"), c.getField("c"),
-            (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
-            .as("dist2"),
-          c.getField("cluster").as("cluster")))
-    }
+    // distance structs against THIS sub's literal codebook — the same
+    // CodeDists kernel, codebook picked per row by the sub column
+    def dists(cent: Map[Int, Seq[(Int, Array[Long])]]): Column =
+      graft.functions.CodeDists.l2SubCol(col("sv"), col("sub"),
+        (0 until m).map(cent))
     // same MLlib-style recurrence as kmeansProbes, keyed by subspace:
     // assignment in-row over literal codebooks, update = one map-side-
     // combined aggregate collecting ≤ m·k·subDim longs to the driver
