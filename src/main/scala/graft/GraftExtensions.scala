@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatDot, WinnowFingerprint}
+import graft.functions.{FloatDot, NGramShingles, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions so `spark.sql("... float_dot(a, b) ...")`
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fingerprint"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftExtensions.buildWinnow(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_ngrams"),
+      new ExpressionInfo(classOf[NGramShingles].getName, "shingle_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftExtensions.buildShingles(children)))
   }
 }
 
@@ -59,6 +64,31 @@ object GraftExtensions {
       intArg(3, 8))
   }
 
+  /** `shingle_ngrams(text[, n, skipEmpty, distinct])` — defaults to the
+    * word-bigram keep-empty non-distinct form. */
+  private[graft] def buildShingles(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : NGramShingles = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def intArg(i: Int, default: Int): Int = children.lift(i) match {
+      case None => default
+      case Some(Literal(v: Int, _)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"shingle_ngrams argument ${i + 1} must be an int literal, got $other")
+    }
+    def boolArg(i: Int, default: Boolean): Boolean = children.lift(i) match {
+      case None => default
+      case Some(Literal(v: Boolean, _)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"shingle_ngrams argument ${i + 1} must be a boolean literal, got $other")
+    }
+    require(children.nonEmpty && children.length <= 4,
+      s"shingle_ngrams(text[, n, skipEmpty, distinct]) takes 1-4 " +
+        s"arguments, got ${children.length}")
+    NGramShingles(children.head, intArg(1, 2), boolArg(2, default = false),
+      boolArg(3, default = false))
+  }
+
   /** Same registration for a session that already exists (builder
     * extensions are ignored by getOrCreate when a session is live). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -66,5 +96,7 @@ object GraftExtensions {
       "float_dot", buildFloatDot)
     org.apache.spark.sql.GraftSqlBridge.registerTempFunction(spark,
       "winnow_fingerprint", buildWinnow)
+    org.apache.spark.sql.GraftSqlBridge.registerTempFunction(spark,
+      "shingle_ngrams", buildShingles)
   }
 }

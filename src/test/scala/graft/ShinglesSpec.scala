@@ -122,6 +122,19 @@ class ShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions.register exposes shingle_ngrams to SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val got = Seq("a b c d e").toDF("text")
+      .selectExpr("shingle_ngrams(text) AS bi",
+        "shingle_ngrams(text, 3) AS tri",
+        "shingle_ngrams(text, 2, false, true) AS dist")
+      .collect().head
+    assert(got.getSeq[String](0) === Seq("a b", "b c", "c d", "d e"))
+    assert(got.getSeq[String](1) === Seq("a b c", "b c d", "c d e"))
+    assert(got.getSeq[String](2) === Seq("a b", "b c", "c d", "d e"))
+  }
+
   test("randomized agreement with a JVM-string reference") {
     val rnd = new scala.util.Random(7)
     def randText(): String =
