@@ -384,6 +384,20 @@ class PlanSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p).size === 0)
   }
 
+  test("tx05: shingling runs as the codegen'd kernel, not interpreted HOFs") {
+    val p = planOf("tx05_repetition")
+    assert(p.contains("shingle_ngrams"))
+    // the interpreted higher-order spelling is gone from the plan
+    assert(!p.contains("lambdafunction"))
+  }
+
+  test("sim07: assignment distances run as the codegen'd CodeDists kernel") {
+    val p = planOf("sim07_kmeans_clusters")
+    assert(p.contains("l2_code_dists"))
+    // no interpreted zip_with/aggregate distance lambdas anywhere
+    assert(!p.contains("zip_with"))
+  }
+
   test("pipe18: schedule is one scan folding map-side into 8 shard groups") {
     val p = planOf("pipe18_curriculum_order")
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
