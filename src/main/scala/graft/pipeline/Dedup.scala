@@ -1224,16 +1224,24 @@ object Dedup {
     * positions merge into one maximal span.
     *
     * Scale shape: the suffix-array the paper builds is a single-node
-    * luxury — relationally the same answer is two window counts over ONE
-    * exploded shingle stream (tx13's discipline): corpus occurrences
-    * partitioned by the shingle, in-doc occurrences by (shingle, doc) —
-    * the second rides the first's exchange (HashPartitioning(sh)
-    * satisfies the (sh, doc_id) clustering). Survivor positions re-key
-    * ONCE by doc for the run-grouping window (pos − row_number, the ev10
-    * island trick) and the span rollup rides that same doc exchange. One
-    * corpus scan, two wide exchanges, no join ever ships the corpus.
-    * Zipf-skewed boilerplate shingles are the hazard; q22's salting is
-    * the escalation. */
+    * luxury — relationally, "position's shingle recurs elsewhere"
+    * reduces to membership in the MULTI-DOC shingle vocabulary (the
+    * oracle spells it as two window counts; total > indoc ⟺ the shingle
+    * has ≥2 distinct docs, proven equal here). The vocabulary comes from
+    * a composite-key (sh, doc_id) distinct + per-sh count — the q23
+    * skew-proof shape, where no reducer ever sees all of one hot
+    * shingle — and positions LEFT-SEMI join it: broadcastable when the
+    * multi-doc vocabulary fits, AQE-skew-splittable otherwise, so a
+    * Zipf-skewed boilerplate shingle ("click here …" in a million docs)
+    * cannot pile a corpus partition onto one task the way a
+    * partitionBy(sh) window would. Survivor positions re-key ONCE by doc
+    * for the run-grouping window (pos − row_number, the ev10 island
+    * trick — partitions bounded by document length) and the span rollup
+    * rides that same doc exchange. The trade vs the window spelling:
+    * two pushed-down corpus scans (build + probe sides) instead of one
+    * scan feeding a corpus-sized sh-keyed shuffle-AND-SORT — scans are
+    * the cheap, skew-free side of that exchange at any scale, and no
+    * corpus-sized window on a content key remains. */
   val dd12DupSpans: Q = Q(
     "dd12_dup_spans",
     """WITH toks AS (SELECT doc_id,
@@ -1261,13 +1269,26 @@ object Dedup {
       .select(col("doc_id"), posexplode(graft.functions.Shingles
         .ngramsCol(col("text"), 5, skipEmpty = true, distinct = false))
         .as(Seq("pos", "sh")))
-    // broader partition first so the (sh, doc_id) count rides the sh
-    // exchange (tx13's subset trick)
+    // A position survives iff its shingle's corpus count exceeds its
+    // in-doc count — which holds for EVERY row of a shingle present in
+    // ≥2 distinct docs and NO row otherwise. So the oracle's two window
+    // counts reduce to a semi-join against the multi-doc shingle list,
+    // and that list comes from a composite-key (sh, doc_id) distinct —
+    // the q23 shape, skew-proof by construction. The SKEW HAZARD the
+    // window formulation carried is gone: a boilerplate shingle in a
+    // million docs used to pile every occurrence onto one window
+    // reducer; now nothing sorts or counts on bare `sh` except the
+    // already-collapsed distinct frame, and the semi-join's build side
+    // is AQE-skew-splittable (or broadcast, when the multi-doc
+    // vocabulary fits). The corpus-sized position stream flows straight
+    // to the doc-keyed island window, whose partitions are bounded by
+    // document length.
+    val multiDoc = shp.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("sh")
     shp
-      .withColumn("total", count(lit(1)).over(Window.partitionBy("sh")))
-      .withColumn("indoc",
-        count(lit(1)).over(Window.partitionBy("sh", "doc_id")))
-      .filter(col("total") > col("indoc"))
+      .join(multiDoc, Seq("sh"), "left_semi")
       .withColumn("grp", col("pos") - row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))
       .groupBy("doc_id", "grp")

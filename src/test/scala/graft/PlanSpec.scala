@@ -215,15 +215,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
   }
 
-  test("dd12: both span df window counts ride ONE shingle exchange; no join") {
+  test("dd12: no corpus-sized window on the shingle key (skew-safe)") {
     val p = planOf("dd12_dup_spans")
-    // corpus-occurrence and in-doc-occurrence counts are windows over the
-    // one exploded shingle stream — HashPartitioning(sh) satisfies the
-    // (sh, doc_id) clustering, so the only hash exchanges are the shingle
-    // window and the per-doc run-grouping (whose rollup rides it)
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert(!p.contains("Join"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+    // survivor selection is a semi-join against the multi-doc vocabulary
+    // (composite-key distinct + per-sh count of the COLLAPSED frame) —
+    // the only window partitions by doc_id (bounded by document length);
+    // a boilerplate shingle can no longer pile a corpus partition onto
+    // one window reducer
+    assert("documents\\.parquet".r.findAllIn(p).size === 2)
+    assert(p.contains("LeftSemi"))
+    // the one Window node is doc-keyed, never sh-keyed
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(l => !l.contains("sh#") || l.contains("doc_id")))
   }
 
   test("tx14: gopher rules are per-row (no shuffle before the sort)") {
