@@ -1167,14 +1167,16 @@ object Dedup {
     * counts are integers, the ratio is one final division, and the 0.5
     * flag threshold compares the exact ratio — no float drift possible.
     *
-    * Scale shape (tx11's discipline — window, not a count self-join): the
-    * per-doc distinct collapse is MAP-SIDE (`array_distinct` on the
-    * in-row shingle array — no shuffle of raw shingle instances); the
-    * document frequency is a window count riding ONE exchange on the
-    * shingle key, so the corpus is scanned once and no join re-ships it;
-    * only the per-doc rollup re-keys. Zipf-skewed boilerplate shingles
-    * are the known hazard at 100 TB; q22's salting is the escalation if
-    * one shingle dominates a partition. */
+    * Scale shape: the per-doc distinct collapse is MAP-SIDE (the kernel
+    * emits the distinct in-row array — no shuffle of raw shingle
+    * instances); only df ≥ 2 is consumed, so document frequency reduces
+    * to MEMBERSHIP in the multi-doc vocabulary — built by a map-side-
+    * combinable groupBy (a Zipf-skewed boilerplate shingle collapses to
+    * one row per mapper before the exchange, the partial aggregation a
+    * partitionBy(sh) window count never gets) and LEFT-joined back
+    * (broadcastable; AQE-skew-splittable otherwise). No corpus-sized
+    * window on a content key; the trade is dd12's — a second pushed-down
+    * scan instead of a corpus-wide shuffle-and-sort on `sh`. */
   val dd11DupProfile: Q = Q(
     "dd11_dup_profile",
     """WITH toks AS (SELECT doc_id,
@@ -1196,14 +1198,24 @@ object Dedup {
       |    AS flagged
       |FROM wdf GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.StableRound
-    val dup = sum(when(col("df") >= 2, 1).otherwise(0))
-    docs(s, d)
-      // codegen'd kernel; <5-token docs emit an empty array, so the old
-      // size(l) >= 5 pre-filter is subsumed by the explode
+    // codegen'd kernel; <5-token docs emit an empty array, so the old
+    // size(l) >= 5 pre-filter is subsumed by the explode. Rows are
+    // per-doc DISTINCT, so the oracle's window count per sh IS the
+    // document frequency — and only df >= 2 is consumed, a MEMBERSHIP
+    // test. Same skew-safe reduction as dd12: build the multi-doc
+    // vocabulary with a map-side-combinable groupBy (a hot boilerplate
+    // shingle collapses to one row per mapper — the partial aggregation
+    // a partitionBy(sh) window never gets), LEFT-join it back (broadcast
+    // here, AQE-skew-splittable at scale), and count matches per doc.
+    def rows = docs(s, d)
       .select(col("doc_id"), explode(graft.functions.Shingles
         .ngramsCol(col("text"), 5, skipEmpty = true, distinct = true))
         .as("sh"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+    val multiDoc = rows.groupBy("sh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("sh"), lit(1).as("isdup"))
+    val dup = count(col("isdup"))
+    rows.join(multiDoc, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         dup.cast("long").as("n_dup"),

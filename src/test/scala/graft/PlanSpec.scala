@@ -194,14 +194,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("dd11: document frequency is a window riding one shingle exchange") {
+  test("dd11: no corpus-sized window on the shingle key (skew-safe)") {
     val p = planOf("dd11_dup_profile")
-    // tx11's discipline: df is a window count, not a count self-join —
-    // the corpus is scanned once and the only hash exchanges are the
-    // shingle window and the per-doc rollup
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert(!p.contains("Join"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+    // df >= 2 is a membership test: the multi-doc vocabulary builds via
+    // a map-side-combinable groupBy (partial_count visible) and joins
+    // back; the only window-free exchanges are the vocab agg and the
+    // per-doc rollup
+    assert("documents\\.parquet".r.findAllIn(p).size === 2)
+    assert(p.contains("Join"))
+    assert(p.contains("partial_count"))
+    assert(!p.contains("Window"))
   }
 
   test("tx13: both LM window counts ride ONE context exchange") {
