@@ -657,11 +657,18 @@ object TextAnalysis {
     import graft.functions.StableRound
     // phantom '' tokens (leading/trailing/double spaces) are not
     // vocabulary — same token definition as tx03/tx06/tx10
-    val toks = Tables.documents(s, d)
+    def toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-    toks
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
+    // Corpus frequency needs the VALUE per occurrence, so the skew-safe
+    // form is partial-agg + join back, not a partitionBy(tok) window:
+    // a stop-word ("the" ≈ 5% of all tokens) collapses map-side to one
+    // row per mapper in the groupBy, and the join back is broadcastable
+    // (vocabulary-sized side) or AQE-skew-splittable — where the window
+    // would pile 5% of the corpus onto one sorting reducer. Trade: a
+    // second pushed-down scan (dd11/dd12's recipe).
+    val freqs = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    toks.join(freqs, "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("c").as("freq_sum"),
         StableRound.r2(sum("c") * lit(1.0) / count(lit(1)))
@@ -759,18 +766,27 @@ object TextAnalysis {
       |FROM wc GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.StableRound
     // positional bigrams (NOT distinct — every transition instance counts
-    // for both training and scoring); context column u first, so both
-    // window counts ride the u exchange
-    val bg = Tables.documents(s, d)
+    // for both training and scoring)
+    def bg = Tables.documents(s, d)
       .select(col("doc_id"), explode(graft.functions.Shingles
         .ngramsCol(col("text"), 2, skipEmpty = true, distinct = false))
         .as("b"))
+    // The LM "training" counts need their VALUES attached per occurrence,
+    // so the skew-safe form is the dd11/tx11 recipe, not corpus-sized
+    // windows on content keys: transition counts come from ONE
+    // map-side-combined groupBy (a hot context like "the" collapses per
+    // mapper), context totals re-aggregate the VOCABULARY-sized count
+    // frame (never the corpus), and the model — a (b, lp) table — joins
+    // back onto the occurrence stream (broadcastable; AQE-skew-splittable
+    // otherwise). Trade: a second pushed-down scan.
+    val model = bg.groupBy("b").agg(count(lit(1)).as("cb"))
       .withColumn("u", split(col("b"), " ")(0))
-    val lp =
-      log2(count(lit(1)).over(Window.partitionBy("u", "b")).cast("double")) -
-        log2(count(lit(1)).over(Window.partitionBy("u")).cast("double"))
+      .withColumn("cu", sum("cb").over(Window.partitionBy("u")))
+      .select(col("b"),
+        (log2(col("cb").cast("double")) -
+          log2(col("cu").cast("double"))).as("lp"))
     val alp = StableRound.r4(sum("lp") / count(lit(1)))
-    bg.withColumn("lp", lp)
+    bg.join(model, "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         alp.as("avg_logprob"), (alp < -5.0).as("flagged"))
@@ -1074,15 +1090,23 @@ object TextAnalysis {
       |  FROM scored) WHERE rk <= 5
       |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
     val docsDf = Tables.documents(s, d)
+    // two consumers of the collapsed (doc, token, tf) frame (the df agg
+    // and the score join) → materialize it once: the corpus is scanned
+    // and exploded exactly once, the repo's standard multi-consumer move
     val tok = Tables.spread(s, docsDf, "doc_id")
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .materialized
     val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))
-    val scored = tok.crossJoin(broadcast(nDocs))
+    // df via map-side-combined groupBy + join back (the dd11/tx11
+    // skew-safe recipe) — a stop-word's |docs|-row window partition is
+    // gone; the join is broadcastable (vocabulary-sized side) or
+    // AQE-skew-splittable
+    val dfs = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tok.join(dfs, "token").crossJoin(broadcast(nDocs))
       .withColumn("tfidf", StableRound.r4(col("tf") *
-        log(col("n_docs").cast("double") /
-          count(lit(1)).over(Window.partitionBy("token")))))
+        log(col("n_docs").cast("double") / col("df"))))
     scored.withColumn("rk", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy(col("tfidf").desc, col("token"))))

@@ -206,15 +206,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"))
   }
 
-  test("tx13: both LM window counts ride ONE context exchange") {
+  test("tx13: no corpus-sized window on content keys (skew-safe)") {
     val p = planOf("tx13_bigram_lm")
-    // the (u, b) window's clustering is satisfied by the u window's
-    // HashPartitioning(u) (the tx12 subset trick applied to windows), so
-    // the bigram stream crosses the wire only at the context exchange
-    // and the per-doc rollup — one corpus scan, no joins
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert(!p.contains("Join"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
+    // transition counts via map-side-combined groupBy; the only Window
+    // left is over the VOCABULARY-sized (b, cb) count frame (context
+    // totals), never over the corpus occurrence stream; the model joins
+    // back onto the occurrences
+    assert(p.contains("partial_count"))
+    assert(p.contains("Join"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 2)
   }
 
   test("dd12: no corpus-sized window on the shingle key (skew-safe)") {
@@ -529,10 +529,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("props") && !read.contains("user_id"))
   }
 
-  test("tx11: commonness scans documents ONCE (window, not count self-join)") {
+  test("tx11: corpus frequency is a partial-agg + join, never a token window") {
     val p = planOf("tx11_token_commonness")
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    // the dd11 recipe: stop-word counts collapse map-side; no Window on
+    // the corpus token stream remains
+    assert(p.contains("partial_count"))
+    assert(!p.contains("Window"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 2)
   }
 
   test("ev10: islands reduce events to user-days map-side before any shuffle") {
@@ -577,10 +580,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2)
   }
 
-  test("tx19: tf-idf never rescans the corpus; df is a window, not a self-join") {
+  test("tx19: df joins back off ONE materialized tf frame; no token window") {
     val p = planOf("tx19_tfidf_keywords")
-    assert("documents\\.parquet".r.findAllIn(p).size <= 2) // tok + N scalar
-    assert(!p.contains("SortMergeJoin"))
+    // the (doc, token, tf) frame is materialized once for its two
+    // consumers (df agg + score join): the corpus never reappears in the
+    // final plan, and only the N scalar rescans documents
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2)
+    // the only windows left are doc-keyed (top-5 rank), never token-keyed
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")))
   }
 
   test("tx21: classifier inference is in-row over the literal model") {
