@@ -263,11 +263,19 @@ object TrainingData {
     * This is the step that breaks source/crawl locality before training
     * (adjacent docs from one crawl must not land in one batch).
     *
-    * SHARD COUNT AT SCALE: a per-shard window serializes each shard into
-    * one task, so the shard count must be O(cluster parallelism) — a
-    * production run shards into 1024+ (each a training data file), which
-    * keeps every sort task at corpus/1024. 8 here only mirrors the
-    * fixture-sized oracle; the query shape is shard-count-invariant. */
+    * POSITION AT SCALE — a TWO-PASS DISTRIBUTED RANK, not one window per
+    * shard: a bare per-shard row_number serializes each shard's whole
+    * population into one sorting task (corpus/8 rows here; corpus/1024
+    * even at production shard counts). Instead the hex sort key's first
+    * two characters form 256 ORDER-PRESERVING uniform buckets (for
+    * fixed-position substrings, prefix order IS string order; equal
+    * prefixes stay inside one bucket), so pass 1 counts each
+    * (shard, bucket) — map-side combined, 8×256 rows total — and turns
+    * the counts into exclusive prefix offsets with a window over that
+    * TINY frame; pass 2 ranks WITHIN (shard, bucket) — partitions of
+    * corpus/(shards·256) — and adds the broadcast offset. Same positions
+    * as the serial window, proven by the unchanged oracle; this is the
+    * classic scan-then-offset parallel prefix, spelled declaratively. */
   val pipe08ShardShuffle: Q = Q(
     "pipe08_shard_shuffle",
     """WITH h AS (SELECT doc_id,
@@ -281,13 +289,26 @@ object TrainingData {
     val hx = md5(col("doc_id").cast("string"))
     val shard = pmod(
       conv(substring(hx, 1, 8), 16, 10).cast("long"), lit(8))
-    val w = Window.partitionBy("shard")
-      .orderBy(col("sort_key"), col("doc_id"))
-    Tables.documents(s, d)
+    // two consumers (bucket counts + local ranks) of the keyed frame
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), shard.as("shard"),
         substring(hx, 9, 24).as("sort_key"))
-      .withColumn("pos", row_number().over(w))
-      .select("doc_id", "shard", "pos")
+      .withColumn("bucket", substring(col("sort_key"), 1, 2))
+      .materialized
+    // pass 1: exclusive prefix offsets over the 8×256-row count frame
+    val offs = base.groupBy("shard", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        sum("n").over(Window.partitionBy("shard").orderBy("bucket"))
+          - col("n"))
+      .select("shard", "bucket", "off")
+    // pass 2: rank within the bucket, shift by the bucket's offset
+    base
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy("shard", "bucket")
+          .orderBy(col("sort_key"), col("doc_id"))))
+      .join(broadcast(offs), Seq("shard", "bucket"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + col("lrk")).as("pos"))
       .orderBy("shard", "pos")
   }
 

@@ -438,11 +438,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("winnow_fingerprint"))
   }
 
-  test("pipe08: shard shuffle is ONE exchange; window rides it") {
+  test("pipe08: two-pass rank — no per-shard window over the whole corpus") {
     val p = planOf("pipe08_shard_shuffle")
-    // one hash exchange on shard for the row_number window; the final
-    // presentation sort is a range exchange, not a second hash shuffle
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    // pass 1 (counts + offsets) runs over the 8×256-row count frame and
+    // broadcasts back; pass 2's only window partitions by (shard, bucket)
+    // — never bare shard — and the base frame is materialized once
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_count"))
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    // every corpus-side window names the bucket in its partition spec
+    assert(winLines.forall(l => !l.contains("sort_key#") || l.contains("bucket")))
   }
 
   test("tx09: PII redaction is per-row (no shuffle before the sort)") {
