@@ -224,9 +224,9 @@ object TrainingData {
     * spanning a boundary starts the next bin's carryover (standard offset
     * binning; bins can exceed the budget by at most one doc's tail).
     *
-    * Scale: ONE window shuffle partitioned by source; the running sum is
-    * a streaming pass per partition. A giant source → pack within
-    * (source, pipe02-style hash bucket) to re-parallelize. */
+    * Scale: the running sum is a two-pass distributed prefix (see the
+    * body comment) — per-task work is corpus/(|sources|·256), never a
+    * whole source in one task. */
   val pipe07PackBins: Q = Q(
     "pipe07_pack_bins",
     """WITH t AS (SELECT doc_id, source,
@@ -240,12 +240,36 @@ object TrainingData {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    // TWO-PASS DISTRIBUTED PREFIX SUM (pipe08's recipe, for SUM instead
+    // of rank): a bare partitionBy(source) running sum serializes each
+    // source's population into one task. doc_id ranges are
+    // order-preserving buckets (floor((id-min)/W) for positive W), so
+    // pass 1 turns per-(source, bucket) token sums — a map-side-combined
+    // |sources|×256-row frame — into exclusive prefix offsets, and pass
+    // 2's running sum partitions by (source, bucket): corpus/(|sources|
+    // ·256) per task, plus a broadcast offset. min/max(doc_id) is one
+    // 1-row collect, the same driver round-trip the Lloyd trainers make.
+    val bounds = Tables.documents(s, d)
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / 256 + 1)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bucket", floor((col("doc_id") - lo) / width))
+      .materialized
+    val offs = base.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("bt"))
+      .withColumn("off",
+        sum("bt").over(Window.partitionBy("source").orderBy("bucket"))
+          - col("bt"))
+      .select("source", "bucket", "off")
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("lcum", sum("n_tokens").over(w))
+      .join(broadcast(offs), Seq("source", "bucket"))
+      .withColumn("cum", col("off") + col("lcum"))
       .withColumn("bin_id",
         floor((col("cum") - col("n_tokens")) / 512).cast("long"))
       .groupBy("source", "bin_id")

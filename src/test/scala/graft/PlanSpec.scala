@@ -438,6 +438,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("winnow_fingerprint"))
   }
 
+  test("pipe07: two-pass prefix sum — no per-source window over the corpus") {
+    val p = planOf("pipe07_pack_bins")
+    assert(p.contains("BroadcastHashJoin"))
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // both the offset window (tiny count frame) and the local running
+    // sum carry the bucket key — no bare-source corpus window remains
+    assert(winLines.nonEmpty && winLines.forall(_.contains("bucket")))
+  }
+
   test("pipe08: two-pass rank — no per-shard window over the whole corpus") {
     val p = planOf("pipe08_shard_shuffle")
     // pass 1 (counts + offsets) runs over the 8×256-row count frame and
