@@ -186,4 +186,51 @@ class TrainingDataSpec extends AnyFunSuite {
     val gotOrder = rows.sortBy(_.getInt(4)).map(_.getLong(0)).toSeq
     assert(gotOrder === expectedOrder)
   }
+
+  test("two-pass prefix equals the naive per-group window on skewed data") {
+    // the pipe07/pipe08 recipe, property-tested beyond the fixture: a
+    // skewed synthetic frame (one group holds ~80% of rows, sparse and
+    // duplicate-free ids, adversarial bucket boundaries) must produce
+    // bit-identical running sums and ranks under both formulations
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      val g = if (rnd.nextInt(5) > 0) "hot" else s"g${rnd.nextInt(7)}"
+      // sparse, shuffled, unique ids spanning several bucket widths
+      (g, i.toLong * 977 % 131071, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("g", "id", "v")
+    val naiveW = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("cum", sum("v").over(naiveW))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy("id")))
+      .orderBy("g", "id").collect().map(_.toSeq).toSeq
+    val bounds = df.agg(min("id"), max("id")).head()
+    val width = math.max(1L, (bounds.getLong(1) - bounds.getLong(0)) / 7 + 1)
+    val base = df.withColumn("bucket",
+      floor((col("id") - bounds.getLong(0)) / width))
+    val offs = base.groupBy("g", "bucket")
+      .agg(sum("v").as("bv"), count(lit(1)).as("bn"))
+      .withColumn("voff",
+        sum("bv").over(Window.partitionBy("g").orderBy("bucket"))
+          - col("bv"))
+      .withColumn("noff",
+        sum("bn").over(Window.partitionBy("g").orderBy("bucket"))
+          - col("bn"))
+      .select("g", "bucket", "voff", "noff")
+    val lw = Window.partitionBy("g", "bucket").orderBy("id")
+    val twoPass = base
+      .withColumn("lcum", sum("v").over(
+        lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lrk", row_number().over(lw))
+      .join(broadcast(offs), Seq("g", "bucket"))
+      .select(col("g"), col("id"), col("v"),
+        (col("voff") + col("lcum")).as("cum"),
+        (col("noff") + col("lrk")).cast("int").as("rk"))
+      .orderBy("g", "id").collect().map(_.toSeq).toSeq
+    assert(twoPass === naive)
+  }
 }
