@@ -185,10 +185,13 @@ object TrainingData {
     * pipe03's weights (weights tell you how to RE-weigh; this actually
     * draws the balanced subset, reproducibly).
     *
-    * Scale: one window per source partition (rank over hash order). A
-    * pathologically large source makes its partition the sort bottleneck —
-    * the approximate variant at that point is a hash-THRESHOLD filter
-    * (keep if bucket < cap/cnt × buckets, rank-free, pipe02's shape). */
+    * Scale: the per-source hash-order rank is a two-pass distributed
+    * rank (pipe08's recipe — md5-prefix buckets + broadcast offsets), so
+    * a pathologically large source sorts in corpus/(|sources|·256)-sized
+    * tasks, not one; the runtime cap then filters exact ranks. The
+    * rank-free approximate variant remains the furthest escalation: a
+    * hash-THRESHOLD filter (keep if bucket < cap/cnt × buckets,
+    * pipe02's shape). */
   val pipe06StratifiedSample: Q = Q(
     "pipe06_stratified_sample",
     """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
@@ -200,16 +203,34 @@ object TrainingData {
       |SELECT doc_id, source, rk FROM r, cap WHERE rk <= cap
       |ORDER BY source, rk""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
     // target = HALF the smallest source (downsampling must actually drop
     // rows — on a balanced corpus a min-count cap keeps everything and the
     // hash-order selection never gets exercised)
-    val cap = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val cap = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
       .agg(greatest(lit(1L), floor(min("cnt") / 2).cast("long")).as("cap"))
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
-        row_number().over(w).as("rk"))
+    // Two-pass distributed rank (pipe08's recipe): the md5 hash's first
+    // two chars are 256 order-preserving uniform buckets of the sample
+    // order, so the per-source rank never sorts a whole source in one
+    // task — the quota being a runtime value (which defeats
+    // WindowGroupLimit pruning) doesn't matter, because no corpus-sized
+    // window exists to prune.
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .withColumn("bucket", substring(col("hx"), 1, 2))
+      .materialized
+    val offs = base.groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        sum("n").over(Window.partitionBy("source").orderBy("bucket"))
+          - col("n"))
+      .select("source", "bucket", "off")
+    base
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy("source", "bucket")
+          .orderBy(col("hx"), col("doc_id"))))
+      .join(broadcast(offs), Seq("source", "bucket"))
+      .withColumn("rk", (col("off") + col("lrk")).cast("int"))
       .crossJoin(broadcast(cap))
       .filter(col("rk") <= col("cap"))
       .select("doc_id", "source", "rk")
