@@ -330,8 +330,7 @@ object Similarity {
     // floor(double) is BIGINT in Spark (DOUBLE in DuckDB) — numerically
     // identical here; both sides clamp then hold the code as an exact
     // small integer.
-    val codes = expr(
-      s"""transform(embedding, x -> CAST(${quantCode("x")} AS FLOAT))""")
+    val codes = graft.functions.Quantize.toFloatsCol(col("embedding"))
     val c = Tables.spread(s, Tables.embeddings(s, d), "vec_id")
       .select(col("vec_id"), codes.as("cd"))
     val q = broadcast(c.filter(col("vec_id") < 10)
@@ -423,7 +422,7 @@ object Similarity {
     val n = s.sparkContext.defaultParallelism
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(${quantCode("x")} AS BIGINT))")
+        graft.functions.Quantize.toLongsCol(col("embedding"))
           .as("qv"))
       .repartition(n, col("vec_id"))
       .materialized

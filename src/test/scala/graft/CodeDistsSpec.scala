@@ -80,6 +80,28 @@ class CodeDistsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantize kernel equals the declarative floor/clamp spelling") {
+    import spark.implicits._
+    val edge = Seq(
+      Seq(0.0f, -0.5f, 0.5f, 1.9844f, -1.9844f, 2.5f, -2.5f,
+        0.0078125f, -0.0078125f, 100f, -100f, 1.0f / 128f),
+      Seq.tabulate(64)(i => (i - 32) * 0.0625f))
+    val rnd = new scala.util.Random(5)
+    val vecs = edge ++ (0 until 30).map(_ =>
+      Seq.fill(16)(rnd.nextFloat() * 4 - 2))
+    val df = vecs.toDF("embedding")
+    val declL = expr("transform(embedding, x -> CAST(greatest(-127, " +
+      "least(127, floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT))")
+    val declF = expr("transform(embedding, x -> CAST(greatest(-127, " +
+      "least(127, floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS FLOAT))")
+    df.select(graft.functions.Quantize.toLongsCol(col("embedding")).as("k"),
+        declL.as("d")).collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    df.select(graft.functions.Quantize.toFloatsCol(col("embedding")).as("k"),
+        declF.as("d")).collect()
+      .foreach(r => assert(r.getSeq[Float](0) === r.getSeq[Float](1)))
+  }
+
   test("tie-break: equal dist2 resolves by cluster id via struct order") {
     import spark.implicits._
     // two identical centroids with different ids -> equal dist2; the
