@@ -272,7 +272,10 @@ object TrainingData {
     // 1-row collect, the same driver round-trip the Lloyd trainers make.
     val bounds = Tables.documents(s, d)
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // empty corpus → null min/max; (0, 1) keeps the pipeline flowing to
+    // its natural empty result instead of an NPE at the driver
+    val lo = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+    val hi = if (bounds.isNullAt(1)) 0L else bounds.getLong(1)
     val width = math.max(1L, (hi - lo) / 256 + 1)
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),

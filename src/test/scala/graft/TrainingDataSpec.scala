@@ -233,4 +233,14 @@ class TrainingDataSpec extends AnyFunSuite {
       .orderBy("g", "id").collect().map(_.toSeq).toSeq
     assert(twoPass === naive)
   }
+
+  test("pipe07 degrades to an empty result on an empty corpus, no NPE") {
+    // null min/max(doc_id) must not crash the two-pass bounds collect
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    spark.createDataset(Seq.empty[(Long, String, String, String, Long)])
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(TrainingData.pipe07PackBins.run(spark, dir).count() === 0L)
+  }
 }
