@@ -263,23 +263,26 @@ object Dedup {
         min("h6").as("m6"), min("h7").as("m7"))
   }
 
-  /** Per-ROW signature: identical m0..m7 but via array_min over the in-row
-    * shingle list — no explode, no aggregation. This is the STREAMING form
-    * (a streaming groupBy would be a watermark-requiring aggregation;
-    * per-row projection is mode-agnostic) and the right shape whenever one
-    * row carries the whole document. The batch path keeps the
-    * explode+groupBy form, whose md5s run codegen'd rather than as
-    * interpreted higher-order lambdas. */
+  /** Per-ROW signature: identical m0..m7, folded in one pass over the
+    * in-row shingle list by the [[graft.functions.MinhashSig]] kernel —
+    * no explode, no aggregation. This is the STREAMING form (a streaming
+    * groupBy would be a watermark-requiring aggregation; per-row
+    * projection is mode-agnostic) and the right shape whenever one row
+    * carries the whole document; MinhashSigSpec pins bit-equality with
+    * the batch explode+groupBy form. */
   def minhashSigPerRow(docsDf: DataFrame): DataFrame = {
-    val mh = (0 until 8).map(k => expr(
-      s"""array_min(transform(sh, t -> md5(concat('$k', '|', t))))"""
-    ).as(s"m$k"))
+    val mh = (0 until 8).map(k =>
+      element_at(col("ms"), k + 1).as(s"m$k"))
     docsDf
       .select(col("doc_id"),
         graft.functions.Shingles.distinctBigramsCol(col("text")).as("sh"))
       // <2-token docs have no shingles and thus no signature — same as
       // the batch groupBy form, where they simply contribute no group
       .filter(size(col("sh")) > 0)
+      // one codegen'd pass folds all 8 seeded-md5 minima (the HOF
+      // spelling walked an interpreted tree 8× per shingle)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.sigCol(col("sh")).as("ms"))
       .select(col("doc_id") +: mh: _*)
   }
 
