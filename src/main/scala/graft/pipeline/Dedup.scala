@@ -34,13 +34,6 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
-  /** Distinct (doc_id, word) pairs — the base relation for everything. */
-  private def tokens(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .distinct()
-
   private val tokensSql =
     """SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
       |FROM documents""".stripMargin
