@@ -90,7 +90,7 @@ object TextAnalysis {
   /** Adds l, n_symbols, n_words, sum_len, n_alpha, stop_hits to a frame
     * carrying `text` (Catalyst collapses the projection chain). */
   private[pipeline] def withGopherMetrics(df: DataFrame): DataFrame =
-    df.withColumn("l", expr("filter(split(text, ' '), x -> x <> '')"))
+    df.withColumn("l", graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false))
       .withColumn("n_symbols", expr(
         "length(text) - length(replace(text, '#', '')) + " +
           "(length(text) - length(replace(text, '...', ''))) div 3")
@@ -255,7 +255,7 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(expr("filter(split(text, ' '), x -> x != '')")).as("ws_tokens"),
+      size(graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false)).as("ws_tokens"),
       size(expr("filter(split(text, '[^a-zA-Z0-9]+'), x -> x != '')"))
         .as("word_tokens"),
       // the symbol class excludes ALL whitespace (explicit chars, not \\s:
@@ -612,19 +612,24 @@ object TextAnalysis {
       |        c -> c * c)) AS DOUBLE) * 10000 + 0.5) / 10000
       |    AS effective_vocab
       |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import graft.functions.StableRound
-    val sumSq = expr("aggregate(transform(array_sort(array_distinct(l)), " +
-      "v -> CAST(size(filter(l, x -> x = v)) AS BIGINT)), 0L, " +
-      "(acc, c) -> acc + c * c)")
+    import graft.functions.{Shingles, StableRound, TokenStats}
     val n2 = col("n_tokens").cast("double") * col("n_tokens")
     // phantom '' tokens (leading/trailing/double spaces) must not count
     // toward diversity — same token definition as tx03/pipe09/pipe11
+    // (1-grams of the skip-empty tokenizer ARE the filtered token array).
+    // n_types and Σc² come from ONE hash pass (TokenStats) — the old
+    // filter-per-type spelling was O(types × tokens) interpreted lambda
+    // evals per document, the shape tx12's scaladoc rejects.
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x != '')").as("l"))
+        Shingles.ngramsCol(col("text"), 1, skipEmpty = true,
+          distinct = false).as("l"))
       .filter(size(col("l")) >= 1)
       .select(col("doc_id"), size(col("l")).as("n_tokens"),
-        size(array_distinct(col("l"))).as("n_types"), sumSq.as("sum_sq"))
+        TokenStats.typeStatsCol(col("l")).as("ts"))
+      .select(col("doc_id"), col("n_tokens"),
+        element_at(col("ts"), 1).cast("int").as("n_types"),
+        element_at(col("ts"), 2).as("sum_sq"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sum_sq"),
         StableRound.r4(col("sum_sq").cast("double") / n2).as("simpson"),
         StableRound.r4(n2 / col("sum_sq").cast("double"))
@@ -885,7 +890,7 @@ object TextAnalysis {
     import graft.functions.StableRound
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+        graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false).as("l"))
       .filter(size(col("l")) > 0)
       .select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"),
         expr("""aggregate(l, 0L, (a, x) -> a +
@@ -1036,7 +1041,7 @@ object TextAnalysis {
     val c = Tables.documents(s, d).select(
       col("doc_id"),
       length(expr("replace(text, ' ', '')")).as("chars"),
-      size(expr("filter(split(text, ' '), x -> x != '')")).as("words"),
+      size(graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false)).as("words"),
       greatest(
         size(expr("filter(split(text, '[.!?]+'), x -> x != '')")), lit(1))
         .as("sentences"))
@@ -1095,7 +1100,7 @@ object TextAnalysis {
     // and exploded exactly once, the repo's standard multi-consumer move
     val tok = Tables.spread(s, docsDf, "doc_id")
       .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), x -> x != '')")).as("token"))
+        explode(graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .materialized
     val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))

@@ -450,7 +450,7 @@ object TrainingData {
       |FROM p ORDER BY source""".stripMargin) { (s, d) =>
     val perSource = Tables.documents(s, d)
       .select(col("source"),
-        size(expr("filter(split(text, ' '), x -> x != '')")).as("nt"))
+        size(graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false)).as("nt"))
       .groupBy("source").agg(sum("nt").as("n_tokens"))
     val totals = perSource.agg(sum("n_tokens").as("total"),
       count(lit(1)).as("n_sources"))
@@ -633,7 +633,7 @@ object TrainingData {
         .cast("long"), lit(8))
     Tables.documents(s, d)
       .select(shard.as("shard"),
-        size(expr("filter(split(text, ' '), x -> x != '')")).as("n_tokens"))
+        size(graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false)).as("n_tokens"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"))

@@ -122,6 +122,33 @@ class ShinglesSpec extends AnyFunSuite {
     }
   }
 
+  test("1-grams of the skip-empty tokenizer ARE the filtered token array") {
+    import spark.implicits._
+    texts.toDF("text")
+      .select(
+        Shingles.ngramsCol(col("text"), 1, skipEmpty = true,
+          distinct = false).as("k"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("d"))
+      .collect().foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1))
+      }
+  }
+
+  test("TokenStats kernel equals the filter-per-type declarative spelling") {
+    import spark.implicits._
+    val decl = expr("aggregate(transform(array_distinct(l), " +
+      "v -> CAST(size(filter(l, x -> x = v)) AS BIGINT)), 0L, " +
+      "(acc, c) -> acc + c * c)")
+    texts.toDF("text")
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+      .filter(size(col("l")) >= 1)
+      .select(graft.functions.TokenStats.typeStatsCol(col("l")).as("ts"),
+        size(array_distinct(col("l"))).cast("long").as("nt"), decl.as("ss"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) === Seq(r.getLong(1), r.getLong(2)))
+      }
+  }
+
   test("GraftExtensions.register exposes shingle_ngrams to SQL") {
     GraftExtensions.register(spark)
     import spark.implicits._
