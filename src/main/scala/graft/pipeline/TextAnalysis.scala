@@ -96,10 +96,11 @@ object TextAnalysis {
           "(length(text) - length(replace(text, '...', ''))) div 3")
         .cast("long"))
       .withColumn("n_words", size(col("l")).cast("long"))
-      .withColumn("sum_len",
-        expr("aggregate(l, 0L, (a, x) -> a + length(x))"))
-      .withColumn("n_alpha",
-        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long"))
+      // one TokenStats.wordStats pass replaces the interpreted length
+      // fold + per-token RLIKE (the Gopher filter's hot path)
+      .withColumn("ws", graft.functions.TokenStats.wordStatsCol(col("l")))
+      .withColumn("sum_len", element_at(col("ws"), 1))
+      .withColumn("n_alpha", element_at(col("ws"), 2))
       .withColumn("stop_hits", stopHitsCol(col("l")).cast("long"))
   /** The five rules as PASS predicates over those columns, funnel order. */
   private[pipeline] def gopherRuleCols: Seq[org.apache.spark.sql.Column] = {

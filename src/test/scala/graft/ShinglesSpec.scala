@@ -149,6 +149,19 @@ class ShinglesSpec extends AnyFunSuite {
       }
   }
 
+  test("wordStats kernel equals the fold + RLIKE declarative spelling") {
+    import spark.implicits._
+    (texts ++ Seq("UPPER mixedCase 123 #!? ábç 漢字 a1")).toDF("text")
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("l"))
+      .select(graft.functions.TokenStats.wordStatsCol(col("l")).as("ws"),
+        expr("aggregate(l, 0L, (a, x) -> a + length(x))").as("sl"),
+        expr("size(filter(l, x -> x rlike '[A-Za-z]'))").cast("long")
+          .as("na"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](0) === Seq(r.getLong(1), r.getLong(2)))
+      }
+  }
+
   test("GraftExtensions.register exposes shingle_ngrams to SQL") {
     GraftExtensions.register(spark)
     import spark.implicits._
