@@ -481,12 +481,29 @@ object EventQueries {
         lit(1).as("delta"))
       .union(sess.select(col("day"), col("user_id"), col("session_no"),
         least(col("session_end"), dayEnd).as("t"), lit(-1).as("delta")))
-    val wRun = Window.partitionBy("day")
+    // TWO-PASS PREFIX for the sweep (pipe07/pipe08's recipe): hour-of-
+    // day buckets are order-preserving on t within a UTC day (equal t ⇒
+    // equal hour, so the delta-DESC tiebreak never crosses a bucket), so
+    // the running concurrency partitions by (day, hour) — sessions/24
+    // per task instead of a whole day on one sorting reducer — plus a
+    // broadcast per-(day, hour) offset. The per-day PEAK then comes from
+    // a map-side-combined groupBy joined back (|days|-sized, always
+    // broadcastable), not a day-wide max window.
+    val base = del.withColumn("bucket", hour(col("t"))).materialized
+    val offs = base.groupBy("day", "bucket").agg(sum("delta").as("bd"))
+      .withColumn("off",
+        sum("bd").over(Window.partitionBy("day").orderBy("bucket"))
+          - col("bd"))
+      .select("day", "bucket", "off")
+    val wLoc = Window.partitionBy("day", "bucket")
       .orderBy(col("t"), col("delta").desc, col("user_id"),
         col("session_no"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    del.withColumn("conc", sum("delta").over(wRun))
-      .withColumn("peak", max("conc").over(Window.partitionBy("day")))
+    val conc = base.withColumn("lconc", sum("delta").over(wLoc))
+      .join(broadcast(offs), Seq("day", "bucket"))
+      .withColumn("conc", col("off") + col("lconc"))
+    val peaks = conc.groupBy("day").agg(max("conc").as("peak"))
+    conc.join(broadcast(peaks), Seq("day"))
       .groupBy("day", "peak")
       .agg(min(when(col("conc") === col("peak"), col("t"))).as("peak_ts"),
         sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"))

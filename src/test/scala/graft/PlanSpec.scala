@@ -366,15 +366,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
 
-  test("ev12: sweep windows and rollup all ride one day exchange") {
+  test("ev12: two-pass sweep — no day-wide window; peak joins back") {
     val p = planOf("ev12_peak_concurrency")
-    // sessionization ran once into the checkpoint; both delta projections
-    // read it
+    // sessionization + deltas are checkpointed; events.parquet is gone
     assert("events\\.parquet".r.findAllIn(p).size === 0)
-    assert("Scan ExistingRDD".r.findAllIn(p).size === 2)
-    // running sum, per-day max and the (day, peak) rollup share one
-    // hashpartitioning(day)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    // the running-concurrency window partitions by (day, hour-bucket),
+    // never bare day, and the per-day peak is a broadcast join of a
+    // map-side-combined aggregate, not a day-wide max window
+    assert(p.contains("partial_max") || p.contains("partial_sum"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("bucket")))
   }
 
   test("dd15: signatures reused via checkpoint; no pair-space blowup") {
