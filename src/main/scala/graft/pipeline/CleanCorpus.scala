@@ -146,9 +146,17 @@ object CleanCorpus {
     // keeps null m0..m7, is excluded from banding below (it must not land
     // in a shared '' band_key bucket), and passes s3 whenever s2 holds —
     // a doc with no shingles has no near-duplicates.
-    val flags = docs
-      .withColumn("s1", col("doc_id") ===
-        min("doc_id").over(Window.partitionBy(md5(col("text")))))
+    // exact-dup keep flag via groupBy(min) + join back, not a window
+    // over the hash groups: a mass-duplicated page (the mega-pile every
+    // web corpus has) collapses map-side in the partial aggregation
+    // instead of landing on one window reducer; the join back is
+    // AQE-skew-splittable, which a window never is
+    val withH = docs.withColumn("h", md5(col("text")))
+    val keeps = withH.groupBy("h").agg(min("doc_id").as("keep"))
+    val flags = withH
+      .join(keeps, "h")
+      .withColumn("s1", col("doc_id") === col("keep"))
+      .drop("h", "keep")
       .join(TextAnalysis.qualityScores(s, docs), "doc_id")
       .withColumn("s2", col("s1") && col("quality") >= 0.35)
       .join(Dedup.minhashSig(docs), Seq("doc_id"), "left")
@@ -248,12 +256,13 @@ object CleanCorpus {
       |CROSS JOIN tot ORDER BY stage_order""".stripMargin) { (sp, d) =>
     import sp.implicits._
     import org.apache.spark.sql.expressions.Window
-    val m = TextAnalysis.withGopherMetrics(
-        Tables.documents(sp, d).withColumn("h", md5(col("text"))))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+    // rn > 1 ⟺ not the group-min doc: same groupBy+join recipe as
+    // pipe01's keep flag (no window over the exact-dup hash groups)
+    val withH = Tables.documents(sp, d).withColumn("h", md5(col("text")))
+    val keeps = withH.groupBy("h").agg(min("doc_id").as("keep"))
+    val m = TextAnalysis.withGopherMetrics(withH.join(keeps, "h"))
     val rules = TextAnalysis.gopherRuleCols
-    val fs = when(col("rn") > 1, 1)
+    val fs = when(col("doc_id") =!= col("keep"), 1)
       .when(!rules(0), 2)
       .when(!rules(1), 3)
       .when(!rules(2), 4)

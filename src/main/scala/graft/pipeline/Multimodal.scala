@@ -346,15 +346,26 @@ object Multimodal {
       |FROM r GROUP BY phash HAVING count(*) >= 2
       |ORDER BY phash""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    fakePhash(s, d)
+    // Two consumers of the phash frame: full-group counts (partial-agg,
+    // skew-safe on a mega-dup pile) and the top-20 sample, whose rank
+    // filter is a LITERAL so Spark prunes it with a PARTIAL
+    // WindowGroupLimit — each mapper keeps ≤20 rows per phash BEFORE the
+    // exchange. The old form computed rk for every row (the when() hid
+    // the limit from the optimizer), putting the whole pile through one
+    // window reducer. Group-level join reassembles (|groups|-sized).
+    val ph = fakePhash(s, d).materialized
+    val counts = ph.groupBy("phash")
+      .agg(count(lit(1)).as("n_images"), min("doc_id").as("rep_doc"))
+      .filter(col("n_images") >= 2)
+    val sample = ph
       .withColumn("rk", row_number().over(
         Window.partitionBy("phash").orderBy("doc_id")))
+      .filter(col("rk") <= 20)
       .groupBy("phash")
-      .agg(count(lit(1)).as("n_images"), min("doc_id").as("rep_doc"),
-        array_join(transform(sort_array(
-          collect_list(when(col("rk") <= 20, col("doc_id")))),
-          _.cast("string")), ",").as("sample_docs"))
-      .filter(col("n_images") >= 2)
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("sample_docs"))
+    counts.join(sample, "phash")
+      .select("phash", "n_images", "rep_doc", "sample_docs")
       .orderBy("phash")
   }
 

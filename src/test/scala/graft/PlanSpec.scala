@@ -360,10 +360,16 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2) // top-5 + argmax
   }
 
-  test("mm07: rank cap and dup-group rollup share one phash exchange") {
+  test("mm07: sample rank is WindowGroupLimit-pruned; counts partial-agg") {
     val p = planOf("mm07_phash_dup")
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    // phash frame materialized once; the top-20 sample's literal rank
+    // filter gets a PARTIAL WindowGroupLimit (≤20 rows per phash per
+    // mapper cross the wire), and the dup counts are a map-side-combined
+    // aggregate — a mega-dup pile never lands whole on one reducer
+    assert("documents\\.parquet".r.findAllIn(p).size === 0)
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("Partial"))
+    assert(p.contains("partial_count"))
   }
 
   test("ev12: two-pass sweep — no day-wide window; peak joins back") {
