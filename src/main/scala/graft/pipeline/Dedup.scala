@@ -432,14 +432,17 @@ object Dedup {
     * materialization. */
   private[graft] def sigWithRep(sigFrame: DataFrame): DataFrame = {
     val mCols = (0 until 8).map(k => col(s"m$k"))
-    // class representative via ONE window over sig_key — a groupBy+join
-    // formulation pays the same exchange PLUS a join; the window attaches
-    // min(doc_id) to every row in a single pass over the one shuffle.
-    // localCheckpoint: consumed by both the star branch and the banding.
-    sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
-      .withColumn("rep", min("doc_id").over(
-        Window.partitionBy(col("sig_key"))))
-      .materialized
+    // class representative via map-side-combined groupBy(min) + join
+    // back. The window formulation saved one join but put an exact-dup
+    // MEGA-PILE (identical boilerplate pages, ubiquitous in web corpora)
+    // through a single window reducer with no partial aggregation; here
+    // the pile collapses to one row per mapper before the exchange, and
+    // the join back is AQE-skew-splittable — the same reasoning as every
+    // round-7 window retirement. localCheckpoint: consumed by both the
+    // star branch and the banding.
+    val keyed = sigFrame.withColumn("sig_key", concat_ws("|", mCols: _*))
+    val reps = keyed.groupBy("sig_key").agg(min("doc_id").as("rep"))
+    keyed.join(reps, "sig_key").materialized
   }
 
   /** Candidate pairs from an already-materialized [[sigWithRep]] frame —
@@ -1418,9 +1421,20 @@ object Dedup {
     val labels = connectedComponents(lshPairs(s, d))
     val sized = labels.join(
       docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    sized.withColumn("rk", row_number().over(w))
+      .materialized
+    // Both consumers (dd14, pipe17) use the rank ONLY as keep-vs-drop
+    // membership, so the per-cluster row_number window (a giant dup
+    // cluster = one sorting reducer) reduces to the argmax — min of
+    // struct(-n_chars, doc_id), a partial-aggregable fold — joined back;
+    // rk carries the two-valued keep flag in the old column's shape.
+    val best = sized.groupBy("cluster_id")
+      .agg(min(struct((-col("n_chars")).as("neg"),
+        col("doc_id").as("d"))).as("b"))
+      .select(col("cluster_id"), col("b.d").as("keep_doc"))
+    sized.join(best, "cluster_id")
+      .withColumn("rk",
+        when(col("doc_id") === col("keep_doc"), 1).otherwise(2))
+      .drop("keep_doc")
   }
 
   /** SQL twin of [[keepDecision]]: components of the LSH pair graph plus
@@ -1453,9 +1467,9 @@ object Dedup {
        |  count(*) AS n_members, count(*) - 1 AS n_dropped
        |FROM scored GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) {
     (s, d) =>
-    // argmax by (n_chars desc, doc_id) then rollup — same cluster_id key,
-    // so the groupBy reuses the decision window's exchange; the label
-    // table is the sparse side and broadcasts into the length join
+    // keep flag from the partial-agg argmax (see keepDecision) then
+    // rollup on the same cluster_id key; the label table is the sparse
+    // side and broadcasts into the length join
     keepDecision(s, d)
       .groupBy("cluster_id")
       .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),

@@ -318,15 +318,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
-  test("dd14: label join broadcasts; argmax window and rollup share one exchange") {
+  test("dd14: keep decision is a partial-agg argmax joined back, no window") {
     val p = planOf("dd14_cluster_reps")
-    assert("documents\\.parquet".r.findAllIn(p).size === 1)
-    assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
-    // ONE hashpartitioning(cluster_id) serves the keep-doc window AND the
-    // per-cluster aggregate
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
-    assert(p.contains("partial_max")) // rollup combines map-side
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the per-cluster argmax is min(struct(-n_chars, doc_id)) — a
+    // map-side-combinable fold (partial_min visible) — joined back
+    // (equi-join; AQE picks broadcast at runtime for the |clusters|-sized
+    // build side); a giant dup cluster never sorts on one window reducer
+    assert(!p.contains("windowspecdefinition"))
+    assert(p.contains("partial_min"))
   }
 
   test("sim11: greedy rounds reuse the checkpointed candidates; picked sets broadcast") {
