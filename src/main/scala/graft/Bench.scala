@@ -23,12 +23,66 @@ object Bench {
     // tmpdir; on a cluster it would be object storage, so the local number
     // is a FLOOR on the real tax (no network hop), still the right A/B for
     // "how much wall-clock does executor-loss survival cost this chain".
-    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
-      spark.conf.set("spark.graft.reliableCheckpoint", "true")
-      spark.sparkContext.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-" +
-          java.util.UUID.randomUUID().toString)
-    }
+    val ckptDir: Option[java.io.File] =
+      if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
+        spark.conf.set("spark.graft.reliableCheckpoint", "true")
+        val dir = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-" +
+            java.util.UUID.randomUUID().toString)
+        spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+        Some(dir)
+      } else None
+    // Host-health self-description: the local host's CPU cycles between
+    // healthy (~11M ops/s single-core on this fixed loop) and throttled
+    // (~8-9M) epochs, and identical code measures up to 1.7x slower
+    // throttled. Bracket the run with the canonical probe
+    // (tools/cpu_probe.py — same loop) and record both readings, plus a
+    // small same-epoch DuckDB anchor subtotal, so a reader can judge
+    // sample health from the artifact alone.
+    def py(script: String): Option[String] =
+      try {
+        val p = new ProcessBuilder("python3", "-c", script)
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Throwable => None }
+    def cpuProbe(): Option[Long] = py(
+      """
+        |import time
+        |t0=time.perf_counter(); x=1; n=0
+        |while time.perf_counter()-t0 < 2.0:
+        |    for _ in range(100000): x=(x*31+7)&0xffffffff
+        |    n+=100000
+        |print(int(n/(time.perf_counter()-t0)))
+        |""".stripMargin).flatMap(_.toLongOption)
+    // Fixed 4-query DuckDB anchor on the same parquet dir (agg, join-agg,
+    // self-dedup, window): best-of-2 total seconds. Not the oracle gate —
+    // just a same-epoch reference point for the Spark/DuckDB ratio.
+    def duckdbAnchor(): Option[Double] = py(
+      s"""
+        |import time
+        |try:
+        |    import duckdb
+        |except Exception:
+        |    raise SystemExit(1)
+        |d = "$sfDir"
+        |qs = [
+        | f"SELECT l_returnflag,l_linestatus,sum(l_quantity),sum(l_extendedprice*(1-l_discount)),count(*) FROM '{d}/lineitem.parquet' GROUP BY 1,2",
+        | f"SELECT o_orderpriority, count(*) FROM '{d}/orders.parquet' o JOIN '{d}/lineitem.parquet' l ON o.o_orderkey=l.l_orderkey WHERE l.l_discount>0.05 GROUP BY 1",
+        | f"SELECT count(*) FROM (SELECT text, count(*) c FROM '{d}/documents.parquet' GROUP BY 1 HAVING count(*)>1)",
+        | f"SELECT max(rn) FROM (SELECT row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn FROM '{d}/orders.parquet')",
+        |]
+        |con = duckdb.connect()
+        |total = 0.0
+        |for q in qs:
+        |    best = float('inf')
+        |    for _ in range(2):
+        |        t0 = time.perf_counter(); con.sql(q).fetchall()
+        |        best = min(best, time.perf_counter()-t0)
+        |    total += best
+        |print(round(total, 4))
+        |""".stripMargin).flatMap(_.toDoubleOption)
+    val probeBefore = cpuProbe()
     // Untimed warm-up: classloading, codegen compiler, parquet reader and
     // shuffle machinery init — otherwise whichever query runs first
     // absorbs ~4s of JVM start-up and the per-query numbers lie.
@@ -95,6 +149,14 @@ object Bench {
       }
       .collect { case (name, Some(t)) => name -> t }
     val total = results.map(_._2).sum
+    // End-of-run health bracket + same-epoch DuckDB anchor. A record is
+    // only epoch-trustworthy when BOTH probes read healthy (>=10.5M on
+    // this container, see tools/cpu_probe.py calibration); the anchor
+    // gives the ratio denominator without a separate archaeology step.
+    val probeAfter = cpuProbe()
+    val anchor = if (only.isEmpty) duckdbAnchor() else None
+    def jn[A](o: Option[A]): String = o.map(_.toString).getOrElse("null")
+    val health = s""""probe_before":${jn(probeBefore)},"probe_after":${jn(probeAfter)},"duckdb_anchor_sec":${jn(anchor)}"""
     val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retr = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -106,7 +168,7 @@ object Bench {
     // got truncated mid-line in rounds 1-3 (BENCH_r*.json "parsed": null).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total","rescued":$resc,"retried":$retr,"failed":$failJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir","rescued":$resc,"retried":$retr,"failed":$failJson,$health}"""
     println(full)
     // persist only FULL runs: a SPARK_GRAFT_BENCH_ONLY dev subset must
     // not clobber the repo's full-suite record
@@ -135,7 +197,7 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted.isEmpty) ""
         else s""","omitted":${omitted.size},"omitted_sec":${short(omitted.map(_._2).sum, 2)}"""
-      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","rescued":${rescued.size},"retried":${retried.size},"failed":$failJson$om}"""
+      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName","rescued":${rescued.size},"retried":${retried.size},"failed":$failJson,$health$om}"""
     }
     // Keep the SLOWEST queries (the ones a grader compares) and fold the
     // rest into an omitted-count + omitted-seconds summary if the full map
@@ -148,6 +210,15 @@ object Bench {
     // stop() BEFORE the final println so shutdown-time log lines can't land
     // between the JSON and process exit and push it out of the tail window.
     spark.stop()
+    // A/B checkpoint dirs are per-run UUIDs; without this, repeated
+    // reliable-ckpt A/B runs accumulate checkpoint data in tmpdir forever.
+    ckptDir.foreach { root =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(root) catch { case _: Throwable => () }
+    }
     println(compact)
   }
 }

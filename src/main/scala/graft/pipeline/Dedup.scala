@@ -426,7 +426,9 @@ object Dedup {
     lshPairsFromRep(sigWithRep(sigFrame), maxBucket)
 
   /** The materialized signature-with-representative frame lshPairsOf
-    * builds: (doc_id, m0..m7, sig_key, rep). Exposed so callers with MORE
+    * builds: (sig_key, doc_id, m0..m7, rep) — sig_key leads because the
+    * groupBy+join-back rewrite keys on it; consumers select by name.
+    * Exposed so callers with MORE
     * consumers of the signature columns (dd15's agreement sides) can read
     * THIS checkpoint instead of paying a second signature
     * materialization. */
@@ -1206,6 +1208,10 @@ object Dedup {
     // shingle collapses to one row per mapper — the partial aggregation
     // a partitionBy(sh) window never gets), LEFT-join it back (broadcast
     // here, AQE-skew-splittable at scale), and count matches per doc.
+    // `def` on purpose: TWO consumers (build + probe) recompute the
+    // explode rather than checkpoint a frame larger than the corpus —
+    // if a THIRD consumer is ever added, switch to `.materialized` per
+    // the repo's multi-consumer checkpoint convention.
     def rows = docs(s, d)
       .select(col("doc_id"), explode(graft.functions.Shingles
         .ngramsCol(col("text"), 5, skipEmpty = true, distinct = true))

@@ -662,7 +662,10 @@ object TextAnalysis {
       |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.functions.StableRound
     // phantom '' tokens (leading/trailing/double spaces) are not
-    // vocabulary — same token definition as tx03/tx06/tx10
+    // vocabulary — same token definition as tx03/tx06/tx10.
+    // `def` on purpose: two consumers recompute the explode instead of
+    // checkpointing a corpus-sized token frame; a third consumer should
+    // flip this to `.materialized`.
     def toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")

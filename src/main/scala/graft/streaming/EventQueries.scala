@@ -481,9 +481,15 @@ object EventQueries {
         lit(1).as("delta"))
       .union(sess.select(col("day"), col("user_id"), col("session_no"),
         least(col("session_end"), dayEnd).as("t"), lit(-1).as("delta")))
-    // TWO-PASS PREFIX for the sweep (pipe07/pipe08's recipe): hour-of-
-    // day buckets are order-preserving on t within a UTC day (equal t ⇒
-    // equal hour, so the delta-DESC tiebreak never crosses a bucket), so
+    // TWO-PASS PREFIX for the sweep (pipe07/pipe08's recipe): hour(t)
+    // follows spark.sql.session.timeZone, and the bucket ordering
+    // invariant — hour(t) nondecreasing in t within a day — is what makes
+    // the prefix decomposition sound. This engine pins the session zone
+    // to UTC (library entry points + Bench/Verify set it), where the
+    // invariant holds unconditionally; it also holds for standard 1-hour
+    // DST zones, but NOT for exotic historical offset changes, so the
+    // UTC pin is a stated assumption, not a convenience. (Equal t ⇒
+    // equal hour, so the delta-DESC tiebreak never crosses a bucket.)
     // the running concurrency partitions by (day, hour) — sessions/24
     // per task instead of a whole day on one sorting reducer — plus a
     // broadcast per-(day, hour) offset. The per-day PEAK then comes from
