@@ -110,6 +110,54 @@ object Shingles {
   def bigrams(s: UTF8String, distinct: Boolean): ArrayData =
     ngrams(s, 2, skipEmpty = false, distinct = distinct)
 
+  /** CHARACTER (codepoint) n-grams in one byte pass — the kernel form of
+    * `transform(sequence(1, length(text) - n + 1), i -> substring(text, i, n))`
+    * (+ `array_distinct` when `distinct`), tx08's trigram spelling.
+    * `substring` counts CODEPOINTS, so the kernel records codepoint byte
+    * offsets once and emits byte slices between them — multi-byte UTF-8
+    * text produces exactly the declarative grams (CharNgramsSpec pins
+    * this on mixed ASCII/CJK/emoji inputs). Fewer than n codepoints →
+    * empty array, matching the callers' `length(text) >= n` guards.
+    * Why a kernel: the HOF spelling interprets a lambda + allocates a
+    * boxed index and a substring PER CHARACTER of every document on the
+    * tx08 lang-id path (~10 µs/element, the [[MinhashSig]] argument). */
+  def charNgrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var cp = 0
+    var i = 0
+    while (i < len) {
+      i += UTF8String.numBytesForFirstByte(bytes(i)); cp += 1
+    }
+    val nGr = cp - n + 1
+    if (nGr <= 0) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](cp + 1)
+    i = 0
+    var j = 0
+    while (i < len) {
+      off(j) = i; j += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    off(cp) = len
+    def gram(k: Int): UTF8String =
+      UTF8String.fromBytes(bytes, off(k), off(k + n) - off(k))
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](nGr * 2)
+      var k = 0
+      while (k < nGr) { seen.add(gram(k)); k += 1 }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = it.next(); p += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](nGr)
+      var k = 0
+      while (k < nGr) { out(k) = gram(k); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Column form: all word-bigram shingles of a text column, in order
     * (split keep-empty tokenization). */
   def bigramsCol(c: Column): Column = ngramsCol(c, 2,
@@ -125,6 +173,11 @@ object Shingles {
       distinct: Boolean): Column =
     GraftSqlBridge.column(
       NGramShingles(GraftSqlBridge.expression(c), n, skipEmpty, distinct))
+
+  /** Column form: character (codepoint) n-grams. */
+  def charNgramsCol(c: Column, n: Int, distinct: Boolean): Column =
+    GraftSqlBridge.column(
+      CharNGrams(GraftSqlBridge.expression(c), n, distinct))
 }
 
 /** Catalyst expression wrapper: stays inside whole-stage codegen by
@@ -154,6 +207,36 @@ case class NGramShingles(child: Expression, n: Int, skipEmpty: Boolean,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.Shingles.ngrams($c, $n, $skipEmpty, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Catalyst wrapper for [[Shingles.charNgrams]]. */
+case class CharNGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    Shingles.charNgrams(s.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Shingles.charNgrams($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

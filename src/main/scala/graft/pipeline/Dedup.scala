@@ -508,13 +508,12 @@ object Dedup {
         .as("ids"),
         max(col("btrunc")).as("bucket_truncated"))
       .filter(size(col("ids")) > 1)
-      .select(col("bucket_truncated"), expr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  filter(
-          |    transform(slice(ids, i + 2, size(ids)),
-          |      y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |                  x.prev_key = y.prev_key AS seen)),
-          |    p -> NOT p.seen)))) AS p""".stripMargin))
+      // kernel form of the nested flatten(transform(...filter...)) pair
+      // expansion — same pairs, same order, no interpreted lambda per
+      // emitted pair (PairExpandSpec pins the equality)
+      .select(col("bucket_truncated"),
+        explode(graft.functions.PairExpand.pairsUnseenCol(col("ids")))
+          .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("bucket_truncated"))
     val pairs = star
@@ -854,10 +853,9 @@ object Dedup {
     pieces.join(rare, "piece")
       .groupBy("piece")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      // kernel i<j pair expansion (PairExpandSpec pins vs the HOF twin)
+      .select(explode(graft.functions.PairExpand.pairsCol(col("ids")))
+        .as("p"))
       .select("p.doc_a", "p.doc_b")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_pieces"))
       .filter(col("shared_pieces") >= 2)
@@ -1377,13 +1375,10 @@ object Dedup {
     // nothing corpus-sized is ever cached or recomputed. The tiny agg
     // result has two readers (totals/pairs), so IT is checkpointed.
     val tagged = srcSets
-      .select(explode(expr(
-        "concat(" +
-          "flatten(transform(srcs, (x, i) -> transform(" +
-          "slice(srcs, i + 2, size(srcs))," +
-          " y -> named_struct('src_a', x, 'src_b', y))))," +
-          " transform(srcs, x -> named_struct('src_a', x, 'src_b', '')))"))
-        .as("p"))
+      // kernel pairs+markers expansion (PairExpandSpec pins the concat
+      // spelling it replaces — this projection runs once per shingle)
+      .select(explode(
+        graft.functions.PairExpand.pairsStrTaggedCol(col("srcs"))).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
       .materialized

@@ -474,10 +474,8 @@ object Multimodal {
       .groupBy("band", "seg")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+      // kernel i<j pair expansion (PairExpandSpec pins vs the HOF twin)
+      .select(explode(graft.functions.PairExpand.pairsCol(col("ids")))
         .as("p"))
       .select("p.doc_a", "p.doc_b")
       // a pair agreeing on several bands surfaces once per band — one

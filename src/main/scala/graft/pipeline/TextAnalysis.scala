@@ -472,10 +472,12 @@ object TextAnalysis {
     // distinct), shared by profile learning and scoring
     val tri = Tables.spread(s, Tables.documents(s, d), "doc_id")
       .filter(length(col("text")) >= 3)
+      // kernel form of array_distinct(transform(sequence(...),
+      // substring(text, i, 3))) — one codepoint pass, no per-char
+      // interpreted lambda (CharNgramsSpec pins the equality)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
-          .as("tg"))
+        explode(graft.functions.Shingles
+          .charNgramsCol(col("text"), 3, distinct = true)).as("tg"))
     val wProf = Window.partitionBy("lang")
       .orderBy(col("count").desc, col("tg"))
     val prof = broadcast(
@@ -1153,10 +1155,12 @@ object TextAnalysis {
     withGopherMetrics(Tables.spread(s, Tables.documents(s, d), "doc_id"))
       .filter(size(col("l")) > 0)
       .select(col("doc_id"), gopherPassCol.cast("int").as("y"),
-        expr(s"""aggregate(l, array_repeat(0L, $TrainSlots),
-          (acc, t) -> transform(acc, (v, i) -> v +
-            IF(i = cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)
-                 % $TrainSlots, 1L, 0L)))""").as("xv"))
+        // kernel form of the aggregate/transform md5-slot fold — one
+        // digest + one increment per token instead of an interpreted
+        // O(|l| x slots) lambda walk with a digest PER SLOT
+        // (HashedCountsSpec pins the fold equality)
+        graft.functions.HashedCounts.countsCol(col("l"), TrainSlots)
+          .as("xv"))
       .materialized
 
   /** One-pass centroid training; returns (feats, w_micro, mid_micro). */
