@@ -1167,6 +1167,15 @@ object TextAnalysis {
   private def trainClassifier(s: SparkSession, d: String)
       : (DataFrame, Array[Long], Array[Long]) = {
     val feats = trainFeats(s, d)
+    val (w, mid) = trainFrom(feats)
+    (feats, w, mid)
+  }
+
+  /** The class-sum aggregation + ≤16-row collect over an already-built
+    * (y, xv) frame — factored out so tx22 can train on the SPLIT-
+    * restricted frame while tx20/tx21 keep the full-corpus teacher. */
+  private def trainFrom(feats: DataFrame)
+      : (Array[Long], Array[Long]) = {
     val rows = feats
       .select(col("y"), posexplode(col("xv")).as(Seq("slot", "x")))
       .groupBy("slot")
@@ -1183,7 +1192,7 @@ object TextAnalysis {
       w(r.getInt(0)) = mp - mn
       mid(r.getInt(0)) = math.floor((mp + mn) / 2.0).toLong
     }
-    (feats, w, mid)
+    (w, mid)
   }
 
   /** The integer decision score over the literal model: the doc is kept
@@ -1225,6 +1234,45 @@ object TextAnalysis {
        |      CAST(floor(CAST(SUM(CASE WHEN g.y = 0 THEN g.x ELSE 0 END)
        |        AS DOUBLE) * $Micro / c.nn) AS BIGINT) AS mn
        |    FROM grid g CROSS JOIN cls c
+       |    GROUP BY g.slot, c.np, c.nn))""".stripMargin
+
+  /** tx22's oracle CTE: the same dense grid, but labels carry pipe02's
+    * doc_id-hash split and the class sums (cls/wts) see ONLY the train
+    * split — the val/test rows are genuinely held out on both engines. */
+  private val centroidSplitCte: String =
+    s"""gw AS (SELECT doc_id, $tokListSql AS l, $nSymbolsSql AS n_symbols
+       |  FROM documents),
+       |gm AS (SELECT doc_id, l, n_symbols, $gopherMetricsSql
+       |  FROM gw WHERE len(l) > 0),
+       |lab AS (SELECT doc_id, l,
+       |    CASE WHEN $gopherPassSql THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 100 AS b
+       |    FROM gm)),
+       |feats AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT % $TrainSlots AS slot,
+       |    count(*) AS x
+       |  FROM (SELECT doc_id, unnest(l) AS t FROM lab) GROUP BY 1, 2),
+       |grid AS (SELECT l.doc_id, l.y, l.split, s.slot,
+       |    COALESCE(f.x, 0) AS x
+       |  FROM lab l
+       |  CROSS JOIN (SELECT unnest(range($TrainSlots)) AS slot) s
+       |  LEFT JOIN feats f ON f.doc_id = l.doc_id AND f.slot = s.slot),
+       |cls AS (SELECT count(CASE WHEN y = 1 THEN 1 END) AS np,
+       |    count(CASE WHEN y = 0 THEN 1 END) AS nn
+       |  FROM lab WHERE split = 'train'),
+       |wts AS (SELECT slot, mp - mn AS w,
+       |    CAST(floor((mp + mn) / 2.0) AS BIGINT) AS mid
+       |  FROM (SELECT g.slot,
+       |      CAST(floor(CAST(SUM(CASE WHEN g.y = 1 THEN g.x ELSE 0 END)
+       |        AS DOUBLE) * $Micro / c.np) AS BIGINT) AS mp,
+       |      CAST(floor(CAST(SUM(CASE WHEN g.y = 0 THEN g.x ELSE 0 END)
+       |        AS DOUBLE) * $Micro / c.nn) AS BIGINT) AS mn
+       |    FROM grid g CROSS JOIN cls c
+       |    WHERE g.split = 'train'
        |    GROUP BY g.slot, c.np, c.nn))""".stripMargin
 
   val tx20TrainClassifier: Q = Q(
@@ -1271,10 +1319,70 @@ object TextAnalysis {
         .cast("double") / count(lit(1))).as("accuracy"))
   }
 
+  /** HELD-OUT evaluation of the distilled quality classifier: train the
+    * centroid model ONLY on pipe02's train split (doc_id-hash bucket
+    * < 80), then report the confusion + accuracy per split — the val/test
+    * rows are the numbers a user may actually deploy on (tx21's
+    * train-fit readout is an optimistic upper bound; the honest
+    * discipline is the reference's own cross-check habit,
+    * ref `ola/IntegrityChecksForVLDBs.sql:56-61`). Teacher labels (the
+    * Gopher gate) are computable on every doc, so the eval stays fully
+    * deterministic and strict-oracled.
+    *
+    * Scale shape: identical to tx20/tx21 — the split column is a per-row
+    * hash projection on the one materialized feature frame, training
+    * aggregates only the train partitions (map-side combined, 16
+    * groups), and eval is the same in-row integer dot product; nothing
+    * new shuffles. */
+  val tx22HeldoutEval: Q = Q(
+    "tx22_heldout_eval",
+    s"""WITH $centroidSplitCte,
+       |sc AS (SELECT g.doc_id, g.y, g.split,
+       |    SUM(w.w * (g.x * $Micro - w.mid)) AS score
+       |  FROM grid g JOIN wts w ON w.slot = g.slot
+       |  GROUP BY 1, 2, 3),
+       |pred AS (SELECT split, y,
+       |    CASE WHEN score >= 0 THEN 1 ELSE 0 END AS yhat
+       |  FROM sc)
+       |SELECT split, count(*) AS n_docs,
+       |  count(CASE WHEN y = 1 AND yhat = 1 THEN 1 END) AS tp,
+       |  count(CASE WHEN y = 0 AND yhat = 1 THEN 1 END) AS fp,
+       |  count(CASE WHEN y = 1 AND yhat = 0 THEN 1 END) AS fn,
+       |  count(CASE WHEN y = 0 AND yhat = 0 THEN 1 END) AS tn,
+       |  floor(CAST(count(CASE WHEN y = yhat THEN 1 END) AS DOUBLE)
+       |    / count(*) * 10000 + 0.5) / 10000 AS accuracy
+       |FROM pred GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    // the split is a cheap hash projection over trainFeats' checkpoint —
+    // both consumers (train agg, eval agg) re-derive it from the
+    // materialized frame, nothing corpus-sized is checkpointed twice
+    val feats = trainFeats(s, d)
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+    val (w, mid) = trainFrom(feats.filter(col("split") === "train"))
+    feats
+      .withColumn("yhat", (centroidScore(w, mid) >= 0L).cast("int"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("y") === 1 && col("yhat") === 1, 1)).as("tp"),
+        count(when(col("y") === 0 && col("yhat") === 1, 1)).as("fp"),
+        count(when(col("y") === 1 && col("yhat") === 0, 1)).as("fn"),
+        count(when(col("y") === 0 && col("yhat") === 0, 1)).as("tn"),
+        StableRound.r4(count(when(col("y") === col("yhat"), 1))
+          .cast("double") / count(lit(1))).as("accuracy"))
+      .orderBy("split")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
     tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
     tx15HashClassifier, tx16EncodingQc, tx17ZipfFit, tx18Readability,
-    tx19TfidfKeywords, tx20TrainClassifier, tx21ClassifierEval)
+    tx19TfidfKeywords, tx20TrainClassifier, tx21ClassifierEval,
+    tx22HeldoutEval)
 }

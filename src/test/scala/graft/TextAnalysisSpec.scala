@@ -250,6 +250,66 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"accuracy ${ev.getDouble(5)} not above base rate $base")
   }
 
+  test("tx22: held-out rows reproduced by a driver fold trained on train only") {
+    // independent refit: same md5 slots, labels from tx14, but the class
+    // means come ONLY from train-split docs — every per-split confusion
+    // row must match tx22 exactly, proving val/test never leak into
+    // training on the engine side either
+    val labels = TextAnalysis.tx14GopherRules.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("gopher_pass")).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex8(sx: String): Long = java.lang.Long.parseLong(
+      md.digest(sx.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8), 16)
+    def slot(tok: String): Int = (hex8(tok) % 16).toInt
+    def split(docId: Long): String = {
+      val b = hex8(docId.toString) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) None else {
+          val x = Array.fill(16)(0L)
+          toks.foreach(t => x(slot(t)) += 1L)
+          Some((r.getLong(0), split(r.getLong(0)), labels(r.getLong(0)), x))
+        }
+      }
+    val train = docs.filter(_._2 == "train")
+    val np = train.count(_._3)
+    val nn = train.length - np
+    val w = Array.fill(16)(0L)
+    val mid = Array.fill(16)(0L)
+    (0 until 16).foreach { i =>
+      val sp = train.filter(_._3).map(_._4(i)).sum
+      val sn = train.filterNot(_._3).map(_._4(i)).sum
+      val mp = math.floor(sp.toDouble * 1000000L / np).toLong
+      val mn = math.floor(sn.toDouble * 1000000L / nn).toLong
+      w(i) = mp - mn
+      mid(i) = math.floor((mp + mn) / 2.0).toLong
+    }
+    val want = docs.groupBy(_._2).map { case (sp, ds) =>
+      var (tp, fp, fn, tn) = (0L, 0L, 0L, 0L)
+      ds.foreach { case (_, _, y, x) =>
+        val score = (0 until 16).map(i => w(i) * (x(i) * 1000000L - mid(i))).sum
+        if (y && score >= 0) tp += 1 else if (!y && score >= 0) fp += 1
+        else if (y) fn += 1 else tn += 1
+      }
+      sp -> ((ds.length.toLong, tp, fp, fn, tn))
+    }
+    val rows = TextAnalysis.tx22HeldoutEval.run(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("test", "train", "val"))
+    rows.foreach { r =>
+      val (n, tp, fp, fn, tn) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === ((n, tp, fp, fn, tn)), s"split ${r.getString(0)}")
+    }
+    // the held-out population partitions tx21's full population
+    val total21 = TextAnalysis.tx21ClassifierEval.run(spark, sfDir)
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum === total21)
+  }
+
   test("tx19: tf-idf matches hand computation on a crafted corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
