@@ -317,6 +317,57 @@ object Multimodal {
     * times costs a 20-entry buffer, never a mega-group; the full count
     * still reports. The rank window and the groupBy share one phash
     * exchange. */
+  /** MARKED FAKE luma decode — a deterministic W×H grayscale plane
+    * derived from the payload (a smooth two-tone gradient whose
+    * parameters come from the payload hash, so near-identical payloads
+    * give near-identical planes). Stands in for a codec's luma output;
+    * a real deployment swaps this body for libjpeg/ffmpeg calls and the
+    * downstream [[graft.functions.PHash]] kernel — which IS production
+    * code — consumes the same (w, h, bytes) contract unchanged. */
+  private[graft] def fakeLumaDecode(payload: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    val d = md5.get().digest(payload)
+    val fx = 1 + (d(4) & 0x3)          // low horizontal frequency
+    val fy = 1 + (d(5) & 0x3)          // low vertical frequency
+    val phase = (d(6) & 0xff) / 255.0 * 2 * math.Pi
+    val amp = 40 + (d(7) & 0x3f)
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 128 + amp * math.sin(
+          2 * math.Pi * (fx * x.toDouble / w + fy * y.toDouble / h) + phase)
+        out(y * w + x) = math.max(0, math.min(255, v.round.toInt)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL-pHash frame (doc_id, 16-hex phash) behind the decoder
+    * contract: the same per-partition batch pass as [[fakePhash]], but
+    * the hash is [[graft.functions.PHash]]'s 8×8 luma-DCT sign bits over
+    * the decoded plane — the production drop-in once a real codec
+    * replaces the marked-fake decode. Spec-gated (PHashSpec proves the
+    * kernel's affine invariance + banding recall on synthetic near-dup
+    * images, and this frame's plumbing); the mm07/mm09 ORACLE path keeps
+    * the md5 fake so DuckDB can mirror the hash exactly. */
+  private[graft] def realPhashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val meta = fakeDecode(id, payload)
+        val luma = fakeLumaDecode(payload, meta.width, meta.height)
+        (id, graft.functions.PHash.hex(
+          graft.functions.PHash.phash64(luma, meta.width, meta.height)))
+      })
+      .toDF("doc_id", "phash")
+  }
+
   /** The fake-pHash frame (doc_id, 16-hex phash) shared by mm07/mm09:
     * per-partition decode+hash over the byte payload — a real pHash swaps
     * this lambda without touching either consumer's plan. */
