@@ -213,5 +213,165 @@ object Drift {
       .orderBy("table_name", "metric")
   }
 
-  val queries: Seq[Q] = Seq(checkDrift)
+  // trend cutoffs: four modeled generations per table (three date-bounded
+  // snapshots + the full table), all from ONE conditional-aggregate scan
+  private val TpchCuts = Seq(
+    "1997-01-01 00:00:00", "1998-01-01 00:00:00", TpchCut)
+  private val EventsCuts = Seq(
+    "2024-01-07 00:00:00", "2024-01-14 00:00:00", EventsCut)
+
+  /** One (table_name, metric, v1..v4) row per metric: the four modeled
+    * generations of [[checkDriftTrend]], still one aggregate-only scan
+    * per table. */
+  private def trended(df: DataFrame, table: String, dateCol: Column,
+      cuts: Seq[String], metrics: Seq[Metric]): DataFrame = {
+    val preds = cuts.map(c => dateCol < lit(c).cast("timestamp"))
+    val aggs = metrics.flatMap { case (m, f) =>
+      preds.zipWithIndex.map { case (p, i) =>
+        f(Some(p)).as(s"v${i + 1}_$m")
+      } :+ f(None).as(s"v4_$m")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(lit(table).as("table_name"),
+        explode(array(metrics.map { case (m, _) =>
+          struct(lit(m).as("metric"),
+            col(s"v1_$m").as("v1"), col(s"v2_$m").as("v2"),
+            col(s"v3_$m").as("v3"), col(s"v4_$m").as("v4"))
+        }: _*)).as("kv"))
+      .select(col("table_name"), col("kv.metric").as("metric"),
+        col("kv.v1").as("v1"), col("kv.v2").as("v2"),
+        col("kv.v3").as("v3"), col("kv.v4").as("v4"))
+  }
+
+  /** The WIDENED drift check: four generations instead of two, so the
+    * flag vocabulary gains ACCELERATION (ref IC:706's incremental-average
+    * recurrence `a += (d - a) / n`, applied to the profile's step deltas
+    * — over the two prior deltas it telescopes to their mean). A metric
+    * is `is_drifted` when the latest step moved beyond the 5% band (the
+    * old check), and `is_accelerating` when it is ALSO moving more than
+    * 2× its own historical average step — shape change that is getting
+    * worse, not settling. [[graft.state.ProfileStore.trend]] states the
+    * same recurrence over the PERSISTED N-generation history; this
+    * oracle-gated twin models the generations as date-bounded snapshots
+    * so DuckDB can restate every number from the same relation. */
+  val checkDriftTrend: Q = Q(
+    "check_drift_trend",
+    s"""WITH li AS (SELECT
+       |    CAST(count(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(0)}'
+       |      THEN 1 END) AS DOUBLE) AS v1_n,
+       |    CAST(count(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(1)}'
+       |      THEN 1 END) AS DOUBLE) AS v2_n,
+       |    CAST(count(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(2)}'
+       |      THEN 1 END) AS DOUBLE) AS v3_n,
+       |    CAST(count(*) AS DOUBLE) AS v4_n,
+       |    floor(avg(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(0)}'
+       |      THEN l_quantity END) * 10000 + 0.5) / 10000 AS v1_q,
+       |    floor(avg(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(1)}'
+       |      THEN l_quantity END) * 10000 + 0.5) / 10000 AS v2_q,
+       |    floor(avg(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(2)}'
+       |      THEN l_quantity END) * 10000 + 0.5) / 10000 AS v3_q,
+       |    floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS v4_q,
+       |    floor(avg(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(0)}'
+       |      THEN l_extendedprice END) * 100 + 0.5) / 100 AS v1_e,
+       |    floor(avg(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(1)}'
+       |      THEN l_extendedprice END) * 100 + 0.5) / 100 AS v2_e,
+       |    floor(avg(CASE WHEN l_shipdate < TIMESTAMP '${TpchCuts(2)}'
+       |      THEN l_extendedprice END) * 100 + 0.5) / 100 AS v3_e,
+       |    floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS v4_e
+       |  FROM lineitem),
+       |ord AS (SELECT
+       |    CAST(count(CASE WHEN o_orderdate < TIMESTAMP '${TpchCuts(0)}'
+       |      THEN 1 END) AS DOUBLE) AS v1_n,
+       |    CAST(count(CASE WHEN o_orderdate < TIMESTAMP '${TpchCuts(1)}'
+       |      THEN 1 END) AS DOUBLE) AS v2_n,
+       |    CAST(count(CASE WHEN o_orderdate < TIMESTAMP '${TpchCuts(2)}'
+       |      THEN 1 END) AS DOUBLE) AS v3_n,
+       |    CAST(count(*) AS DOUBLE) AS v4_n,
+       |    floor(avg(CASE WHEN o_orderdate < TIMESTAMP '${TpchCuts(0)}'
+       |      THEN o_totalprice END) * 100 + 0.5) / 100 AS v1_t,
+       |    floor(avg(CASE WHEN o_orderdate < TIMESTAMP '${TpchCuts(1)}'
+       |      THEN o_totalprice END) * 100 + 0.5) / 100 AS v2_t,
+       |    floor(avg(CASE WHEN o_orderdate < TIMESTAMP '${TpchCuts(2)}'
+       |      THEN o_totalprice END) * 100 + 0.5) / 100 AS v3_t,
+       |    floor(avg(o_totalprice) * 100 + 0.5) / 100 AS v4_t
+       |  FROM orders),
+       |ev AS (SELECT
+       |    CAST(count(CASE WHEN ts < TIMESTAMP '${EventsCuts(0)}'
+       |      THEN 1 END) AS DOUBLE) AS v1_n,
+       |    CAST(count(CASE WHEN ts < TIMESTAMP '${EventsCuts(1)}'
+       |      THEN 1 END) AS DOUBLE) AS v2_n,
+       |    CAST(count(CASE WHEN ts < TIMESTAMP '${EventsCuts(2)}'
+       |      THEN 1 END) AS DOUBLE) AS v3_n,
+       |    CAST(count(*) AS DOUBLE) AS v4_n,
+       |    floor(avg(CASE WHEN ts < TIMESTAMP '${EventsCuts(0)}'
+       |      THEN value END) * 10000 + 0.5) / 10000 AS v1_v,
+       |    floor(avg(CASE WHEN ts < TIMESTAMP '${EventsCuts(1)}'
+       |      THEN value END) * 10000 + 0.5) / 10000 AS v2_v,
+       |    floor(avg(CASE WHEN ts < TIMESTAMP '${EventsCuts(2)}'
+       |      THEN value END) * 10000 + 0.5) / 10000 AS v3_v,
+       |    floor(avg(value) * 10000 + 0.5) / 10000 AS v4_v
+       |  FROM events),
+       |prof AS (
+       |  SELECT 'lineitem' AS table_name, 'n_rows' AS metric,
+       |    v1_n AS v1, v2_n AS v2, v3_n AS v3, v4_n AS v4 FROM li
+       |  UNION ALL SELECT 'lineitem', 'avg_quantity',
+       |    v1_q, v2_q, v3_q, v4_q FROM li
+       |  UNION ALL SELECT 'lineitem', 'avg_extendedprice',
+       |    v1_e, v2_e, v3_e, v4_e FROM li
+       |  UNION ALL SELECT 'orders', 'n_rows', v1_n, v2_n, v3_n, v4_n
+       |    FROM ord
+       |  UNION ALL SELECT 'orders', 'avg_totalprice', v1_t, v2_t, v3_t,
+       |    v4_t FROM ord
+       |  UNION ALL SELECT 'events', 'n_rows', v1_n, v2_n, v3_n, v4_n
+       |    FROM ev
+       |  UNION ALL SELECT 'events', 'avg_value', v1_v, v2_v, v3_v, v4_v
+       |    FROM ev),
+       |scored AS (
+       |  SELECT table_name, metric, v3 AS prev_value, v4 AS curr_value,
+       |    floor(abs(v2 - v1) / nullif(abs(v1), 0) * 10000 + 0.5) / 10000
+       |      AS d2,
+       |    floor(abs(v3 - v2) / nullif(abs(v2), 0) * 10000 + 0.5) / 10000
+       |      AS d3,
+       |    floor(abs(v4 - v3) / nullif(abs(v3), 0) * 10000 + 0.5) / 10000
+       |      AS d4
+       |  FROM prof),
+       |trended AS (
+       |  SELECT *, floor((d2 + d3) / 2 * 10000 + 0.5) / 10000
+       |    AS avg_prior_delta
+       |  FROM scored)
+       |SELECT table_name, metric, prev_value, curr_value, d2, d3, d4,
+       |  avg_prior_delta,
+       |  CAST(CASE WHEN d4 > 0.05 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_drifted,
+       |  CAST(CASE WHEN d4 > 0.05 AND d4 > 2 * avg_prior_delta
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_accelerating
+       |FROM trended ORDER BY table_name, metric""".stripMargin) { (s, d) =>
+    val li = trended(Tables.lineitem(s, d), "lineitem",
+      col("l_shipdate"), TpchCuts, lineitemMetrics)
+    val ord = trended(Tables.orders(s, d), "orders",
+      col("o_orderdate"), TpchCuts, ordersMetrics)
+    val ev = trended(Tables.events(s, d), "events",
+      col("ts"), EventsCuts, eventsMetrics)
+    def rel(a: Column, b: Column): Column =
+      r4(abs(b - a) / nullif(abs(a), lit(0.0)))
+    li.union(ord).union(ev)
+      .withColumn("d2", rel(col("v1"), col("v2")))
+      .withColumn("d3", rel(col("v2"), col("v3")))
+      .withColumn("d4", rel(col("v3"), col("v4")))
+      // IC:706's recurrence over the two prior deltas = their mean
+      .withColumn("avg_prior_delta", r4((col("d2") + col("d3")) / 2))
+      .withColumn("is_drifted",
+        when(col("d4") > DefaultBand, 1L).otherwise(0L))
+      .withColumn("is_accelerating",
+        when(col("d4") > DefaultBand &&
+          col("d4") > lit(2.0) * col("avg_prior_delta"), 1L)
+          .otherwise(0L))
+      .select(col("table_name"), col("metric"),
+        col("v3").as("prev_value"), col("v4").as("curr_value"),
+        col("d2"), col("d3"), col("d4"), col("avg_prior_delta"),
+        col("is_drifted"), col("is_accelerating"))
+      .orderBy("table_name", "metric")
+  }
+
+  val queries: Seq[Q] = Seq(checkDrift, checkDriftTrend)
 }
