@@ -94,7 +94,13 @@ final case class CheckConfig(
     timeLimitSeconds: Option[Long] = None, // ref IC:26
     execute: Boolean = true, // dry-run when false (ref IC:29 / CE:197)
     logToTable: Boolean = true, // ref IC:28
-    databaseOrder: DatabaseOrder = DatabaseOrder.LastGoodCheckAsc) {
+    databaseOrder: DatabaseOrder = DatabaseOrder.LastGoodCheckAsc,
+    // Spark-native form of the reference's parallel queue sessions
+    // (SURVEY §2.11, ref Queue/QueueDatabase): how many INDEPENDENT
+    // per-table checks may be in flight at once. 1 = the sequential
+    // reference loop; >1 submits from a bounded pool with
+    // budget-check-before-submit semantics preserved.
+    concurrency: Int = 1) {
 
   def validate(): Either[String, CheckConfig] =
     if (maxDop < 0 || maxDop > 64)
@@ -103,6 +109,8 @@ final case class CheckConfig(
       Left(s"timeLimit must be >= 0") // ref IC:371-377
     else if (databases == null || databases.trim.isEmpty)
       Left("databases selection must be non-empty") // ref IC:379-385
+    else if (concurrency < 1 || concurrency > 64)
+      Left(s"concurrency must be in [1,64], got $concurrency")
     else Right(this)
 }
 
@@ -115,6 +123,12 @@ object SystemClock extends Clock { def now(): Instant = Instant.now() }
   * plus any manual `advance`. */
 final class ManualClock(start: Instant, tickMs: Long = 0L) extends Clock {
   private var current: Instant = start
-  def now(): Instant = { val r = current; current = current.plusMillis(tickMs); r }
-  def advance(ms: Long): Unit = current = current.plusMillis(ms)
+  // synchronized: the scheduler's concurrent phase 2 reads the clock from
+  // pool threads; each call must still tick exactly once
+  def now(): Instant = synchronized {
+    val r = current; current = current.plusMillis(tickMs); r
+  }
+  def advance(ms: Long): Unit = synchronized {
+    current = current.plusMillis(ms)
+  }
 }

@@ -120,24 +120,52 @@ final class Scheduler(
       }
     }
 
+    // Bounded pool for the reference's parallel mode (SURVEY §2.11):
+    // created once, shared by phase 1's independent per-db pair and
+    // phase 2's per-table checks. None ⇒ the sequential reference loop.
+    val pool =
+      if (config.concurrency > 1)
+        Some(java.util.concurrent.Executors.newFixedThreadPool(
+          config.concurrency))
+      else None
+    val inflight = new java.util.concurrent.Semaphore(config.concurrency)
+    val pending =
+      mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+    val foldLock = new Object
+    def submit(work: () => Unit): Unit = pool match {
+      case Some(p) =>
+        inflight.acquire()
+        pending += p.submit(new Runnable {
+          def run(): Unit = try work() finally inflight.release()
+        })
+      case None => work()
+    }
+
     // Stage 10 — Phase 1: coarse per-database checks, deadline-gated,
     // in configured database order (the ordering strategy governs the
     // whole per-database loop, ref DIC:1193, not just CHECKTABLE).
+    // CHECKALLOC and CHECKCATALOG are independent reads of the same
+    // inventory, so the parallel mode overlaps them; `executed` keeps
+    // submission order (alloc before catalog, per db) either way.
     val scanByDb = scan.groupBy(_.database_name)
     dbOrder.foreach { db =>
       if (!pastDeadline()) {
         val tables = scanByDb.getOrElse(db, Seq.empty)
         val (allocCmd, allocAction) =
           LakeChecks.checkAlloc(spark, db, tables, config.maxDop)
-        val r1 = executor.run(db, "", "", "DB", allocCmd, "DBCC_CHECKALLOC")(
-          allocAction())
-        tally(r1.violations)
         executed += allocCmd
+        submit { () =>
+          val r1 = executor.run(db, "", "", "DB", allocCmd,
+            "DBCC_CHECKALLOC")(allocAction())
+          foldLock.synchronized(tally(r1.violations))
+        }
         val (catCmd, catAction) = LakeChecks.checkCatalog(spark, db, tables)
-        val r2 = executor.run(db, "", "", "DB", catCmd, "DBCC_CHECKCATALOG")(
-          catAction())
-        tally(r2.violations)
         executed += catCmd
+        submit { () =>
+          val r2 = executor.run(db, "", "", "DB", catCmd,
+            "DBCC_CHECKCATALOG")(catAction())
+          foldLock.synchronized(tally(r2.violations))
+        }
       } else skipped += ((db, "time limit reached before phase 1"))
     }
 
@@ -181,28 +209,50 @@ final class Scheduler(
     val scanByKey: Map[(String, String, String), InventoryRow] =
       scan.map(t => (t.database_name, t.schema_name, t.object_name) -> t)
         .toMap
+    // CONCURRENT phase 2 (config.concurrency > 1): the Spark-native form
+    // of the reference's parallel queue sessions (SURVEY §2.11 — n
+    // sessions each popping the queue). The DRIVER loop stays sequential
+    // — pick order, the one-way flip, admission and the TOCTOU probe all
+    // run in submission order, and `executed` records SUBMISSION order
+    // (the golden command sequence is by submission, not completion) —
+    // only the Spark ACTION runs on a pool thread. The semaphore bounds
+    // in-flight checks AND enforces budget-check-before-submit: a permit
+    // is taken BEFORE the admission clock read, so admission sees the
+    // clock at the moment a slot is actually free, exactly like a queue
+    // session that only takes work when idle. Results fold back under a
+    // lock; a check that threw leaves state untouched (same as
+    // sequential). Spark schedules the concurrent actions' tasks on the
+    // shared executor pool — the reference's MAXDOP analog now covers
+    // n concurrent commands, as its parallel mode did. (Pool, semaphore
+    // and fold lock are shared with phase 1 above; phase 2 acquires the
+    // permit EXPLICITLY so the clock read happens after the wait.)
     dbOrder.foreach { db =>
       var smallestFirst = firstRunMode ||
         halfway.exists(h => !clock.now().isBefore(h)) // ref IC:647-649 flip
       var queue = sortQueue(dueQueue(db), smallestFirst)
       while (queue.nonEmpty && !pastDeadline()) {
-        val now = clock.now()
-        val flipNow = firstRunMode || halfway.exists(h => !now.isBefore(h))
-        if (flipNow != smallestFirst) { // the flip is one-way: re-sort once
-          smallestFirst = flipNow
-          queue = sortQueue(queue, smallestFirst)
-        }
-        // argmin work pick (ref IC:651-668): least-recently-checked, then
-        // smallest-or-name per the flip flag — the sorted queue's head IS
-        // the argmin (keys are static; see the queue-discipline note).
-        val pick = queue.head
-        queue = queue.tail
-        // admission control (ref IC:677-680).
-        val predictedEnd = now.plusMillis(pick.avg_run_duration_ms)
-        val admit = deadline.forall(d =>
-          !predictedEnd.isAfter(d.plusMillis(GraceMs)))
-        val key = (pick.database_name, pick.schema_name, pick.object_name)
-        if (!admit) {
+        // budget-check-before-submit: take the slot FIRST so the clock
+        // reads below describe the moment this check could actually start
+        if (pool.isDefined) inflight.acquire()
+        var submitted = false
+        try {
+          val now = clock.now()
+          val flipNow = firstRunMode || halfway.exists(h => !now.isBefore(h))
+          if (flipNow != smallestFirst) { // the flip is one-way: re-sort once
+            smallestFirst = flipNow
+            queue = sortQueue(queue, smallestFirst)
+          }
+          // argmin work pick (ref IC:651-668): least-recently-checked, then
+          // smallest-or-name per the flip flag — the sorted queue's head IS
+          // the argmin (keys are static; see the queue-discipline note).
+          val pick = queue.head
+          queue = queue.tail
+          // admission control (ref IC:677-680).
+          val predictedEnd = now.plusMillis(pick.avg_run_duration_ms)
+          val admit = deadline.forall(d =>
+            !predictedEnd.isAfter(d.plusMillis(GraceMs)))
+          val key = (pick.database_name, pick.schema_name, pick.object_name)
+          if (!admit) {
             skipped += ((s"${pick.database_name}.${pick.schema_name}." +
               pick.object_name, "predicted duration exceeds time limit"))
           } else {
@@ -219,28 +269,50 @@ final class Scheduler(
               skipped += ((s"${t.database_name}.${t.schema_name}." +
                 t.object_name, "object no longer exists (ref DIC:1615)"))
             } else {
-            val (cmd, action) = LakeChecks.checkTable(spark, t,
-              config.physicalOnly, config.dataPurity, config.maxDop)
-            val start = clock.now()
-            val r = executor.run(t.database_name, t.schema_name,
-              t.object_name, "U", cmd, "DBCC_CHECKTABLE")(action())
-            tally(r.violations)
-            executed += cmd
-            val end = clock.now()
-            // A check that THREW (violations<0) is not a completed check:
-            // recording it would mark the table checked-today (skipped on
-            // re-run via IC:664-665 idempotence) and fold the failed
-            // attempt into the duration average. Leave state untouched so
-            // the table stays due — the error is surfaced via
-            // SchedulerReport.errors and the command log.
-            if (r.violations >= 0L)
-              stateByKey(key) = StateStore.recordRun(pick, cmd, start, end)
+              val (cmd, action) = LakeChecks.checkTable(spark, t,
+                config.physicalOnly, config.dataPurity, config.maxDop)
+              executed += cmd // submission order — the golden sequence
+              val start = clock.now()
+              def runOne(): Unit = {
+                val r = executor.run(t.database_name, t.schema_name,
+                  t.object_name, "U", cmd, "DBCC_CHECKTABLE")(action())
+                val end = clock.now()
+                foldLock.synchronized {
+                  tally(r.violations)
+                  // A check that THREW (violations<0) is not a completed
+                  // check: recording it would mark the table checked-today
+                  // (skipped on re-run via IC:664-665 idempotence) and fold
+                  // the failed attempt into the duration average. Leave
+                  // state untouched so the table stays due — the error is
+                  // surfaced via SchedulerReport.errors and the command log.
+                  if (r.violations >= 0L)
+                    stateByKey(key) = StateStore.recordRun(
+                      pick, cmd, start, end)
+                }
+              }
+              pool match {
+                case Some(p) =>
+                  submitted = true
+                  pending += p.submit(new Runnable {
+                    def run(): Unit =
+                      try runOne() finally inflight.release()
+                  })
+                case None => runOne()
+              }
             }
           }
+        } finally {
+          if (pool.isDefined && !submitted) inflight.release()
+        }
       }
       if (pastDeadline() && queue.nonEmpty)
         skipped += ((db, "time limit reached"))
     }
+    // barrier: every in-flight check completes (and folds its result)
+    // before state persists — stage 13 must see a full run, and a pool
+    // thread must never outlive the scheduler pass
+    pending.foreach(_.get())
+    pool.foreach(_.shutdown())
 
     // Stage 13: persist state + flush the audit log.
     state = stateByKey.values.toSeq.sortBy(_.id)

@@ -92,8 +92,12 @@ object SchedulerQueries {
       log: Option[CommandLog] = None): SchedulerReport = {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft-schedq").toString + "/state"
+    // real runs use the concurrent phase 2 (4 in-flight table checks —
+    // the reference's parallel queue mode, SURVEY §2.11); the goldens are
+    // submission-ordered / sorted, so they are identical to sequential.
+    // Dry-run stays sequential: there is no action to overlap.
     val cfg = CheckConfig(databases = "testdb", execute = execute,
-      logToTable = false)
+      logToTable = false, concurrency = if (execute) 8 else 1)
     new Scheduler(s, new DirInventory(s, Map("testdb" -> sfDir)),
       new StateStore(s, statePath), log.getOrElse(new CommandLog(s, None)),
       cfg, new ManualClock(FixedStart, tickMs = 10)).run()

@@ -163,6 +163,28 @@ class SchedulerSpec extends AnyFunSuite {
     assert(persisted.count(_.number_of_executions > 0) === 1)
   }
 
+  test("concurrent phase 2 equals the sequential pass (report + state)") {
+    // the §2.11 parallel mode must change WALL CLOCK only: identical
+    // command SET, submission-ordered executed list covering the same
+    // tables, identical per-object state (executions, dates, commands),
+    // identical violation/error tallies
+    def run(conc: Int) = {
+      val cfg = CheckConfig(databases = "testdb", concurrency = conc)
+      newScheduler(cfg, new ManualClock(t0, tickMs = 10), tmp()).run()
+    }
+    val seq = run(1)
+    val par = run(4)
+    assert(par.executedCommands === seq.executedCommands,
+      "submission order is the golden order, independent of concurrency")
+    assert(par.violations === seq.violations)
+    assert(par.errors === seq.errors)
+    assert(par.skipped === seq.skipped)
+    def key(s: Seq[graft.model.CheckObject]) = s.sortBy(_.object_name)
+      .map(o => (o.object_name, o.number_of_executions, o.active,
+        o.last_check_date.toLocalDate.toString, o.command))
+    assert(key(par.state) === key(seq.state))
+  }
+
   test("daily idempotence: same-day re-run does no table work (ref IC:665)") {
     val statePath = tmp()
     val cfg = CheckConfig(databases = "testdb",
