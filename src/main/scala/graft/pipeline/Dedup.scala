@@ -682,11 +682,20 @@ object Dedup {
        |  FROM toks, bits GROUP BY doc_id, b),
        |sh AS (SELECT doc_id,
        |         sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS simhash
-       |       FROM votes GROUP BY doc_id)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |       FROM votes GROUP BY doc_id),
+       |cls AS (SELECT simhash, min(doc_id) AS rep FROM sh GROUP BY simhash),
+       |star AS (SELECT c.rep AS doc_a, h.doc_id AS doc_b,
+       |           CAST(0 AS BIGINT) AS hamming
+       |         FROM sh h JOIN cls c ON h.simhash = c.simhash
+       |         WHERE h.doc_id <> c.rep),
+       |reppairs AS (
+       |  SELECT a.rep AS doc_a, b.rep AS doc_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM cls a JOIN cls b ON a.rep < b.rep
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |    AND a.simhash <> b.simhash)
+       |SELECT doc_a, doc_b, hamming FROM star
+       |UNION ALL SELECT doc_a, doc_b, hamming FROM reppairs
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     // Bits 0..15 of a token's vote mask are exactly the first 4 hex
     // digits of md5(tok), little-endian per digit — so the whole mask is
@@ -719,6 +728,21 @@ object Dedup {
       // checkpoint the whole signature pipeline (scan + explode + md5 +
       // two aggs) runs twice. One long per doc — trivially small.
       .materialized
+    // EXACT-SIGNATURE STAR COLLAPSE before any pair expansion — the dd03
+    // sigWithRep discipline, which the skew stress fixture (GenSkew's
+    // 10⁵-copy boilerplate pile) proved this query was missing: identical
+    // docs share a simhash, and emitting the full clique is C(n,2) —
+    // measured 5.2×10⁹ output rows on the 100k pile. Collapse each
+    // distinct simhash to its min-doc representative, emit |group|-1
+    // star pairs (hamming 0, components preserved), and run the banding
+    // on REPRESENTATIVES only — pair work becomes linear in the pile.
+    val cls = sh.groupBy("simhash").agg(min("doc_id").as("rep"))
+    val withRep = sh.join(cls, "simhash").materialized
+    val star = withRep.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val reps = withRep.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("simhash"))
     // Pair generation by PIGEONHOLE BANDING, not a cartesian product: split
     // the 16-bit signature into 3 segments (6|5|5 bits). Hamming distance
     // ≤ 2 means the differing bits touch at most 2 segments, so every
@@ -728,10 +752,11 @@ object Dedup {
     // Duplicate suppression is first-match-wins (same trick as dd03's
     // prev_key): a pair found at segment k is emitted only if no earlier
     // segment also matches, so no pair-level distinct shuffle is needed.
-    // At 100 TB you would widen the signature (64-bit, more segments);
-    // the banding shape is what survives the scale-up — bucket sizes grow
-    // linearly with the corpus, never quadratically.
-    val segs = sh.select(col("doc_id"), col("simhash"), expr(
+    // Reps are DISTINCT signatures, so in-bucket groups are bounded by
+    // the segment's value space, and the a.simhash <> b.simhash filter
+    // is implied. At 100 TB you would widen the signature (64-bit, more
+    // segments); the collapse + banding shape is what survives.
+    val segs = reps.select(col("doc_id"), col("simhash"), expr(
       """stack(3,
         |  0, simhash & 63,
         |  1, (simhash >> 6) & 31,
@@ -740,7 +765,7 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sa"))
     val b = segs.select(col("seg"), col("segval"),
       col("doc_id").as("doc_b"), col("simhash").as("sb"))
-    a.join(b, Seq("seg", "segval"))
+    val repPairs = a.join(b, Seq("seg", "segval"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .filter(col("hamming") <= 2)
@@ -751,32 +776,64 @@ object Dedup {
           |  ELSE (sa & 63) != (sb & 63)
           |    AND ((sa >> 6) & 31) != ((sb >> 6) & 31) END""".stripMargin))
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    star.unionByName(repPairs).orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup pairs within a label block (blocking keeps
-    * the pair space linear-ish; the all-pairs fallback is sim01). */
+    * the pair space linear-ish; the all-pairs fallback is sim01).
+    *
+    * EXACT-VECTOR STAR COLLAPSE first (the dd03/dd04 discipline, added
+    * after GenSkew's 5k-identical-vector pile measured a C(n,2) clique
+    * in the output): bit-identical embeddings collapse to their min-id
+    * representative; members attach by |group|-1 star pairs (cosine
+    * computed through the same formula — identical vectors, so it is
+    * the self-cosine both engines round the same way) and the block
+    * join runs on representatives only. Components are preserved —
+    * cosine(memberA, memberB) = cosine(repA, repB) exactly when the
+    * vectors are bit-equal — and pair work is linear in a dup pile. */
   val dd05EmbeddingDup: Q = Q(
     "dd05_embedding_dup",
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  floor(list_dot_product(a.embedding, b.embedding) /
-      |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |     sqrt(list_dot_product(b.embedding, b.embedding)), 0)
-      |    * 10000 + 0.5) / 10000 AS cosine
-      |FROM embeddings a JOIN embeddings b
-      |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.embedding, b.embedding) /
-      |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |     sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35
+    """WITH g AS (SELECT label, embedding, min(vec_id) AS rep
+      |           FROM embeddings GROUP BY label, embedding),
+      |m AS (SELECT e.vec_id, e.label, e.embedding, g.rep
+      |      FROM embeddings e
+      |      JOIN g ON g.label = e.label AND g.embedding = e.embedding),
+      |star AS (SELECT rep AS vec_a, vec_id AS vec_b,
+      |    floor(list_dot_product(embedding, embedding) /
+      |      nullif(sqrt(list_dot_product(embedding, embedding)) *
+      |       sqrt(list_dot_product(embedding, embedding)), 0)
+      |      * 10000 + 0.5) / 10000 AS cosine
+      |  FROM m WHERE vec_id <> rep),
+      |r AS (SELECT vec_id, label, embedding FROM m WHERE vec_id = rep),
+      |cross_pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    floor(list_dot_product(a.embedding, b.embedding) /
+      |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |       sqrt(list_dot_product(b.embedding, b.embedding)), 0)
+      |      * 10000 + 0.5) / 10000 AS cosine
+      |  FROM r a JOIN r b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.embedding, b.embedding) /
+      |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |       sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35)
+      |SELECT vec_a, vec_b, cosine FROM star
+      |UNION ALL SELECT vec_a, vec_b, cosine FROM cross_pairs
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     import graft.functions.VectorOps
     val e = Tables.embeddings(s, d)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+    val cls = e.groupBy("label", "embedding").agg(min("vec_id").as("rep"))
+    val withRep = e.join(cls, Seq("label", "embedding")).materialized
+    val star = withRep.filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"),
+        graft.functions.StableRound.r4(Similarity.cosineFromNorms(
+          VectorOps.dot(col("embedding"), col("embedding")),
+          col("nrm"), col("nrm"))).as("cosine"))
+    val reps = withRep.filter(col("vec_id") === col("rep"))
+    val a = reps.select(col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+    val b = reps.select(col("vec_id").as("vec_b"), col("label"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
+    val crossPairs = a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         Similarity.cosineFromNorms(VectorOps.dot(col("ea"), col("eb")),
@@ -784,7 +841,7 @@ object Dedup {
       .filter(col("cos") >= 0.35)
       .select(col("vec_a"), col("vec_b"),
         graft.functions.StableRound.r4(col("cos")).as("cosine"))
-      .orderBy("vec_a", "vec_b")
+    star.unionByName(crossPairs).orderBy("vec_a", "vec_b")
   }
 
   /** Winnow-fingerprint candidate pairs — the CHARACTER-level near-dup

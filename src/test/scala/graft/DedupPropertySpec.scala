@@ -136,6 +136,39 @@ class DedupPropertySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bucketCap.mode")
   }
 
+  test("dd04/dd05: an exact-dup pile yields LINEAR star output, never the clique") {
+    import spark.implicits._
+    // the GenSkew stress finding at regression scale: before the
+    // star-collapse fix, dd04 emitted C(n,2) pairs on an identical-doc
+    // pile (5.2e9 rows at n=100k). Pin: n identical docs produce exactly
+    // n-1 star pairs at hamming 0, and output stays linear overall.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pile").toString
+    val n = 3000
+    val pile = (0 until n).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta", "en", "web", 38L))
+    val distinctDocs = Seq(
+      (900001L, "one completely different document body", "en", "web", 37L),
+      (900002L, "another unrelated text entirely here", "en", "web", 36L))
+    (pile ++ distinctDocs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val dd04 = Dedup.dd04Simhash.run(spark, dir).collect()
+    val starPile = dd04.filter(r => r.getLong(0) == 0L && r.getLong(2) == 0L)
+    assert(starPile.length === n - 1,
+      "pile collapses to a star on its min-doc rep")
+    assert(dd04.length < n + 10, s"linear output, got ${dd04.length}")
+    // dd05: identical vectors collapse the same way
+    val vecs = (0 until 2000).map(i =>
+      (i.toLong, Array(0.6f, 0.8f, 0.0f, 0.0f), 1)) ++ Seq(
+      (900001L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val dd05 = Dedup.dd05EmbeddingDup.run(spark, dir).collect()
+    assert(dd05.count(r => r.getLong(0) == 0L && r.getDouble(2) >= 0.9999)
+      === 1999, "vector pile collapses to a star on its min-id rep")
+    assert(dd05.length < 2010, s"linear output, got ${dd05.length}")
+  }
+
   test("lshPairs: star-collapse preserves components and stays within clique pairs") {
     import spark.implicits._
     // Random signature frames over a tiny alphabet (forcing band collisions

@@ -61,14 +61,40 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     timing = "--time" in sys.argv  # print best-of-2 DuckDB seconds per query
     STRICT = "--strict" in sys.argv
+    # --timeout N: interrupt any single oracle query after N seconds and
+    # record it as a SKIP (big-fixture sweeps: one quadratic oracle must
+    # not stall the whole gate). 0 = no limit.
+    timeout = 0.0
+    if "--timeout" in sys.argv:
+        timeout = float(sys.argv[sys.argv.index("--timeout") + 1])
     con = duckdb.connect()
+    # spill outside the repo working dir (a big sweep once left 33 GB of
+    # duckdb_temp_storage under ./.tmp)
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill.tmp'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # multi-file fixtures (GenScale output) are DIRECTORIES of parts
+        import os
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    def run_df(sql):
+        if not timeout:
+            return con.sql(sql).df()
+        import threading
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            return con.sql(sql).df()
+        finally:
+            timer.cancel()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     times = {}
+    n_skip = 0
     for name, sql in sorted(oracle.items()):
         try:
+            want = run_df(sql)
             if timing:
                 import time as _time
                 best = float("inf")
@@ -77,10 +103,13 @@ def main():
                     con.sql(sql).fetchall()
                     best = min(best, _time.time() - t0)
                 times[name] = best
-            want = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
+            if "INTERRUPT" in str(e).upper() or "interrupted" in str(e):
+                print(f"SKIP {name}: oracle exceeded {timeout:.0f}s timeout")
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: oracle error: {e}")
+                n_fail += 1
             continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -111,7 +140,8 @@ def main():
             continue
         print(f"PASS {name} ({len(want_c)} rows)")
         n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail")
+    print(f"== {n_pass} pass / {n_fail} fail" +
+          (f" / {n_skip} oracle-timeout-skip" if n_skip else ""))
     if timing:
         print(json.dumps({"duckdb_sec": {k: round(v, 4) for k, v in sorted(times.items())},
                           "total_sec": round(sum(times.values()), 3)}))
