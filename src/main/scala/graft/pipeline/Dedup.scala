@@ -799,22 +799,22 @@ object Dedup {
       |      FROM embeddings e
       |      JOIN g ON g.label = e.label AND g.embedding = e.embedding),
       |star AS (SELECT rep AS vec_a, vec_id AS vec_b,
-      |    floor(list_dot_product(embedding, embedding) /
-      |      nullif(sqrt(list_dot_product(embedding, embedding)) *
-      |       sqrt(list_dot_product(embedding, embedding)), 0)
+      |    floor(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) /
+      |      nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 0)
       |      * 10000 + 0.5) / 10000 AS cosine
       |  FROM m WHERE vec_id <> rep),
       |r AS (SELECT vec_id, label, embedding FROM m WHERE vec_id = rep),
       |cross_pairs AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |    floor(list_dot_product(a.embedding, b.embedding) /
-      |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |       sqrt(list_dot_product(b.embedding, b.embedding)), 0)
+      |    floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |      nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0)
       |      * 10000 + 0.5) / 10000 AS cosine
       |  FROM r a JOIN r b ON a.label = b.label AND a.vec_id < b.vec_id
-      |  WHERE list_dot_product(a.embedding, b.embedding) /
-      |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |       sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35)
+      |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |      nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0) >= 0.35)
       |SELECT vec_a, vec_b, cosine FROM star
       |UNION ALL SELECT vec_a, vec_b, cosine FROM cross_pairs
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
@@ -1032,16 +1032,16 @@ object Dedup {
        |    WHEN a.pr = 2 AND b.pr = 1 THEN a.c1 <> b.c1 AND a.c1 <> b.c2
        |    ELSE a.c1 <> b.c1 AND a.c1 <> b.c2 AND a.c2 <> b.c1 END)
        |SELECT p.cluster, p.vec_a, p.vec_b,
-       |  floor(list_dot_product(a.embedding, b.embedding) /
-       |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-       |     sqrt(list_dot_product(b.embedding, b.embedding)), 0)
+       |  floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |    nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0)
        |    * 10000 + 0.5) / 10000 AS cosine
        |FROM pairs p
        |  JOIN embeddings a ON a.vec_id = p.vec_a
        |  JOIN embeddings b ON b.vec_id = p.vec_b
-       |WHERE list_dot_product(a.embedding, b.embedding) /
-       |    nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-       |     sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35
+       |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |    nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     semanticPairs(s, d).orderBy("vec_a", "vec_b")
   }
@@ -1129,9 +1129,9 @@ object Dedup {
     s"""WITH truth AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |  WHERE list_dot_product(a.embedding, b.embedding) /
-       |      nullif(sqrt(list_dot_product(a.embedding, a.embedding)) *
-       |       sqrt(list_dot_product(b.embedding, b.embedding)), 0) >= 0.35),
+       |  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+       |      nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0) >= 0.35),
        |found AS (SELECT vec_a, vec_b FROM ($dd09CoreSql))
        |SELECT count(*) AS n_true, count(f.vec_a) AS n_found,
        |  floor(CAST(count(f.vec_a) AS DOUBLE)

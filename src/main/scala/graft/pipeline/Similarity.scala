@@ -42,9 +42,16 @@ object Similarity {
   def cosineFromNorms(dot: Column, na: Column, nb: Column): Column =
     dot / nullif(na * nb, lit(0.0))
 
+  // CAST ... AS DOUBLE[]: DuckDB's list_dot_product accumulates FLOAT[]
+  // inputs in float32, while the engine's FloatDot kernel accumulates in
+  // double — at sf1 (920k pairs) 503 cosines straddled an r4 rounding
+  // tie on that precision gap. Casting makes DuckDB's double
+  // accumulation bit-identical to the kernel (verified on the failing
+  // pair), so the oracle stays exact at any scale.
   private val cosineSql = (a: String, b: String) =>
-    s"""list_dot_product($a, $b) / nullif(
-       |  (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))),
+    s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / nullif(
+       |  (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) *
+       |   sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))),
        |  0)"""
       .stripMargin
 
@@ -165,7 +172,7 @@ object Similarity {
        |  FROM (SELECT unnest(range(8)) AS p)),
        |sig AS (
        |  SELECT e.vec_id, e.embedding,
-       |    sum(CASE WHEN list_dot_product(e.embedding, pl.pl) > 0
+       |    sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(pl.pl AS DOUBLE[])) > 0
        |             THEN (1 << pl.p) ELSE 0 END) AS bucket
        |  FROM embeddings e CROSS JOIN planes pl
        |  GROUP BY e.vec_id, e.embedding),
@@ -224,9 +231,9 @@ object Similarity {
   val sim03EmbeddingProfile: Q = Q(
     "sim03_embedding_profile",
     """SELECT len(embedding) AS dim, count(*) AS n,
-      |  floor(min(sqrt(list_dot_product(embedding, embedding)))
+      |  floor(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
       |    * 10000 + 0.5) / 10000 AS min_norm,
-      |  floor(max(sqrt(list_dot_product(embedding, embedding)))
+      |  floor(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))
       |    * 10000 + 0.5) / 10000 AS max_norm
       |FROM embeddings GROUP BY 1 ORDER BY dim""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)

@@ -51,6 +51,41 @@ def norm_cell(v):
 
 
 def digest(df: pd.DataFrame) -> int:
+    # Big results: the per-cell python loop is ~1 min/1M rows and tens of
+    # GB of tuples. Above the cutoff, hash vectorized instead: normalize
+    # integer widths to int64 (the only dtype tolerance norm_cell grants
+    # in strict mode), timestamps to UTC-naive ns, then an
+    # order-independent sum of row hashes (canon already row-sorts, and
+    # a sum is permutation-invariant anyway). Falls back to the per-cell
+    # path when any column is object-typed with non-str content (lists
+    # etc. — excluded from oracle outputs by repo convention).
+    if len(df) > 200_000:
+        try:
+            import numpy as np
+            h = pd.DataFrame(index=df.index)
+            ok = True
+            for c in df.columns:
+                s = df[c]
+                if np.issubdtype(s.dtype, np.integer):
+                    s = s.astype("int64")
+                elif isinstance(s.dtype, pd.DatetimeTZDtype) or \
+                        np.issubdtype(s.dtype, np.datetime64):
+                    s = pd.to_datetime(s, utc=True).dt.tz_localize(None)
+                elif s.dtype == object:
+                    if not s.map(lambda v: v is None or
+                                 isinstance(v, str)).all():
+                        ok = False
+                        break
+                h[c] = s
+            if ok:
+                if not STRICT:
+                    for c in h.columns:
+                        if np.issubdtype(h[c].dtype, np.floating):
+                            h[c] = h[c].round(6)
+                return int(pd.util.hash_pandas_object(h, index=False)
+                           .sum())
+        except Exception:
+            pass
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort(key=repr)
     return hash(tuple(rows))
