@@ -1018,10 +1018,33 @@ object Dedup {
        |          PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
        |        FROM d3)
        |  WHERE rk <= 2 GROUP BY vec_id),
+       |urep AS (SELECT embedding, min(vec_id) AS rep
+       |         FROM embeddings GROUP BY embedding),
+       |star AS (
+       |  SELECT pmr.c1 AS cluster, u.rep AS vec_a, e.vec_id AS vec_b,
+       |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                           CAST(e.embedding AS DOUBLE[])) /
+       |      nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                                   CAST(e.embedding AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                             CAST(e.embedding AS DOUBLE[]))), 0)
+       |      * 10000 + 0.5) / 10000 AS cosine
+       |  FROM embeddings e
+       |  JOIN urep u ON u.embedding = e.embedding AND e.vec_id <> u.rep
+       |  JOIN pm pmr ON pmr.vec_id = u.rep
+       |  WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                         CAST(e.embedding AS DOUBLE[])) /
+       |    nullif(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                                 CAST(e.embedding AS DOUBLE[]))) *
+       |     sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                           CAST(e.embedding AS DOUBLE[]))), 0)
+       |    >= 0.35),
        |pe AS (
        |  SELECT vec_id, c1, c2, 1 AS pr, c1 AS cluster FROM pm
+       |  WHERE vec_id IN (SELECT rep FROM urep)
        |  UNION ALL
-       |  SELECT vec_id, c1, c2, 2 AS pr, c2 AS cluster FROM pm),
+       |  SELECT vec_id, c1, c2, 2 AS pr, c2 AS cluster FROM pm
+       |  WHERE vec_id IN (SELECT rep FROM urep)),
        |pairs AS (
        |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM pe a JOIN pe b
@@ -1042,6 +1065,7 @@ object Dedup {
        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
        |    nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0) >= 0.35
+       |UNION ALL SELECT cluster, vec_a, vec_b, cosine FROM star
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
     semanticPairs(s, d).orderBy("vec_a", "vec_b")
   }
@@ -1074,9 +1098,30 @@ object Dedup {
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .join(pm, "vec_id")
       .materialized
-    val assigned = perVec.select(col("vec_id"), col("embedding"),
-      col("nrm"), col("c1"), col("c2"),
-      expr("stack(2, 1, c1, 2, c2) AS (pr, cluster)"))
+    // EXACT-VECTOR STAR COLLAPSE (the dd04/dd05 discipline, completing
+    // the round-8 stress finding): identical embeddings always receive
+    // identical (c1, c2) probes — the trainer sees the FULL multiset
+    // (weighting unchanged), but pair expansion runs on distinct-vector
+    // representatives only, so an exact-dup pile contributes |pile|-1
+    // star rows instead of an in-cell clique (measured 12.5M rows on
+    // GenSkew's 5k pile before this). No fixture contains duplicate
+    // embeddings, so fixture results are bit-identical; the collapse is
+    // pinned by DedupPropertySpec's pile case.
+    val grp = perVec.groupBy("embedding").agg(min("vec_id").as("rep"))
+    val withRep = perVec.join(grp, Seq("embedding")).materialized
+    val star = withRep.filter(col("vec_id") =!= col("rep"))
+      .withColumn("cos",
+        Similarity.cosineFromNorms(
+          VectorOps.dot(col("embedding"), col("embedding")),
+          col("nrm"), col("nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("c1").as("cluster"), col("rep").as("vec_a"),
+        col("vec_id").as("vec_b"),
+        graft.functions.StableRound.r4(col("cos")).as("cosine"))
+    val assigned = withRep.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"),
+        col("nrm"), col("c1"), col("c2"),
+        expr("stack(2, 1, c1, 2, c2) AS (pr, cluster)"))
     val a = assigned.select(col("cluster"), col("pr").as("pra"),
       col("c1").as("c1a"), col("c2").as("c2a"),
       col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -1101,6 +1146,7 @@ object Dedup {
       .filter(col("cos") >= 0.35)
       .select(col("cluster"), col("vec_a"), col("vec_b"),
         graft.functions.StableRound.r4(col("cos")).as("cosine"))
+      .unionByName(star)
   }
 
   /** The quality gate for dd09's cluster-blocking trade (sim05's role for

@@ -167,6 +167,14 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(dd05.count(r => r.getLong(0) == 0L && r.getDouble(2) >= 0.9999)
       === 1999, "vector pile collapses to a star on its min-id rep")
     assert(dd05.length < 2010, s"linear output, got ${dd05.length}")
+    // dd09: the SemDeDup cell expansion collapses the same way (the
+    // trainer still sees the full multiset; only pair work dedups)
+    val dd09 = Dedup.dd09SemanticDedup.run(spark, dir).collect()
+    val star09 = dd09.filter(r => r.getLong(1) == 0L &&
+      r.getDouble(3) >= 0.9999)
+    assert(star09.length === 1999,
+      s"dd09 pile collapses to a star, got ${star09.length}")
+    assert(dd09.length < 2100, s"dd09 linear output, got ${dd09.length}")
   }
 
   test("lshPairs: star-collapse preserves components and stays within clique pairs") {
