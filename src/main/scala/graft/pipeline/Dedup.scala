@@ -1073,7 +1073,8 @@ object Dedup {
   /** The dd09 pair relation (cluster, vec_a < vec_b, cosine), un-ordered
     * — shared by dd09, its recall gate (dd10) and the end-to-end prune
     * (pipe13). See [[dd09SemanticDedup]] for the multi-probe design. */
-  private[pipeline] def semanticPairs(s: SparkSession, d: String): DataFrame = {
+  private[pipeline] def semanticPairs(s: SparkSession, d: String,
+      k: Int = 8): DataFrame = {
     import graft.functions.VectorOps
     // probes pivoted wide — (vec_id, c1, c2): the window and the pivot
     // groupBy ride the same hash partitioning on vec_id
@@ -1082,7 +1083,8 @@ object Dedup {
     // 2.5 s at sf0.1): kmeansProbes already parallelizes its own chains
     // off the quantized-code checkpoint, and a competing wide scan just
     // contends with the trainer's jobs — keep the pipeline serial.
-    val pm = Similarity.kmeansProbes(s, d, 2)
+    val pm = Similarity.kmeansProbesFrom(
+      Similarity.quantVecs(s, d), 2, k)
       .groupBy("vec_id")
       .agg(max(when(col("rk") === 1, col("cluster"))).as("c1"),
         max(when(col("rk") === 2, col("cluster"))).as("c2"))

@@ -425,7 +425,7 @@ object Similarity {
   /** Quantized code VECTORS, one array row per vector — the shared input
     * of both Lloyd trainers. Kept as arrays (never dim-exploded corpus-
     * wide): distance work happens in-row inside codegen. */
-  private def quantVecs(s: SparkSession, d: String): DataFrame = {
+  private[pipeline] def quantVecs(s: SparkSession, d: String): DataFrame = {
     val n = s.sparkContext.defaultParallelism
     Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -452,10 +452,18 @@ object Similarity {
 
   /** Same, over an already-materialized code relation — lets a composite
     * consumer (sim09: coarse + PQ tiers) train both codebooks off ONE
-    * checkpoint instead of two. */
+    * checkpoint instead of two.
+    *
+    * `k` defaults to the oracle's literal 8 (the DuckDB CTE unrolls the
+    * Lloyd recurrence per centroid, so the GATE runs at fixed k); the
+    * production guidance is k ∝ corpus size so CELLS stay bounded — the
+    * sf1 measurement quantifies why: with k fixed, in-cell pair work in
+    * dd09/pipe13 grows quadratically per cell (dd09 1.5 s at sf0.1 →
+    * 14 s at sf1), while re-training with k=64 at sf1 restores the
+    * linear-ish profile (see SCALE.md). Everything downstream of the
+    * probe frame is k-agnostic. */
   private[pipeline] def kmeansProbesFrom(vecs: DataFrame,
-      nprobe: Int): DataFrame = {
-    val k = 8
+      nprobe: Int, k: Int = 8): DataFrame = {
     // init: the k smallest vec_ids' code vectors, cluster = rank — the
     // oracle's pqinit/init shape, collected once (k rows)
     var centroids: Seq[(Int, Array[Long])] =

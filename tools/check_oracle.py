@@ -70,7 +70,11 @@ def digest(df: pd.DataFrame) -> int:
                     s = s.astype("int64")
                 elif isinstance(s.dtype, pd.DatetimeTZDtype) or \
                         np.issubdtype(s.dtype, np.datetime64):
-                    s = pd.to_datetime(s, utc=True).dt.tz_localize(None)
+                    # normalize the storage UNIT too: datetime64[us] vs
+                    # [ns] hash differently while representing the same
+                    # instant (norm_cell's isoformat was unit-blind)
+                    s = pd.to_datetime(s, utc=True).dt.tz_localize(None) \
+                        .astype("datetime64[ns]")
                 elif s.dtype == object:
                     if not s.map(lambda v: v is None or
                                  isinstance(v, str)).all():
