@@ -160,8 +160,11 @@ class StatePropertySpec extends AnyFunSuite {
             None else Some(row.getAs[Double]("avg_prior_delta"))
           val avgOk = (gotAvg, wantAvg) match {
             case (Some(a), Some(b)) =>
-              // window mean vs recurrence agree to rounding noise
-              math.abs(a - b) <= 0.0001
+              // window mean vs recurrence may land one r4 step apart
+              // when the mean sits on a floor tie (sum/count vs the
+              // incremental fold differ in the last ulp); one step in
+              // doubles is 0.0001000...1, so compare with headroom
+              math.abs(a - b) < 1.5e-4
             case (a, b) => a.isEmpty && b.isEmpty
           }
           math.abs(d - deltas(i)) < 1e-9 &&
