@@ -723,9 +723,12 @@ object TextAnalysis {
     Tables.documents(s, d)
       .filter(length(col("text")) >= 2)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
-      )).as("b"))
+      // CharNGrams kernel: same codepoint bigrams as the declarative
+      // transform(sequence(...), substring(text, i, 2)) spelling
+      // (KernelTwinsSpec pins the n=3 form; same code path), without the
+      // per-character interpreted lambda
+      .select(col("doc_id"), explode(graft.functions.Shingles
+        .charNgramsCol(col("text"), 2, distinct = false)).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"),

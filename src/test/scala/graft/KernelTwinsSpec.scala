@@ -30,6 +30,21 @@ class KernelTwinsSpec extends AnyFunSuite {
     "  spaces  count ",
   )
 
+  test("char_ngrams(2) equals the tx12 declarative spelling") {
+    val decl = expr(
+      """CASE WHEN length(text) >= 2
+        |  THEN transform(sequence(1, length(text) - 1),
+        |                 i -> substring(text, i, 2))
+        |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    import spark.implicits._
+    triTexts.toDF("text")
+      .select(
+        Shingles.charNgramsCol(col("text"), 2, distinct = false).as("k"),
+        decl.as("d"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("char_ngrams(3) equals the tx08 declarative spelling") {
     val decl = expr(
       """CASE WHEN length(text) >= 3
