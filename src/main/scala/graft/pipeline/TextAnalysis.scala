@@ -294,12 +294,15 @@ object TextAnalysis {
       // and guarding Spark's sequence(0, n<0), which is a DESCENDING
       // range, not an empty one.
       Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .select(col("doc_id"), split(col("text"), " ").as("l"),
+          col("text"))
         .filter(size(col("l")) >= 3)
-        .select(col("doc_id"), array_join(slice(array_sort(array_distinct(
-          expr("transform(sequence(0, size(l) - 3), " +
-            "i -> md5(concat(l[i], ' ', l[i+1], ' ', l[i+2])))"))),
-          1, 4), "|").as("fingerprint"))
+        // BottomHashes kernel: trigram shingles in one byte pass, md5 +
+        // bottom-4 distinct through a k-slot set — no per-shingle lambda,
+        // no throwaway full hash array (KernelTwinsSpec pins the twin)
+        .select(col("doc_id"), graft.functions.BottomHashes.bottomKCol(
+          graft.functions.Shingles.ngramsCol(col("text"), 3,
+            skipEmpty = false, distinct = false), 4).as("fingerprint"))
         .orderBy("doc_id")
   }
 
@@ -879,6 +882,18 @@ object TextAnalysis {
     * lambda per doc — no explode, no shuffle but the presentation sort;
     * a real-weights variant broadcasts a 256-row weight table and the
     * shape is unchanged. */
+  /** tx15's fake-but-deterministic per-slot weights as a SQL literal:
+    * w[s] = uint32(md5("w"+s)[0..8)) % 1001 - 500, exactly the oracle's
+    * spelling — computed once on the driver (256 longs). */
+  private lazy val tx15WeightLit: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 256).map { slot =>
+      val hex = md.digest(s"w$slot".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1001 - 500
+    }.mkString("array(", "L,", "L)")
+  }
+
   val tx15HashClassifier: Q = Q(
     "tx15_hash_classifier",
     """WITH w AS (SELECT doc_id,
@@ -901,11 +916,17 @@ object TextAnalysis {
       .select(col("doc_id"),
         graft.functions.Shingles.ngramsCol(col("text"), 1, skipEmpty = true, distinct = false).as("l"))
       .filter(size(col("l")) > 0)
+      // kernel path: the md5-slot convention is HashedCounts' (%256), and
+      // the per-slot weight md5('w'+slot)%1001-500 is a DETERMINISTIC
+      // 256-entry literal — so the per-token interpreted fold (2 digests
+      // + lambda eval per token) becomes one codegen'd counting pass and
+      // a 256-bounded dot against the literal weights. Identical sums:
+      // sum over tokens of w[slot(t)] = sum over slots of counts[s]*w[s].
+      .withColumn("hc",
+        graft.functions.HashedCounts.countsCol(col("l"), 256))
       .select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"),
-        expr("""aggregate(l, 0L, (a, x) -> a +
-          cast(conv(substring(md5(concat('w', cast(
-            cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) % 256
-          as string))), 1, 8), 16, 10) as bigint) % 1001 - 500)""")
+        expr(s"""aggregate(zip_with(hc, $tx15WeightLit,
+            (c, w) -> c * w), 0L, (a, v) -> a + v)""")
           .as("score_sum"))
       .select(col("doc_id"), col("n_tokens"), col("score_sum"),
         StableRound.r4(col("score_sum").cast("double")

@@ -104,6 +104,59 @@ class KernelTwinsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0).sum === 2L) // the null contributed nothing
   }
 
+  // ---- BottomHashes: the tx04 fingerprint kernel vs its twin ----
+
+  test("bottom_hashes(4) equals the sort/distinct/slice md5 spelling") {
+    import graft.functions.BottomHashes
+    val decl = expr(
+      """array_join(slice(array_sort(array_distinct(
+        |  transform(sh, t -> md5(t)))), 1, 4), '|')""".stripMargin)
+    import spark.implicits._
+    val lists = Seq(
+      Seq("a b c", "b c d", "c d e", "d e f", "e f g", "f g h"),
+      Seq("one two three"),                    // fewer than k hashes
+      Seq("dup x y", "dup x y", "dup x y"),    // duplicates collapse
+      Seq.empty[String],                       // empty -> empty string
+      (1 to 100).map(i => s"sh $i tokens"),    // eviction path exercised
+      Seq("héllo wörld x", "日本 語 テキスト"),   // multibyte shingles
+    )
+    lists.toDF("sh")
+      .select(BottomHashes.bottomKCol(col("sh"), 4).as("k"), decl.as("d"))
+      .collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("tx15 weighted fold equals hashed_counts x literal-weight dot") {
+    // the per-token fold and the counts-then-dot factorization must agree
+    // exactly: sum over tokens of w[slot(t)] = sum over slots c[s]*w[s]
+    import spark.implicits._
+    val fold = expr(
+      """aggregate(l, 0L, (a, x) -> a +
+        |  cast(conv(substring(md5(concat('w', cast(
+        |    cast(conv(substring(md5(x), 1, 8), 16, 10) as bigint) % 256
+        |  as string))), 1, 8), 16, 10) as bigint) % 1001 - 500)"""
+        .stripMargin)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wLit = (0 until 256).map { slot =>
+      val hex = md.digest(s"w$slot".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1001 - 500
+    }.mkString("array(", "L,", "L)")
+    val toks = Seq(
+      Seq("the", "quick", "fox", "the"),
+      (1 to 500).map(i => s"tok$i"),
+      Seq("héllo", "wörld"),
+    )
+    toks.toDF("l")
+      .withColumn("hc", graft.functions.HashedCounts
+        .countsCol(col("l"), 256))
+      .select(fold.as("a"),
+        expr(s"""aggregate(zip_with(hc, $wLit, (c, w) -> c * w),
+             0L, (a, v) -> a + v)""").as("b"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   // ---- PairExpandSpec: three modes vs the flatten(transform) twins ----
 
   test("pair_expand(long) equals the flatten/slice spelling, same order") {
