@@ -45,6 +45,7 @@ object Main {
         "usage: graft.Main --db name=dir [--db name2=dir2 ...] " +
           "[--databases DSL] [--objects DSL] [--time-limit SECONDS] " +
           "[--physical-only] [--no-data-purity] [--max-dop N] " +
+          "[--concurrency N] " +
           "[--database-order POLICY] [--dry-run] [--state PATH] " +
           "[--log PATH] [--report] [--print-schedule] " +
           "[--incremental [--checkpoint ROOT]] " +
@@ -73,6 +74,10 @@ object Main {
         case "--physical-only" => cfg = cfg.copy(physicalOnly = true)
         case "--no-data-purity" => cfg = cfg.copy(dataPurity = false)
         case "--max-dop" => cfg = cfg.copy(maxDop = value("--max-dop").toInt)
+        // the reference's parallel queue sessions (SURVEY §2.11): N
+        // independent per-table checks in flight; 1 = sequential loop
+        case "--concurrency" =>
+          cfg = cfg.copy(concurrency = value("--concurrency").toInt)
         case "--database-order" =>
           cfg = cfg.copy(databaseOrder =
             DatabaseOrder.parse(value("--database-order"))
