@@ -23,15 +23,23 @@ object Bench {
     // tmpdir; on a cluster it would be object storage, so the local number
     // is a FLOOR on the real tax (no network hop), still the right A/B for
     // "how much wall-clock does executor-loss survival cost this chain".
-    val ckptDir: Option[java.io.File] =
-      if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
-        spark.conf.set("spark.graft.reliableCheckpoint", "true")
-        val dir = new java.io.File(
-          s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-" +
-            java.util.UUID.randomUUID().toString)
-        spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
-        Some(dir)
-      } else None
+    // The per-run UUID dir is reaped by a JVM SHUTDOWN HOOK (not
+    // end-of-main cleanup): a run killed mid-bench must not leave
+    // checkpoint data accumulating in tmpdir across repeated A/B runs.
+    if (sys.env.get("SPARK_GRAFT_RELIABLE_CKPT").contains("true")) {
+      spark.conf.set("spark.graft.reliableCheckpoint", "true")
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-" +
+          java.util.UUID.randomUUID().toString)
+      spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        try rm(dir) catch { case _: Throwable => () }
+      }))
+    }
     // Host-health self-description: the local host's CPU cycles between
     // healthy (~11M ops/s single-core on this fixed loop) and throttled
     // (~8-9M) epochs, and identical code measures up to 1.7x slower
@@ -156,7 +164,18 @@ object Bench {
     val probeAfter = cpuProbe()
     val anchor = if (only.isEmpty) duckdbAnchor() else None
     def jn[A](o: Option[A]): String = o.map(_.toString).getOrElse("null")
-    val health = s""""probe_before":${jn(probeBefore)},"probe_after":${jn(probeAfter)},"duckdb_anchor_sec":${jn(anchor)}"""
+    // Explicit verdict so downstream tooling doesn't re-derive the band:
+    // healthy iff BOTH probes read >= 7.2e6 ops/s (the in-bench healthy
+    // floor — the standalone ~10.5e6 minus the constant ~30% co-residency
+    // cost; see tools/cpu_probe.py calibration and BASELINE.md's noise
+    // protocol). Missing probes -> "unknown", never silently healthy.
+    val HealthyOps = 7200000L
+    val epochHealth = (probeBefore, probeAfter) match {
+      case (Some(a), Some(b)) =>
+        if (a >= HealthyOps && b >= HealthyOps) "healthy" else "degraded"
+      case _ => "unknown"
+    }
+    val health = s""""probe_before":${jn(probeBefore)},"probe_after":${jn(probeAfter)},"duckdb_anchor_sec":${jn(anchor)},"epoch_health":"$epochHealth""""
     val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retr = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -210,15 +229,6 @@ object Bench {
     // stop() BEFORE the final println so shutdown-time log lines can't land
     // between the JSON and process exit and push it out of the tail window.
     spark.stop()
-    // A/B checkpoint dirs are per-run UUIDs; without this, repeated
-    // reliable-ckpt A/B runs accumulate checkpoint data in tmpdir forever.
-    ckptDir.foreach { root =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      try rm(root) catch { case _: Throwable => () }
-    }
     println(compact)
   }
 }

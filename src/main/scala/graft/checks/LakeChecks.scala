@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.catalog.InventoryRow
+import graft.catalog.{InventoryRow, TableManifest}
 import graft.functions.Strings.quoteName
 
 /** What DBCC means on a data lake (SURVEY.md §7.1 step 5 — the design
@@ -23,27 +23,32 @@ object LakeChecks {
 
   /** CHECKALLOC: every storage unit is present, openable, and non-empty —
     * files exist, no zero-byte parquet, footers parse
-    * (ref IC:547 DBCC CHECKALLOC). */
+    * (ref IC:547 DBCC CHECKALLOC).
+    *
+    * `manifests` pins the per-run file universe (ref IC:519-571 snapshot;
+    * see [[graft.catalog.TableManifest]]): a table with a pinned manifest
+    * is validated against EXACTLY that file set — a file landed by a
+    * concurrent writer after inventory time is invisible to this run, and
+    * a pinned file that vanished reads as a violation. Tables without an
+    * entry fall back to a capture-at-action listing (the pre-manifest
+    * behavior, kept for direct callers). */
   def checkAlloc(spark: SparkSession, db: String, tables: Seq[InventoryRow],
-      maxDop: Int): (String, () => Long) = {
+      maxDop: Int,
+      manifests: Map[(String, String, String), TableManifest] = Map.empty)
+      : (String, () => Long) = {
     val cmd = s"CHECKALLOC ${quoteName(db)} WITH NO_INFOMSGS, ALL_ERRORMSGS" +
       maxDopSuffix(maxDop)
     (cmd, () => {
-      val conf = spark.sparkContext.hadoopConfiguration
       tables.map { t =>
-        val p = new Path(t.path)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) 1L
+        val m = manifestFor(spark, t, manifests)
+        if (m.files.isEmpty) 1L
         else {
-          val files =
-            if (fs.getFileStatus(p).isDirectory)
-              fs.listStatus(p).filter(_.isFile)
-                .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-            else Seq(fs.getFileStatus(p))
-          val zero = files.count(_.getLen == 0L).toLong
-          // footer parse: schema read forces footer decode, no data scan
+          val zero = m.files.count(_.length == 0L).toLong
+          // footer parse: schema read forces footer decode, no data scan;
+          // the read targets the PINNED files, so a pinned-then-deleted
+          // file surfaces here instead of silently dropping out
           val footerBad =
-            try { readTable(spark, t.path).schema; 0L }
+            try { readPinned(spark, m).schema; 0L }
             catch { case _: Throwable => 1L }
           zero + footerBad
         }
@@ -53,14 +58,17 @@ object LakeChecks {
 
   /** CHECKCATALOG: metadata consistency — schema non-empty, column names
     * unique, row-count metadata consistent with a metadata-only count
-    * (ref IC:554 DBCC CHECKCATALOG). */
-  def checkCatalog(spark: SparkSession, db: String, tables: Seq[InventoryRow])
+    * (ref IC:554 DBCC CHECKCATALOG). Reads via the pinned manifest when
+    * one is supplied (see [[checkAlloc]]). */
+  def checkCatalog(spark: SparkSession, db: String, tables: Seq[InventoryRow],
+      manifests: Map[(String, String, String), TableManifest] = Map.empty)
       : (String, () => Long) = {
     val cmd = s"CHECKCATALOG ${quoteName(db)} WITH NO_INFOMSGS"
     (cmd, () => {
       tables.map { t =>
         try {
-          val schema = readTable(spark, t.path).schema
+          val schema = readPinned(spark,
+            manifestFor(spark, t, manifests)).schema
           val dupCols =
             schema.fieldNames.map(_.toLowerCase).groupBy(identity)
               .count(_._2.length > 1).toLong
@@ -79,7 +87,8 @@ object LakeChecks {
     *                    lengths, timestamps in sane range (ref IC:685-686)
     */
   def checkTable(spark: SparkSession, t: InventoryRow, physicalOnly: Boolean,
-      dataPurity: Boolean, maxDop: Int): (String, () => Long) = {
+      dataPurity: Boolean, maxDop: Int,
+      manifest: Option[TableManifest] = None): (String, () => Long) = {
     val opts =
       (if (physicalOnly) Seq("PHYSICAL_ONLY") else Seq.empty) ++
         (if (!physicalOnly && dataPurity) Seq("DATA_PURITY") else Seq.empty)
@@ -89,7 +98,13 @@ object LakeChecks {
       (if (opts.nonEmpty) opts.mkString(", ", ", ", "") else "") +
       maxDopSuffix(maxDop)
     (cmd, () => {
-      val df = readTable(spark, t.path)
+      // pinned manifest (ref IC:519-571): the scan covers exactly the
+      // run's snapshot of the table — phase 2 profiles the same rows
+      // phase 1 allocated, even if a writer appended files in between
+      val df = manifest match {
+        case Some(m) => readPinned(spark, m)
+        case None => readTable(spark, t.path)
+      }
       if (physicalOnly) { df.count(); 0L } // footer-driven count, no decode
       else violationCount(df, dataPurity)
     })
@@ -99,7 +114,8 @@ object LakeChecks {
     * ola/DatabaseIntegrityCheck.sql:1350-1369 — CHECKDB subsumes
     * CHECKALLOC + CHECKCATALOG + every table's CHECKTABLE). */
   def checkDb(spark: SparkSession, db: String, tables: Seq[InventoryRow],
-      physicalOnly: Boolean, dataPurity: Boolean, maxDop: Int)
+      physicalOnly: Boolean, dataPurity: Boolean, maxDop: Int,
+      manifests: Map[(String, String, String), TableManifest] = Map.empty)
       : (String, () => Long) = {
     val opts =
       (if (physicalOnly) Seq("PHYSICAL_ONLY") else Seq.empty) ++
@@ -108,10 +124,12 @@ object LakeChecks {
       (if (opts.nonEmpty) opts.mkString(", ", ", ", "") else "") +
       maxDopSuffix(maxDop)
     (cmd, () => {
-      val (_, alloc) = checkAlloc(spark, db, tables, maxDop)
-      val (_, cat) = checkCatalog(spark, db, tables)
+      val (_, alloc) = checkAlloc(spark, db, tables, maxDop, manifests)
+      val (_, cat) = checkCatalog(spark, db, tables, manifests)
       alloc() + cat() + tables.map(t =>
-        checkTable(spark, t, physicalOnly, dataPurity, maxDop)._2()).sum
+        checkTable(spark, t, physicalOnly, dataPurity, maxDop,
+          manifests.get(
+            (t.database_name, t.schema_name, t.object_name)))._2()).sum
     })
   }
 
@@ -173,6 +191,24 @@ object LakeChecks {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }
+
+  /** Read EXACTLY a pinned manifest's files (explicit file list — Spark
+    * never re-lists the directory, so the run's snapshot governs). An
+    * empty manifest reads as an empty-path failure upstream; callers
+    * guard on `m.files.isEmpty` first where that is a violation. */
+  private def readPinned(spark: SparkSession, m: TableManifest) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(m.paths: _*)
+  }
+
+  /** The pinned manifest for `t`, or a capture-at-action fallback for
+    * direct callers that did not pin one. */
+  private def manifestFor(spark: SparkSession, t: InventoryRow,
+      manifests: Map[(String, String, String), TableManifest])
+      : TableManifest =
+    manifests.getOrElse(
+      (t.database_name, t.schema_name, t.object_name),
+      TableManifest.capture(spark, t))
 
   private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
 

@@ -61,11 +61,17 @@ final class CommandExecutor(log: CommandLog, clock: Clock, execute: Boolean,
   def run(db: String, schema: String, obj: String, objType: String,
       command: String, commandType: String, extendedInfo: String = "{}")(
       action: => Long): ExecResult = {
-    val start = clock.now()
+    // observe(), not now(): executor stamps are wall annotations on log
+    // rows, and run() executes on scheduler POOL threads in concurrent
+    // mode — a ticking read here would make the driver's deterministic
+    // tick stream depend on pool interleaving (Clock's determinism
+    // contract). The scheduler records its own start/duration.
+    val start = clock.observe()
     if (!execute) {
       val e = CommandLogEntry(UUID.randomUUID().toString, db, schema, obj,
         objType, extendedInfo, command, commandType,
-        Timestamp.from(start), Some(Timestamp.from(clock.now())), None, None)
+        Timestamp.from(start), Some(Timestamp.from(clock.observe())), None,
+        None)
       log.append(e)
       ExecResult(e, "Not Executed", 0L)
     } else {
@@ -100,7 +106,7 @@ final class CommandExecutor(log: CommandLog, clock: Clock, execute: Boolean,
         }
       val e = CommandLogEntry(UUID.randomUUID().toString, db, schema, obj,
         objType, info, command, commandType,
-        Timestamp.from(start), Some(Timestamp.from(clock.now())), err, msg)
+        Timestamp.from(start), Some(Timestamp.from(clock.observe())), err, msg)
       log.append(e)
       ExecResult(e, outcome, viol)
     }

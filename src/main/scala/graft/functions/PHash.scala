@@ -13,9 +13,10 @@ package graft.functions
   *      (low-frequency) block is ever needed, so the separable transform
   *      is 8×32 row sums then 8×8 column sums — ~16k multiplies, not a
   *      full 32×32 DCT;
-  *   3. threshold the 63 AC coefficients at their mean (DC excluded —
-  *      it carries absolute brightness, which near-dup detection must
-  *      ignore); bit (u*8+v) is set when coeff > mean.
+  *   3. threshold the 63 AC coefficients at their mean (DC excluded
+  *      from the mean AND the bits — it carries absolute brightness,
+  *      which near-dup detection must ignore; bit 0 is always 0); bit
+  *      (u*8+v) is set when coeff > mean.
   *
   * Exact invariances (PHashSpec pins them): any affine luma change
   * v → a·v + b with a > 0 (no clipping) maps every AC coefficient and
@@ -94,13 +95,19 @@ object PHash {
       }
       u += 1
     }
-    // 3. mean of the 63 AC coefficients; bit (u*8+v) set when above
+    // 3. mean of the 63 AC coefficients; bit (u*8+v) set when above.
+    // The DC coefficient (i=0) is excluded from BOTH the mean and the
+    // bit loop (bit 0 is always 0, classic pHash): a DC-vs-AC-mean bit
+    // would compare absolute brightness against texture energy — a
+    // near-constant bit outside the affine-luma invariance (a large
+    // brightness offset b on a dark image can flip it) that wastes hash
+    // capacity the banding then relies on.
     var mean = 0.0
     var i = 1
     while (i < K * K) { mean += d(i); i += 1 }
     mean /= (K * K - 1)
     var bits = 0L
-    i = 0
+    i = 1
     while (i < K * K) {
       if (d(i) > mean) bits |= 1L << i
       i += 1

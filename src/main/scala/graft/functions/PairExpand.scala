@@ -52,7 +52,12 @@ object PairExpand {
   /** All i < j pairs of an ARRAY<STRUCT<doc_id BIGINT, prev_key STRING>>
     * member list whose prev_key DIFFERS (the banding's suppression of
     * pairs an earlier band already emitted). Field access is by ordinal:
-    * 0 = doc_id, 1 = prev_key. */
+    * 0 = doc_id, 1 = prev_key. A NULL prev_key on EITHER side drops the
+    * pair — SQL null semantics of the declarative twin
+    * `filter(p -> NOT (x.prev_key = y.prev_key))`, where any null
+    * comparison yields null and the filter rejects it. (Not reachable
+    * from dd03, whose prev_key is always derived non-null, but the
+    * expression is general-purpose and accepts nullable struct fields.) */
   def pairsUnseen(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
@@ -70,7 +75,7 @@ object PairExpand {
     while (i < n - 1) {
       var j = i + 1
       while (j < n) {
-        if (!key(i).equals(key(j)))
+        if (key(i) != null && key(j) != null && !key(i).equals(key(j)))
           buf += new GenericInternalRow(Array[Any](doc(i), doc(j)))
         j += 1
       }

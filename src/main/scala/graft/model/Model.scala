@@ -115,19 +115,46 @@ final case class CheckConfig(
 }
 
 /** Injectable clock — everything time-dependent in the scheduler takes one
-  * (SURVEY.md §7.4 hard-problem #2; ref GETDATE() at IC:71,505,644,677). */
-trait Clock { def now(): Instant }
-object SystemClock extends Clock { def now(): Instant = Instant.now() }
+  * (SURVEY.md §7.4 hard-problem #2; ref GETDATE() at IC:71,505,644,677).
+  *
+  * DETERMINISM CONTRACT (why three methods, not one): every `now()` call
+  * is a DRIVER-THREAD event — the scheduler's deadline gates, admission
+  * predictions, halfway flip and recorded check-start instants all read
+  * it from the driver loop in submission order, so a deterministic clock
+  * yields the same decision sequence at any concurrency. Worker/pool
+  * threads must never call `now()` (with a ticking test clock that would
+  * make the driver's tick stream depend on pool interleaving); they use
+  * `observe()` for wall stamps and `elapsedMs` for durations instead. */
+trait Clock {
+  def now(): Instant
+
+  /** Non-ticking observation for worker threads and audit-log stamps:
+    * must not perturb the deterministic `now()` sequence. */
+  def observe(): Instant = now()
+
+  /** Duration of an action that began at monotonic `startNanos`
+    * (System.nanoTime). Deterministic clocks return a FIXED value so
+    * state recorded by concurrent runs is byte-identical run-to-run. */
+  def elapsedMs(startNanos: Long): Long =
+    (System.nanoTime() - startNanos) / 1000000L
+}
+object SystemClock extends Clock {
+  def now(): Instant = Instant.now()
+  override def observe(): Instant = Instant.now()
+}
 
 /** Deterministic test clock: starts at `start`, advances `tickMs` per call
-  * plus any manual `advance`. */
+  * plus any manual `advance`. `observe()` reads without ticking and
+  * `elapsedMs` is the fixed `tickMs`, so concurrent scheduler runs make
+  * exactly the driver's decision sequence and record identical state. */
 final class ManualClock(start: Instant, tickMs: Long = 0L) extends Clock {
   private var current: Instant = start
-  // synchronized: the scheduler's concurrent phase 2 reads the clock from
-  // pool threads; each call must still tick exactly once
+  // synchronized: visibility across the scheduler's pool threads
   def now(): Instant = synchronized {
     val r = current; current = current.plusMillis(tickMs); r
   }
+  override def observe(): Instant = synchronized { current }
+  override def elapsedMs(startNanos: Long): Long = tickMs
   def advance(ms: Long): Unit = synchronized {
     current = current.plusMillis(ms)
   }

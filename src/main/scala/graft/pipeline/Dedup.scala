@@ -426,12 +426,12 @@ object Dedup {
     lshPairsFromRep(sigWithRep(sigFrame), maxBucket)
 
   /** The materialized signature-with-representative frame lshPairsOf
-    * builds: (sig_key, doc_id, m0..m7, rep) — sig_key leads because the
-    * groupBy+join-back rewrite keys on it; consumers select by name.
-    * Exposed so callers with MORE
-    * consumers of the signature columns (dd15's agreement sides) can read
-    * THIS checkpoint instead of paying a second signature
-    * materialization. */
+    * builds: the input frame's columns (doc_id, m0..m7) plus `sig_key`
+    * and `rep`, in whatever physical order the sig_key USING-join
+    * produces — column ORDER is not part of the contract; every consumer
+    * selects by name. Exposed so callers with MORE consumers of the
+    * signature columns (dd15's agreement sides) can read THIS checkpoint
+    * instead of paying a second signature materialization. */
   private[graft] def sigWithRep(sigFrame: DataFrame): DataFrame = {
     val mCols = (0 until 8).map(k => col(s"m$k"))
     // class representative via map-side-combined groupBy(min) + join
@@ -803,7 +803,10 @@ object Dedup {
       |      nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
       |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 0)
       |      * 10000 + 0.5) / 10000 AS cosine
-      |  FROM m WHERE vec_id <> rep),
+      |  FROM m WHERE vec_id <> rep
+      |    AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) /
+      |      nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 0) >= 0.35),
       |r AS (SELECT vec_id, label, embedding FROM m WHERE vec_id = rep),
       |cross_pairs AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -823,11 +826,16 @@ object Dedup {
       .withColumn("nrm", VectorOps.norm(col("embedding")))
     val cls = e.groupBy("label", "embedding").agg(min("vec_id").as("rep"))
     val withRep = e.join(cls, Seq("label", "embedding")).materialized
+    // the >= 0.35 threshold applies to star edges too (dd09's convention):
+    // it also drops the NULL self-cosine of duplicated zero-norm vectors,
+    // which the pre-collapse all-pairs query never emitted
     val star = withRep.filter(col("vec_id") =!= col("rep"))
+      .withColumn("cos", Similarity.cosineFromNorms(
+        VectorOps.dot(col("embedding"), col("embedding")),
+        col("nrm"), col("nrm")))
+      .filter(col("cos") >= 0.35)
       .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"),
-        graft.functions.StableRound.r4(Similarity.cosineFromNorms(
-          VectorOps.dot(col("embedding"), col("embedding")),
-          col("nrm"), col("nrm"))).as("cosine"))
+        graft.functions.StableRound.r4(col("cos")).as("cosine"))
     val reps = withRep.filter(col("vec_id") === col("rep"))
     val a = reps.select(col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("ea"), col("nrm").as("na"))
@@ -1067,14 +1075,24 @@ object Dedup {
        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0) >= 0.35
        |UNION ALL SELECT cluster, vec_a, vec_b, cosine FROM star
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    semanticPairs(s, d).orderBy("vec_a", "vec_b")
+    semanticPairs(s, d, k = Some(8)) // the oracle CTE's literal k
+      .orderBy("vec_a", "vec_b")
   }
 
   /** The dd09 pair relation (cluster, vec_a < vec_b, cosine), un-ordered
     * — shared by dd09, its recall gate (dd10) and the end-to-end prune
-    * (pipe13). See [[dd09SemanticDedup]] for the multi-probe design. */
+    * (pipe13). See [[dd09SemanticDedup]] for the multi-probe design.
+    *
+    * `k = None` (the PRODUCTION default) picks the centroid count from
+    * the corpus: k = max(8, ceil(n_vecs / 800)) via [[Similarity.autoK]],
+    * so cells — and with them the per-cell quadratic pair stage — stay
+    * bounded as the corpus grows (the round-8 sf1 finding: fixed k=8 is
+    * quadratic, 15.3 s → 2.9 s with k ∝ n). The three ORACLE-gated
+    * consumers pass Some(8) explicitly because the DuckDB CTE unrolls
+    * Lloyd at the literal k; at the driver fixtures (≤5k vectors) auto-k
+    * lands on 8 anyway, so the pin only matters above fixture scale. */
   private[pipeline] def semanticPairs(s: SparkSession, d: String,
-      k: Int = 8): DataFrame = {
+      k: Option[Int] = None): DataFrame = {
     import graft.functions.VectorOps
     // probes pivoted wide — (vec_id, c1, c2): the window and the pivot
     // groupBy ride the same hash partitioning on vec_id
@@ -1083,8 +1101,12 @@ object Dedup {
     // 2.5 s at sf0.1): kmeansProbes already parallelizes its own chains
     // off the quantized-code checkpoint, and a competing wide scan just
     // contends with the trainer's jobs — keep the pipeline serial.
+    // metadata-only count (parquet row-group footers): one cheap job to
+    // size k when the caller didn't pin it
+    val kk = k.getOrElse(
+      Similarity.autoK(Tables.embeddings(s, d).count()))
     val pm = Similarity.kmeansProbesFrom(
-      Similarity.quantVecs(s, d), 2, k)
+      Similarity.quantVecs(s, d), 2, kk)
       .groupBy("vec_id")
       .agg(max(when(col("rk") === 1, col("cluster"))).as("c1"),
         max(when(col("rk") === 2, col("cluster"))).as("c2"))
@@ -1201,7 +1223,7 @@ object Dedup {
         VectorOps.dot(col("ea"), col("eb")),
         col("na"), col("nb")) >= 0.35)
       .select("vec_a", "vec_b")
-    val found = semanticPairs(s, d)
+    val found = semanticPairs(s, d, k = Some(8)) // oracle CTE's literal k
       .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
     truth.join(found, Seq("vec_a", "vec_b"), "left")
       // nullif: an empty truth set (no pair reaches the threshold — the
@@ -1244,7 +1266,8 @@ object Dedup {
          |    - (count(*) - count(DISTINCT cluster_id)) AS n_kept
          |FROM comp""".stripMargin) { (s, d) =>
       // one materialization serves the pair count AND the component pass
-      val pairs = semanticPairs(s, d).select("vec_a", "vec_b")
+      val pairs = semanticPairs(s, d, k = Some(8)) // oracle's literal k
+        .select("vec_a", "vec_b")
         .materialized
       val comp = connectedComponents(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))

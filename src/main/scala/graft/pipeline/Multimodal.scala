@@ -346,24 +346,53 @@ object Multimodal {
     out
   }
 
+  /** The decoder contract's LUMA entry: REAL decode when the payload is
+    * a binary PPM/PGM ([[Ppm.tryDecodeLuma]] — pure Scala, no codec
+    * libs, the one format this container can decode end-to-end for
+    * real), marked-fake plane otherwise. A corpus whose `text` carries
+    * ASCII-safe PPM bytes (maxval ≤ 127 survives the utf-8 round trip)
+    * therefore flows REAL PIXELS through every consumer of this entry
+    * with zero plumbing change; PHashSpec's banding-recall case runs on
+    * exactly such truly-decoded planes. */
+  private[graft] def decodeLuma(docId: Long,
+      payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    Ppm.tryDecodeLuma(payload).getOrElse {
+      val meta = fakeDecode(docId, payload)
+      (meta.width, meta.height,
+        fakeLumaDecode(payload, meta.width, meta.height))
+    }
+
+  /** Decoder-contract metadata with the REAL path first: PPM/PGM
+    * payloads report their actual dimensions and format; everything else
+    * falls back to the marked fake (which the mm01 ORACLE mirrors — the
+    * driver fixtures carry no PPM bytes, so the gated path is the fake
+    * on both engines). */
+  private[graft] def realDecodeMeta(docId: Long,
+      payload: Array[Byte]): MediaMeta =
+    Ppm.tryDecodeLuma(payload) match {
+      case Some((w, h, _)) =>
+        MediaMeta(docId, payload.length,
+          if (payload(1) == '5') "pgm" else "ppm", w, h, n_frames = 1)
+      case None => fakeDecode(docId, payload)
+    }
+
   /** REAL-pHash frame (doc_id, 16-hex phash) behind the decoder
     * contract: the same per-partition batch pass as [[fakePhash]], but
     * the hash is [[graft.functions.PHash]]'s 8×8 luma-DCT sign bits over
-    * the decoded plane — the production drop-in once a real codec
-    * replaces the marked-fake decode. Spec-gated (PHashSpec proves the
-    * kernel's affine invariance + banding recall on synthetic near-dup
-    * images, and this frame's plumbing); the mm07/mm09 ORACLE path keeps
-    * the md5 fake so DuckDB can mirror the hash exactly. */
+    * the [[decodeLuma]] plane — REAL pixels for PPM/PGM payloads, the
+    * marked fake otherwise. Spec-gated (PHashSpec proves the kernel's
+    * affine invariance + banding recall on truly decoded images, and
+    * this frame's plumbing); the mm07/mm09 ORACLE path keeps the md5
+    * fake so DuckDB can mirror the hash exactly. */
   private[graft] def realPhashFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val meta = fakeDecode(id, payload)
-        val luma = fakeLumaDecode(payload, meta.width, meta.height)
+        val (w, h, luma) = decodeLuma(id, payload)
         (id, graft.functions.PHash.hex(
-          graft.functions.PHash.phash64(luma, meta.width, meta.height)))
+          graft.functions.PHash.phash64(luma, w, h)))
       })
       .toDF("doc_id", "phash")
   }

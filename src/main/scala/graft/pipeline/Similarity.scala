@@ -462,6 +462,18 @@ object Similarity {
     * 14 s at sf1), while re-training with k=64 at sf1 restores the
     * linear-ish profile (see SCALE.md). Everything downstream of the
     * probe frame is k-agnostic. */
+  /** Scale-aware centroid count: k ∝ corpus size so the EXPECTED CELL
+    * POPULATION stays ~`targetCellSize` and the in-cell quadratic pair
+    * work downstream (dd09/pipe13) stays bounded — the round-8 sf1
+    * measurement is the justification: fixed k=8 at 10× data put the
+    * dd09 pair stage at 15.3 s (cells grow with the corpus, pair work
+    * quadratically), while k=64 restored 2.9 s (SCALE.md). The floor 8
+    * is the oracle's literal, so at the driver fixtures (≤5k vectors)
+    * auto-k and the pinned oracle k coincide; 800 is the cell size that
+    * maps 50k vectors (sf1) to the measured k≈64 sweet spot. */
+  private[graft] def autoK(nVecs: Long, targetCellSize: Long = 800L): Int =
+    math.max(8L, (nVecs + targetCellSize - 1L) / targetCellSize).toInt
+
   private[pipeline] def kmeansProbesFrom(vecs: DataFrame,
       nprobe: Int, k: Int = 8): DataFrame = {
     // init: the k smallest vec_ids' code vectors, cluster = rank — the

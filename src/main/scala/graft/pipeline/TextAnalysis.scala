@@ -1351,7 +1351,11 @@ object TextAnalysis {
     * discipline is the reference's own cross-check habit,
     * ref `ola/IntegrityChecksForVLDBs.sql:56-61`). Teacher labels (the
     * Gopher gate) are computable on every doc, so the eval stays fully
-    * deterministic and strict-oracled.
+    * deterministic and strict-oracled. Each split row carries a Wald 95%
+    * binomial interval (ci95_low/ci95_high) so small-split point
+    * estimates are never read without their uncertainty — at sf0.01 the
+    * test split is ~60 docs (±~9%); sf0.1's ~500-doc split tightens it
+    * to ±~3% (COVERAGE.md records the measured numbers).
     *
     * Scale shape: identical to tx20/tx21 — the split column is a per-row
     * hash projection on the one materialized feature frame, training
@@ -1367,15 +1371,24 @@ object TextAnalysis {
        |  GROUP BY 1, 2, 3),
        |pred AS (SELECT split, y,
        |    CASE WHEN score >= 0 THEN 1 ELSE 0 END AS yhat
-       |  FROM sc)
-       |SELECT split, count(*) AS n_docs,
-       |  count(CASE WHEN y = 1 AND yhat = 1 THEN 1 END) AS tp,
-       |  count(CASE WHEN y = 0 AND yhat = 1 THEN 1 END) AS fp,
-       |  count(CASE WHEN y = 1 AND yhat = 0 THEN 1 END) AS fn,
-       |  count(CASE WHEN y = 0 AND yhat = 0 THEN 1 END) AS tn,
-       |  floor(CAST(count(CASE WHEN y = yhat THEN 1 END) AS DOUBLE)
-       |    / count(*) * 10000 + 0.5) / 10000 AS accuracy
-       |FROM pred GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+       |  FROM sc),
+       |base AS (SELECT split, count(*) AS n_docs,
+       |    count(CASE WHEN y = 1 AND yhat = 1 THEN 1 END) AS tp,
+       |    count(CASE WHEN y = 0 AND yhat = 1 THEN 1 END) AS fp,
+       |    count(CASE WHEN y = 1 AND yhat = 0 THEN 1 END) AS fn,
+       |    count(CASE WHEN y = 0 AND yhat = 0 THEN 1 END) AS tn,
+       |    CAST(count(CASE WHEN y = yhat THEN 1 END) AS DOUBLE)
+       |      / count(*) AS acc_raw
+       |  FROM pred GROUP BY split)
+       |SELECT split, n_docs, tp, fp, fn, tn,
+       |  floor(acc_raw * 10000 + 0.5) / 10000 AS accuracy,
+       |  floor(greatest(0.0, acc_raw
+       |      - 1.96 * sqrt(acc_raw * (1.0 - acc_raw) / n_docs))
+       |    * 10000 + 0.5) / 10000 AS ci95_low,
+       |  floor(least(1.0, acc_raw
+       |      + 1.96 * sqrt(acc_raw * (1.0 - acc_raw) / n_docs))
+       |    * 10000 + 0.5) / 10000 AS ci95_high
+       |FROM base ORDER BY split""".stripMargin) { (s, d) =>
     // the split is a cheap hash projection over trainFeats' checkpoint —
     // both consumers (train agg, eval agg) re-derive it from the
     // materialized frame, nothing corpus-sized is checkpointed twice
@@ -1388,6 +1401,12 @@ object TextAnalysis {
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
     val (w, mid) = trainFrom(feats.filter(col("split") === "train"))
+    // Wald 95% binomial interval next to each point estimate: at sf0.01
+    // the test split is ~60 docs and the ±~9% half-width is the honest
+    // context for the headline accuracy; identical IEEE arithmetic on
+    // both engines (raw ratio -> 1.96·sqrt(p(1-p)/n) -> clamp -> r4).
+    val half = lit(1.96) * sqrt(
+      col("acc_raw") * (lit(1.0) - col("acc_raw")) / col("n_docs"))
     feats
       .withColumn("yhat", (centroidScore(w, mid) >= 0L).cast("int"))
       .groupBy("split")
@@ -1397,8 +1416,15 @@ object TextAnalysis {
         count(when(col("y") === 0 && col("yhat") === 1, 1)).as("fp"),
         count(when(col("y") === 1 && col("yhat") === 0, 1)).as("fn"),
         count(when(col("y") === 0 && col("yhat") === 0, 1)).as("tn"),
-        StableRound.r4(count(when(col("y") === col("yhat"), 1))
-          .cast("double") / count(lit(1))).as("accuracy"))
+        (count(when(col("y") === col("yhat"), 1)).cast("double") /
+          count(lit(1))).as("acc_raw"))
+      .select(col("split"), col("n_docs"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        StableRound.r4(col("acc_raw")).as("accuracy"),
+        StableRound.r4(greatest(lit(0.0), col("acc_raw") - half))
+          .as("ci95_low"),
+        StableRound.r4(least(lit(1.0), col("acc_raw") + half))
+          .as("ci95_high"))
       .orderBy("split")
   }
 

@@ -88,6 +88,18 @@ final class Scheduler(
           .map(r => (r.db, r.schema, r.name)).toSet
     }
 
+    // Pin the per-run FILE MANIFEST for every inventoried object (ref
+    // IC:519-571 — the reference's snapshot device; SURVEY §4): one
+    // listing per table per run, taken HERE at inventory time. Every
+    // check below — phase 1's CHECKALLOC/CHECKCATALOG and phase 2's
+    // CHECKTABLE — reads via its pinned file set, so on a live lake a
+    // concurrent writer landing files mid-run cannot make the two phases
+    // disagree about the same table within one run.
+    val manifests: Map[(String, String, String),
+        graft.catalog.TableManifest] =
+      scan.map(r => (r.database_name, r.schema_name, r.object_name) ->
+        inventory.manifest(spark, r)).toMap
+
     // Stage 9: reconcile into persistent state (3-clause MERGE).
     var state = StateStore.reconcile(stateStore.load(), scan)
 
@@ -152,14 +164,15 @@ final class Scheduler(
       if (!pastDeadline()) {
         val tables = scanByDb.getOrElse(db, Seq.empty)
         val (allocCmd, allocAction) =
-          LakeChecks.checkAlloc(spark, db, tables, config.maxDop)
+          LakeChecks.checkAlloc(spark, db, tables, config.maxDop, manifests)
         executed += allocCmd
         submit { () =>
           val r1 = executor.run(db, "", "", "DB", allocCmd,
             "DBCC_CHECKALLOC")(allocAction())
           foldLock.synchronized(tally(r1.violations))
         }
-        val (catCmd, catAction) = LakeChecks.checkCatalog(spark, db, tables)
+        val (catCmd, catAction) =
+          LakeChecks.checkCatalog(spark, db, tables, manifests)
         executed += catCmd
         submit { () =>
           val r2 = executor.run(db, "", "", "DB", catCmd,
@@ -184,13 +197,23 @@ final class Scheduler(
     // instead of the O(n²) of an argmin-scan per pick (at the 100k-table
     // states this scheduler is for, that is the difference between
     // milliseconds and minutes of driver time per run).
-    val dueByDb: Map[String, Seq[CheckObject]] =
-      stateByKey.values.toSeq.filter(o => o.active &&
+    // Key index per db, built ONCE (keys are stable for the whole run —
+    // recordRun replaces values in place). The due SET for a database is
+    // computed when that database's phase-2 loop starts, under foldLock,
+    // from the LIVE stateByKey: phase-2 pool threads of an earlier
+    // database may still be folding results when the driver moves on, and
+    // an unsynchronized read of a mutating mutable.HashMap is undefined
+    // behavior. Per-db cost is O(tables-in-db) via the key index, not
+    // O(state); semantics are unchanged (a completed check only mutates
+    // its OWN table's row, which lives in an already-processed database).
+    val keysByDb: Map[String, Seq[(String, String, String)]] =
+      stateByKey.keys.toSeq.groupBy(_._1)
+    def dueQueue(db: String): Seq[CheckObject] = foldLock.synchronized {
+      keysByDb.getOrElse(db, Seq.empty).flatMap(stateByKey.get)
+        .filter(o => o.active &&
           workKeys((o.database_name, o.schema_name, o.object_name)) &&
           StateStore.isDueOn(o, jobStart))
-        .groupBy(_.database_name)
-    def dueQueue(db: String): Seq[CheckObject] =
-      dueByDb.getOrElse(db, Seq.empty)
+    }
     def sortQueue(q: Seq[CheckObject], smallestFirst: Boolean)
         : List[CheckObject] =
       q.sortBy(o => (o.last_check_date.toLocalDate,
@@ -258,25 +281,48 @@ final class Scheduler(
           } else {
             val t = scanByKey(key)
             // TOCTOU re-probe (ref DIC:1615-1635): the object can be
-            // dropped between inventory and check — re-verify existence
-            // immediately before running; skip, don't fail, if gone.
+            // dropped between inventory and check — re-verify MANIFEST
+            // MEMBERSHIP immediately before running: the pick must still
+            // be in this run's pinned universe (a table inventoried with
+            // zero files was already gone at pin time) and its first
+            // pinned file must still exist — one metadata RPC against
+            // the snapshot, not a re-list of the live directory. Skip,
+            // don't fail, if gone.
+            val pinned = manifests.get(key)
             val stillExists = try {
-              val p = new org.apache.hadoop.fs.Path(t.path)
-              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                .exists(p)
+              pinned match {
+                case Some(m) if m.files.isEmpty => false
+                case Some(m) =>
+                  val p = new org.apache.hadoop.fs.Path(m.files.head.path)
+                  p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    .exists(p)
+                case None =>
+                  val p = new org.apache.hadoop.fs.Path(t.path)
+                  p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    .exists(p)
+              }
             } catch { case _: Throwable => false }
             if (!stillExists) {
               skipped += ((s"${t.database_name}.${t.schema_name}." +
                 t.object_name, "object no longer exists (ref DIC:1615)"))
             } else {
               val (cmd, action) = LakeChecks.checkTable(spark, t,
-                config.physicalOnly, config.dataPurity, config.maxDop)
+                config.physicalOnly, config.dataPurity, config.maxDop,
+                pinned)
               executed += cmd // submission order — the golden sequence
-              val start = clock.now()
+              val start = clock.now() // driver tick: deterministic instant
               def runOne(): Unit = {
+                // No clock.now() past this point — runOne executes on a
+                // POOL thread in concurrent mode, and a ticking read there
+                // would perturb the driver's deterministic tick stream
+                // (Clock's determinism contract). Duration is a monotonic
+                // nanoTime delta (real wall time under SystemClock, the
+                // fixed tick under ManualClock), so recorded state is
+                // byte-identical run-to-run at any concurrency.
+                val t0n = System.nanoTime()
                 val r = executor.run(t.database_name, t.schema_name,
                   t.object_name, "U", cmd, "DBCC_CHECKTABLE")(action())
-                val end = clock.now()
+                val end = start.plusMillis(clock.elapsedMs(t0n))
                 foldLock.synchronized {
                   tally(r.violations)
                   // A check that THREW (violations<0) is not a completed
@@ -314,8 +360,10 @@ final class Scheduler(
     pending.foreach(_.get())
     pool.foreach(_.shutdown())
 
-    // Stage 13: persist state + flush the audit log.
-    state = stateByKey.values.toSeq.sortBy(_.id)
+    // Stage 13: persist state + flush the audit log. (Future.get gives
+    // happens-before with each task's folds; the lock makes the final
+    // read's safety independent of that subtlety.)
+    state = foldLock.synchronized(stateByKey.values.toSeq).sortBy(_.id)
     if (config.logToTable) { stateStore.save(state); log.flush() }
     SchedulerReport(executed.toSeq, skipped.toSeq, state, violations, errors)
   }

@@ -481,21 +481,23 @@ object EventQueries {
         lit(1).as("delta"))
       .union(sess.select(col("day"), col("user_id"), col("session_no"),
         least(col("session_end"), dayEnd).as("t"), lit(-1).as("delta")))
-    // TWO-PASS PREFIX for the sweep (pipe07/pipe08's recipe): hour(t)
-    // follows spark.sql.session.timeZone, and the bucket ordering
-    // invariant — hour(t) nondecreasing in t within a day — is what makes
-    // the prefix decomposition sound. This engine pins the session zone
-    // to UTC (library entry points + Bench/Verify set it), where the
-    // invariant holds unconditionally; it also holds for standard 1-hour
-    // DST zones, but NOT for exotic historical offset changes, so the
-    // UTC pin is a stated assumption, not a convenience. (Equal t ⇒
-    // equal hour, so the delta-DESC tiebreak never crosses a bucket.)
-    // the running concurrency partitions by (day, hour) — sessions/24
+    // TWO-PASS PREFIX for the sweep (pipe07/pipe08's recipe). The bucket
+    // is the ABSOLUTE epoch hour (floor(unix_micros/3600e6)) — a pure
+    // function of the instant, so the soundness invariant (bucket
+    // nondecreasing in t within a day partition; equal t ⇒ equal bucket,
+    // so the delta-DESC tiebreak never crosses a bucket) holds in EVERY
+    // session timezone unconditionally. hour(t) would follow
+    // spark.sql.session.timeZone and break the invariant under historical
+    // offset changes; under the engine's UTC pin the two bucketings
+    // partition identically (a UTC day spans epoch hours h..h+23), so
+    // results are unchanged — this form just removes the assumption.
+    // The running concurrency partitions by (day, bucket) — sessions/24
     // per task instead of a whole day on one sorting reducer — plus a
-    // broadcast per-(day, hour) offset. The per-day PEAK then comes from
-    // a map-side-combined groupBy joined back (|days|-sized, always
+    // broadcast per-(day, bucket) offset. The per-day PEAK then comes
+    // from a map-side-combined groupBy joined back (|days|-sized, always
     // broadcastable), not a day-wide max window.
-    val base = del.withColumn("bucket", hour(col("t"))).materialized
+    val base = del.withColumn("bucket",
+      expr("floor(unix_micros(t) / 3600000000)")).materialized
     val offs = base.groupBy("day", "bucket").agg(sum("delta").as("bd"))
       .withColumn("off",
         sum("bd").over(Window.partitionBy("day").orderBy("bucket"))

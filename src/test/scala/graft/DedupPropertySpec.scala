@@ -213,6 +213,27 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("autoK: scale-aware centroid count — oracle floor at fixture " +
+      "scale, k proportional to corpus above it") {
+    import graft.pipeline.Similarity
+    // the oracle's literal k=8 governs every driver fixture (<= 6400
+    // vectors at cell size 800), so the gated queries and the production
+    // default coincide there...
+    assert(Similarity.autoK(0) === 8)
+    assert(Similarity.autoK(500) === 8)    // sf0.01
+    assert(Similarity.autoK(5000) === 8)   // sf0.1
+    assert(Similarity.autoK(6400) === 8)
+    // ...and above fixture scale k grows with the corpus so cells stay
+    // ~800 vectors (the round-8 sf1 finding: fixed k is quadratic)
+    assert(Similarity.autoK(6401) === 9)
+    assert(Similarity.autoK(50000) === 63)  // sf1 -> the measured sweet spot
+    assert(Similarity.autoK(50000000) === 62500)
+    // ceil semantics + monotonicity on a sweep
+    val ks = (1L to 100L).map(n => Similarity.autoK(n * 500))
+    assert(ks === ks.sorted)
+    assert(Similarity.autoK(801) === math.ceil(801.0 / 800).toInt.max(8))
+  }
+
   test("dd09: multi-probe emission is exactly-once and within the exact truth") {
     // the oracle REPLAYS the first-match-wins logic, so a suppression bug
     // that double-emits pairs sharing both probes would pass the hash gate

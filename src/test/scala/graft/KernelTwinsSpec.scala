@@ -208,6 +208,38 @@ class KernelTwinsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("pair_expand(unseen): a NULL prev_key on either side drops the " +
+      "pair, matching SQL null semantics of the declarative twin") {
+    import spark.implicits._
+    // NOT (x.prev_key = y.prev_key) is NULL when either side is NULL, and
+    // filter() rejects NULL — the kernel must drop those pairs too (and
+    // never NPE on the null-first element).
+    val lists = Seq(
+      Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("b"))),
+      Seq((4L, Option.empty[String]), (5L, Option.empty[String])),
+      Seq((6L, Option.empty[String]), (7L, Option("x")), (8L, Option("y"))),
+    )
+    val decl = expr(
+      """flatten(transform(ids, (x, i) ->
+        |  filter(
+        |    transform(slice(ids, i + 2, size(ids)),
+        |      y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                  x.prev_key = y.prev_key AS seen)),
+        |    p -> NOT p.seen)))""".stripMargin)
+    val rows = lists.toDF("raw")
+      .select(expr(
+        "transform(raw, t -> struct(t._1 AS doc_id, t._2 AS prev_key))")
+        .as("ids"))
+      .select(PairExpand.pairsUnseenCol(col("ids")).as("k"), decl.as("d"))
+      .selectExpr("transform(k, p -> concat(p.doc_a, ':', p.doc_b)) AS k",
+        "transform(d, p -> concat(p.doc_a, ':', p.doc_b)) AS d")
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // and the only surviving pair is the two non-null distinct keys
+    assert(rows(2).getSeq[String](0) === Seq("7:8"))
+    assert(rows(1).getSeq[String](0).isEmpty)
+  }
+
   test("pair_expand(strTagged) equals the concat pairs+markers spelling") {
     val decl = expr(
       "concat(" +

@@ -6,8 +6,10 @@ import graft.functions.PHash
 
 /** The real 8×8 luma-DCT pHash kernel: exact invariances, near-dup
   * robustness, discrimination, and the pigeonhole-banding recall claim
-  * mm09's shape relies on — all on synthetic images (no codecs in this
-  * container; the decode stays the marked fake, the KERNEL is real). */
+  * mm09's shape relies on — on synthetic planes AND on truly decoded
+  * pixels via the pure-Scala PPM decoder ([[graft.pipeline.Ppm]] — the
+  * one codec-free format this container can decode end-to-end for real;
+  * non-PPM payloads still fall back to the marked fake). */
 class PHashSpec extends AnyFunSuite {
 
   /** Smooth full-spectrum synthetic image: a seeded cosine-basis mixture
@@ -113,6 +115,126 @@ class PHashSpec extends AnyFunSuite {
         caught += 1
     }
     assert(caught === total, s"banding recall $caught/$total")
+  }
+
+  /** ASCII-safe (all bytes ≤ 0x7F) smooth RGB image as raw P6 samples:
+    * the [[img]] generator's cosine mixture, re-ranged into [9, 119]
+    * and replicated per channel with small fixed offsets, so the PPM
+    * payload survives a utf-8 text round trip byte-for-byte. */
+  private def rgbImg(seed: Int, w: Int = 48, h: Int = 48): Array[Byte] = {
+    val g = img(seed, w, h)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      // img() emits 128±110; map to 64±55 and clamp channel offsets in
+      val v = 64 + ((g(i) & 0xff) - 128) * 55 / 110
+      out(i * 3) = math.min(119, v + 2).toByte
+      out(i * 3 + 1) = v.toByte
+      out(i * 3 + 2) = math.max(9, v - 2).toByte
+      i += 1
+    }
+    out
+  }
+
+  test("PPM: P6/P5 round-trip through the real decoder, exact header " +
+      "grammar, graceful None on junk") {
+    import graft.pipeline.Ppm
+    val rgb = rgbImg(3)
+    val p6 = Ppm.encodeP6(48, 48, rgb)
+    val (w, h, luma) = Ppm.tryDecodeLuma(p6).get
+    assert((w, h) === (48, 48))
+    // BT.601 integer luma of the first pixel, rescaled 127 -> 255
+    val exp = (299 * (rgb(0) & 0xff) + 587 * (rgb(1) & 0xff) +
+      114 * (rgb(2) & 0xff)) / 1000 * 255 / 127
+    assert((luma(0) & 0xff) === exp)
+    // P5 passes samples through (rescaled)
+    val gray = Array.tabulate(16)(i => (i * 8).toByte)
+    val (w5, h5, l5) = Ppm.tryDecodeLuma(Ppm.encodeP5(4, 4, gray)).get
+    assert((w5, h5) === (4, 4))
+    assert((l5(5) & 0xff) === (gray(5) & 0xff) * 255 / 127)
+    // comment-bearing header parses (the Netpbm grammar)
+    val commented = ("P5\n# a comment line\n4 4\n# another\n127\n"
+      .getBytes("US-ASCII")) ++ gray
+    assert(Ppm.tryDecodeLuma(commented).nonEmpty)
+    // junk, truncation, wrong magic -> None, never a throw
+    assert(Ppm.tryDecodeLuma("not an image at all".getBytes).isEmpty)
+    assert(Ppm.tryDecodeLuma(p6.take(p6.length - 5)).isEmpty)
+    assert(Ppm.tryDecodeLuma("P3\n2 2\n255\n".getBytes).isEmpty)
+    assert(Ppm.tryDecodeLuma(Array.empty[Byte]).isEmpty)
+  }
+
+  test("banding recall 1.0 on TRULY DECODED pixels: real P6 images " +
+      "through Ppm.tryDecodeLuma -> PHash") {
+    import graft.pipeline.Ppm
+    // the r8 gap: the banding-recall claim only ever ran on synthetic
+    // planes. Here every plane comes out of the REAL decoder: 20 images
+    // encoded as binary P6, their near-dup twins perturbed IN PIXEL
+    // SPACE before encoding, hashes from the decoded luma only.
+    def decodedHash(rgb: Array[Byte]): Long = {
+      val (w, h, luma) = Ppm.tryDecodeLuma(Ppm.encodeP6(48, 48, rgb)).get
+      PHash.phash64(luma, w, h)
+    }
+    def noisy(rgb: Array[Byte], seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      rgb.map { b =>
+        val v = (b & 0xff) + rnd.nextInt(5) - 2
+        math.max(0, math.min(127, v)).toByte
+      }
+    }
+    var caught = 0
+    for (seed <- 1 to 20) {
+      val a = decodedHash(rgbImg(seed))
+      val b = decodedHash(noisy(rgbImg(seed), seed + 500))
+      assert(PHash.hamming(a, b) <= 3,
+        s"decoded near-dup drifted past banding radius (seed $seed): " +
+          PHash.hamming(a, b))
+      val ah = PHash.hex(a); val bh = PHash.hex(b)
+      if ((0 until 4).exists(i =>
+        ah.substring(i * 4, i * 4 + 4) == bh.substring(i * 4, i * 4 + 4)))
+        caught += 1
+    }
+    assert(caught === 20, s"banding recall on decoded pixels: $caught/20")
+    // distinct decoded images stay far apart
+    val far = for { a <- 1 to 6; b <- (a + 1) to 6 }
+      yield PHash.hamming(decodedHash(rgbImg(a)), decodedHash(rgbImg(b)))
+    assert(far.min >= 10, s"decoded distinct images too close: $far")
+  }
+
+  test("end-to-end: a documents corpus CARRYING real PPM payloads flows " +
+      "real pixels through realPhashFrame and realDecodeMeta") {
+    import SparkTestSession._
+    import spark.implicits._
+    import graft.pipeline.{Multimodal, Ppm}
+    // ASCII-safe P6 bytes survive text <-> utf-8 exactly (every byte
+    // <= 0x7F is a 1-byte UTF-8 code point)
+    def asText(p: Array[Byte]): String = new String(p, "UTF-8")
+    val base = rgbImg(7)
+    val twin = base.clone(); twin(100) = (twin(100) + 2).toByte
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppm").toString
+    Seq(
+      (1L, asText(Ppm.encodeP6(48, 48, base)), "en", "img", 0L),
+      (2L, asText(Ppm.encodeP6(48, 48, twin)), "en", "img", 0L),
+      (3L, "just a plain text document with no image bytes", "en", "web", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val hashes = Multimodal.realPhashFrame(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // docs 1/2 hash from REAL decoded pixels: a 1-pixel twin lands at
+    // hamming <= 2, and both differ from the text doc's fake-plane hash
+    val d12 = PHash.hamming(
+      java.lang.Long.parseUnsignedLong(hashes(1L), 16),
+      java.lang.Long.parseUnsignedLong(hashes(2L), 16))
+    assert(d12 <= 2, s"1-pixel twin at hamming $d12")
+    assert(hashes(1L) !== hashes(3L))
+    // metadata: real dimensions + format for images, fake for text
+    val payload1 = Ppm.encodeP6(48, 48, base)
+    val m1 = Multimodal.realDecodeMeta(1L, payload1)
+    assert((m1.format, m1.width, m1.height, m1.n_frames) ===
+      ("ppm", 48, 48, 1))
+    assert(m1.n_bytes === payload1.length)
+    val m3 = Multimodal.realDecodeMeta(3L,
+      "just a plain text document with no image bytes".getBytes("UTF-8"))
+    assert(m3.format !== "ppm") // the marked fake governs non-PPM bytes
   }
 
   test("realPhashFrame: decoder-contract plumbing emits 16-hex hashes") {

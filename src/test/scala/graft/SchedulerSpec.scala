@@ -185,6 +185,106 @@ class SchedulerSpec extends AnyFunSuite {
     assert(key(par.state) === key(seq.state))
   }
 
+  test("concurrent failure path: a check that throws on a pool thread " +
+      "leaves state untouched, counts the error, and matches sequential") {
+    import graft.catalog.{Inventory, InventoryRow}
+    // existing-but-corrupt file: passes the TOCTOU probe, then the
+    // CHECKTABLE action THROWS — on a POOL thread when concurrency > 1.
+    // The fold must leave that table's state untouched (still due, zero
+    // executions) while healthy tables record normally, and the whole
+    // report must equal the sequential pass decision-for-decision.
+    val corrupt = java.nio.file.Files.createTempFile("graft-cfail", ".parquet")
+    java.nio.file.Files.write(corrupt, "not parquet at all".getBytes)
+    val real = new DirInventory(spark, Map("testdb" -> sfDir))
+    val inv = new Inventory {
+      def databases(): Seq[String] = Seq("testdb")
+      def objects(db: String): Seq[InventoryRow] =
+        real.objects(db).filter(o =>
+          Set("region", "nation")(o.object_name)) :+
+          InventoryRow("testdb", "main", "corrupt", "U", 1L, corrupt.toString)
+    }
+    def run(conc: Int) = new Scheduler(spark, inv,
+      new StateStore(spark, tmp()), new CommandLog(spark, None),
+      CheckConfig(databases = "testdb", logToTable = false,
+        concurrency = conc),
+      new ManualClock(t0, tickMs = 10)).run()
+    val seq = run(1)
+    val par = run(4)
+    assert(par.errors >= 1L, "the pool-thread throw must surface as error")
+    val st = par.state.find(_.object_name == "corrupt").get
+    assert(st.number_of_executions === 0L,
+      "a thrown concurrent check must not count as an execution")
+    assert(StateStore.isDueOn(st, t0), "the table must remain due")
+    // healthy tables completed and recorded despite the sibling failure
+    Seq("region", "nation").foreach { n =>
+      assert(par.state.find(_.object_name == n).get
+        .number_of_executions === 1L, s"$n must record its run")
+    }
+    // full decision equality with the sequential pass (Clock contract)
+    assert(par.executedCommands === seq.executedCommands)
+    assert(par.skipped === seq.skipped)
+    assert(par.violations === seq.violations)
+    assert(par.errors === seq.errors)
+    def key(s: Seq[graft.model.CheckObject]) = s.sortBy(_.object_name)
+      .map(o => (o.object_name, o.number_of_executions, o.active,
+        o.last_check_date.toString, o.avg_run_duration_ms, o.command))
+    assert(key(par.state) === key(seq.state))
+  }
+
+  test("concurrent deadline cut: no submission after expiry, skipped list " +
+      "identical to sequential while the semaphore is saturated") {
+    // 10 fixture tables, 2 permits, 60s driver ticks against a 300s
+    // budget: the deadline expires mid-queue while both pool slots are
+    // occupied by real Spark actions. The driver must stop SUBMITTING at
+    // exactly the same pick as the sequential loop (clock reads are
+    // driver-only), report the db's tail as skipped, and still drain
+    // in-flight checks before persisting state.
+    def run(conc: Int) = {
+      val cfg = CheckConfig(databases = "testdb", logToTable = false,
+        timeLimitSeconds = Some(300), concurrency = conc)
+      newScheduler(cfg, new ManualClock(t0, tickMs = 60000), tmp()).run()
+    }
+    val seq = run(1)
+    val par = run(2)
+    val parTables = par.executedCommands.filter(_.startsWith("CHECKTABLE"))
+    assert(parTables.nonEmpty, "some tables must be admitted")
+    assert(parTables.size < 10, "the budget must cut the run mid-queue")
+    assert(par.skipped.exists(_._2.contains("time limit")),
+      s"the tail must be reported skipped, got ${par.skipped}")
+    assert(par.executedCommands === seq.executedCommands,
+      "submission stops at the same pick at any concurrency")
+    assert(par.skipped === seq.skipped)
+    // every submitted check completed and recorded before state persisted
+    assert(par.state.count(_.number_of_executions > 0) === parTables.size)
+  }
+
+  test("concurrent multi-database pass equals sequential (due-queue " +
+      "snapshot under the fold lock)") {
+    // two databases, 8 permits: database B's due queue is computed while
+    // database A's pool checks may still be folding results — the locked
+    // per-db snapshot must make the outcome identical to sequential, and
+    // identical across repeated concurrent runs.
+    def run(conc: Int) = {
+      val inv = new DirInventory(spark, Map(
+        "adb" -> "/root/testdata/sf0.001", "bdb" -> "/root/testdata/sf0.001"))
+      val cfg = CheckConfig(databases = "ALL_DATABASES",
+        logToTable = false, concurrency = conc)
+      new Scheduler(spark, inv, new StateStore(spark, tmp()),
+        new CommandLog(spark, None), cfg,
+        new ManualClock(t0, tickMs = 10)).run()
+    }
+    def key(r: graft.scheduler.SchedulerReport) =
+      (r.executedCommands, r.skipped, r.violations, r.errors,
+        r.state.sortBy(o => (o.database_name, o.object_name))
+          .map(o => (o.database_name, o.object_name,
+            o.number_of_executions, o.last_check_date.toString,
+            o.avg_run_duration_ms)))
+    val seq = key(run(1))
+    val runs = (1 to 3).map(_ => key(run(8)))
+    runs.foreach(r => assert(r === seq,
+      "concurrent multi-db pass must equal the sequential pass"))
+  }
+
   test("daily idempotence: same-day re-run does no table work (ref IC:665)") {
     val statePath = tmp()
     val cfg = CheckConfig(databases = "testdb",
@@ -236,11 +336,12 @@ class SchedulerSpec extends AnyFunSuite {
     val cfg = CheckConfig(databases = "testdb",
       objects = Some("testdb.main.part, testdb.main.supplier"),
       timeLimitSeconds = Some(300))
-    // clock: each now() call advances 30s; phase 1 consumes enough calls
-    // that the first table pick happens past the 150s halfway mark ->
-    // smallest-first ordering must apply: supplier (smaller) before part,
-    // whereas name order would pick part first.
-    val clock = new ManualClock(t0, tickMs = 30000)
+    // clock: each DRIVER now() call advances 60s (executor stamps and
+    // durations no longer tick — Clock's determinism contract), so the
+    // flip check before the first table pick reads t0+240s, past the
+    // 150s halfway mark -> smallest-first ordering must apply: supplier
+    // (smaller) before part, whereas name order would pick part first.
+    val clock = new ManualClock(t0, tickMs = 60000)
     val r = newScheduler(cfg, clock, statePath).run()
     val tableCmds = r.executedCommands.filter(_.startsWith("CHECKTABLE"))
     assert(tableCmds.nonEmpty)
@@ -401,6 +502,60 @@ class SchedulerSpec extends AnyFunSuite {
     val secs = (System.nanoTime() - t0ms) / 1e9
     assert(r.skipped.count(_._2.contains("no longer exists")) === n)
     assert(secs < 60.0, f"driver loop took $secs%.1f s for $n tables")
+  }
+
+  test("pinned manifest: a file appearing mid-run is invisible to BOTH " +
+      "phases; the next run sees it (ref IC:519-571 snapshot)") {
+    import graft.catalog.{Inventory, InventoryRow, TableManifest}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a directory table with one clean file; later a zero-byte intruder
+    // and a NaN-carrying data file land "mid-run" (i.e. AFTER the
+    // manifest was pinned). Phase 1 (CHECKALLOC zero-byte scan) and
+    // phase 2 (CHECKTABLE NaN profile) must both report against the
+    // pinned set -> zero violations; a FRESH run re-pins and flags both.
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest")
+    val dbDir = s"$base/db"
+    val tdir = s"$dbDir/t.parquet"
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(1L, 1.0), Row(2L, 2.0)), schema)
+      .write.parquet(tdir)
+    val real = new DirInventory(spark, Map("db" -> dbDir))
+    // snapshot the manifest NOW (pre-intruder), then let the "writer"
+    // land files; the wrapper serves the pinned snapshot, which is
+    // exactly the state a live run holds after its inventory scan
+    val pinnedRows = real.objects("db")
+    val pinnedManifests = pinnedRows.map(r =>
+      r.object_name -> TableManifest.capture(spark, r)).toMap
+    val inv = new Inventory {
+      def databases(): Seq[String] = Seq("db")
+      def objects(db: String): Seq[InventoryRow] = pinnedRows
+      override def manifest(s: org.apache.spark.sql.SparkSession,
+          row: InventoryRow): TableManifest =
+        pinnedManifests(row.object_name)
+    }
+    // the mid-run writer: a zero-byte part file + a NaN row file
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$tdir/part-intruder-zero.parquet"))
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(9L, Double.NaN)), schema)
+      .coalesce(1).write.mode("append").parquet(tdir)
+    val cfg = CheckConfig(databases = "db", logToTable = false)
+    val r1 = new Scheduler(spark, inv, new StateStore(spark, tmp()),
+      new CommandLog(spark, None), cfg,
+      new ManualClock(t0, tickMs = 10)).run()
+    assert(r1.violations === 0L && r1.errors === 0L,
+      s"pinned run must not see mid-run files, got $r1")
+    assert(r1.executedCommands.exists(_.startsWith("CHECKTABLE")))
+    // a fresh run pins a NEW manifest: zero-byte file (CHECKALLOC) and
+    // the NaN row (CHECKTABLE) are now in its universe
+    val r2 = new Scheduler(spark, real, new StateStore(spark, tmp()),
+      new CommandLog(spark, None), cfg,
+      new ManualClock(t0, tickMs = 10)).run()
+    assert(r2.violations >= 2L,
+      s"re-pinned run must flag the intruders, got $r2")
   }
 
   test("drift: a second run against grown tables emits drift rows " +
