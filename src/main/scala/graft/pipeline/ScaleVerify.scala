@@ -1,0 +1,348 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{StableRound, VectorOps}
+import graft.tables.Checkpoints.CheckpointOps
+import graft.tables.Tables
+
+/** ORACLE-FREE invariant verification at scale for the eight chains whose
+  * DuckDB oracle cannot finish above sf0.1 (dd02 / dd06 / dd09 / dd10 /
+  * dd14 / dd15 / pipe13 / pipe17 — BASELINE.md sf1 section: >180 s
+  * oracle-side timeouts). Exactly the queries whose scale behavior
+  * matters most had no independent correctness check at the scale that
+  * stresses them; this main closes that gap (VERDICT r8 task #1) by
+  * verifying each chain's INTERNAL invariants with Spark itself:
+  *
+  *  - component validity for the two union-find consumers (dd06,
+  *    pipe13): every pair's endpoints share a label, every label is its
+  *    component's minimum member, and sampled components re-derive
+  *    byte-identically under a DRIVER-side union-find (a different
+  *    algorithm than the distributed/pooled label propagation);
+  *  - dd14's keep rows re-derived through a WINDOW argmax (a different
+  *    formulation than the production partial-agg argmax);
+  *  - pipe17's mixture counts reconciled against dd14's drop set and
+  *    the raw per-source corpus counts;
+  *  - dd02/dd15 exact-Jaccard columns re-computed on a 1k-pair sample
+  *    through [[Dedup.jaccardVerifyFrom]] (independent of the bitmap
+  *    tier dd02 uses and of dd15's signature join), plus the MinHash
+  *    estimator's mean-error sanity bound;
+  *  - dd09 at the PRODUCTION auto-k (scale-aware centroid count — this
+  *    run is also the sf1 measurement for the auto-k default): pair
+  *    stream exactly-once, threshold respected, cosines re-computed on
+  *    a sample; dd10's recall measured against an exact brute-force
+  *    truth on a deterministic vector sample.
+  *
+  * Second arg (optional): a directory to write a ~1/10 sampled
+  * sub-corpus (documents + embeddings, doc_id/vec_id ≡ 3 mod 10) — at
+  * that size the DuckDB oracle CAN finish, so the driver's strict gate
+  * runs on genuine sf1-derived data as the independent cross-check
+  * (symlink the remaining tables and point Verify + check_oracle at it).
+  *
+  * Usage: runMain graft.pipeline.ScaleVerify <sfDir> [sampleOutDir] */
+object ScaleVerify {
+
+  final case class Res(name: String, pass: Boolean, detail: String,
+      secs: Double)
+
+  private def timed(name: String)(body: => (Boolean, String)): Res = {
+    val t0 = System.nanoTime()
+    val (ok, detail) =
+      try body
+      catch { case e: Throwable => (false, s"THREW: ${e.getMessage}") }
+    Res(name, ok, detail, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("local-data/sf1")
+    val sampleOut = args.lift(1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = runAll(spark, sfDir)
+    results.foreach { r =>
+      println(f"[scaleverify] ${if (r.pass) "PASS" else "FAIL"} " +
+        f"${r.name}%-42s ${r.detail} (${r.secs}%.1f s)")
+    }
+    sampleOut.foreach { out => writeSample(spark, sfDir, out) }
+    val failed = results.filterNot(_.pass)
+    println(s"""{"metric":"scaleverify","sf":"$sfDir",""" +
+      s""""pass":${results.count(_.pass)},"fail":${failed.size},""" +
+      s""""failed":[${failed.map("\"" + _.name + "\"").mkString(",")}],""" +
+      f""""total_sec":${results.map(_.secs).sum}%.1f}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** The full invariant battery; also runs (cheaply) at sf0.01 in
+    * ScaleVerifySpec so the battery itself is regression-tested. */
+  def runAll(s: SparkSession, d: String): Seq[Res] = {
+    val docsDf = Tables.documents(s, d)
+
+    // ---- dd06 chain: LSH pair graph -> connected components ----------
+    val pairs = Dedup.lshPairs(s, d).select("doc_a", "doc_b").materialized
+    val labels = Dedup.connectedComponents(pairs).materialized
+    val la = labels.select(col("doc_id").as("doc_a"),
+      col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"),
+      col("cluster_id").as("cb"))
+
+    val r1 = timed("dd06_edge_label_consistency") {
+      val bad = pairs.join(la, "doc_a").join(lb, "doc_b")
+        .filter(col("ca") =!= col("cb")).count()
+      (bad == 0L, s"$bad cross-label edges of ${pairs.count()}")
+    }
+    val r2 = timed("dd06_label_is_min_member") {
+      val bad = labels.groupBy("cluster_id").agg(min("doc_id").as("m"))
+        .filter(col("m") =!= col("cluster_id")).count()
+      (bad == 0L, s"$bad labels not their component min " +
+        s"(${labels.count()} labeled docs)")
+    }
+    val r3 = timed("dd06_sampled_unionfind_rederive") {
+      sampledUnionFind(pairs, labels)
+    }
+
+    // ---- dd14: window-argmax re-derivation of the keep decision ------
+    val sized = labels
+      .join(docsDf.select(col("doc_id"), col("n_chars")), "doc_id")
+      .materialized
+    val r4 = timed("dd14_keep_is_window_argmax") {
+      val dd14 = Dedup.dd14ClusterReps.run(s, d)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val win = sized.withColumn("rk", row_number().over(w))
+      val reps = win.filter(col("rk") === 1).select(col("cluster_id"),
+        col("doc_id").as("w_keep"), col("n_chars").as("w_chars"))
+      val memb = sized.groupBy("cluster_id")
+        .agg(count(lit(1)).as("w_members"))
+      val joined = dd14.join(reps, "cluster_id").join(memb, "cluster_id")
+        .materialized
+      val bad = joined.filter(col("keep_doc") =!= col("w_keep") ||
+        col("keep_chars") =!= col("w_chars") ||
+        col("n_members") =!= col("w_members")).count()
+      val cMismatch = dd14.count() !=
+        labels.select("cluster_id").distinct().count() ||
+        joined.count() != dd14.count()
+      (bad == 0L && !cMismatch,
+        s"$bad mismatched clusters of ${dd14.count()}")
+    }
+
+    // ---- pipe17: mixture counts reconcile with the drop set ----------
+    val r5 = timed("pipe17_counts_reconcile") {
+      val p17 = Dedup.pipe17DedupMixture.run(s, d).materialized
+      val bySrc = docsDf.groupBy("source")
+        .agg(count(lit(1)).as("raw_before"))
+      val badBefore = p17.join(bySrc, "source")
+        .filter(col("n_before") =!= col("raw_before")).count()
+      val dropped = p17
+        .agg(sum(col("n_before") - col("n_after"))).first().getLong(0)
+      val dd14Dropped = sized.count() -
+        labels.select("cluster_id").distinct().count()
+      val shareSum = p17.agg(sum("share_after")).first().getDouble(0)
+      val nSources = p17.count()
+      val shareOk = math.abs(shareSum - 1.0) <= nSources * 1e-4
+      (badBefore == 0L && dropped == dd14Dropped && shareOk,
+        s"badBefore=$badBefore dropped=$dropped (dd14: $dd14Dropped) " +
+          f"shareSum=$shareSum%.4f")
+    }
+
+    // ---- dd02: bitmap-tier Jaccard vs the shingle-set recompute ------
+    val r6 = timed("dd02_sampled_exact_jaccard") {
+      val dd02 = Dedup.ngramJaccardPairs(s, d).materialized
+      val thresholdBad = dd02.filter(col("jaccard") < 0.5 ||
+        col("doc_a") >= col("doc_b")).count()
+      val dupPairs = dd02.count() -
+        dd02.select("doc_a", "doc_b").distinct().count()
+      val sample = dd02.orderBy(md5(concat_ws("|", col("doc_a"),
+        col("doc_b")))).limit(1000).materialized
+      val sets = Dedup.shingleSets(
+        Tables.spread(s, docsDf, "doc_id")).materialized
+      val re = Dedup.jaccardVerifyFrom(sets,
+        sample.select("doc_a", "doc_b"), threshold = 0.0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("jac2"))
+      val cmp = sample.join(re, Seq("doc_a", "doc_b"), "left")
+      val mism = cmp.filter(col("jac2").isNull ||
+        col("jaccard") =!= col("jac2")).count()
+      (thresholdBad == 0L && dupPairs == 0L && mism == 0L,
+        s"thresholdBad=$thresholdBad dup=$dupPairs " +
+          s"sampleMismatch=$mism/${sample.count()}")
+    }
+
+    // ---- dd15: estimator columns + sampled exact recheck -------------
+    val r7 = timed("dd15_estimator_consistency") {
+      val dd15 = Dedup.dd15MinhashCalibration.run(s, d).materialized
+      val badCols = dd15.filter(
+        col("est_sim") =!= col("n_match").cast("double") / 8 ||
+          col("abs_err") =!=
+            StableRound.r4(abs(col("est_sim") - col("jaccard"))))
+        .count()
+      val meanErr = dd15.agg(avg("abs_err")).first().getDouble(0)
+      val sample = dd15.orderBy(md5(concat_ws("|", col("doc_a"),
+        col("doc_b")))).limit(1000)
+        .select("doc_a", "doc_b", "jaccard").materialized
+      val sets = Dedup.shingleSets(
+        Tables.spread(s, docsDf, "doc_id")).materialized
+      val re = Dedup.jaccardVerifyFrom(sets,
+        sample.select("doc_a", "doc_b"), threshold = 0.0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("jac2"))
+      val mism = sample.join(re, Seq("doc_a", "doc_b"), "left")
+        .filter(col("jac2").isNull || col("jaccard") =!= col("jac2"))
+        .count()
+      // k=8 MinHash: E|est - true| ~ 0.5/sqrt(8) ≈ 0.17; 0.25 is the
+      // loose sanity bound that still catches a broken estimator
+      (badCols == 0L && mism == 0L && meanErr <= 0.25,
+        f"badCols=$badCols sampleMismatch=$mism meanErr=$meanErr%.4f")
+    }
+
+    // ---- dd09 at PRODUCTION auto-k (also the sf1 auto-k measurement) -
+    val t09 = System.nanoTime()
+    val pairs09 = Dedup.semanticPairs(s, d) // k = None -> autoK(n)
+      .materialized
+    val pairs09Count = pairs09.count()
+    val secs09 = (System.nanoTime() - t09) / 1e9
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", VectorOps.norm(col("embedding"))).materialized
+    val r8 = timed("dd09_autok_pair_stream") {
+      val badOrder = pairs09.filter(col("vec_a") >= col("vec_b")).count()
+      val dup = pairs09Count -
+        pairs09.select("vec_a", "vec_b").distinct().count()
+      val badThresh = pairs09.filter(col("cosine") < 0.35).count()
+      val sample = pairs09.orderBy(md5(concat_ws("|", col("vec_a"),
+        col("vec_b")))).limit(1000).materialized
+      val ea = emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("eaa"), col("nrm").as("na"))
+      val eb = emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("ebb"), col("nrm").as("nb"))
+      val re = sample.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos2", StableRound.r4(Similarity.cosineFromNorms(
+          VectorOps.dot(col("eaa"), col("ebb")), col("na"), col("nb"))))
+      val mism = re.filter(col("cosine") =!= col("cos2")).count()
+      (badOrder == 0L && dup == 0L && badThresh == 0L && mism == 0L,
+        s"pairs=$pairs09Count badOrder=$badOrder dup=$dup " +
+          f"badThresh=$badThresh sampleMismatch=$mism " +
+          f"(auto-k pair stage: $secs09%.1f s)")
+    }
+
+    // ---- dd10: sampled exact recall of the auto-k blocking -----------
+    val r9 = timed("dd10_sampled_recall") {
+      val samp = emb.filter(col("vec_id") % 17 === 0).materialized
+      val a = samp.select(col("vec_id").as("vec_a"),
+        col("embedding").as("eaa"), col("nrm").as("na"))
+      val b = samp.select(col("vec_id").as("vec_b"),
+        col("embedding").as("ebb"), col("nrm").as("nb"))
+      val truth = broadcast(a).crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(Similarity.cosineFromNorms(
+          VectorOps.dot(col("eaa"), col("ebb")),
+          col("na"), col("nb")) >= 0.35)
+        .select("vec_a", "vec_b").materialized
+      val found = pairs09.select("vec_a", "vec_b")
+        .join(samp.select(col("vec_id").as("vec_a")), "vec_a")
+        .join(samp.select(col("vec_id").as("vec_b")), "vec_b")
+        .materialized
+      val nTruth = truth.count()
+      val hit = truth.join(found, Seq("vec_a", "vec_b"), "left_semi")
+        .count()
+      val outside = found
+        .join(truth, Seq("vec_a", "vec_b"), "left_anti").count()
+      val recall = if (nTruth == 0) 1.0 else hit.toDouble / nTruth
+      // found ⊆ truth (same threshold) must be exact; recall bounded by
+      // the measured fixture recall (0.73 two-probe) with safety margin
+      (outside == 0L && recall >= 0.5,
+        f"recall=$recall%.3f ($hit/$nTruth) foundOutsideTruth=$outside " +
+          s"sampleVecs=${samp.count()}")
+    }
+
+    // ---- pipe13: component validity + count algebra at auto-k --------
+    val r10 = timed("pipe13_component_counts") {
+      val g = pairs09.select(col("vec_a").as("doc_a"),
+        col("vec_b").as("doc_b")).materialized
+      val lab = Dedup.connectedComponents(g).materialized
+      val ga = lab.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("ca"))
+      val gb = lab.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("cb"))
+      val cross = g.join(ga, "doc_a").join(gb, "doc_b")
+        .filter(col("ca") =!= col("cb")).count()
+      val badMin = lab.groupBy("cluster_id").agg(min("doc_id").as("m"))
+        .filter(col("m") =!= col("cluster_id")).count()
+      val nMatched = lab.count()
+      val nClusters = lab.select("cluster_id").distinct().count()
+      val nVec = emb.count()
+      val pruned = nMatched - nClusters
+      (cross == 0L && badMin == 0L && pruned >= 0 && pruned < nVec,
+        s"crossEdges=$cross badMin=$badMin n_matched=$nMatched " +
+          s"n_clusters=$nClusters n_pruned=$pruned of $nVec")
+    }
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10)
+  }
+
+  /** Driver union-find re-derivation on sampled components: collect the
+    * edges of the 5 largest + 5 hash-picked components and assert each
+    * label's induced subgraph is ONE connected piece whose min vertex is
+    * the label (over-merge shows as >1 piece under a label; under-merge
+    * was already caught by the cross-label edge check). */
+  private def sampledUnionFind(pairs: DataFrame,
+      labels: DataFrame): (Boolean, String) = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val top = sizes.orderBy(col("n").desc, col("cluster_id")).limit(5)
+    val hashed = sizes.orderBy(md5(col("cluster_id").cast("string")))
+      .limit(5)
+    val chosen = top.select("cluster_id")
+      .union(hashed.select("cluster_id")).distinct()
+    val member = labels.join(broadcast(chosen), "cluster_id")
+    val ma = member.select(col("doc_id").as("doc_a"),
+      col("cluster_id").as("ca"))
+    val es = pairs.join(ma, "doc_a")
+      .select(col("ca"), col("doc_a"), col("doc_b"))
+      .as[(Long, Long, Long)].collect()
+    if (es.isEmpty) return (true, "no clustered components to sample")
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    es.foreach { case (_, a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // per sampled label: all its edge endpoints must find() one root,
+    // and that root must BE the label (min member reachable)
+    val byLabel = es.groupBy(_._1)
+    val bad = byLabel.count { case (lbl, edges) =>
+      val roots = edges.flatMap(e => Seq(find(e._2), find(e._3))).distinct
+      roots.length != 1 || roots.head != lbl
+    }
+    (bad == 0,
+      s"$bad of ${byLabel.size} sampled components failed union-find " +
+        s"re-derivation (${es.length} edges collected)")
+  }
+
+  /** ~1/10 deterministic sub-corpus of the big fixture, written so the
+    * DuckDB oracle CAN complete on genuinely sf1-derived data. */
+  private def writeSample(s: SparkSession, d: String, out: String): Unit = {
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 3)
+      .coalesce(2).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/documents.parquet")
+    Tables.embeddings(s, d).filter(col("vec_id") % 10 === 3)
+      .coalesce(2).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/embeddings.parquet")
+    println(s"[scaleverify] wrote sampled sub-corpus to $out")
+  }
+}

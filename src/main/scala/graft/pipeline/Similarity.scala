@@ -467,10 +467,14 @@ object Similarity {
     * work downstream (dd09/pipe13) stays bounded — the round-8 sf1
     * measurement is the justification: fixed k=8 at 10× data put the
     * dd09 pair stage at 15.3 s (cells grow with the corpus, pair work
-    * quadratically), while k=64 restored 2.9 s (SCALE.md). The floor 8
-    * is the oracle's literal, so at the driver fixtures (≤5k vectors)
-    * auto-k and the pinned oracle k coincide; 800 is the cell size that
-    * maps 50k vectors (sf1) to the measured k≈64 sweet spot. */
+    * quadratically), while k ∝ corpus restored a linear-ish profile.
+    * The floor 8 is the oracle's literal, so at the driver fixtures
+    * (≤6.4k vectors) auto-k and the pinned oracle k coincide. 800 was
+    * CHOSEN ON THE MEASURED PARETO (SCALE.md auto-k sweep at sf1, 20k
+    * vectors): cell 800 → k=25, pair stage 7.3 s, sampled exact recall
+    * 0.796; cell 300 → k=67, 6.5 s but recall collapsing to 0.571 —
+    * 0.8 s of wall does not buy a 22-point recall loss, and both sit
+    * far from fixed-8's 15.3 s quadratic profile. */
   private[graft] def autoK(nVecs: Long, targetCellSize: Long = 800L): Int =
     math.max(8L, (nVecs + targetCellSize - 1L) / targetCellSize).toInt
 

@@ -221,12 +221,14 @@ class DedupPropertySpec extends AnyFunSuite {
     // default coincide there...
     assert(Similarity.autoK(0) === 8)
     assert(Similarity.autoK(500) === 8)    // sf0.01
-    assert(Similarity.autoK(5000) === 8)   // sf0.1
+    assert(Similarity.autoK(2000) === 8)   // sf0.1
     assert(Similarity.autoK(6400) === 8)
     // ...and above fixture scale k grows with the corpus so cells stay
-    // ~800 vectors (the round-8 sf1 finding: fixed k is quadratic)
+    // ~800 vectors — chosen on the measured sf1 Pareto (SCALE.md auto-k
+    // sweep: cell 800 -> k=25, 7.3 s, recall 0.796; cell 300 -> k=67,
+    // 6.5 s but recall 0.571; fixed k=8 -> the 15.3 s quadratic)
     assert(Similarity.autoK(6401) === 9)
-    assert(Similarity.autoK(50000) === 63)  // sf1 -> the measured sweet spot
+    assert(Similarity.autoK(20000) === 25)  // sf1 -> the measured regime
     assert(Similarity.autoK(50000000) === 62500)
     // ceil semantics + monotonicity on a sweep
     val ks = (1L to 100L).map(n => Similarity.autoK(n * 500))
