@@ -137,7 +137,13 @@ object LakeChecks {
     * directory of a partitioned table (SURVEY §2.1 S3) — validate just
     * that storage slice: files present/non-empty + content checks on the
     * partition's rows only (partition pruning keeps the scan to the
-    * slice). Ref ola/DatabaseIntegrityCheck.sql:1372-1511. */
+    * slice). Ref ola/DatabaseIntegrityCheck.sql:1372-1511.
+    *
+    * Deliberately OUTSIDE the per-run manifest: this is a direct,
+    * user-invoked partition probe (the scheduler never issues it), so it
+    * reads the slice as it exists at call time — the snapshot device
+    * protects cross-PHASE consistency within a scheduled run, which has
+    * no analog for a one-shot slice check. */
   def checkFileGroup(spark: SparkSession, t: InventoryRow,
       partitionSubdir: String, dataPurity: Boolean, maxDop: Int)
       : (String, () => Long) = {

@@ -127,8 +127,7 @@ object CommandExecutor {
       "status code: 503", "503 ")
     Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).take(8).exists {
       case _: java.net.SocketTimeoutException => true
-      case _: java.net.SocketException => true
-      case _: java.net.ConnectException => true
+      case _: java.net.SocketException => true // includes ConnectException
       case _: java.io.InterruptedIOException => true
       case _: java.net.UnknownHostException => true
       case c =>

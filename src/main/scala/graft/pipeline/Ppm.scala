@@ -61,7 +61,10 @@ object Ppm {
       val start = pos
       while (pos < payload.length && payload(pos) >= '0' &&
         payload(pos) <= '9') pos += 1
-      if (pos == start) None
+      // cap at 9 digits: anything longer is not a plausible dimension and
+      // would overflow toInt — malformed bytes must yield None, never a
+      // NumberFormatException out of a decode that promises totality
+      if (pos == start || pos - start > 9) None
       else Some(new String(payload, start, pos - start, "US-ASCII").toInt)
     }
     val parsed = for {

@@ -476,7 +476,12 @@ object Similarity {
     * 0.8 s of wall does not buy a 22-point recall loss, and both sit
     * far from fixed-8's 15.3 s quadratic profile. */
   private[graft] def autoK(nVecs: Long, targetCellSize: Long = 800L): Int =
-    math.max(8L, (nVecs + targetCellSize - 1L) / targetCellSize).toInt
+    // cap at 2^24 centroids: beyond that the literal-codebook Lloyd pass
+    // (k·dims driver longs, k distances per row) needs a hierarchical
+    // index anyway, and an uncapped ceil would overflow Int past ~1.7e13
+    // vectors — a silent negative k, not a big k
+    math.min(1L << 24,
+      math.max(8L, (nVecs + targetCellSize - 1L) / targetCellSize)).toInt
 
   private[pipeline] def kmeansProbesFrom(vecs: DataFrame,
       nprobe: Int, k: Int = 8): DataFrame = {

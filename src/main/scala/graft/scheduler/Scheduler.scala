@@ -287,7 +287,11 @@ final class Scheduler(
             // zero files was already gone at pin time) and its first
             // pinned file must still exist — one metadata RPC against
             // the snapshot, not a re-list of the live directory. Skip,
-            // don't fail, if gone.
+            // don't fail, if gone. (Deliberately conservative: a
+            // compactor that rewrote THIS run's pinned files mid-run
+            // reads as "gone" and the table simply stays due for the
+            // next pass — the reference skips a dropped snapshot member
+            // the same way.)
             val pinned = manifests.get(key)
             val stillExists = try {
               pinned match {

@@ -65,15 +65,21 @@ object SchedulerQueries {
   def clearRealRunCache(): Unit = realRunCache.clear()
 
   /** Real run: per-object state after one scheduled pass — execution
-    * counts, durations recorded, zero violations on the clean fixtures. */
+    * counts, durations recorded, zero violations on the clean fixtures.
+    * avg_run_duration_ms is part of the golden: the concurrent pass
+    * (concurrency=8 below) must record BYTE-IDENTICAL state to the
+    * sequential one, which the Clock determinism contract guarantees
+    * (driver-only ticks + fixed elapsedMs) — with the fixed test clock
+    * every first run records exactly tickMs. */
   val schedulerStateAfterRun: Q = Q.noOracle("scheduler_state_after_run") {
     (s, d) =>
       import s.implicits._
       val r = realRunFor(s, d)._1
       r.state.map(o => (o.object_name, o.number_of_executions,
-          o.active, o.last_check_date.toString, o.command))
+          o.active, o.last_check_date.toString, o.avg_run_duration_ms,
+          o.command))
         .toDF("object_name", "number_of_executions", "active",
-          "last_check_date", "command")
+          "last_check_date", "avg_run_duration_ms", "command")
         .orderBy("object_name")
   }
 

@@ -234,6 +234,9 @@ class DedupPropertySpec extends AnyFunSuite {
     val ks = (1L to 100L).map(n => Similarity.autoK(n * 500))
     assert(ks === ks.sorted)
     assert(Similarity.autoK(801) === math.ceil(801.0 / 800).toInt.max(8))
+    // the 2^24 cap: absurd corpus sizes saturate instead of overflowing
+    assert(Similarity.autoK(Long.MaxValue / 4) === (1 << 24))
+    assert(Similarity.autoK(Long.MaxValue / 4) > 0)
   }
 
   test("dd09: multi-probe emission is exactly-once and within the exact truth") {

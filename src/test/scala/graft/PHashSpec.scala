@@ -161,6 +161,9 @@ class PHashSpec extends AnyFunSuite {
     assert(Ppm.tryDecodeLuma(p6.take(p6.length - 5)).isEmpty)
     assert(Ppm.tryDecodeLuma("P3\n2 2\n255\n".getBytes).isEmpty)
     assert(Ppm.tryDecodeLuma(Array.empty[Byte]).isEmpty)
+    // an absurd dimension must be rejected, not overflow Int.parseInt
+    assert(Ppm.tryDecodeLuma(
+      "P5\n99999999999999999999 4\n127\n0000000000000000".getBytes).isEmpty)
   }
 
   test("banding recall 1.0 on TRULY DECODED pixels: real P6 images " +

@@ -109,7 +109,7 @@ class SchedulerSpec extends AnyFunSuite {
       .run(spark, SparkTestSession.sfDir).collect()
       .map(r => s"${r.getString(0)}|${r.getLong(1)}|" +
         s"${if (r.getBoolean(2)) "True" else "False"}|${r.getString(3)}|" +
-        r.getString(4))
+        s"${r.getLong(4)}|" + r.getString(5))
       .sorted
     val goldenState = scala.io.Source
       .fromResource("golden_scheduler_state.txt").getLines().toSeq
