@@ -19,6 +19,7 @@ object SparkEntry {
       scheduler.SchedulerQueries.queries ++
       maintenance.Compaction.queries ++
       pipeline.Dedup.queries ++
+      pipeline.IncrementalDedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.CleanCorpus.queries ++

@@ -302,7 +302,7 @@ object Dedup {
     * class min (they are certain duplicates — dd01's tier); only class
     * representatives enter the banding, so no bucket ever contains an
     * exact-duplicate pile. */
-  private val lshPairsCte =
+  private[pipeline] val lshPairsCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
       |         range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS tok

@@ -51,6 +51,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("dd16: batch-sized sides broadcast; the store never sort-merges") {
+    // the incremental-dedup scale contract: the arriving batch's key
+    // set, bucket sets and id sets are the broadcast sides of every
+    // store-facing join — a SortMergeJoin would mean the store is being
+    // shuffled per batch, exactly what the tier exists to avoid
+    val p = planOf("dd16_incremental_lsh")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "store shuffled per batch")
+  }
+
   test("check_fk_containment: lineitem scanned once for its three FKs") {
     val p = planOf("check_fk_containment")
     assert("lineitem\\.parquet".r.findAllIn(p).size === 1)

@@ -37,9 +37,12 @@ class QueriesSpec extends AnyFunSuite {
   // mm07/mm09: the fixture has no byte-identical documents below sf0.1
   // (and the md5 fake pHash has no near-collisions by construction), so
   // there are no exact-hash groups / near-dup pairs to report
-  // (crafted-corpus coverage in MultimodalSpec).
+  // (crafted-corpus coverage in MultimodalSpec). dd16: the arriving 20%
+  // of a 50-doc corpus may touch no LSH pair (5 rows at sf0.01, 112 at
+  // sf0.1; non-empty coverage in IncrementalDedupSpec).
   private val mayBeEmpty =
-    Set("q09_anti_join", "mm07_phash_dup", "mm09_phash_near_dup")
+    Set("q09_anti_join", "mm07_phash_dup", "mm09_phash_near_dup",
+      "dd16_incremental_lsh")
 
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
