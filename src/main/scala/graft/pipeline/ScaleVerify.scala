@@ -282,7 +282,42 @@ object ScaleVerify {
           s"n_clusters=$nClusters n_pruned=$pruned of $nVec")
     }
 
-    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10)
+    // ---- dd16: incremental == monolithic-restricted AT SCALE ----------
+    // (dd03's chain completes at sf1, so the restriction equality is
+    // checkable EXACTLY here — and the timing pair quantifies the
+    // incremental win a 20%-batch arrival buys over a full re-run)
+    val r11 = timed("dd16_incremental_restriction_equality") {
+      val all = Tables.spread(s, docsDf, "doc_id")
+      val isNew = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(5)) === 0
+      val tF = System.nanoTime()
+      val full = Dedup.lshPairsOf(Dedup.minhashSig(all))
+        .select("doc_a", "doc_b").materialized
+      val fullSecs = (System.nanoTime() - tF) / 1e9
+      val store = IncrementalDedup
+        .initialStore(Dedup.minhashSig(all.filter(!isNew))).materialized
+      val newSigs = Dedup.minhashSig(all.filter(isNew)).materialized
+      val tI = System.nanoTime()
+      val inc = IncrementalDedup.ingest(store, newSigs)
+        .pairs.materialized
+      val incSecs = (System.nanoTime() - tI) / 1e9
+      val newIds = all.filter(isNew).select("doc_id").materialized
+      val want = full
+        .join(newIds.select(col("doc_id").as("doc_a"))
+          .withColumn("na", lit(1)), Seq("doc_a"), "left")
+        .join(newIds.select(col("doc_id").as("doc_b"))
+          .withColumn("nb", lit(1)), Seq("doc_b"), "left")
+        .filter(col("na").isNotNull || col("nb").isNotNull)
+        .select("doc_a", "doc_b")
+      val missing = want.exceptAll(inc).count()
+      val extra = inc.exceptAll(want).count()
+      (missing == 0L && extra == 0L,
+        s"missing=$missing extra=$extra (${inc.count()} pairs; " +
+          f"full chain $fullSecs%.1f s vs 20%%-batch ingest $incSecs%.1f s)")
+    }
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11)
   }
 
   /** Driver union-find re-derivation on sampled components: collect the
