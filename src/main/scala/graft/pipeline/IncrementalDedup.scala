@@ -74,9 +74,17 @@ object IncrementalDedup {
     val storeTouched = store.join(broadcast(touchedKeys), "sig_key")
     // full membership of every touched class, with the representative
     // RECOMPUTED over old ∪ new (a new doc with a smaller id takes over
-    // as rep, exactly as the full-corpus groupBy would decide)
+    // as rep, exactly as the full-corpus groupBy would decide).
+    // dropDuplicates: a RE-ARRIVING doc (an at-least-once replay — same
+    // doc_id, same text, so the identical signature row on both sides
+    // of the union) collapses to one membership row, which makes a
+    // replayed batch produce byte-identical pairs and an unchanged
+    // store instead of duplicated star edges. doc_id is an immutable
+    // content id by contract — the dedup is over touched classes only,
+    // never the corpus.
     val members = storeTouched.select(sigCols: _*)
       .unionByName(newKeyed)
+      .dropDuplicates("sig_key", "doc_id")
     val reps2 = members.groupBy("sig_key").agg(min("doc_id").as("rep"))
     val touchedWithRep = members.join(reps2, "sig_key").materialized
     val newIds = newKeyed.select("doc_id").distinct().materialized

@@ -470,6 +470,49 @@ object Streams {
     incrementalCheckById(spark, srcDir, schema, (b, _) => checkFn(b),
       checkpoint, outPath)
 
+  /** Arrived-docs DEDUP stream — the arrival pipeline composed end to
+    * end: a file-source stream of documents, each micro-batch run
+    * through [[graft.pipeline.IncrementalDedup.ingest]] against the
+    * persisted signature store, pairs landing under
+    * `outPath/batch_id=<id>` and the store atomically swapped after
+    * every batch. Unlike [[streamingNearDup]] (which flags arrivals
+    * against bucket representatives from flatMapGroupsWithState state),
+    * this emits the EXACT dd03 pair contract per batch — the monolithic
+    * chain over all-data-so-far restricted to the batch — with the
+    * signature state in a queryable parquet store instead of the
+    * stream's private state files.
+    *
+    * At-least-once replay is IDEMPOTENT end to end: the pair sink
+    * overwrites its own batch_id partition, and a re-ingested batch
+    * produces byte-identical pairs and an unchanged store (ingest
+    * collapses the re-arriving rows — see its membership dedup), so a
+    * crash between the pair write and the store swap just replays into
+    * the same state. Trigger.AvailableNow drains what exists and stops,
+    * so the same call is a scheduled catch-up job or a continuous
+    * monitor with a different trigger. */
+  def incrementalDedupStream(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, storePath: String,
+      checkpoint: String, outPath: String): Unit = {
+    import graft.pipeline.{Dedup, IncrementalDedup}
+    val store = new IncrementalDedup.SigStore(spark, storePath)
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val prev = store.load().getOrElse(
+          IncrementalDedup.initialStore(
+            Dedup.minhashSig(batch.limit(0).toDF())))
+        val r = IncrementalDedup.ingest(prev,
+          Dedup.minhashSig(batch.toDF()))
+        r.pairs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$id")
+        store.save(r.updatedStore)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Same, with the micro-batch id passed to `checkFn` — callers that
     * accumulate per-batch results OUTSIDE the stream (e.g. a violations
     * tally that must survive a mid-stream retry) key them by this id, so

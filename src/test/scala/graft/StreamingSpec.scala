@@ -61,6 +61,69 @@ class StreamingSpec extends AnyFunSuite {
       "the failed batch must not have produced a summary")
   }
 
+  test("incrementalDedupStream: per-batch pairs equal the monolithic " +
+      "chain restricted to the batch; store survives restarts") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.pipeline.{Dedup, IncrementalDedup}
+    val base = Files.createTempDirectory("graft-incdd").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val cp = s"$base/cp"; val out = s"$base/out"
+    val storePath = s"$base/sigs"
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+    val b1 = Seq((10L, "alpha beta alpha beta"),
+      (11L, "alpha beta alpha beta"), (12L, "gamma delta gamma"))
+    val b2 = Seq((3L, "alpha beta alpha beta"), // rep takeover: 3 < 10
+      (13L, "gamma delta gamma"))
+    val schema = docsDf(b1).schema
+    def pairsOf(dir: String): Set[(Long, Long)] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    def fullRestricted(all: Seq[(Long, String)],
+        batch: Set[Long]): Set[(Long, Long)] =
+      Dedup.lshPairsOf(Dedup.minhashSig(docsDf(all)))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => batch(p._1) || batch(p._2)).toSet
+
+    // land arrivals as PLAIN FILES in src (the file-stream source does
+    // not recurse into subdirectories): stage the write, copy the part
+    var staged = 0
+    def land(rows: Seq[(Long, String)]): Unit = {
+      staged += 1
+      val stage = s"$base/stage-$staged"
+      docsDf(rows).coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(s"$src/arrival-$staged.parquet"))
+      ()
+    }
+
+    // batch 0 arrives, stream drains, store bootstraps
+    land(b1)
+    Streams.incrementalDedupStream(spark, src, schema, storePath, cp, out)
+    assert(pairsOf(s"$out/batch_id=0") ===
+      fullRestricted(b1, b1.map(_._1).toSet))
+    // RESTART with the same checkpoint after batch 1 arrives: only the
+    // new files ingest, against the PERSISTED store, with a rep takeover
+    land(b2)
+    Streams.incrementalDedupStream(spark, src, schema, storePath, cp, out)
+    assert(pairsOf(s"$out/batch_id=1") ===
+      fullRestricted(b1 ++ b2, b2.map(_._1).toSet))
+    // the persisted store equals the monolithic signature state
+    val st = new IncrementalDedup.SigStore(spark, storePath).load().get
+      .select("sig_key", "doc_id", "rep").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.sigWithRep(Dedup.minhashSig(docsDf(b1 ++ b2)))
+      .select("sig_key", "doc_id", "rep").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st === want)
+    // idle restart: no new files, no new batch dirs, store untouched
+    Streams.incrementalDedupStream(spark, src, schema, storePath, cp, out)
+    assert(!Files.exists(Paths.get(s"$out/batch_id=2")))
+  }
+
   test("streaming sequence packing equals batch pipe05") {
     // packChunks is a stateless per-row generator, so the SAME transform
     // runs under readStream with no watermark/state — arriving docs chunk
