@@ -1078,8 +1078,72 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** ANN INDEX-STALENESS monitor — the operational question every
+    * vector index faces as data arrives: do the arriving vectors still
+    * distribute over the index's cells the way the resident corpus the
+    * index was built for does? Per cell: resident vs arriving occupancy
+    * share (the arriving stream = the same deterministic md5 split the
+    * incremental-dedup tier uses), the signed shift, and a flag at the
+    * 5-point band — the cell-level analog of `check_drift`'s table
+    * bands, and the retrain trigger for sim02/sim09's IVF tiers (a
+    * drifted occupancy histogram means nprobe recall degrades because
+    * centroids no longer tessellate the arriving distribution).
+    *
+    * Scale shape: rides the assignment frame (one codegen'd distance
+    * projection, zero shuffles — the sim07 path) into ONE k-row
+    * map-side-combined aggregation; totals broadcast back. Nothing
+    * corpus-sized moves. */
+  val sim13IndexDrift: Q = Q(
+    "sim13_index_drift",
+    s"""WITH $kmeansCte,
+       |tag AS (SELECT a.vec_id, a.cluster,
+       |    CASE WHEN ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))
+       |      ::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS is_new
+       |  FROM a3 a),
+       |per AS (SELECT cluster,
+       |    CAST(SUM(1 - is_new) AS BIGINT) AS n_resident,
+       |    CAST(SUM(is_new) AS BIGINT) AS n_arriving
+       |  FROM tag GROUP BY cluster),
+       |tot AS (SELECT CAST(SUM(n_resident) AS BIGINT) AS tr,
+       |               CAST(SUM(n_arriving) AS BIGINT) AS ta FROM per)
+       |SELECT p.cluster, p.n_resident, p.n_arriving,
+       |  floor(CAST(p.n_resident AS DOUBLE) / t.tr * 10000 + 0.5) / 10000
+       |    AS share_resident,
+       |  floor(CAST(p.n_arriving AS DOUBLE) / nullif(t.ta, 0)
+       |    * 10000 + 0.5) / 10000 AS share_arriving,
+       |  floor((CAST(p.n_arriving AS DOUBLE) / nullif(t.ta, 0)
+       |      - CAST(p.n_resident AS DOUBLE) / t.tr) * 10000 + 0.5) / 10000
+       |    AS share_shift,
+       |  abs(CAST(p.n_arriving AS DOUBLE) / nullif(t.ta, 0)
+       |    - CAST(p.n_resident AS DOUBLE) / t.tr) > 0.05 AS flagged
+       |FROM per p, tot t ORDER BY cluster""".stripMargin) { (s, d) =>
+    import graft.functions.StableRound
+    val isNew = pmod(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(5)) === 0
+    val per = kmeansAssign(s, d)
+      .withColumn("is_new", when(isNew, 1L).otherwise(0L))
+      .groupBy("cluster")
+      .agg(sum(lit(1L) - col("is_new")).as("n_resident"),
+        sum("is_new").as("n_arriving"))
+      .materialized
+    val tot = per.agg(sum("n_resident").as("tr"), sum("n_arriving").as("ta"))
+    val shiftRaw = col("n_arriving").cast("double") /
+      nullif(col("ta").cast("double"), lit(0.0)) -
+      col("n_resident").cast("double") / col("tr")
+    per.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_resident"), col("n_arriving"),
+        StableRound.r4(col("n_resident").cast("double") / col("tr"))
+          .as("share_resident"),
+        StableRound.r4(col("n_arriving").cast("double") /
+          nullif(col("ta").cast("double"), lit(0.0))).as("share_arriving"),
+        StableRound.r4(shiftRaw).as("share_shift"),
+        (abs(shiftRaw) > 0.05).as("flagged"))
+      .orderBy("cluster")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
     sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample,
-    sim10RangeSearch, sim11MmrTopK, sim12KnnClassify)
+    sim10RangeSearch, sim11MmrTopK, sim12KnnClassify, sim13IndexDrift)
 }
