@@ -123,6 +123,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(st.load().get.count() === 4)
   }
 
+  test("skew pile: a batch arriving into a 3000-copy identical class " +
+      "emits |batch| star rows, never a clique") {
+    // the GenSkew finding applied to arrival: 600 new copies of a doc
+    // already present 2400 times must attach as 600 star edges on the
+    // class min — C(600,2) in-batch pairs or 600*2400 cross pairs would
+    // be the quadratic regression the star collapse exists to prevent
+    val text = "alpha beta gamma delta epsilon zeta"
+    val olds = (1L to 2400L).map(i => (i, text))
+    val news = (10001L to 10600L).map(i => (i, text))
+    val store = IncrementalDedup.initialStore(sigsOf(olds))
+    val inc = IncrementalDedup.ingest(store, sigsOf(news))
+    val got = pairSet(inc.pairs)
+    assert(got === news.map(n => (1L, n._1)).toSet,
+      s"expected 600 star edges on rep 1, got ${got.size} pairs")
+    // and a new SMALLER id taking over the pile's rep stays linear too:
+    // the full run re-labels every star edge to the new rep, and the
+    // restriction keeps exactly the class edges (they all involve doc 0
+    // now) — |class| - 1 rows, not a clique
+    val inc2 = IncrementalDedup.ingest(
+      inc.updatedStore.localCheckpoint(true), sigsOf(Seq((0L, text))))
+    val got2 = pairSet(inc2.pairs)
+    assert(got2 === (olds.map(_._1) ++ news.map(_._1))
+      .map(i => (0L, i)).toSet,
+      s"rep takeover must re-emit the star linearly, got ${got2.size}")
+  }
+
   test("work scales with the batch: an untouched store contributes no " +
       "pair work (disjoint-signature batch)") {
     // old docs and the batch share NO bigrams -> no common sig classes,
