@@ -38,6 +38,7 @@ object StressDedup {
     "dd07_winnow_pairs", "dd08_candidate_jaccard", "dd09_semantic_dedup",
     "dd10_semdedup_recall", "dd11_dup_profile", "dd12_dup_spans",
     "dd13_source_overlap", "dd14_cluster_reps", "dd15_minhash_calibration",
+    "dd16_incremental_lsh",
     "pipe01_clean_corpus", "pipe15_filter_funnel", "pipe17_dedup_mixture",
     "mm07_phash_dup")
 
