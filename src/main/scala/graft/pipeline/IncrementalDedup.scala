@@ -117,16 +117,22 @@ object IncrementalDedup {
       maxBucket)
     // restriction: keep pairs with >= 1 NEW endpoint (drops the old-old
     // edges touched classes/buckets also contain — those were emitted
-    // when their docs arrived)
+    // when their docs arrived). Truncate mode's bucket_truncated audit
+    // flag rides through untouched — the loss-auditing contract of the
+    // batch chain holds for arrivals too.
+    val outCols =
+      if (all.columns.contains("bucket_truncated"))
+        Seq("doc_a", "doc_b", "bucket_truncated")
+      else Seq("doc_a", "doc_b")
     val na = newIds.select(col("doc_id").as("doc_a"))
       .withColumn("na", lit(1))
     val nb = newIds.select(col("doc_id").as("doc_b"))
       .withColumn("nb", lit(1))
-    val pairs = all.select("doc_a", "doc_b")
+    val pairs = all.select(outCols.map(col): _*)
       .join(broadcast(na), Seq("doc_a"), "left")
       .join(broadcast(nb), Seq("doc_b"), "left")
       .filter(col("na").isNotNull || col("nb").isNotNull)
-      .select("doc_a", "doc_b")
+      .select(outCols.map(col): _*)
     val updated = store
       .join(broadcast(touchedKeys), Seq("sig_key"), "left_anti")
       .select((sigCols :+ col("rep")): _*)

@@ -149,6 +149,28 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"rep takeover must re-emit the star linearly, got ${got2.size}")
   }
 
+  test("truncate mode: the bucket_truncated audit flag rides through " +
+      "ingest like the batch chain") {
+    // force a clipped bucket: identical band keys across >cap classes
+    // would need a degenerate banding; instead just assert the schema
+    // contract both ways — throw mode emits exactly (doc_a, doc_b),
+    // truncate mode carries the flag column
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha"),
+      (3L, "gamma delta gamma"))
+    val store = IncrementalDedup.initialStore(sigsOf(docs.take(2)))
+    val throwOut = IncrementalDedup.ingest(store, sigsOf(docs.drop(2)))
+    assert(throwOut.pairs.columns.toSeq === Seq("doc_a", "doc_b"))
+    spark.conf.set("spark.graft.bucketCap.mode", "truncate")
+    try {
+      val truncOut = IncrementalDedup.ingest(store, sigsOf(docs.drop(2)))
+      assert(truncOut.pairs.columns.toSeq ===
+        Seq("doc_a", "doc_b", "bucket_truncated"))
+      assert(truncOut.pairs.collect()
+        .forall(!_.getAs[Boolean]("bucket_truncated")),
+        "no bucket is oversize here, so no pair may be flagged")
+    } finally spark.conf.unset("spark.graft.bucketCap.mode")
+  }
+
   test("work scales with the batch: an untouched store contributes no " +
       "pair work (disjoint-signature batch)") {
     // old docs and the batch share NO bigrams -> no common sig classes,
