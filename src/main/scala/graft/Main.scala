@@ -26,6 +26,11 @@ import graft.state.StateStore
   *       only files landed since the last checkpoint — O(new files))
   *     [--compact TABLE_DIR --target-bytes N]   (maintenance mode:
   *       plan is printed; executed unless --dry-run)
+  *     [--dedup-ingest DOCS_DIR [--sig-store PATH] [--dedup-out PATH]
+  *       [--checkpoint ROOT]]                   (arrival-dedup mode: new
+  *       document files stream through IncrementalDedup against the
+  *       persisted signature store — per batch, exactly the monolithic
+  *       LSH pair set restricted to arriving docs, O(batch) work)
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -39,6 +44,9 @@ object Main {
     var incremental = false
     var checkpointRoot = "/tmp/graft-incremental"
     var printSchedule = false
+    var dedupSrc: Option[String] = None
+    var sigStorePath = "/tmp/graft-sigstore/sigs"
+    var dedupOut = "/tmp/graft-dedup-pairs"
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -49,7 +57,9 @@ object Main {
           "[--database-order POLICY] [--dry-run] [--state PATH] " +
           "[--log PATH] [--report] [--print-schedule] " +
           "[--incremental [--checkpoint ROOT]] " +
-          "[--compact TABLE_DIR --target-bytes N]")
+          "[--compact TABLE_DIR --target-bytes N] " +
+          "[--dedup-ingest DOCS_DIR [--sig-store PATH] " +
+          "[--dedup-out PATH] [--checkpoint ROOT]]")
       sys.exit(1)
     }
     var i = 0
@@ -87,6 +97,9 @@ object Main {
         case "--checkpoint" => checkpointRoot = value("--checkpoint")
         case "--print-schedule" => printSchedule = true
         case "--compact" => compactDir = Some(value("--compact"))
+        case "--dedup-ingest" => dedupSrc = Some(value("--dedup-ingest"))
+        case "--sig-store" => sigStorePath = value("--sig-store")
+        case "--dedup-out" => dedupOut = value("--dedup-out")
         case "--target-bytes" =>
           targetBytes = scala.util.Try(value("--target-bytes").toLong)
             .filter(_ > 0)
@@ -165,9 +178,34 @@ object Main {
           s"${stray.mkString(", ")} (allowed with --incremental: --db, " +
           "--checkpoint, --log)")
       if (dbs.isEmpty) usage("--incremental requires at least one --db")
-    } else if (seen.contains("--checkpoint"))
-      usage("--checkpoint only applies to --incremental runs")
-    if (compactDir.isDefined) {
+    }
+    if (dedupSrc.isDefined) {
+      val allowed = Set("--dedup-ingest", "--sig-store", "--dedup-out",
+        "--checkpoint")
+      val stray = seen.filterNot(allowed)
+      if (stray.nonEmpty) usage(
+        "--dedup-ingest is a standalone arrival-dedup mode; other " +
+          s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
+          "--sig-store, --dedup-out, --checkpoint)")
+    } else if (Seq("--sig-store", "--dedup-out").exists(seen.contains))
+      usage("--sig-store/--dedup-out only apply to --dedup-ingest runs")
+    if (!incremental && dedupSrc.isEmpty && seen.contains("--checkpoint"))
+      usage("--checkpoint only applies to --incremental/--dedup-ingest runs")
+    if (dedupSrc.isDefined) {
+      // arrival-dedup mode: the dd16 tier from the product entry point —
+      // stream newly landed document files through the persisted
+      // signature store; pairs land under batch_id partitions
+      val src = dedupSrc.get
+      val schema = spark.read.parquet(src).schema
+      streaming.Streams.incrementalDedupStream(spark, src, schema,
+        sigStorePath, checkpointRoot, dedupOut)
+      val outP = new org.apache.hadoop.fs.Path(dedupOut)
+      val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(outP)) {
+        val n = spark.read.parquet(dedupOut).count()
+        println(s"pairs: $n (cumulative, under $dedupOut)")
+      } else println("pairs: 0 (no batches processed yet)")
+    } else if (compactDir.isDefined) {
       // maintenance mode (the IndexOptimize analog): print the plan
       // (dry-run echo, ref CE:197), then execute THE SAME SNAPSHOT unless
       // --dry-run — one listing feeds both, so the echo IS the plan run
