@@ -196,9 +196,22 @@ object Main {
       // stream newly landed document files through the persisted
       // signature store; pairs land under batch_id partitions
       val src = dedupSrc.get
-      val schema = spark.read.parquet(src).schema
-      streaming.Streams.incrementalDedupStream(spark, src, schema,
-        sigStorePath, checkpointRoot, dedupOut)
+      // schema inference needs at least one landed file; the intended
+      // first-run/no-arrivals case exits gracefully instead of dying in
+      // spark.read.parquet's "unable to infer schema"
+      val srcP = new org.apache.hadoop.fs.Path(src)
+      val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasFiles = srcFs.exists(srcP) && srcFs.listStatus(srcP).exists {
+        st =>
+          val n = st.getPath.getName
+          st.isFile && st.getLen > 0 && !n.startsWith("_") &&
+            !n.startsWith(".")
+      }
+      if (hasFiles) {
+        val schema = spark.read.parquet(src).schema
+        streaming.Streams.incrementalDedupStream(spark, src, schema,
+          sigStorePath, checkpointRoot, dedupOut)
+      }
       val outP = new org.apache.hadoop.fs.Path(dedupOut)
       val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(outP)) {

@@ -95,10 +95,28 @@ final class Scheduler(
     // CHECKTABLE — reads via its pinned file set, so on a live lake a
     // concurrent writer landing files mid-run cannot make the two phases
     // disagree about the same table within one run.
+    // Capture runs on a bounded pool, not a serial driver loop: each
+    // manifest is one listStatus metadata RPC, and at the 100k-table
+    // states this scheduler targets a serial prologue is minutes of
+    // driver dead time on an object store before any check runs (the
+    // reference snapshots per DATABASE for the same reason, IC:519-571).
+    // Determinism is untouched — capture reads no clock and the result
+    // is a keyed map, so completion order cannot reach the goldens.
     val manifests: Map[(String, String, String),
-        graft.catalog.TableManifest] =
-      scan.map(r => (r.database_name, r.schema_name, r.object_name) ->
-        inventory.manifest(spark, r)).toMap
+        graft.catalog.TableManifest] = {
+      val capPool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(32, scan.size)))
+      try {
+        val futures = scan.map { r =>
+          capPool.submit(new java.util.concurrent.Callable[
+              ((String, String, String), graft.catalog.TableManifest)] {
+            def call() = (r.database_name, r.schema_name, r.object_name) ->
+              inventory.manifest(spark, r)
+          })
+        }
+        futures.map(_.get()).toMap
+      } finally capPool.shutdown()
+    }
 
     // Stage 9: reconcile into persistent state (3-clause MERGE).
     var state = StateStore.reconcile(stateStore.load(), scan)
@@ -323,6 +341,14 @@ final class Scheduler(
                 // nanoTime delta (real wall time under SystemClock, the
                 // fixed tick under ManualClock), so recorded state is
                 // byte-identical run-to-run at any concurrency.
+                // KNOWN SKEW, by design: `start` is the driver-side
+                // SUBMISSION tick and the nanoTime delta starts when the
+                // pool thread begins, so start+elapsed excludes pool-queue
+                // wait — in concurrent mode these state timestamps are a
+                // deterministic DURATION record, not wall-clock completion
+                // stamps. Consumers needing wall-accurate audit times read
+                // the command log, whose entries CommandExecutor stamps
+                // with its own observe()-based start/end at execution.
                 val t0n = System.nanoTime()
                 val r = executor.run(t.database_name, t.schema_name,
                   t.object_name, "U", cmd, "DBCC_CHECKTABLE")(action())

@@ -487,31 +487,48 @@ object Streams {
     * produces byte-identical pairs and an unchanged store (ingest
     * collapses the re-arriving rows — see its membership dedup), so a
     * crash between the pair write and the store swap just replays into
-    * the same state. Trigger.AvailableNow drains what exists and stops,
-    * so the same call is a scheduled catch-up job or a continuous
-    * monitor with a different trigger. */
+    * the same state (StreamingSpec's crash-injection case executes
+    * exactly that window). The run holds the store's WRITER LEASE for
+    * its duration (renewed per batch), so a second concurrent ingest
+    * run fails loudly instead of interleaving store swaps.
+    * Trigger.AvailableNow drains what exists and stops, so the same
+    * call is a scheduled catch-up job or a continuous monitor with a
+    * different trigger. */
   def incrementalDedupStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType, storePath: String,
       checkpoint: String, outPath: String): Unit = {
     import graft.pipeline.{Dedup, IncrementalDedup}
     val store = new IncrementalDedup.SigStore(spark, storePath)
-    val q = spark.readStream.schema(schema).parquet(srcDir)
-      .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val prev = store.load().getOrElse(
-          IncrementalDedup.initialStore(
-            Dedup.minhashSig(batch.limit(0).toDF())))
-        val r = IncrementalDedup.ingest(prev,
-          Dedup.minhashSig(batch.toDF()))
-        r.pairs.coalesce(1).write.mode("overwrite")
-          .parquet(s"$outPath/batch_id=$id")
-        store.save(r.updatedStore)
-      }
-      .start()
-    q.awaitTermination()
+    store.withLease {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          store.renewLease()
+          val prev = store.load()
+          val r = IncrementalDedup.ingest(
+            prev.getOrElse(IncrementalDedup.initialStore(
+              Dedup.minhashSig(batch.limit(0).toDF()))),
+            Dedup.minhashSig(batch.toDF()))
+          r.pairs.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outPath/batch_id=$id")
+          onDedupPairsWritten(id)
+          // bootstrap = full-generation swap; steady state = dynamic
+          // partition overwrite of only the partitions the batch touched
+          if (prev.isEmpty) store.save(r.updatedStore)
+          else store.saveIncremental(r.touched)
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
+
+  /** Test seam for the crash window between the pair write and the
+    * store update — StreamingSpec installs a one-shot throw here to
+    * prove the at-least-once replay converges. No-op in production. */
+  private[graft] var onDedupPairsWritten: Long => Unit = _ => ()
 
   /** Same, with the micro-batch id passed to `checkFn` — callers that
     * accumulate per-batch results OUTSIDE the stream (e.g. a violations

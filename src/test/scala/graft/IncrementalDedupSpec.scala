@@ -184,4 +184,177 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // and the full-restriction contract still holds
     assert(got === fullRestricted(olds ++ news, Set(10L, 11L)))
   }
+
+  private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("SigStore: load COMPLETES an interrupted swap (complete tmp " +
+      "promoted, incomplete tmp discarded, archived gen restored) and " +
+      "the next save succeeds on a frame derived from the recovered " +
+      "load") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigrec").toString
+    val fs = hadoopFs(base)
+    import org.apache.hadoop.fs.Path
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val gen1 = IncrementalDedup.initialStore(sigsOf(
+      Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha"))))
+    st.save(gen1)
+    // fabricate the crash ADVICE flagged: a COMPLETE next generation
+    // stranded in sigs.tmp (writer died after tmp _SUCCESS, before the
+    // renames). Build it with the store's own writer, then move it.
+    val scratch = new IncrementalDedup.SigStore(spark, s"$base/scratch")
+    val gen2docs = Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha"),
+      (3L, "gamma delta"))
+    scratch.save(IncrementalDedup.initialStore(sigsOf(gen2docs)))
+    fs.rename(new Path(s"$base/scratch"), new Path(s"$base/sigs.tmp"))
+    // load must finish the swap: gen2 promoted to the main path, tmp
+    // gone, and the frame reads from the MAIN path (not tmp)
+    val loaded = st.load().get
+    assert(storeKey(loaded) ===
+      storeKey(IncrementalDedup.initialStore(sigsOf(gen2docs))))
+    assert(!fs.exists(new Path(s"$base/sigs.tmp")),
+      "recovery must consume the stranded tmp generation")
+    // the previously-fatal step: saving a frame LAZILY derived from the
+    // recovered load (old code read tmp and then overwrote it mid-read)
+    st.save(loaded.filter(col("doc_id") =!= 3L))
+    assert(st.load().get.count() === 2)
+    // incomplete tmp (no _SUCCESS) is garbage: discarded, path wins
+    fs.mkdirs(new Path(s"$base/sigs.tmp"))
+    val junk = fs.create(new Path(s"$base/sigs.tmp/part-junk.parquet"))
+    junk.writeBytes("not parquet"); junk.close()
+    assert(st.load().get.count() === 2)
+    assert(!fs.exists(new Path(s"$base/sigs.tmp")))
+    // crash window between path->old and tmp->path with tmp lost:
+    // the archived generation is the newest complete one — restore it
+    fs.rename(new Path(s"$base/sigs"), new Path(s"$base/sigs.old"))
+    assert(st.load().get.count() === 2)
+    assert(fs.exists(new Path(s"$base/sigs")))
+  }
+
+  test("SigStore: writer lease — second concurrent writer fails " +
+      "loudly; release hands over; a stale lease is broken") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-siglease").toString
+    val st1 = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val st2 = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    st1.acquireLease()
+    val e = intercept[IllegalStateException](st2.acquireLease())
+    assert(e.getMessage.contains("leased"), e.getMessage)
+    st1.releaseLease()
+    st2.acquireLease() // handover after release
+    // stale lease: age the lock past the TTL and a new writer breaks it
+    val fs = hadoopFs(base)
+    val lock = new org.apache.hadoop.fs.Path(s"$base/sigs.lock")
+    fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1)
+    st1.acquireLease(ttlMs = 1000L)
+    st1.releaseLease()
+  }
+
+  test("partitioned store: multi-batch evolution through " +
+      "saveIncremental persistence equals the monolithic chain") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigpart").toString
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val texts = Seq("alpha beta alpha beta", "alpha beta alpha beta",
+      "gamma delta gamma", "alpha beta alpha beta", "gamma delta gamma",
+      "beta alpha beta", "alpha beta alpha beta", "gamma delta gamma",
+      "delta gamma delta")
+    // descending ids force rep takeovers through the persisted path too
+    val docs = texts.zipWithIndex.map { case (t, i) => ((100 - i).toLong, t) }
+    val batches = docs.grouped(3).toSeq
+    st.save(IncrementalDedup.initialStore(sigsOf(batches.head)))
+    var sofar = batches.head
+    batches.tail.foreach { b =>
+      sofar = sofar ++ b
+      val inc = IncrementalDedup.ingest(st.load().get, sigsOf(b))
+      assert(pairSet(inc.pairs) ===
+        fullRestricted(sofar, b.map(_._1).toSet), s"batch ${b.map(_._1)}")
+      st.saveIncremental(inc.touched)
+      assert(storeKey(st.load().get) ===
+        storeKey(Dedup.sigWithRep(sigsOf(sofar))),
+        s"persisted store after batch ${b.map(_._1)}")
+    }
+  }
+
+  /** Rows read by every task (parquet scans and cached-block reads)
+    * across the thunk's jobs — the layout-independent measure of how
+    * much of the store an ingest actually touches. Listener delivery is
+    * async; the short settle sleep plus the wide assertion margins keep
+    * this deterministic in practice. */
+  private def recordsReadDuring(f: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(2000) }
+    finally spark.sparkContext.removeSparkListener(l)
+    recs.get()
+  }
+
+  test("partitioned store: a small-batch ingest READS a fraction of " +
+      "the store (partition pruning), and the layout prunes by file " +
+      "count") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigprune").toString
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    // docs with UNIQUE texts -> distinct signatures spread across
+    // the (pb0, pb1) bucket space
+    val docs = (1L to 4000L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+    st.save(IncrementalDedup.initialStore(sigsOf(docs)))
+    val loaded = st.load().get
+    // layout check: one band-0 bucket scans ~1/16 of the files — read
+    // off the executed scan's numFiles metric, the ground truth of what
+    // partition pruning admitted
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = loaded.inputFiles.length
+    val oneBucket = scannedFiles(loaded.filter(col("pb0") === 3))
+    assert(oneBucket <= allFiles / 4,
+      s"pb0=3 scanned $oneBucket of $allFiles files — partition " +
+        "pruning is not engaging on the store layout")
+    // end-to-end I/O A/B: store ROWS read by the SAME 2-doc ingest
+    // against the partitioned store vs a FLAT (pre-round-10) store of
+    // identical content — the flat layout reads every store row ~3
+    // times per batch (class join + two band probes), the partitioned
+    // one prunes every probe to the batch's bucket sets, so its task
+    // input is a small fraction of the corpus
+    val batchDocs = Seq(
+      (100001L, docs(7)._2), // joins an existing class
+      (100002L, "zeta eta theta iota kappa")) // a fresh class
+    val flatPath = s"$base/flat"
+    IncrementalDedup.initialStore(sigsOf(docs)).write.parquet(flatPath)
+    var flatInc: IncrementalDedup.IngestResult = null
+    val flatRecs = recordsReadDuring {
+      flatInc = IncrementalDedup.ingest(
+        spark.read.parquet(flatPath), sigsOf(batchDocs))
+      flatInc.pairs.collect()
+      ()
+    }
+    var inc: IncrementalDedup.IngestResult = null
+    val partRecs = recordsReadDuring {
+      inc = IncrementalDedup.ingest(st.load().get, sigsOf(batchDocs))
+      inc.pairs.collect()
+      ()
+    }
+    assert(partRecs * 3 < flatRecs,
+      s"partitioned-store ingest read $partRecs rows vs $flatRecs on " +
+        "the flat layout — partition pruning is not paying")
+    // and the pruned path is still the CORRECT path (both layouts)
+    val want = fullRestricted(docs ++ batchDocs, Set(100001L, 100002L))
+    assert(pairSet(inc.pairs) === want)
+    assert(pairSet(flatInc.pairs) === want)
+  }
 }

@@ -124,6 +124,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$out/batch_id=2")))
   }
 
+  test("incrementalDedupStream: a crash BETWEEN the pair write and the " +
+      "store update replays to byte-identical pairs and a converged " +
+      "store") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.pipeline.{Dedup, IncrementalDedup}
+    val base = Files.createTempDirectory("graft-incdd-crash").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val cp = s"$base/cp"; val out = s"$base/out"
+    val storePath = s"$base/sigs"
+    def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val b1 = Seq((10L, "alpha beta alpha beta"),
+      (11L, "alpha beta alpha beta"), (12L, "gamma delta gamma"))
+    val b2 = Seq((3L, "alpha beta alpha beta"), // rep takeover: 3 < 10
+      (13L, "gamma delta gamma"))
+    val schema = docsDf(b1).schema
+    def pairsOf(dir: String): Set[(Long, Long)] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    def fullRestricted(all: Seq[(Long, String)],
+        batch: Set[Long]): Set[(Long, Long)] =
+      Dedup.lshPairsOf(Dedup.minhashSig(docsDf(all)))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => batch(p._1) || batch(p._2)).toSet
+    def storeState(): Set[(String, Long, Long)] =
+      new IncrementalDedup.SigStore(spark, storePath).load().get
+        .select("sig_key", "doc_id", "rep").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def monolithic(all: Seq[(Long, String)]): Set[(String, Long, Long)] =
+      Dedup.sigWithRep(Dedup.minhashSig(docsDf(all)))
+        .select("sig_key", "doc_id", "rep").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    var staged = 0
+    def land(rows: Seq[(Long, String)]): Unit = {
+      staged += 1
+      val stage = s"$base/stage-$staged"
+      docsDf(rows).coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(s"$src/arrival-$staged.parquet"))
+      ()
+    }
+    // batch 0 bootstraps normally
+    land(b1)
+    Streams.incrementalDedupStream(spark, src, schema, storePath, cp, out)
+    // batch 1: KILL the run in the crash window — pairs written, store
+    // NOT yet updated (the window the replay contract exists for)
+    land(b2)
+    Streams.onDedupPairsWritten = id =>
+      if (id == 1L) {
+        Streams.onDedupPairsWritten = _ => () // one-shot
+        throw new RuntimeException("injected kill after pair write")
+      }
+    try intercept[Exception] {
+      Streams.incrementalDedupStream(spark, src, schema, storePath, cp, out)
+    } finally Streams.onDedupPairsWritten = _ => ()
+    val pairsAtCrash = pairsOf(s"$out/batch_id=1")
+    assert(storeState() === monolithic(b1),
+      "the killed run must not have advanced the store")
+    // the crash released the lease (withLease's finally), so the
+    // restart can claim the store and REPLAY batch 1
+    Streams.incrementalDedupStream(spark, src, schema, storePath, cp, out)
+    val want = fullRestricted(b1 ++ b2, b2.map(_._1).toSet)
+    assert(pairsOf(s"$out/batch_id=1") === want)
+    assert(pairsAtCrash === want,
+      "replay must overwrite the batch partition with identical pairs")
+    assert(storeState() === monolithic(b1 ++ b2),
+      "the replayed batch must converge the store")
+  }
+
   test("streaming sequence packing equals batch pipe05") {
     // packChunks is a stateless per-row generator, so the SAME transform
     // runs under readStream with no watermark/state — arriving docs chunk
