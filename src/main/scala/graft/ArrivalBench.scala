@@ -20,11 +20,30 @@ import graft.tables.Tables
   *  - `flat` — the pre-round-10 shape: an unpartitioned parquet store,
   *    every probe a full scan, every save a full rewrite.
   *
-  * Split: md5(doc_id) % 50 — buckets ≥ N form the bootstrap corpus
-  * (~80% at N=10), bucket i < N is arriving batch i (~2% each).
+  * Two arrival REGIMES, because the bucketed layout's economics flip
+  * with batch size (bucket pruning admits ~(2k/b)·store for a batch
+  * with k distinct band keys at fan-out b — it pays only when k ≪ b):
   *
-  * Usage: runMain graft.ArrivalBench <sfDir> [nBatches] [arm,arm]
-  * One JSON line per batch per arm + a summary line per arm. */
+  *  - `prop` (default): md5(doc_id) % 50 — buckets ≥ N form the
+  *    bootstrap corpus (~80% at N=10), bucket i < N is arriving batch
+  *    i (~2% each). Proportional batches carry more band keys than any
+  *    fan-out has buckets, so NOTHING prunes — this regime measures
+  *    the layout's pure overhead, which [[graft.pipeline
+  *    .IncrementalDedup.chooseBuckets]] bounds by degrading a small
+  *    store to one cell (the flat layout plus metadata).
+  *  - `trickle`: the production steady state the store exists for —
+  *    a continuously-fed landing zone where each micro-batch is a
+  *    handful of documents against a large corpus. Bootstrap = all but
+  *    32 docs; 8 batches of 4 docs; the bucketed store is PINNED at
+  *    fan-out 16 to reproduce the cell geometry autoK picks for a
+  *    lake-scale corpus (the fixture corpus alone would get one cell).
+  *    Here the rectangle prunes ~(2·4)/16 ≈ half the store per probe
+  *    and the incremental save rewrites ≤16 of 256 cells, vs the flat
+  *    arm's 3 full scans + full rewrite per 4-doc batch.
+  *
+  * Usage: runMain graft.ArrivalBench <sfDir> [nBatches] [arm,arm] [mode]
+  * One JSON line per batch per arm (now incl. total records read — the
+  * pruning signal) + a summary line per arm. */
 object ArrivalBench {
 
   def main(args: Array[String]): Unit = {
@@ -32,6 +51,7 @@ object ArrivalBench {
     val nBatches = if (args.length > 1) args(1).toInt else 10
     val arms = if (args.length > 2) args(2).split(",").toSeq
       else Seq("bucketed", "flat")
+    val mode = if (args.length > 3) args(3) else "prop"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,57 +69,101 @@ object ArrivalBench {
         .cast("long"), lit(50))
     def sigsOf(df: DataFrame): DataFrame = Dedup.minhashSig(df)
 
+    // (bootstrap corpus, arriving batch i, batch count, pinned fan-out)
+    // per regime — fan-out 0 = let save() autoK-size it
+    val (bootstrapDf, batchDf, batches, pinnedFanOut) = mode match {
+      case "prop" =>
+        (all.filter(bucket >= nBatches),
+          (i: Int) => all.filter(bucket === i), nBatches, 0)
+      case "trickle" =>
+        val nb = math.min(nBatches, 8)
+        val arrivals = all.select("doc_id")
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .orderBy("h").limit(nb * 4).select("doc_id")
+          .collect().map(_.getLong(0))
+        (all.filter(!col("doc_id").isInCollection(arrivals.toSeq)),
+          (i: Int) => all.filter(
+            col("doc_id").isInCollection(arrivals.slice(i * 4, i * 4 + 4))),
+          nb, 16)
+      case other => sys.error(s"unknown mode: $other")
+    }
+
     val base = java.nio.file.Files
       .createTempDirectory("graft-arrival").toString
+
+    // Untimed warm-up through BOTH store shapes (scratch data): without
+    // it, whichever arm runs first absorbs classloading, codegen and
+    // parquet writer init (~2 s) and the A/B compares warmup, not
+    // layout. Mirrors graft.Bench's warmup discipline.
+    {
+      val scratch = all.limit(64)
+      val st = new IncrementalDedup.SigStore(spark, s"$base/warm")
+      st.save(IncrementalDedup.initialStore(sigsOf(scratch)), fanOut = 2)
+      val winc = IncrementalDedup.ingest(st.load().get,
+        sigsOf(all.limit(70).except(scratch)), buckets = st.buckets)
+      winc.pairs.count()
+      st.saveIncremental(winc.touched, winc.touchedParts)
+      IncrementalDedup.initialStore(sigsOf(scratch))
+        .write.mode("overwrite").parquet(s"$base/warmflat")
+      spark.read.parquet(s"$base/warmflat").count()
+      ()
+    }
 
     arms.foreach { arm =>
       val t0 = System.nanoTime()
       var total = 0.0
       arm match {
         case "bucketed" =>
-          val st = new IncrementalDedup.SigStore(spark, s"$base/bk")
-          st.save(IncrementalDedup.initialStore(
-            sigsOf(all.filter(bucket >= nBatches))))
+          val st = new IncrementalDedup.SigStore(spark, s"$base/bk-$mode")
+          st.save(IncrementalDedup.initialStore(sigsOf(bootstrapDf)),
+            fanOut = pinnedFanOut)
           val bootSec = (System.nanoTime() - t0) / 1e9
-          println(s"""{"arm":"$arm","phase":"bootstrap","sec":${f"$bootSec%.2f"}}""")
-          (0 until nBatches).foreach { i =>
+          println(s"""{"arm":"$arm","mode":"$mode","phase":"bootstrap","sec":${f"$bootSec%.2f"},"fan_out":${st.buckets}}""")
+          (0 until batches).foreach { i =>
             listener.reset()
             val b0 = System.nanoTime()
-            val inc = IncrementalDedup.ingest(st.load().get,
-              sigsOf(all.filter(bucket === i)))
+            val loaded = st.load().get
+            val t1 = System.nanoTime()
+            val inc = IncrementalDedup.ingest(loaded,
+              sigsOf(batchDf(i)), buckets = st.buckets)
+            val t2 = System.nanoTime()
             val nPairs = inc.pairs.count()
-            st.saveIncremental(inc.touched)
-            val sec = (System.nanoTime() - b0) / 1e9
+            val t3 = System.nanoTime()
+            st.saveIncremental(inc.touched, inc.touchedParts)
+            val t4 = System.nanoTime()
+            val sec = (t4 - b0) / 1e9
             total += sec
             val rows = st.load().get.count()
-            println(s"""{"arm":"$arm","batch":$i,"sec":${f"$sec%.2f"},"pairs":$nPairs,"store_rows":$rows,"max_task_input":${listener.maxInput.get()},"max_task_shuffle":${listener.maxShuffle.get()}}""")
+            println(s"""{"arm":"$arm","mode":"$mode","batch":$i,"sec":${f"$sec%.2f"},"load_sec":${f"${(t1 - b0) / 1e9}%.2f"},"ingest_sec":${f"${(t2 - t1) / 1e9}%.2f"},"pairs_sec":${f"${(t3 - t2) / 1e9}%.2f"},"save_sec":${f"${(t4 - t3) / 1e9}%.2f"},"pairs":$nPairs,"store_rows":$rows,"records_read":${listener.totalInput.get()},"max_task_input":${listener.maxInput.get()},"max_task_shuffle":${listener.maxShuffle.get()}}""")
           }
         case "flat" =>
           // the pre-round-10 shape: flat store, full-scan probes, full
           // rewrite per batch (A/B dirs stand in for the tmp-swap)
-          var cur = s"$base/flatA"; var nxt = s"$base/flatB"
-          IncrementalDedup.initialStore(
-            sigsOf(all.filter(bucket >= nBatches)))
+          var cur = s"$base/flatA-$mode"; var nxt = s"$base/flatB-$mode"
+          IncrementalDedup.initialStore(sigsOf(bootstrapDf))
             .write.mode("overwrite").parquet(cur)
           val bootSec = (System.nanoTime() - t0) / 1e9
-          println(s"""{"arm":"$arm","phase":"bootstrap","sec":${f"$bootSec%.2f"}}""")
-          (0 until nBatches).foreach { i =>
+          println(s"""{"arm":"$arm","mode":"$mode","phase":"bootstrap","sec":${f"$bootSec%.2f"}}""")
+          (0 until batches).foreach { i =>
             listener.reset()
             val b0 = System.nanoTime()
-            val inc = IncrementalDedup.ingest(
-              spark.read.parquet(cur).drop("pb0", "pb1"),
-              sigsOf(all.filter(bucket === i)))
+            val loaded = spark.read.parquet(cur).drop("pb0", "pb1")
+            val t1 = System.nanoTime()
+            val inc = IncrementalDedup.ingest(loaded, sigsOf(batchDf(i)))
+            val t2 = System.nanoTime()
             val nPairs = inc.pairs.count()
+            val t3 = System.nanoTime()
             inc.updatedStore.write.mode("overwrite").parquet(nxt)
-            val sec = (System.nanoTime() - b0) / 1e9
+            val t4 = System.nanoTime()
+            val sec = (t4 - b0) / 1e9
             total += sec
             val t = cur; cur = nxt; nxt = t
             val rows = spark.read.parquet(cur).count()
-            println(s"""{"arm":"$arm","batch":$i,"sec":${f"$sec%.2f"},"pairs":$nPairs,"store_rows":$rows,"max_task_input":${listener.maxInput.get()},"max_task_shuffle":${listener.maxShuffle.get()}}""")
+            println(s"""{"arm":"$arm","mode":"$mode","batch":$i,"sec":${f"$sec%.2f"},"load_sec":${f"${(t1 - b0) / 1e9}%.2f"},"ingest_sec":${f"${(t2 - t1) / 1e9}%.2f"},"pairs_sec":${f"${(t3 - t2) / 1e9}%.2f"},"save_sec":${f"${(t4 - t3) / 1e9}%.2f"},"pairs":$nPairs,"store_rows":$rows,"records_read":${listener.totalInput.get()},"max_task_input":${listener.maxInput.get()},"max_task_shuffle":${listener.maxShuffle.get()}}""")
           }
         case other => sys.error(s"unknown arm: $other")
       }
-      println(s"""{"arm":"$arm","phase":"total_ingest","sec":${f"$total%.2f"},"batches":$nBatches,"sf":"$dir"}""")
+      println(s"""{"arm":"$arm","mode":"$mode","phase":"total_ingest","sec":${f"$total%.2f"},"batches":$batches,"sf":"$dir"}""")
     }
     spark.stop()
   }

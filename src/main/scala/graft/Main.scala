@@ -201,17 +201,29 @@ object Main {
       // spark.read.parquet's "unable to infer schema"
       val srcP = new org.apache.hadoop.fs.Path(src)
       val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasFiles = srcFs.exists(srcP) && srcFs.listStatus(srcP).exists {
-        st =>
-          val n = st.getPath.getName
-          st.isFile && st.getLen > 0 && !n.startsWith("_") &&
-            !n.startsWith(".")
+      // RECURSIVE probe: arrivals may land under partition subdirs
+      // (date=.../part.parquet) which a top-level listing misses — but
+      // skip anything under a hidden (_/.) path component (stream
+      // metadata, staging dirs)
+      val hasFiles = srcFs.exists(srcP) && {
+        val basePath = srcP.toUri.getPath
+        val it = srcFs.listFiles(srcP, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(basePath)
+          val hidden = rel.split("/").exists(c =>
+            c.startsWith("_") || c.startsWith("."))
+          found = st.isFile && st.getLen > 0 && !hidden
+        }
+        found
       }
       if (hasFiles) {
         val schema = spark.read.parquet(src).schema
         streaming.Streams.incrementalDedupStream(spark, src, schema,
           sigStorePath, checkpointRoot, dedupOut)
-      }
+      } else println(s"no arrivals found under $src, skipping dedup " +
+        "stream (nothing ingested this run)")
       val outP = new org.apache.hadoop.fs.Path(dedupOut)
       val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(outP)) {

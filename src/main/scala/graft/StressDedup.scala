@@ -21,13 +21,20 @@ object StressDedup {
   final class PeakListener extends SparkListener {
     val maxInput = new AtomicLong(0L)
     val maxShuffle = new AtomicLong(0L)
-    def reset(): Unit = { maxInput.set(0L); maxShuffle.set(0L) }
+    /** Sum of records read across all tasks — the I/O-volume twin of
+      * the per-task peaks (ArrivalBench reports it per batch to show
+      * partition pruning engaging, or not, per arrival regime). */
+    val totalInput = new AtomicLong(0L)
+    def reset(): Unit =
+      { maxInput.set(0L); maxShuffle.set(0L); totalInput.set(0L) }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         maxInput.getAndAccumulate(m.inputMetrics.recordsRead, math.max)
         maxShuffle.getAndAccumulate(
           m.shuffleReadMetrics.recordsRead, math.max)
+        totalInput.addAndGet(m.inputMetrics.recordsRead)
+        ()
       }
     }
   }

@@ -64,18 +64,51 @@ object IncrementalDedup {
   /** Result of one batch: the new-involving pair stream, the full store
     * frame for the NEXT batch (old ∪ new signatures with refreshed
     * class representatives — byte-equal to [[Dedup.sigWithRep]] over
-    * the union, which the spec pins), and the TOUCHED-class slice alone
+    * the union, which the spec pins), the TOUCHED-class slice alone
     * (the rows whose classes the batch changed) for
-    * [[SigStore.saveIncremental]]'s partition-overwrite path. */
+    * [[SigStore.saveIncremental]]'s partition-overwrite path, and the
+    * touched (pb0, pb1) cells at the ingest's fan-out — already
+    * collected for pruning, so the save need not recompute them (a
+    * touched class shares the batch's signatures, hence exactly the
+    * batch's bucket values). */
   final case class IngestResult(pairs: DataFrame, updatedStore: DataFrame,
-      touched: DataFrame)
+      touched: DataFrame, touchedParts: Seq[(Int, Int)])
 
-  /** Partition fan-out per band-key hash. 16×16 = up to 256 store
-    * partitions — sized for the fixture/bench scale; on a real lake the
-    * same layout runs at 256×256. Changing it requires a store rebuild
-    * (the partition values are baked into the directory layout), which
-    * is why it is a compile-time constant and not a config knob. */
+  /** Default fan-out for IN-MEMORY store frames (the dd16 gate path,
+    * property tests): there the bucket columns are plain row filters
+    * with no commit cost, so a fixed moderate fan-out keeps them
+    * selective. A PERSISTED store's fan-out is sized from its corpus by
+    * [[chooseBuckets]] at [[SigStore.save]] time, recorded in the
+    * store's `_graft_meta.json`, and read back by [[SigStore.buckets]]:
+    * the directory layout bakes the value in, so readers never assume
+    * it — they read it, and a store without the metadata is refused
+    * loudly instead of silently mis-pruned. */
   val StoreBuckets = 16
+
+  /** Fan-out cap: 256×256 = 65,536 partition cells, enough to keep
+    * cells in the tens-of-MB range past 10^10 signatures. */
+  val MaxStoreBuckets = 256
+
+  /** Target signature rows per (pb0, pb1) cell — ~250k rows ≈ 25 MB of
+    * parquet keeps a cell a single comfortable task input. */
+  private val TargetRowsPerCell = 250000L
+
+  /** Pick the per-band fan-out from the bootstrap corpus size (the
+    * dd09 autoK pattern): cells ≈ buckets², so buckets ≈
+    * sqrt(rows / target), rounded up to a power of two and capped at
+    * [[MaxStoreBuckets]]. A fixture-scale store gets fan-out 1 — ONE
+    * cell, i.e. the flat layout plus metadata, because bucket pruning
+    * cannot pay below ~[[TargetRowsPerCell]] rows and the per-cell
+    * commit overhead would be pure regression (round 10 shipped exactly
+    * that: 256 cells for 5,000 rows measured 2–3× slower than flat) —
+    * while a 10^10-signature lake store lands at 256, where a trickle
+    * batch's rectangle prunes ~everything. */
+  def chooseBuckets(rows: Long): Int = {
+    val raw = math.sqrt(math.max(rows, 1L).toDouble / TargetRowsPerCell)
+    val pow2 = math.pow(2, math.ceil(math.log(math.max(raw, 1.0)) /
+      math.log(2))).toInt
+    math.min(MaxStoreBuckets, math.max(1, pow2))
+  }
 
   private def mCols = (0 until 8).map(k => col(s"m$k"))
   private def sigCols =
@@ -89,47 +122,67 @@ object IncrementalDedup {
     col("m3"))
   private def b1Expr = concat_ws("|", col("m4"), col("m5"), col("m6"),
     col("m7"))
-  private def pb0Expr = pmod(xxhash64(b0Expr), lit(StoreBuckets))
-    .cast("int")
-  private def pb1Expr = pmod(xxhash64(b1Expr), lit(StoreBuckets))
-    .cast("int")
+  private def pb0Expr(buckets: Int) =
+    pmod(xxhash64(b0Expr), lit(buckets)).cast("int")
+  private def pb1Expr(buckets: Int) =
+    pmod(xxhash64(b1Expr), lit(buckets)).cast("int")
 
-  /** The store's partition columns, derived from the signature. Applied
-    * at write time by [[SigStore]]; `ingest` applies the same
-    * expressions to an in-memory store frame so the pruning filters are
-    * plain row filters there and PARTITION filters on a loaded store. */
-  private[pipeline] def withStoreBuckets(df: DataFrame): DataFrame =
-    df.withColumn("pb0", pb0Expr).withColumn("pb1", pb1Expr)
+  /** The store's partition columns, derived from the signature at the
+    * store's fan-out. Applied at write time by [[SigStore]]; `ingest`
+    * applies the same expressions to an in-memory store frame so the
+    * pruning filters are plain row filters there and PARTITION filters
+    * on a loaded store. */
+  private[pipeline] def withStoreBuckets(df: DataFrame,
+      buckets: Int = StoreBuckets): DataFrame =
+    df.withColumn("pb0", pb0Expr(buckets))
+      .withColumn("pb1", pb1Expr(buckets))
 
   /** Bootstrap a store from an initial corpus's signature frame
     * ((doc_id, m0..m7) — [[Dedup.minhashSig]]'s layout). */
   def initialStore(sigFrame: DataFrame): DataFrame =
     Dedup.sigWithRep(sigFrame)
 
-  /** One arriving batch against the persisted signature state. */
+  /** One arriving batch against the persisted signature state.
+    * `buckets` MUST be the fan-out the store was written with
+    * ([[SigStore.buckets]] for a loaded store) — the batch-side pruning
+    * values are computed with the same modulus the store's partition
+    * values were. */
   def ingest(store: DataFrame, newSigs: DataFrame,
-      maxBucket: Int = 1000): IngestResult = {
+      maxBucket: Int = 1000, buckets: Int = StoreBuckets): IngestResult = {
     val newKeyed = newSigs
       .withColumn("sig_key", concat_ws("|", mCols: _*))
       .select(sigCols: _*).materialized
     // the batch's signature-class key set: broadcastable by definition
     // (≤ one key per arriving doc) — and its band-key BUCKET sets,
-    // collected to the driver (≤ StoreBuckets values each) to drive
-    // partition pruning on every store read below. Touched classes
+    // collected to the driver (≤ `buckets` values each) to drive
+    // partition pruning on the store read below. Touched classes
     // share the batch's signatures exactly, so each pruning filter is a
     // strict superset of the join/semi condition it guards.
     val touchedKeys = newKeyed.select("sig_key").distinct()
-    val batchParts = withStoreBuckets(newKeyed)
+    val batchParts = withStoreBuckets(newKeyed, buckets)
       .select("pb0", "pb1").distinct().collect()
       .map(r => (r.getInt(0), r.getInt(1)))
     val pbs0 = batchParts.map(_._1).distinct.toSeq
     val pbs1 = batchParts.map(_._2).distinct.toSeq
     val storeB =
-      if (store.columns.contains("pb0")) store else withStoreBuckets(store)
+      if (store.columns.contains("pb0")) store
+      else withStoreBuckets(store, buckets)
     // an empty IN-list must mean "no partitions", not an analysis error
+    def inList(c: String, vs: Seq[Int]) =
+      if (vs.isEmpty) lit(false) else col(c).isInCollection(vs)
     def pruneBy(df: DataFrame, c: String, vs: Seq[Int]): DataFrame =
-      if (vs.isEmpty) df.filter(lit(false))
-      else df.filter(col(c).isInCollection(vs))
+      df.filter(inList(c, vs))
+    // ONE pruned scan feeds all three store probes below (the class
+    // membership join and both band probes): the union rectangle
+    // (pb0 ∈ batch's band-0 buckets) OR (pb1 ∈ batch's band-1 buckets)
+    // is partition-pruned at the source — it admits strictly fewer
+    // partitions than the three separate probe scans did combined —
+    // and the (lazily) cached frame is what the probes' narrower row
+    // filters run against, so a batch costs one store listing + one
+    // scan instead of three. Unpersisted before returning: every
+    // consumer materializes (localCheckpoint) inside this call.
+    val rect = storeB.filter(inList("pb0", pbs0) || inList("pb1", pbs1))
+      .cache()
     // full membership of every touched class (store side pruned to the
     // batch's (pb0, pb1) rectangle — a touched class's row carries the
     // batch's OWN band keys, so both bucket filters hold), with the
@@ -143,7 +196,7 @@ object IncrementalDedup {
     // store instead of duplicated star edges. doc_id is an immutable
     // content id by contract — the dedup is over touched classes only,
     // never the corpus.
-    val storeTouched = pruneBy(pruneBy(storeB, "pb0", pbs0), "pb1", pbs1)
+    val storeTouched = pruneBy(pruneBy(rect, "pb0", pbs0), "pb1", pbs1)
       .join(broadcast(touchedKeys), "sig_key")
     val members = storeTouched.select(sigCols: _*)
       .unionByName(newKeyed)
@@ -159,15 +212,16 @@ object IncrementalDedup {
     val tb0 = newRepRows.select(b0Expr.as("bk0")).distinct()
     val tb1 = newRepRows.select(b1Expr.as("bk1")).distinct()
     // untouched-class reps that share a touched bucket (either band):
-    // the only old state the banding needs. One partition-pruned read
-    // per band (a band-0 hit has its bk0 in the batch's band-0 key set,
-    // hence its pb0 in the batch's bucket set — and symmetrically for
-    // band 1), semi-joined on the broadcast touched-bucket keys, then
-    // doc-level dedup (a rep can hit on both bands).
+    // the only old state the banding needs. One row-filter per band on
+    // the shared rectangle scan (a band-0 hit has its bk0 in the
+    // batch's band-0 key set, hence its pb0 in the batch's bucket set —
+    // and symmetrically for band 1), semi-joined on the broadcast
+    // touched-bucket keys, then doc-level dedup (a rep can hit on both
+    // bands).
     def untouchedRepsOn(bucketCol: String, buckets: Seq[Int],
         keyExpr: org.apache.spark.sql.Column, keyName: String,
         keys: DataFrame): DataFrame =
-      pruneBy(storeB, bucketCol, buckets)
+      pruneBy(rect, bucketCol, buckets)
         .filter(col("doc_id") === col("rep"))
         .join(broadcast(touchedKeys), Seq("sig_key"), "left_anti")
         .withColumn(keyName, keyExpr)
@@ -206,7 +260,11 @@ object IncrementalDedup {
       .join(broadcast(touchedKeys), Seq("sig_key"), "left_anti")
       .select((sigCols :+ col("rep")): _*)
       .unionByName(touchedOut)
-    IngestResult(pairs, updated, touchedOut)
+    // every rect consumer has materialized by now (touchedWithRep and
+    // the lshPairsFromRep input are localCheckpoints); `updated` reads
+    // storeB directly, so the cache can go
+    rect.unpersist(false)
+    IngestResult(pairs, updated, touchedOut, batchParts.toSeq)
   }
 
   /** Parquet-backed signature store, partitioned by the band-key bucket
@@ -226,33 +284,132 @@ object IncrementalDedup {
     *    overwrite of ONLY the partitions the batch touched, with the
     *    partitions' retained rows re-read through a pruned scan and
     *    materialized BEFORE the overwrite (never read-and-overwrite the
-    *    same files). A crash mid-commit can leave a subset of touched
-    *    partitions replaced; the at-least-once replay of the batch
-    *    recomputes every touched partition to the same bytes (ingest's
-    *    membership dedup makes re-arrival idempotent), so the store
-    *    converges on restart — the same replay contract the pair sink's
-    *    batch_id partition overwrite rides.
+    *    same files), and the touched partitions' CURRENT content
+    *    archived to `path.bakparts` before the overwrite starts. A
+    *    crash anywhere in the commit leaves every touched partition
+    *    either old-complete (restorable from the archive) or
+    *    new-complete — never LOST, which matters because a partition
+    *    holds untouched co-resident classes a batch replay cannot
+    *    reconstruct. [[recover]] restores any archived partition
+    *    missing from the store, after which the at-least-once replay of
+    *    the batch recomputes every touched partition to the same bytes
+    *    (ingest's membership dedup makes re-arrival idempotent), so the
+    *    store converges on restart.
     *
-    * Single-writer is ENFORCED, not just contractual: [[acquireLease]]
-    * atomically creates `path.lock` (create-if-absent), so a second
-    * concurrent ingest run fails loudly instead of interleaving swaps
-    * (the reference's queue-claim semantics, DIC:1111 UPDLOCK, in lake
-    * form). The lease carries a TTL on the lock file's modification
-    * time; [[renewLease]] is the heartbeat. */
+    * Both writers repartition on (pb0, pb1) before the partitioned
+    * write, so a store lands as ONE file per populated partition cell —
+    * without it, every shuffle task opens a writer per distinct cell it
+    * holds and a 5,000-row store explodes into ~2,000 near-empty files,
+    * the small-file pathology [[graft.maintenance.Compaction]] exists
+    * to cure.
+    *
+    * The fan-out the store was written with is persisted in
+    * `_graft_meta.json` inside the store directory ([[buckets]] reads
+    * it); a store without the metadata is refused loudly rather than
+    * scanned with a guessed modulus that would silently mis-prune.
+    *
+    * Single-writer is enforced BEST-EFFORT (exactly as strong as the
+    * filesystem's `create(overwrite=false)` — atomic on HDFS-like
+    * stores, check-then-write on the local FS and S3A): [[acquireLease]]
+    * creates `path.lock` with the writer's UUID, re-reads it to verify
+    * the UUID survived (a lost creation race fails loudly), and a stale
+    * lease is only broken by RENAMING the lock aside first, so exactly
+    * one of several would-be breakers wins. The heartbeat
+    * ([[renewLease]]) REWRITES the lock content with a fresh timestamp
+    * (object stores where `setTimes` is a no-op keep working), and
+    * every store write re-verifies ownership, so a writer that lost its
+    * lease aborts instead of interleaving commits (the reference's
+    * queue-claim semantics, DIC:1111 UPDLOCK, in lake form). Staleness
+    * compares the holder's written timestamp with the breaker's clock —
+    * single-host exact, cross-host best-effort under skew. */
   final class SigStore(spark: SparkSession, path: String) {
     private def fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     private def lockPath = new Path(path + ".lock")
+    private def bakPath = new Path(path + ".bakparts")
+    private def metaPath(root: String) = new Path(root, "_graft_meta.json")
+
+    /** This instance's writer identity — what the lock file carries
+      * while this instance holds the lease. */
+    private val writerId = java.util.UUID.randomUUID().toString
+    @volatile private var leased = false
+
+    /** (fan-out, meta-file mtime, meta-file length) — the cached read
+      * of `_graft_meta.json`, revalidated against the file's stat so a
+      * rebuild by another process (new mtime/size) is picked up while
+      * the steady-state per-batch call costs one stat instead of a
+      * recover-plus-read. */
+    @volatile private var metaCache: Option[(Int, Long, Long)] = None
+
+    /** The fan-out this store's partition values were computed with.
+      * Reads the persisted metadata; a store directory without it is a
+      * layout we cannot prune safely — fail actionably. Before any
+      * store exists, bootstrap sizing ([[save]]) applies. */
+    def buckets: Int = {
+      val mp = metaPath(path)
+      val cached = metaCache
+      if (cached.isDefined) {
+        try {
+          val st = fs.getFileStatus(mp)
+          val (b, mt, len) = cached.get
+          if (st.getModificationTime == mt && st.getLen == len) return b
+        } catch { case _: java.io.IOException => () }
+      }
+      recover()
+      if (!fs.exists(new Path(path))) StoreBuckets
+      else {
+        val b = readMeta(path).getOrElse(throw new IllegalStateException(
+          s"SigStore at $path has no _graft_meta.json: its partition " +
+            "fan-out is unknown, and pruning with a guessed modulus " +
+            "would silently miss store rows. Rebuild the store with " +
+            "save() (which records the fan-out) or restore the " +
+            "metadata."))
+        try {
+          val st = fs.getFileStatus(mp)
+          metaCache = Some((b, st.getModificationTime, st.getLen))
+        } catch { case _: java.io.IOException => () }
+        b
+      }
+    }
+
+    private def readMeta(root: String): Option[Int] = {
+      val mp = metaPath(root)
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+      }
+    }
+
+    private def writeMeta(root: String, b: Int): Unit = {
+      val out = fs.create(metaPath(root), true)
+      out.writeBytes(s"""{"format":2,"buckets":$b}\n""")
+      out.close()
+    }
 
     /** Normalize on-disk state so `path` holds the newest COMPLETE
-      * generation, whatever point the last writer died at. */
-    private def recover(): Unit = {
+      * generation, whatever point the last writer died at — including a
+      * writer that died inside [[saveIncremental]]'s partition
+      * overwrite: any partition archived in `path.bakparts` but missing
+      * from the store is restored (old-complete), partitions the
+      * overwrite already committed stay new-complete, and the batch
+      * replay converges the mix. */
+    private[pipeline] def recover(): Unit = {
       val tmp = new Path(path + ".tmp")
       val p = new Path(path)
       val pOld = new Path(path + ".old")
-      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-        // interrupted swap with a complete next generation: finish it
+      if (fs.exists(new Path(tmp, "_SUCCESS")) &&
+          fs.exists(metaPath(path + ".tmp"))) {
+        // interrupted swap with a complete next generation (parquet
+        // commit done AND fan-out metadata recorded): finish it.
+        // A partition archive from an older interrupted incremental
+        // predates this full rebuild — drop it, never restore it over
+        // the newer generation.
+        if (fs.exists(bakPath)) fs.delete(bakPath, true)
         if (fs.exists(pOld)) fs.delete(pOld, true)
         if (fs.exists(p)) fs.rename(p, pOld)
         fs.rename(tmp, p)
@@ -264,6 +421,28 @@ object IncrementalDedup {
         // died between path→old and tmp→path with tmp already promoted
         // or lost: the archived generation is the newest complete one
         fs.rename(pOld, p)
+      }
+      if (fs.exists(bakPath)) {
+        // interrupted incremental commit: restore every archived
+        // partition the overwrite had removed but not yet rewritten
+        fs.listStatus(bakPath).filter(_.isDirectory).foreach { d0 =>
+          fs.listStatus(d0.getPath).filter(_.isDirectory).foreach { d1 =>
+            val dest = new Path(new Path(p, d0.getPath.getName),
+              d1.getPath.getName)
+            if (!fs.exists(dest)) {
+              fs.mkdirs(dest.getParent)
+              fs.rename(d1.getPath, dest)
+            }
+          }
+        }
+        fs.delete(bakPath, true)
+      }
+      if (fs.exists(p)) {
+        // a crash before the overwrite's commit can leave its staging
+        // dir behind; reads ignore dot-dirs but the garbage accretes
+        fs.listStatus(p).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(".spark-staging"))
+          .foreach(s => fs.delete(s.getPath, true))
       }
       ()
     }
@@ -277,37 +456,87 @@ object IncrementalDedup {
     /** Full-generation swap — bootstrap and rebuilds. `storeFrame` may
       * lazily read from `path` (it usually derives from [[load]]): the
       * write lands in `path.tmp` first, so the read side is untouched
-      * until the data is durable, and the swap is pure renames. */
-    def save(storeFrame: DataFrame): Unit = {
+      * until the data is durable, and the swap is pure renames. The
+      * fan-out is sized from the corpus ([[chooseBuckets]]) unless
+      * pinned by `fanOut`, recorded in the store's metadata, and the
+      * frame is repartitioned on (pb0, pb1) so each populated partition
+      * cell lands as ONE parquet file. */
+    def save(storeFrame: DataFrame, fanOut: Int = 0): Unit = {
+      assertLeaseStillHeld()
+      if (fanOut > 0)
+        writeGeneration(storeFrame, fanOut)
+      else {
+        val src = storeFrame.select((sigCols :+ col("rep")): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try writeGeneration(src, chooseBuckets(src.count()))
+        finally { src.unpersist(false); () }
+      }
+    }
+
+    /** Write `frame` as a complete next generation at fan-out `bkts`
+      * (tmp write + metadata + rename swap). `frame` may lazily read
+      * from `path`: nothing under `path` moves until the tmp bytes and
+      * metadata are durable. */
+    private def writeGeneration(frame: DataFrame, bkts: Int): Unit = {
       val tmp = path + ".tmp"
-      val old = path + ".old"
-      withStoreBuckets(storeFrame.select((sigCols :+ col("rep")): _*))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("pb0", "pb1").parquet(tmp)
+      val bucketed =
+        withStoreBuckets(frame.select((sigCols :+ col("rep")): _*), bkts)
+      // one file per populated cell: cluster rows by cell before the
+      // partitioned write. At fan-out 1 the store IS one cell, so the
+      // degraded layout is literally the flat one — a single file with
+      // pb0/pb1 as data columns, no partition dirs, no dynamic-writer
+      // machinery, no shuffle (narrow coalesce) — readers can't tell
+      // the difference (the pb columns are present either way and
+      // nothing can prune at fan-out 1).
+      if (bkts == 1)
+        bucketed.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      else
+        bucketed.repartition(col("pb0"), col("pb1"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("pb0", "pb1").parquet(tmp)
+      writeMeta(tmp, bkts)
       val p = new Path(path)
-      val pOld = new Path(old)
+      val pOld = new Path(path + ".old")
+      if (fs.exists(bakPath)) fs.delete(bakPath, true)
       if (fs.exists(pOld)) fs.delete(pOld, true)
       if (fs.exists(p)) fs.rename(p, pOld)
       fs.rename(new Path(tmp), p)
       fs.delete(pOld, true)
+      try {
+        val st = fs.getFileStatus(metaPath(path))
+        metaCache = Some((bkts, st.getModificationTime, st.getLen))
+      } catch { case _: java.io.IOException => () }
       ()
     }
 
     /** Per-batch store update: rewrite ONLY the partitions the batch
       * touched. `touched` is [[IngestResult.touched]] — the full new
-      * content of every touched signature class. The retained rows of
-      * the touched partitions (classes the batch did NOT touch that
-      * happen to share a partition) are re-read through a
-      * partition-pruned scan and the union is materialized before the
-      * dynamic partition overwrite, so the write never reads the files
-      * it replaces. Write amplification is bounded by partition
-      * granularity, not store size. */
-    def saveIncremental(touched: DataFrame): Unit = {
+      * content of every touched signature class — and `partsHint` is
+      * [[IngestResult.touchedParts]] (recomputed with one small job if
+      * absent). The retained rows of the touched partitions (classes
+      * the batch did NOT touch that happen to share a partition) are
+      * re-read through a partition-pruned scan and the union is
+      * materialized before the dynamic partition overwrite, so the
+      * write never reads the files it replaces. Write amplification is
+      * bounded by partition granularity, not store size. Degenerate
+      * case: a batch whose rectangle covers every cell routes to the
+      * generation swap instead — cheaper, and crash-safe without the
+      * partition archive. */
+    def saveIncremental(touched: DataFrame,
+        partsHint: Seq[(Int, Int)] = Nil): Unit = {
       recover()
-      val t = withStoreBuckets(touched.select((sigCols :+ col("rep")): _*))
-        .materialized
-      val parts = t.select("pb0", "pb1").distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1)))
+      assertLeaseStillHeld()
+      val bkts = buckets
+      // `touched` is typically a projection of a frame `ingest` already
+      // checkpointed, so keeping it LAZY here is cheap — and when the
+      // caller forwards [[IngestResult.touchedParts]] the cell set
+      // costs no job at all
+      val t = withStoreBuckets(
+        touched.select((sigCols :+ col("rep")): _*), bkts)
+      val parts =
+        if (partsHint.nonEmpty) partsHint.toArray
+        else t.select("pb0", "pb1").distinct().collect()
+          .map(r => (r.getInt(0), r.getInt(1)))
       if (parts.isEmpty) return // empty batch: nothing to rewrite
       val pbs0 = parts.map(_._1).distinct.toSeq
       val pbs1 = parts.map(_._2).distinct.toSeq
@@ -322,8 +551,41 @@ object IncrementalDedup {
           col("pb1").isInCollection(pbs1))
         .join(broadcast(keys), Seq("sig_key"), "left_anti")
         .select(storeCols: _*)
-        .materialized
+      if (pbs0.size >= bkts && pbs1.size >= bkts) {
+        // the rectangle covers EVERY cell (always true at fan-out 1 —
+        // the autoK shape for a small store — and for any batch with
+        // more distinct band keys than the fan-out): a partition
+        // overwrite would rewrite the whole store anyway, so take the
+        // generation swap instead — lazy reads from `path` are safe
+        // (the write lands in tmp), no archive, no extra
+        // materialization, and the same cost profile as a flat store's
+        // full rewrite plus a pair of renames
+        writeGeneration(remainder.unionByName(t.select(storeCols: _*)),
+          bkts)
+        return
+      }
+      // ONE job materializes the full rewrite content (retained ∪
+      // touched), repartitioned to one file per cell, lineage severed —
+      // nothing after this point re-reads the files being archived
       val out = remainder.unionByName(t.select(storeCols: _*))
+        .repartition(col("pb0"), col("pb1"))
+        .materialized
+      // ARCHIVE the rectangle's current partitions before the dynamic
+      // overwrite: its commit deletes each target partition dir before
+      // renaming staged files in, and a crash in that window would
+      // otherwise LOSE the partition — including untouched co-resident
+      // classes a batch replay cannot reconstruct. Both union legs are
+      // materialized above (executor-resident, lineage severed), so
+      // nothing below re-reads the files being moved.
+      fs.mkdirs(bakPath)
+      for (a <- pbs0; b <- pbs1) {
+        val part = new Path(path, s"pb0=$a/pb1=$b")
+        if (fs.exists(part)) {
+          val dest = new Path(bakPath, s"pb0=$a/pb1=$b")
+          fs.mkdirs(dest.getParent)
+          fs.rename(part, dest)
+        }
+      }
       val conf = spark.conf
       val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
       conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -336,47 +598,111 @@ object IncrementalDedup {
         case None =>
           conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-    }
-
-    /** Claim the store for writing. Atomic create-if-absent on the lock
-      * file; a live lease (younger than `ttlMs`) makes a second writer
-      * FAIL LOUDLY — the swap chain has exactly one owner. A lease
-      * older than the TTL is presumed dead (crashed holder) and broken.
-      */
-    def acquireLease(ttlMs: Long = 15 * 60 * 1000L): Unit = {
-      if (fs.exists(lockPath)) {
-        val age = System.currentTimeMillis() -
-          fs.getFileStatus(lockPath).getModificationTime
-        if (age < ttlMs) throw new IllegalStateException(
-          s"SigStore at $path is leased to another writer " +
-            s"(lock age ${age} ms < ttl ${ttlMs} ms). Concurrent " +
-            "ingest would interleave the swap chain; if the holder " +
-            s"is dead, wait for lease expiry or remove $path.lock")
-        fs.delete(lockPath, false) // stale: break it
-      }
-      val out =
-        try fs.create(lockPath, false) // atomic create-if-absent
-        catch {
-          case _: FileAlreadyExistsException |
-              _: org.apache.hadoop.fs.PathExistsException =>
-            throw new IllegalStateException(
-              s"SigStore at $path was leased concurrently by another " +
-                "writer (lost the lock-file creation race)")
-        }
-      out.writeBytes(java.util.UUID.randomUUID().toString + "\n")
-      out.close()
-    }
-
-    /** Heartbeat: push the lease's modification time forward so a long
-      * run outlives the TTL. Call once per batch. */
-    def renewLease(): Unit = {
-      if (fs.exists(lockPath))
-        fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+      // commit durable: the archived generation of the rectangle is
+      // obsolete (and must not be restored over the new one)
+      fs.delete(bakPath, true)
       ()
     }
 
+    /** The lock file's content: holder UUID + heartbeat timestamp,
+      * written BY the holder (object stores where `setTimes` is a no-op
+      * still heartbeat correctly). None = no lock or unreadable. */
+    private def readLock(): Option[(String, Long)] = {
+      try {
+        val in = fs.open(lockPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.trim.split("\\s+") match {
+          case Array(id, ts) => Some((id, ts.toLong))
+          case Array(id) => // pre-v2 lock: fall back to mtime
+            Some((id, fs.getFileStatus(lockPath).getModificationTime))
+          case _ => Some(("", 0L))
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+
+    private def writeLock(overwrite: Boolean): Unit = {
+      val out = fs.create(lockPath, overwrite)
+      out.writeBytes(s"$writerId ${System.currentTimeMillis()}\n")
+      out.close()
+    }
+
+    /** Claim the store for writing. Creates `path.lock` carrying this
+      * writer's UUID and verifies BY RE-READING that the UUID survived
+      * (create-if-absent is atomic on HDFS-like stores but
+      * check-then-write on the local FS and S3A — the verify closes
+      * that window). A live lease (heartbeat younger than `ttlMs`)
+      * makes a second writer FAIL LOUDLY — the swap chain has exactly
+      * one owner. A lease older than the TTL is presumed dead (crashed
+      * holder) and broken by renaming it aside to a breaker-unique
+      * tombstone, so when several writers race to break the same stale
+      * lock exactly one rename wins and the losers fail. */
+    def acquireLease(ttlMs: Long = 15 * 60 * 1000L): Unit = {
+      readLock() match {
+        case Some((holder, hb)) =>
+          val age = System.currentTimeMillis() - hb
+          if (age < ttlMs) throw new IllegalStateException(
+            s"SigStore at $path is leased to writer $holder " +
+              s"(heartbeat age ${age} ms < ttl ${ttlMs} ms). Concurrent " +
+              "ingest would interleave the swap chain; if the holder " +
+              s"is dead, wait for lease expiry or remove $path.lock")
+          // stale: break it by renaming aside — one breaker wins
+          val tomb = new Path(path + s".lock.broken.$writerId")
+          if (!fs.rename(lockPath, tomb)) throw new IllegalStateException(
+            s"SigStore at $path: lost the stale-lease break race to " +
+              "another writer")
+          fs.delete(tomb, false)
+        case None => () // no lock (or vanished mid-read: create decides)
+      }
+      try writeLock(overwrite = false)
+      catch {
+        case _: FileAlreadyExistsException |
+            _: org.apache.hadoop.fs.PathExistsException =>
+          throw new IllegalStateException(
+            s"SigStore at $path was leased concurrently by another " +
+              "writer (lost the lock-file creation race)")
+      }
+      // write-then-verify: on stores whose create(overwrite=false) is
+      // check-then-write, two racers can both "succeed" — the re-read
+      // picks the one whose bytes landed last
+      readLock() match {
+        case Some((id, _)) if id == writerId => leased = true
+        case other => throw new IllegalStateException(
+          s"SigStore at $path was leased concurrently by another " +
+            s"writer (lock now carries ${other.map(_._1)})")
+      }
+    }
+
+    /** Heartbeat: rewrite the lock content with a fresh timestamp so a
+      * long run outlives the TTL. Call once per batch; verifies this
+      * writer still OWNS the lease first and fails loudly if a breaker
+      * took it (the batch must abort rather than interleave commits). */
+    def renewLease(): Unit = {
+      assertLeaseStillHeld()
+      writeLock(overwrite = true)
+    }
+
+    /** No-op unless this instance acquired the lease; then: fail if the
+      * lock no longer carries OUR UUID (broken by another writer after
+      * a TTL lapse — e.g. one batch ran longer than the TTL with no
+      * heartbeat). Checked before every store write, so a usurped
+      * writer aborts before it can interleave a commit. */
+    private def assertLeaseStillHeld(): Unit = if (leased) {
+      readLock() match {
+        case Some((id, _)) if id == writerId => ()
+        case other => throw new IllegalStateException(
+          s"SigStore at $path: writer lease lost (lock now carries " +
+            s"${other.map(_._1).getOrElse("<absent>")}); aborting the " +
+            "store write — another writer may have claimed the store " +
+            "after a TTL lapse")
+      }
+    }
+
     def releaseLease(): Unit = {
-      fs.delete(lockPath, false)
+      // only the owner may release; a usurped lease belongs to the
+      // usurper now
+      if (readLock().exists(_._1 == writerId)) fs.delete(lockPath, false)
+      leased = false
       ()
     }
 
@@ -400,12 +726,23 @@ object IncrementalDedup {
     * sample overstated steady-state ingest ~2× at sf1. */
   private val benchStores =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  def dd16IngestOnly(s: SparkSession, d: String): DataFrame = {
-    val store = benchStores.computeIfAbsent(d, dir => {
+
+  /** Build (or reuse) the memoized bench store OUTSIDE a timed region —
+    * [[graft.Bench]] calls this before sampling dd16 so the one-time
+    * bootstrap never lands inside sample 1 (which otherwise inflates it
+    * past the 2× rescue threshold and burns a rescue sample). */
+  def warmDd16BenchStore(s: SparkSession, d: String): Unit = {
+    benchStores.computeIfAbsent(d, dir => {
       val all = Tables.spread(s, Tables.documents(s, dir), "doc_id")
       initialStore(Dedup.minhashSig(all.filter(!isNewDoc)))
         .localCheckpoint(true)
     })
+    ()
+  }
+
+  def dd16IngestOnly(s: SparkSession, d: String): DataFrame = {
+    warmDd16BenchStore(s, d)
+    val store = benchStores.get(d)
     val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
     val inc = ingest(store, Dedup.minhashSig(all.filter(isNewDoc)))
     inc.pairs.orderBy("doc_a", "doc_b")

@@ -511,14 +511,17 @@ object Streams {
           val r = IncrementalDedup.ingest(
             prev.getOrElse(IncrementalDedup.initialStore(
               Dedup.minhashSig(batch.limit(0).toDF()))),
-            Dedup.minhashSig(batch.toDF()))
+            Dedup.minhashSig(batch.toDF()),
+            // prune with the fan-out the store was WRITTEN with
+            buckets = if (prev.isEmpty) IncrementalDedup.StoreBuckets
+              else store.buckets)
           r.pairs.coalesce(1).write.mode("overwrite")
             .parquet(s"$outPath/batch_id=$id")
           onDedupPairsWritten(id)
           // bootstrap = full-generation swap; steady state = dynamic
           // partition overwrite of only the partitions the batch touched
           if (prev.isEmpty) store.save(r.updatedStore)
-          else store.saveIncremental(r.touched)
+          else store.saveIncremental(r.touched, r.touchedParts)
         }
         .start()
       q.awaitTermination()

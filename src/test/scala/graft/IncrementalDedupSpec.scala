@@ -243,11 +243,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("leased"), e.getMessage)
     st1.releaseLease()
     st2.acquireLease() // handover after release
-    // stale lease: age the lock past the TTL and a new writer breaks it
+    // stale lease: age the lock's HEARTBEAT CONTENT past the TTL (the
+    // staleness signal is the holder-written timestamp, not mtime —
+    // object stores where setTimes is a no-op behave identically) and a
+    // new writer breaks it
     val fs = hadoopFs(base)
     val lock = new org.apache.hadoop.fs.Path(s"$base/sigs.lock")
-    fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1)
+    val stale = fs.create(lock, true)
+    stale.writeBytes(s"dead-writer ${System.currentTimeMillis() - 60000L}\n")
+    stale.close()
     st1.acquireLease(ttlMs = 1000L)
+    // ... and the usurped holder's next heartbeat/write FAILS LOUDLY
+    // instead of interleaving commits (st2 held the lease we overwrote)
+    val lost = intercept[IllegalStateException](st2.renewLease())
+    assert(lost.getMessage.contains("lease lost"), lost.getMessage)
+    st1.renewLease() // the new holder heartbeats fine
+    st1.releaseLease()
+  }
+
+  test("SigStore lease: heartbeat refreshes the content timestamp so a " +
+      "live long run is not broken; a lost creation race fails") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sighb").toString
+    val st1 = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val st2 = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    st1.acquireLease()
+    Thread.sleep(400)
+    st1.renewLease() // heartbeat: fresh timestamp in content
+    // a second writer with a TTL shorter than the lease's age-at-acquire
+    // but longer than the heartbeat age still sees a LIVE lease
+    val e = intercept[IllegalStateException](st2.acquireLease(ttlMs = 300L))
+    assert(e.getMessage.contains("leased to writer"), e.getMessage)
     st1.releaseLease()
   }
 
@@ -267,7 +293,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     var sofar = batches.head
     batches.tail.foreach { b =>
       sofar = sofar ++ b
-      val inc = IncrementalDedup.ingest(st.load().get, sigsOf(b))
+      // prune with the fan-out the store was WRITTEN with (the autoK
+      // bootstrap picked it) — a guessed modulus would silently drop
+      // old classes from the probes, which is why SigStore refuses
+      // stores with no recorded fan-out
+      val inc = IncrementalDedup.ingest(st.load().get, sigsOf(b),
+        buckets = st.buckets)
       assert(pairSet(inc.pairs) ===
         fullRestricted(sofar, b.map(_._1).toSet), s"batch ${b.map(_._1)}")
       st.saveIncremental(inc.touched)
@@ -308,7 +339,9 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // the (pb0, pb1) bucket space
     val docs = (1L to 4000L).map(i =>
       (i, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
-    st.save(IncrementalDedup.initialStore(sigsOf(docs)))
+    // pin the LAKE-shaped fan-out: this spec tests the pruning
+    // mechanism itself (autoK would give this tiny store one cell)
+    st.save(IncrementalDedup.initialStore(sigsOf(docs)), fanOut = 16)
     val loaded = st.load().get
     // layout check: one band-0 bucket scans ~1/16 of the files — read
     // off the executed scan's numFiles metric, the ground truth of what
@@ -321,6 +354,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
       }.sum
     }
     val allFiles = loaded.inputFiles.length
+    // writer discipline: repartition-by-partition-columns before the
+    // partitioned write means ONE file per populated (pb0, pb1) cell —
+    // without it each shuffle task writes a sliver per cell it holds
+    // and 4,000 rows land as ~2,000 near-empty files (the round-10
+    // regression: 2.2× slower end-to-end than a flat store)
+    val cells = loaded.select("pb0", "pb1").distinct().count()
+    assert(allFiles === cells,
+      s"store has $allFiles files for $cells populated partitions — " +
+        "the writer is not coalescing per partition cell")
     val oneBucket = scannedFiles(loaded.filter(col("pb0") === 3))
     assert(oneBucket <= allFiles / 4,
       s"pb0=3 scanned $oneBucket of $allFiles files — partition " +
@@ -356,5 +398,100 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val want = fullRestricted(docs ++ batchDocs, Set(100001L, 100002L))
     assert(pairSet(inc.pairs) === want)
     assert(pairSet(flatInc.pairs) === want)
+  }
+
+  test("store metadata: the fan-out a store was written with is read " +
+      "back by any reader; a store WITHOUT metadata is refused loudly; " +
+      "bootstrap sizing follows the corpus") {
+    // autoK sizing: a fixture-scale store degrades to ONE cell (flat
+    // layout + metadata — per-cell commit overhead cannot pay below
+    // ~250k rows), lake scale grows as sqrt(rows/250k) to the 256 cap
+    assert(IncrementalDedup.chooseBuckets(4000) === 1)
+    assert(IncrementalDedup.chooseBuckets(250000L) === 1)
+    assert(IncrementalDedup.chooseBuckets(64000000L) === 16)
+    assert(IncrementalDedup.chooseBuckets(1000000000L) === 64)
+    assert(IncrementalDedup.chooseBuckets(100000000000L) === 256)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigmeta").toString
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    st.save(IncrementalDedup.initialStore(sigsOf(Seq(
+      (1L, "alpha beta alpha"), (2L, "gamma delta")))), fanOut = 32)
+    // a SECOND instance (fresh reader, no shared state) reads the
+    // written fan-out instead of assuming the compile-time default
+    val reader = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    assert(reader.buckets === 32)
+    // pruning with the recorded fan-out finds the stored classes
+    val inc = IncrementalDedup.ingest(reader.load().get,
+      sigsOf(Seq((3L, "alpha beta alpha"))), buckets = reader.buckets)
+    assert(pairSet(inc.pairs) === Set((1L, 3L)))
+    // a store whose metadata is gone (pre-v2 layout, foreign writer)
+    // must be REFUSED, not scanned with a guessed modulus
+    val fs = hadoopFs(base)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$base/sigs/_graft_meta.json"), false)
+    val e = intercept[IllegalStateException](reader.buckets)
+    assert(e.getMessage.contains("fan-out is unknown"), e.getMessage)
+  }
+
+  test("saveIncremental crash windows: a partition lost mid-overwrite " +
+      "is restored from the archive (untouched co-resident classes " +
+      "survive), and a clean commit leaves no archive behind") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigbak").toString
+    val fs = hadoopFs(base)
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val docs = (1L to 64L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c tok${i}d"))
+    st.save(IncrementalDedup.initialStore(sigsOf(docs)), fanOut = 16)
+    val before = storeKey(st.load().get)
+    // clean incremental commit: archive consumed
+    val inc = IncrementalDedup.ingest(st.load().get,
+      sigsOf(Seq((1001L, docs(3)._2))), buckets = st.buckets)
+    st.saveIncremental(inc.touched)
+    assert(!fs.exists(new Path(s"$base/sigs.bakparts")),
+      "a committed incremental save must clean up its archive")
+    val committed = storeKey(st.load().get)
+    // fabricate the ADVICE crash: the overwrite's commit deleted a
+    // partition dir and died before renaming the new files in — the
+    // partition exists ONLY in the archive. Use a real store partition.
+    val part = fs.listStatus(new Path(s"$base/sigs"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pb0="))
+      .flatMap(d => fs.listStatus(d.getPath).filter(_.isDirectory)
+        .map(p => (d.getPath.getName, p.getPath.getName, p.getPath)))
+      .head
+    val bakDest = new Path(s"$base/sigs.bakparts/${part._1}/${part._2}")
+    fs.mkdirs(bakDest.getParent)
+    // archive holds the partition; the store dir lost it (read the raw
+    // directory — load() would recover before reading)
+    fs.rename(part._3, bakDest)
+    assert(storeKey(spark.read.parquet(s"$base/sigs")) !== committed,
+      "test setup: the store must actually be missing rows")
+    // recovery (first touch of any load/save) restores it bit-for-bit
+    assert(storeKey(st.load().get) === committed)
+    assert(!fs.exists(new Path(s"$base/sigs.bakparts")))
+    assert(before.subsetOf(committed))
+  }
+
+  test("saveIncremental keeps the one-file-per-cell layout across " +
+      "batches") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigfiles").toString
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val docs = (1L to 500L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    st.save(IncrementalDedup.initialStore(sigsOf(docs)), fanOut = 16)
+    (0 until 3).foreach { k =>
+      val batch = (1000L + k * 10 to 1009L + k * 10).map(i =>
+        (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      val inc = IncrementalDedup.ingest(st.load().get, sigsOf(batch),
+        buckets = st.buckets)
+      st.saveIncremental(inc.touched)
+    }
+    val loaded = st.load().get
+    val files = loaded.inputFiles.length.toLong
+    val cells = loaded.select("pb0", "pb1").distinct().count()
+    assert(files === cells,
+      s"$files files for $cells cells after 3 incremental commits")
   }
 }
