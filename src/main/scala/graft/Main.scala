@@ -33,6 +33,48 @@ import graft.state.StateStore
   *       LSH pair set restricted to arriving docs, O(batch) work)
   */
 object Main {
+
+  /** Arrival-dedup mode (the dd16 tier from the product entry point):
+    * stream newly landed document files through the persisted signature
+    * store; pairs land under batch_id partitions. Schema inference
+    * needs at least one landed file, probed RECURSIVELY — arrivals may
+    * land under partition subdirs (date=.../part.parquet) that a
+    * top-level listing misses — skipping anything under a hidden (_/.)
+    * path component (stream metadata, staging dirs); the intended
+    * first-run/no-arrivals case logs a visible skip instead of dying in
+    * spark.read.parquet's "unable to infer schema". */
+  private[graft] def dedupIngestRun(spark: SparkSession, src: String,
+      sigStorePath: String, checkpointRoot: String,
+      dedupOut: String): Unit = {
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasFiles = srcFs.exists(srcP) && {
+      val basePath = srcP.toUri.getPath
+      val it = srcFs.listFiles(srcP, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(basePath)
+        val hidden = rel.split("/").exists(c =>
+          c.startsWith("_") || c.startsWith("."))
+        found = st.isFile && st.getLen > 0 && !hidden
+      }
+      found
+    }
+    if (hasFiles) {
+      val schema = spark.read.parquet(src).schema
+      streaming.Streams.incrementalDedupStream(spark, src, schema,
+        sigStorePath, checkpointRoot, dedupOut)
+    } else println(s"no arrivals found under $src, skipping dedup " +
+      "stream (nothing ingested this run)")
+    val outP = new org.apache.hadoop.fs.Path(dedupOut)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outP)) {
+      val n = spark.read.parquet(dedupOut).count()
+      println(s"pairs: $n (cumulative, under $dedupOut)")
+    } else println("pairs: 0 (no batches processed yet)")
+  }
+
   def main(args: Array[String]): Unit = {
     var dbs = Map.empty[String, String]
     var cfg = CheckConfig()
@@ -192,44 +234,8 @@ object Main {
     if (!incremental && dedupSrc.isEmpty && seen.contains("--checkpoint"))
       usage("--checkpoint only applies to --incremental/--dedup-ingest runs")
     if (dedupSrc.isDefined) {
-      // arrival-dedup mode: the dd16 tier from the product entry point —
-      // stream newly landed document files through the persisted
-      // signature store; pairs land under batch_id partitions
-      val src = dedupSrc.get
-      // schema inference needs at least one landed file; the intended
-      // first-run/no-arrivals case exits gracefully instead of dying in
-      // spark.read.parquet's "unable to infer schema"
-      val srcP = new org.apache.hadoop.fs.Path(src)
-      val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // RECURSIVE probe: arrivals may land under partition subdirs
-      // (date=.../part.parquet) which a top-level listing misses — but
-      // skip anything under a hidden (_/.) path component (stream
-      // metadata, staging dirs)
-      val hasFiles = srcFs.exists(srcP) && {
-        val basePath = srcP.toUri.getPath
-        val it = srcFs.listFiles(srcP, true)
-        var found = false
-        while (!found && it.hasNext) {
-          val st = it.next()
-          val rel = st.getPath.toUri.getPath.stripPrefix(basePath)
-          val hidden = rel.split("/").exists(c =>
-            c.startsWith("_") || c.startsWith("."))
-          found = st.isFile && st.getLen > 0 && !hidden
-        }
-        found
-      }
-      if (hasFiles) {
-        val schema = spark.read.parquet(src).schema
-        streaming.Streams.incrementalDedupStream(spark, src, schema,
-          sigStorePath, checkpointRoot, dedupOut)
-      } else println(s"no arrivals found under $src, skipping dedup " +
-        "stream (nothing ingested this run)")
-      val outP = new org.apache.hadoop.fs.Path(dedupOut)
-      val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(outP)) {
-        val n = spark.read.parquet(dedupOut).count()
-        println(s"pairs: $n (cumulative, under $dedupOut)")
-      } else println("pairs: 0 (no batches processed yet)")
+      dedupIngestRun(spark, dedupSrc.get, sigStorePath, checkpointRoot,
+        dedupOut)
     } else if (compactDir.isDefined) {
       // maintenance mode (the IndexOptimize analog): print the plan
       // (dry-run echo, ref CE:197), then execute THE SAME SNAPSHOT unless
