@@ -203,7 +203,11 @@ object IncrementalDedup {
       .dropDuplicates("sig_key", "doc_id")
     val reps2 = members.groupBy("sig_key").agg(min("doc_id").as("rep"))
     val touchedWithRep = members.join(reps2, "sig_key").materialized
-    val newIds = newKeyed.select("doc_id").distinct().materialized
+    // lazy on purpose: a batch-sized distinct over the newKeyed
+    // checkpoint, recomputed inside each consumer's job (semi-join +
+    // two broadcasts) for less than one scheduling floor each — a
+    // separate eager materialization cost more than it saved
+    val newIds = newKeyed.select("doc_id").distinct()
     // buckets worth expanding = buckets containing a NEW-DOC rep; their
     // (band, band_key) set is batch-sized -> broadcast
     val newRepRows = touchedWithRep
