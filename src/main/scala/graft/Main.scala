@@ -31,8 +31,57 @@ import graft.state.StateStore
   *       document files stream through IncrementalDedup against the
   *       persisted signature store — per batch, exactly the monolithic
   *       LSH pair set restricted to arriving docs, O(batch) work)
+  *     [--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]]
+  *       (arrival-ANN mode: new vector files stream into the persisted
+  *       IVF index — epoch 0 bootstraps (Lloyd training), later epochs
+  *       assign against the frozen centroids, O(batch) work)
   */
 object Main {
+
+  /** Arrival-ANN mode (the sim14 tier from the product entry point):
+    * stream newly landed vector files into the persisted incremental
+    * ANN index. Same recursive landing probe as the dedup mode: the
+    * first-run/no-arrivals case logs a visible skip instead of dying
+    * in schema inference. */
+  private[graft] def annIngestRun(spark: SparkSession, src: String,
+      annStorePath: String, checkpointRoot: String): Unit = {
+    if (hasLandedFiles(spark, src)) {
+      val schema = spark.read.parquet(src).schema
+      streaming.Streams.incrementalAnnStream(spark, src, schema,
+        annStorePath, checkpointRoot)
+    } else println(s"no arrivals found under $src, skipping ANN " +
+      "stream (nothing ingested this run)")
+    val store = new pipeline.IncrementalAnn.AnnIndexStore(spark,
+      annStorePath)
+    store.load() match {
+      case Some(df) =>
+        println(s"indexed vectors: ${df.count()} (cumulative, under " +
+          s"$annStorePath)")
+      case None => println("indexed vectors: 0 (no batches processed yet)")
+    }
+  }
+
+  /** RECURSIVE non-hidden-data-file probe shared by the arrival modes —
+    * arrivals may land under partition subdirs (date=.../part.parquet)
+    * that a top-level listing misses; anything under a hidden (_/.)
+    * path component (stream metadata, staging dirs) is skipped. */
+  private def hasLandedFiles(spark: SparkSession, src: String): Boolean = {
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    srcFs.exists(srcP) && {
+      val basePath = srcP.toUri.getPath
+      val it = srcFs.listFiles(srcP, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(basePath)
+        val hidden = rel.split("/").exists(c =>
+          c.startsWith("_") || c.startsWith("."))
+        found = st.isFile && st.getLen > 0 && !hidden
+      }
+      found
+    }
+  }
 
   /** Arrival-dedup mode (the dd16 tier from the product entry point):
     * stream newly landed document files through the persisted signature
@@ -46,22 +95,7 @@ object Main {
   private[graft] def dedupIngestRun(spark: SparkSession, src: String,
       sigStorePath: String, checkpointRoot: String,
       dedupOut: String): Unit = {
-    val srcP = new org.apache.hadoop.fs.Path(src)
-    val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasFiles = srcFs.exists(srcP) && {
-      val basePath = srcP.toUri.getPath
-      val it = srcFs.listFiles(srcP, true)
-      var found = false
-      while (!found && it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toUri.getPath.stripPrefix(basePath)
-        val hidden = rel.split("/").exists(c =>
-          c.startsWith("_") || c.startsWith("."))
-        found = st.isFile && st.getLen > 0 && !hidden
-      }
-      found
-    }
-    if (hasFiles) {
+    if (hasLandedFiles(spark, src)) {
       val schema = spark.read.parquet(src).schema
       streaming.Streams.incrementalDedupStream(spark, src, schema,
         sigStorePath, checkpointRoot, dedupOut)
@@ -89,6 +123,8 @@ object Main {
     var dedupSrc: Option[String] = None
     var sigStorePath = "/tmp/graft-sigstore/sigs"
     var dedupOut = "/tmp/graft-dedup-pairs"
+    var annSrc: Option[String] = None
+    var annStorePath = "/tmp/graft-annstore/ann"
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -101,7 +137,8 @@ object Main {
           "[--incremental [--checkpoint ROOT]] " +
           "[--compact TABLE_DIR --target-bytes N] " +
           "[--dedup-ingest DOCS_DIR [--sig-store PATH] " +
-          "[--dedup-out PATH] [--checkpoint ROOT]]")
+          "[--dedup-out PATH] [--checkpoint ROOT]] " +
+          "[--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]]")
       sys.exit(1)
     }
     var i = 0
@@ -142,6 +179,8 @@ object Main {
         case "--dedup-ingest" => dedupSrc = Some(value("--dedup-ingest"))
         case "--sig-store" => sigStorePath = value("--sig-store")
         case "--dedup-out" => dedupOut = value("--dedup-out")
+        case "--ann-ingest" => annSrc = Some(value("--ann-ingest"))
+        case "--ann-store" => annStorePath = value("--ann-store")
         case "--target-bytes" =>
           targetBytes = scala.util.Try(value("--target-bytes").toLong)
             .filter(_ > 0)
@@ -231,11 +270,24 @@ object Main {
           "--sig-store, --dedup-out, --checkpoint)")
     } else if (Seq("--sig-store", "--dedup-out").exists(seen.contains))
       usage("--sig-store/--dedup-out only apply to --dedup-ingest runs")
-    if (!incremental && dedupSrc.isEmpty && seen.contains("--checkpoint"))
-      usage("--checkpoint only applies to --incremental/--dedup-ingest runs")
+    if (annSrc.isDefined) {
+      val allowed = Set("--ann-ingest", "--ann-store", "--checkpoint")
+      val stray = seen.filterNot(allowed)
+      if (stray.nonEmpty) usage(
+        "--ann-ingest is a standalone arrival-ANN mode; other " +
+          s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
+          "--ann-store, --checkpoint)")
+    } else if (seen.contains("--ann-store"))
+      usage("--ann-store only applies to --ann-ingest runs")
+    if (!incremental && dedupSrc.isEmpty && annSrc.isEmpty &&
+        seen.contains("--checkpoint"))
+      usage("--checkpoint only applies to " +
+        "--incremental/--dedup-ingest/--ann-ingest runs")
     if (dedupSrc.isDefined) {
       dedupIngestRun(spark, dedupSrc.get, sigStorePath, checkpointRoot,
         dedupOut)
+    } else if (annSrc.isDefined) {
+      annIngestRun(spark, annSrc.get, annStorePath, checkpointRoot)
     } else if (compactDir.isDefined) {
       // maintenance mode (the IndexOptimize analog): print the plan
       // (dry-run echo, ref CE:197), then execute THE SAME SNAPSHOT unless

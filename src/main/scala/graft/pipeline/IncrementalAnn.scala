@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental ANN index — the similarity-tier twin of
+  * [[IncrementalDedup]]'s signature store, and the state behind the
+  * sim14 gate.
+  *
+  * An IVF index over a growing vector corpus has two parts with wildly
+  * different sizes and update rates:
+  *
+  *   - the CENTROIDS (k·dims longs — kilobytes): trained once at
+  *     bootstrap by the sim07 Lloyd recurrence, then FROZEN. They are
+  *     the index metadata, persisted in `_graft_meta.json` and
+  *     broadcast as a literal into every ingest/search projection.
+  *   - the ASSIGNMENTS (one (vec_id, cluster) row per vector — the only
+  *     corpus-sized state): parquet partitioned by (batch_id, cluster),
+  *     so a probe of one cell is a partition-pruned read and an
+  *     arriving batch commits as a dynamic partition overwrite of ITS
+  *     batch partition only — replaying a crashed batch rewrites
+  *     exactly that partition, so ingest is idempotent per batch id
+  *     (the dd16 replay-convergence discipline, cheaper here because
+  *     assignments are append-only: no resident row is ever rewritten).
+  *
+  * Ingest work is ∝ batch (a zero-shuffle assignment projection against
+  * the literal centroids + one write of batch rows); the resident
+  * corpus is never re-read, never re-shuffled, never re-trained. The
+  * cost of freezing the centroids is drift — sim13's occupancy monitor
+  * (same arrival tag) is the retrain trigger, and retrain = a new
+  * bootstrap [[AnnIndexStore.save]] generation swap. Per-batch files
+  * accrete one-per-touched-cell; maintenance/Compaction.scala is the
+  * documented cure, exactly as for any streaming sink.
+  *
+  * Reference anchor: the persisted-state + resumable-increment shape is
+  * the reference's CheckTableObjects discipline
+  * (IntegrityChecks_VLDB.sql:454-484 — MERGE new work into persistent
+  * state, never recompute history) applied to vector indexing.
+  */
+object IncrementalAnn {
+
+  /** Train the frozen centroid table on a (resident) code-vector frame —
+    * public face of the sim07 Lloyd recurrence (integer-exact, 2
+    * updates, oracle-replayable). */
+  def trainCentroids(vecs: DataFrame, k: Int = 8): Seq[(Int, Array[Long])] =
+    Similarity.lloydCentroids(vecs, k)
+
+  /** Assign code vectors against literal centroids — zero-shuffle
+    * whole-stage-codegen projection; the ingest (and search-probe)
+    * primitive. */
+  def assign(vecs: DataFrame,
+      centroids: Seq[(Int, Array[Long])]): DataFrame =
+    Similarity.assignAgainst(vecs, centroids)
+
+  /** Quantized code vectors (vec_id, qv) for a scale dir — the shared
+    * input representation (sim06's int8 quantization). */
+  def codeVectors(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantVecs(s, dir)
+
+  /** The persisted index: centroids in `_graft_meta.json`, assignments
+    * parquet partitioned by (batch_id, cluster). Single-writer by
+    * assumption (wrap with [[IncrementalDedup.SigStore]]'s lease
+    * pattern for multi-writer deployments — the lease is store-layout
+    * agnostic). */
+  final class AnnIndexStore(spark: SparkSession, path: String) {
+    private def fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def metaPath(root: String) = new Path(root, "_graft_meta.json")
+
+    /** Normalize on-disk state after a crash: complete an interrupted
+      * bootstrap swap (tmp generation fully written = meta present),
+      * drop garbage tmp bytes, sweep staging dirs an interrupted batch
+      * commit left behind. An interrupted APPEND needs no restore step:
+      * its partial partition is rewritten wholesale when the batch
+      * replays (dynamic overwrite of `batch_id=<id>`). */
+    def recover(): Unit = {
+      val tmp = new Path(path + ".tmp")
+      val p = new Path(path)
+      val pOld = new Path(path + ".old")
+      if (fs.exists(new Path(tmp, "_SUCCESS")) &&
+          fs.exists(metaPath(path + ".tmp"))) {
+        if (fs.exists(pOld)) fs.delete(pOld, true)
+        if (fs.exists(p)) fs.rename(p, pOld)
+        fs.rename(tmp, p)
+        fs.delete(pOld, true)
+      } else if (fs.exists(tmp)) {
+        fs.delete(tmp, true)
+      }
+      if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
+      if (fs.exists(p)) {
+        fs.listStatus(p).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(".spark-staging"))
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+      ()
+    }
+
+    private def writeMeta(root: String,
+        centroids: Seq[(Int, Array[Long])]): Unit = {
+      val body = centroids.sortBy(_._1).map { case (cl, cs) =>
+        s""""$cl":"${cs.mkString(",")}""""
+      }.mkString(",")
+      val out = fs.create(metaPath(root), true)
+      out.writeBytes(
+        s"""{"format":1,"k":${centroids.size},"centroids":{$body}}\n""")
+      out.close()
+    }
+
+    private def readMeta(root: String): Option[Seq[(Int, Array[Long])]] = {
+      val mp = metaPath(root)
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val cs = """"(\d+)":"(-?[\d,-]*)"""".r.findAllMatchIn(txt).map { m =>
+          m.group(1).toInt ->
+            m.group(2).split(',').filter(_.nonEmpty).map(_.toLong)
+        }.toSeq
+        if (cs.isEmpty) None else Some(cs)
+      }
+    }
+
+    /** The frozen centroid table. A store directory without metadata is
+      * an index we cannot assign into — fail actionably (the SigStore
+      * missing-meta discipline: a guessed index silently mis-assigns). */
+    def centroids: Seq[(Int, Array[Long])] = {
+      recover()
+      readMeta(path).getOrElse(throw new IllegalStateException(
+        s"AnnIndexStore at $path has no _graft_meta.json: its frozen " +
+          "centroids are unknown, and assigning against re-trained ones " +
+          "would silently fork the index. Rebuild with save() (which " +
+          "records the centroids) or restore the metadata."))
+    }
+
+    /** Bootstrap / retrain: write assignments (vec_id, cluster) as batch
+      * 0 of a complete new generation plus the centroid metadata, then
+      * swap — readers see old-complete or new-complete, never a mix. */
+    def save(cents: Seq[(Int, Array[Long])],
+        assignments: DataFrame): Unit = {
+      val tmp = path + ".tmp"
+      assignments.select(col("vec_id"), col("cluster"))
+        .withColumn("batch_id", lit(0L))
+        .repartition(col("cluster"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("batch_id", "cluster").parquet(tmp)
+      writeMeta(tmp, cents)
+      val p = new Path(path)
+      val pOld = new Path(path + ".old")
+      if (fs.exists(pOld)) fs.delete(pOld, true)
+      if (fs.exists(p)) fs.rename(p, pOld)
+      fs.rename(new Path(tmp), p)
+      fs.delete(pOld, true)
+      ()
+    }
+
+    /** Ingest an arriving batch: assign against the frozen centroids
+      * (zero-shuffle projection) and commit as a dynamic overwrite of
+      * THIS batch's partition — idempotent under replay, touches no
+      * resident partition. Returns the batch's assignment frame.
+      * `batchId` must be > 0 (0 is the bootstrap generation) and unique
+      * per logical batch (a stream's epoch id fits). */
+    def ingest(newVecs: DataFrame, batchId: Long): DataFrame = {
+      require(batchId > 0L, s"batchId must be > 0 (got $batchId): " +
+        "batch 0 is the bootstrap generation")
+      val cents = centroids
+      val assigned = assign(newVecs, cents)
+      assigned.withColumn("batch_id", lit(batchId))
+        .repartition(col("cluster"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cluster").parquet(path)
+      assigned
+    }
+
+    /** All assignments so far: (vec_id, cluster, batch_id). Partition
+      * pruning applies on both partition columns — a one-cell probe
+      * reads only that cluster's directories. */
+    def load(): Option[DataFrame] = {
+      recover()
+      if (!fs.exists(new Path(path))) None
+      else Some(spark.read.parquet(path)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+          col("batch_id").cast("long").as("batch_id")))
+    }
+  }
+}

@@ -377,8 +377,12 @@ object Similarity {
     * oracle could not replay). */
   /** The k-means CTE chain (DuckDB dialect), exposing `a3(vec_id,
     * cluster)` — shared by the sim07 oracle, the cluster-balanced
-    * sampling oracle (pipe12) and the semantic-dedup oracle (dd09). */
-  private[pipeline] val kmeansCte: String = {
+    * sampling oracle (pipe12) and the semantic-dedup oracle (dd09).
+    * `kmeansCteOver` parameterizes the vector source so the incremental
+    * tier (sim14) can train on a RESIDENT subset; the chain also exposes
+    * `c2`, the final centroid relation the last assignment ranks
+    * against — the frozen index sim14 assigns arrivals into. */
+  private[pipeline] def kmeansCteOver(src: String): String = {
     // round i ranks against round i-1's centroids; the LAST round needs
     // only the distance frame + assignment (a centroid update after the
     // final assignment would be dead weight in both engines)
@@ -406,7 +410,7 @@ object Similarity {
        |  SELECT vec_id, d,
        |    CAST(${quantCode("embedding[d + 1]")} AS BIGINT) AS q
        |  FROM (SELECT vec_id, embedding,
-       |          unnest(range(len(embedding))) AS d FROM embeddings)),
+       |          unnest(range(len(embedding))) AS d FROM $src)),
        |init AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
        |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8)),
@@ -416,6 +420,8 @@ object Similarity {
        |${iter(2)},
        |${iter(3)}""".stripMargin
   }
+
+  private[pipeline] val kmeansCte: String = kmeansCteOver("embeddings")
 
   /** The k-means PROBE frame (vec_id, rk, cluster) after 3 iterations:
     * each vector's `nprobe` nearest final centroids ranked by (dist2,
@@ -483,8 +489,13 @@ object Similarity {
     math.min(1L << 24,
       math.max(8L, (nVecs + targetCellSize - 1L) / targetCellSize)).toInt
 
-  private[pipeline] def kmeansProbesFrom(vecs: DataFrame,
-      nprobe: Int, k: Int = 8): DataFrame = {
+  /** The trained centroid table after two Lloyd updates — the FROZEN
+    * index the final assignment pass (and sim14's arrival ingest) ranks
+    * against; twin of `kmeansCteOver`'s `c2`. Extracted so the
+    * incremental tier can train on the resident corpus and reuse the
+    * literal centroids for arrival batches without retraining. */
+  private[pipeline] def lloydCentroids(vecs: DataFrame,
+      k: Int = 8): Seq[(Int, Array[Long])] = {
     // init: the k smallest vec_ids' code vectors, cluster = rank — the
     // oracle's pqinit/init shape, collected once (k rows)
     var centroids: Seq[(Int, Array[Long])] =
@@ -517,6 +528,12 @@ object Similarity {
             .toArray
         }
     }
+    centroids
+  }
+
+  private[pipeline] def kmeansProbesFrom(vecs: DataFrame,
+      nprobe: Int, k: Int = 8): DataFrame = {
+    val centroids = lloydCentroids(vecs, k)
     // final pass: nprobe nearest centroids per vector, ranked in-row
     vecs.select(col("vec_id"),
         posexplode(slice(array_sort(distStructs(col("qv"), centroids)),
@@ -1142,8 +1159,95 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Pure-projection assignment of code vectors against a LITERAL
+    * centroid table — zero joins, zero shuffles, the (dist2, cluster)
+    * argmin inside whole-stage codegen. The ingest primitive of the
+    * incremental ANN tier (sim14 / [[IncrementalAnn.AnnIndexStore]]). */
+  private[pipeline] def assignAgainst(vecs: DataFrame,
+      centroids: Seq[(Int, Array[Long])]): DataFrame =
+    vecs.select(col("vec_id"),
+      array_min(distStructs(col("qv"), centroids))
+        .getField("cluster").as("cluster"))
+
+  /** The md5-derived arrival tag shared with sim13: ~20% of vectors are
+    * "new" (deterministic, engine-replayable — both sides compute
+    * hex(md5)[0:8] mod 5). */
+  private[pipeline] def isNewVec: Column = pmod(
+    conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(5)) === 0
+
+  private val isNewVecSql =
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 5"
+
+  /** INCREMENTAL ANN index maintenance — the similarity-tier twin of
+    * dd16's arrival story. A 100 TB vector corpus is not indexed once:
+    * batches arrive, and re-running Lloyd over the whole corpus because
+    * 0.1% arrived re-shuffles everything for nothing. Instead the
+    * centroids trained at bootstrap are FROZEN index metadata (k·dims
+    * longs — they broadcast as a literal), and an arriving batch is
+    * ingested by a pure zero-shuffle assignment projection against them:
+    * work ∝ batch, the resident corpus is never re-read, and the index
+    * stays immediately searchable (sim02's probe path is assignment-
+    * source-agnostic). The cost of freezing is drift — arrivals from a
+    * shifted distribution crowd into stale cells — and that is exactly
+    * what sim13's occupancy monitor measures on the SAME arrival tag:
+    * sim14 is the ingest action, sim13 is the retrain trigger.
+    *
+    * The gate pins the full contract: residents cluster under the
+    * bootstrap-trained (resident-only) centroids — byte-equal to the
+    * monolithic a3 over the resident subset — and every arrival lands in
+    * its (dist2, cluster)-argmin cell of those same frozen centroids;
+    * the merged per-cell occupancy (the frame sim13 would monitor) is
+    * integer-exact on both engines. Persistence of the frozen index +
+    * appended assignments is [[IncrementalAnn.AnnIndexStore]]
+    * (centroids in `_graft_meta.json`, assignments parquet partitioned
+    * by cluster cell), spec-pinned append ≡ rebuild. */
+  val sim14IncrementalAnn: Q = Q(
+    "sim14_incremental_ann",
+    s"""WITH ${kmeansCteOver(
+          s"(SELECT * FROM embeddings WHERE $isNewVecSql <> 0)")},
+       |arr AS (
+       |  SELECT vec_id, d,
+       |    CAST(${quantCode("embedding[d + 1]")} AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(len(embedding))) AS d
+       |        FROM embeddings WHERE $isNewVecSql = 0)),
+       |darr AS (
+       |  SELECT a.vec_id, c.cluster,
+       |    sum((a.q - c.c) * (a.q - c.c)) AS dist2
+       |  FROM arr a JOIN c2 c ON a.d = c.d GROUP BY 1, 2),
+       |aarr AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dist2, cluster) AS rk
+       |    FROM darr) WHERE rk = 1),
+       |u AS (SELECT cluster, vec_id, 0 AS arrived FROM a3
+       |      UNION ALL SELECT cluster, vec_id, 1 FROM aarr)
+       |SELECT cluster,
+       |  CAST(sum(1 - arrived) AS BIGINT) AS n_resident,
+       |  CAST(sum(arrived) AS BIGINT) AS n_arrived,
+       |  min(CASE WHEN arrived = 1 THEN vec_id END) AS first_arrival
+       |FROM u GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+    val all = quantVecs(s, d)
+    val resident = all.filter(!isNewVec)
+    val arrivals = all.filter(isNewVec)
+    // bootstrap: train on residents only; the centroids are the frozen
+    // index (driver-literal — the only state the ingest path needs)
+    val centroids = lloydCentroids(resident)
+    assignAgainst(resident, centroids).withColumn("arrived", lit(0L))
+      .union(assignAgainst(arrivals, centroids)
+        .withColumn("arrived", lit(1L)))
+      .groupBy("cluster")
+      .agg(sum(lit(1L) - col("arrived")).as("n_resident"),
+        sum("arrived").as("n_arrived"),
+        min(when(col("arrived") === 1L, col("vec_id")))
+          .as("first_arrival"))
+      .orderBy("cluster")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
     sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample,
-    sim10RangeSearch, sim11MmrTopK, sim12KnnClassify, sim13IndexDrift)
+    sim10RangeSearch, sim11MmrTopK, sim12KnnClassify, sim13IndexDrift,
+    sim14IncrementalAnn)
 }

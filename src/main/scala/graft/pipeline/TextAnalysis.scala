@@ -1428,11 +1428,96 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** Arrival-batch vocabulary drift / OOV monitor — the text-tier
+    * member of the arrival family (dd16 ingests near-dup state, sim14
+    * ingests the ANN index, tx23 QCs the arriving TEXT): per source,
+    * what fraction of an arriving batch's token instances fall outside
+    * the resident corpus's vocabulary, and how many genuinely new
+    * token types arrive. A spiking OOV rate is the classic upstream
+    * signal of an encoding break, a language shift, or a scraped-site
+    * format change — caught per batch, before the tokens pollute a
+    * tokenizer/BPE training run (tx06's consumer). Same deterministic
+    * md5 arrival tag as dd16/sim13/sim14.
+    *
+    * Scale shape: the resident vocabulary collapses map-side to
+    * distinct tokens (tx06's discipline — the shuffle carries
+    * |vocab|·|tasks| partials, never the corpus); the arriving stream
+    * collapses FIRST to (doc, source, token, cnt) — a composite key no
+    * Zipf mega-token can skew (q23's recipe, bounding any token's rows
+    * by the batch's doc count) — then left-joins the vocabulary, which
+    * broadcasts while it fits (vocabularies are ~10⁷ rows at web
+    * scale; beyond that: shuffle join on token, where the pre-collapse
+    * plus AQE skew-split keep reducers bounded). The report is
+    * |sources| rows; work is ∝ batch + one resident vocab build that a
+    * production deployment amortizes across batches (it only changes
+    * when the resident corpus does). */
+  val tx23ArrivalOov: Q = Q(
+    "tx23_arrival_oov",
+    """WITH tag AS (
+      |  SELECT doc_id, source, text,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS is_new
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT DISTINCT token FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token
+      |    FROM tag WHERE is_new = 0)
+      |  WHERE token <> ''),
+      |atok AS (
+      |  SELECT doc_id, source, token, count(*) AS cnt
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      |        FROM tag WHERE is_new = 1)
+      |  WHERE token <> '' GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.doc_id, a.source, a.token, a.cnt,
+      |    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM atok a LEFT JOIN vocab v USING (token))
+      |SELECT source,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+      |  CAST(sum(oov * cnt) AS BIGINT) AS oov_tokens,
+      |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN token END) AS BIGINT)
+      |    AS new_vocab,
+      |  floor(CAST(sum(oov * cnt) AS DOUBLE) / nullif(sum(cnt), 0)
+      |    * 10000 + 0.5) / 10000 AS oov_rate,
+      |  CAST(sum(oov * cnt) AS DOUBLE) / nullif(sum(cnt), 0) > 0.05
+      |    AS flagged
+      |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val isNew = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(5)) === 0
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val vocab = docs.filter(!isNew)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .withColumn("inv", lit(1))
+    val atok = docs.filter(isNew)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val rateRaw = sum(col("oov") * col("cnt")).cast("double") /
+      nullif(sum("cnt").cast("double"), lit(0.0))
+    atok.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("oov", when(col("inv").isNull, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        sum("cnt").as("total_tokens"),
+        sum(col("oov") * col("cnt")).as("oov_tokens"),
+        countDistinct(when(col("oov") === 1L, col("token")))
+          .as("new_vocab"),
+        StableRound.r4(rateRaw).as("oov_rate"),
+        (rateRaw > 0.05).as("flagged"))
+      .orderBy("source")
+  }
+
   val queries: Seq[Q] = Seq(tx01LangId, tx02QualityScore, tx03TokenCount,
     tx04Fingerprint, tx05Repetition, tx06VocabTopK, tx07WinnowFingerprint,
     tx08NgramLangId, tx09PiiRedact, tx10LexicalDiversity,
     tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
     tx15HashClassifier, tx16EncodingQc, tx17ZipfFit, tx18Readability,
     tx19TfidfKeywords, tx20TrainClassifier, tx21ClassifierEval,
-    tx22HeldoutEval)
+    tx22HeldoutEval, tx23ArrivalOov)
 }

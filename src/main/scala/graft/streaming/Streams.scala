@@ -533,6 +533,43 @@ object Streams {
     * prove the at-least-once replay converges. No-op in production. */
   private[graft] var onDedupPairsWritten: Long => Unit = _ => ()
 
+  /** Streaming arrival pipeline for the incremental ANN index (sim14's
+    * production form, dd16's stream shape): micro-batches of vectors
+    * land from `srcDir`, epoch 0 bootstraps the index (Lloyd training +
+    * full-generation save — an idempotent swap, so an epoch-0 replay
+    * just re-bootstraps), every later epoch ingests by zero-shuffle
+    * assignment against the frozen centroids, committed as a dynamic
+    * overwrite of THAT epoch's batch partition — so an at-least-once
+    * foreachBatch replay rewrites its own partition instead of
+    * duplicating rows. One checkpoint per store lifetime: the epoch
+    * counter IS the batch-id key, so pointing a FRESH checkpoint at an
+    * existing store would re-bootstrap over it (same contract as the
+    * dedup stream's store/checkpoint pairing). */
+  def incrementalAnnStream(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, storePath: String,
+      checkpoint: String): Unit = {
+    import graft.pipeline.IncrementalAnn
+    val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val codes = batch.toDF().select(col("vec_id"),
+          graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
+        if (id == 0L) {
+          val cents = IncrementalAnn.trainCentroids(codes)
+          store.save(cents, IncrementalAnn.assign(codes, cents))
+        } else {
+          store.ingest(codes, batchId = id)
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Same, with the micro-batch id passed to `checkFn` — callers that
     * accumulate per-batch results OUTSIDE the stream (e.g. a violations
     * tally that must survive a mid-stream retry) key them by this id, so

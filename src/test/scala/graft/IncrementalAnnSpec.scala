@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.IncrementalAnn
+
+/** The incremental ANN tier's contract: an index bootstrapped on the
+  * resident corpus and grown by per-batch `ingest` must hold EXACTLY
+  * the assignments a monolithic assign-everything pass against the
+  * same frozen centroids produces — across multi-batch evolutions,
+  * crash replays, and on-disk round trips. sim14 pins the same
+  * semantics against the DuckDB oracle on the fixtures. */
+class IncrementalAnnSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic synthetic code vectors (8 dims, values in the int8
+    * code range) — two loose blobs plus a drifted-arrival blob so
+    * clusters are non-trivial and arrivals crowd one region. */
+  private def vecs(ids: Seq[Long]): DataFrame =
+    ids.map { i =>
+      val blob = (i % 3).toInt
+      val qv = (0 until 8).map(d =>
+        (blob * 40 - 60 + ((i * 31 + d * 17) % 13) - 6).toLong).toArray
+      (i, qv.toSeq)
+    }.toDF("vec_id", "qv")
+
+  private def asgSet(df: DataFrame): Set[(Long, Int)] =
+    df.select(col("vec_id"), col("cluster").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("ingest ≡ monolithic assignment against the frozen centroids, " +
+      "across batches, idempotent under replay, durable across load") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annstore").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+
+    val resident = vecs(1L to 300L)
+    val batch1 = vecs(301L to 340L)
+    val batch2 = vecs(341L to 390L)
+
+    val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    store.ingest(batch1, batchId = 1L)
+    store.ingest(batch2, batchId = 2L)
+
+    // the store equals one monolithic pass over all-data-so-far
+    val expect = asgSet(
+      IncrementalAnn.assign(vecs(1L to 390L), cents))
+    assert(asgSet(store.load().get) === expect)
+
+    // crash replay: re-ingesting batch 2 under the same id overwrites
+    // its own partition — no duplicate rows, same content
+    store.ingest(batch2, batchId = 2L)
+    val after = store.load().get
+    assert(after.count() === 390L)
+    assert(asgSet(after) === expect)
+
+    // the frozen centroids round-trip through the metadata exactly
+    val loaded = store.centroids
+    assert(loaded.map { case (c, a) => (c, a.toSeq) } ===
+      cents.map { case (c, a) => (c, a.toSeq) })
+
+    // batch lineage is preserved: bootstrap is batch 0, arrivals keep
+    // their batch ids
+    val byBatch = after.groupBy("batch_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch === Map(0L -> 300L, 1L -> 40L, 2L -> 50L))
+  }
+
+  test("a store without centroid metadata is refused actionably") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annmeta").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 50L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 2)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    // simulate a copy that lost the metadata
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ann/_graft_meta.json"),
+      false)
+    val e = intercept[IllegalStateException] { store.centroids }
+    assert(e.getMessage.contains("_graft_meta.json"))
+  }
+
+  test("layout: one file per populated (batch, cluster) cell, and a " +
+      "one-cell probe scans only that cluster's files") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annprune").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 300L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    store.ingest(vecs(301L to 360L), batchId = 1L)
+
+    val loaded = store.load().get
+    val allFiles = loaded.inputFiles.length.toLong
+    val cells = loaded.select("batch_id", "cluster").distinct().count()
+    assert(allFiles === cells,
+      s"store has $allFiles files for $cells populated cells — the " +
+        "writer is not coalescing per partition cell")
+
+    // probe one cell: the executed scan admits only that cluster's
+    // directories (both batches', but never another cluster's)
+    def scannedFiles(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val probed = loaded.select("cluster").distinct()
+      .orderBy("cluster").head().getInt(0)
+    val oneCell = scannedFiles(loaded.filter(col("cluster") === probed))
+    assert(oneCell < allFiles && oneCell <= 2,
+      s"cluster=$probed probe scanned $oneCell of $allFiles files — " +
+        "partition pruning is not engaging on the index layout")
+  }
+
+  test("interrupted bootstrap swap completes on recover: a complete " +
+      "tmp generation (with metadata) is promoted") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annrecover").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 60L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 2)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    // simulate a crash between "tmp generation durable" and "swap":
+    // move the live store back to .tmp as a complete next generation
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/ann"),
+      new org.apache.hadoop.fs.Path(s"$base/ann.tmp"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/ann")))
+    // any entry point (load / centroids / ingest) must finish the swap
+    val after = store.load()
+    assert(after.isDefined && after.get.count() === 60L)
+    assert(store.centroids.nonEmpty)
+  }
+}

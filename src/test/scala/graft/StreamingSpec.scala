@@ -574,4 +574,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedKeys.size === batch.size)
     assert(streamedKeys === batch)
   }
+
+  test("incrementalAnnStream: epoch 0 bootstraps the index, later " +
+      "drains ingest against the frozen centroids, and the store " +
+      "equals the monolithic assignment over all-data-so-far") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    import graft.pipeline.IncrementalAnn
+    val base = Files.createTempDirectory("graft-annstream").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val cp = s"$base/cp"; val storePath = s"$base/ann"
+    def vecsDf(ids: Seq[Long]) = ids.map { i =>
+      val blob = (i % 3).toInt
+      (i, (0 until 8).map(d =>
+        (blob * 40 - 60 + ((i * 31 + d * 17) % 13) - 6).toFloat / 64f))
+    }.toDF("vec_id", "embedding")
+    val schema = vecsDf(Seq(1L)).schema
+    var staged = 0
+    def land(ids: Seq[Long]): Unit = {
+      staged += 1
+      val stage = s"$base/stage-$staged"
+      vecsDf(ids).coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(s"$src/arrival-$staged.parquet"))
+      ()
+    }
+    // drain 1 (epoch 0): bootstrap on the resident corpus
+    land(1L to 200L)
+    Streams.incrementalAnnStream(spark, src, schema, storePath, cp)
+    val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
+    val cents = store.centroids
+    def asgSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      df.select(col("vec_id"), col("cluster").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def codesOf(ids: Seq[Long]) = vecsDf(ids).select(col("vec_id"),
+      graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
+    assert(asgSet(store.load().get) ===
+      asgSet(IncrementalAnn.assign(codesOf(1L to 200L), cents)))
+    // drains 2 and 3: arrivals ingest against the FROZEN centroids;
+    // the centroids must not move, and the store must equal one
+    // monolithic pass over everything that has arrived so far
+    land(201L to 230L)
+    Streams.incrementalAnnStream(spark, src, schema, storePath, cp)
+    land(231L to 270L)
+    Streams.incrementalAnnStream(spark, src, schema, storePath, cp)
+    assert(store.centroids.map { case (c, a) => (c, a.toSeq) } ===
+      cents.map { case (c, a) => (c, a.toSeq) })
+    val after = store.load().get
+    assert(after.count() === 270L)
+    assert(asgSet(after) ===
+      asgSet(IncrementalAnn.assign(codesOf(1L to 270L), cents)))
+    // arrivals kept their epoch lineage (batch 0 = bootstrap)
+    assert(after.groupBy("batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 200L, 1L -> 30L, 2L -> 40L))
+  }
 }
