@@ -184,5 +184,20 @@ object IncrementalAnn {
         .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
           col("batch_id").cast("long").as("batch_id")))
     }
+
+    /** Maintenance rebase — the index's small-file cure: fold every
+      * committed batch into a fresh batch-0 generation (one file per
+      * cluster cell) via the same tmp-swap as [[save]], centroids
+      * unchanged. Run it when per-batch file accretion starts to
+      * dominate listings (the Compaction planner's threshold logic
+      * applies; here the rewrite is the generation swap itself).
+      * Single-writer: never run concurrently with an ingesting stream
+      * — later epochs keep monotonically larger batch ids, so a rebase
+      * between stream runs can never collide with a replay (every
+      * folded batch's checkpoint commit already landed). */
+    def compact(): Unit = {
+      val all = load().getOrElse(return)
+      save(centroids, all.select("vec_id", "cluster"))
+    }
   }
 }

@@ -317,7 +317,44 @@ object ScaleVerify {
           f"full chain $fullSecs%.1f s vs 20%%-batch ingest $incSecs%.1f s)")
     }
 
-    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11)
+    // ---- sim14: incremental ANN store == monolithic assignment AT
+    // SCALE, through the PERSISTED store (multi-batch evolution, the
+    // real AnnIndexStore on disk — not the in-memory gated form), with
+    // the timing pair quantifying ingest vs full retrain ---------------
+    val r12 = timed("sim14_incremental_ann_store_equality") {
+      val codes = Similarity.quantVecs(s, d)
+      val isNew = pmod(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(5)) === 0
+      val resident = codes.filter(!isNew)
+      val arrivals = codes.filter(isNew).materialized
+      val tB = System.nanoTime()
+      val cents = Similarity.lloydCentroids(resident)
+      val bootSecs = (System.nanoTime() - tB) / 1e9
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sv-ann").toString
+      val store = new IncrementalAnn.AnnIndexStore(s, s"$base/ann")
+      store.save(cents, Similarity.assignAgainst(resident, cents))
+      // two arrival batches (vec_id parity split), timed: the ingest
+      // cost a batch pays vs re-training the whole index
+      val tI = System.nanoTime()
+      store.ingest(arrivals.filter(pmod(col("vec_id"), lit(2)) === 0), 1L)
+      store.ingest(arrivals.filter(pmod(col("vec_id"), lit(2)) === 1), 2L)
+      val incSecs = (System.nanoTime() - tI) / 1e9
+      val got = store.load().get.select("vec_id", "cluster")
+      val want = Similarity.assignAgainst(codes, cents)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      val missing = want.exceptAll(got).count()
+      val extra = got.exceptAll(want).count()
+      val centsStable = store.centroids.map { case (c, a) => (c, a.toSeq) } ==
+        cents.map { case (c, a) => (c, a.toSeq) }
+      (missing == 0L && extra == 0L && centsStable,
+        s"missing=$missing extra=$extra centroidsStable=$centsStable " +
+          f"(${got.count()} vectors; bootstrap train $bootSecs%.1f s vs " +
+          f"two-batch ingest $incSecs%.1f s)")
+    }
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12)
   }
 
   /** Driver union-find re-derivation on sampled components: collect the

@@ -120,6 +120,35 @@ class IncrementalAnnSpec extends AnyFunSuite {
         "partition pruning is not engaging on the index layout")
   }
 
+  test("compact(): per-batch file accretion folds into one file per " +
+      "cluster cell, content and centroids unchanged") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-anncompact").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 300L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    store.ingest(vecs(301L to 330L), batchId = 1L)
+    store.ingest(vecs(331L to 360L), batchId = 2L)
+    val before = store.load().get
+    val filesBefore = before.inputFiles.length.toLong
+    val want = asgSet(before)
+    store.compact()
+    val after = store.load().get
+    val clusters = after.select("cluster").distinct().count()
+    assert(after.inputFiles.length.toLong === clusters,
+      s"${after.inputFiles.length} files for $clusters cells after " +
+        s"compact (was $filesBefore)")
+    assert(after.inputFiles.length < filesBefore)
+    assert(asgSet(after) === want)
+    assert(after.filter(col("batch_id") =!= 0L).count() === 0L)
+    assert(store.centroids.map { case (c, a) => (c, a.toSeq) } ===
+      cents.map { case (c, a) => (c, a.toSeq) })
+    // and the index keeps ingesting after a rebase
+    store.ingest(vecs(361L to 380L), batchId = 3L)
+    assert(store.load().get.count() === 380L)
+  }
+
   test("interrupted bootstrap swap completes on recover: a complete " +
       "tmp generation (with metadata) is promoted") {
     val base = java.nio.file.Files

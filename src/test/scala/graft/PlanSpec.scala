@@ -633,4 +633,25 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("tx21_classifier_eval")
     assert(!p.contains("Join")) // model enters as a literal, never a join
   }
+
+  test("sim14: arrival ingest is a pure projection against literal " +
+      "centroids — no join anywhere, distances on the CodeDists kernel") {
+    // the incremental-ANN scale contract: the frozen centroids enter as
+    // a LITERAL, so assignment never joins/shuffles the corpus; the only
+    // wide work is the k-group occupancy rollup
+    val p = planOf("sim14_incremental_ann")
+    assert(!p.contains("Join"), "centroids must be a literal, not a join")
+    assert(p.contains("l2_code_dists"))
+    assert(p.contains("partial_sum"), "occupancy rollup must combine map-side")
+  }
+
+  test("tx23: arrival tokens collapse to composite keys BEFORE the " +
+      "vocabulary join, and the vocabulary broadcasts") {
+    val p = planOf("tx23_arrival_oov")
+    // the (doc, source, token) pre-collapse bounds any Zipf mega-token's
+    // rows by the batch's doc count before the join touches it
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the exploded arrival stream must never shuffle on the token key")
+  }
 }
