@@ -75,6 +75,25 @@ object CodeDists {
       GraftSqlBridge.expression(sub),
       codebooks.map(_.map(_._1).toIndexedSeq).toIndexedSeq,
       codebooks.map(_.map(_._2.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+
+  /** Static kernel: squared-L2 between two code vectors — the pairwise
+    * form (both sides are columns, e.g. a probe row against a cell
+    * row), same tight long loop as [[l2]]. */
+  def l2Pair(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    var s = 0L
+    var i = 0
+    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Column form of [[l2Pair]] — the ranking metric of the store-backed
+    * IVF search (exact integer arithmetic: engines and runs can never
+    * disagree on an ordering). */
+  def l2PairCol(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L2CodePair(GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(b)))
 }
 
 /** Catalyst wrapper for [[CodeDists.l2]]. Centroids are Seq-typed fields
@@ -112,6 +131,38 @@ case class L2CodeDists(child: Expression, clusters: IndexedSeq[Int],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Catalyst wrapper for [[CodeDists.l2Pair]]: exact integer squared-L2
+  * between two ARRAY<BIGINT> code columns. */
+case class L2CodePair(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2_code_pair"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodeDists.l2Pair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CodeDists.l2Pair($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Catalyst wrapper for [[CodeDists.l2Sub]]: left = the code slice,

@@ -2,7 +2,10 @@ package graft.pipeline
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.tables.Checkpoints.CheckpointOps
 
 /** Persisted incremental ANN index — the similarity-tier twin of
   * [[IncrementalDedup]]'s signature store, and the state behind the
@@ -48,10 +51,14 @@ object IncrementalAnn {
 
   /** Assign code vectors against literal centroids — zero-shuffle
     * whole-stage-codegen projection; the ingest (and search-probe)
-    * primitive. */
+    * primitive. Keeps the code vector alongside the cell id: the store
+    * persists BOTH, so a search reads codes straight out of the probed
+    * cells (a true IVF inverted list, not a vec_id indirection). */
   def assign(vecs: DataFrame,
       centroids: Seq[(Int, Array[Long])]): DataFrame =
-    Similarity.assignAgainst(vecs, centroids)
+    vecs.select(col("vec_id"), col("qv"),
+      array_min(graft.functions.CodeDists.l2Col(col("qv"), centroids))
+        .getField("cluster").as("cluster"))
 
   /** Quantized code vectors (vec_id, qv) for a scale dir — the shared
     * input representation (sim06's int8 quantization). */
@@ -134,13 +141,16 @@ object IncrementalAnn {
           "records the centroids) or restore the metadata."))
     }
 
-    /** Bootstrap / retrain: write assignments (vec_id, cluster) as batch
-      * 0 of a complete new generation plus the centroid metadata, then
-      * swap — readers see old-complete or new-complete, never a mix. */
+    /** Bootstrap / retrain: write the cell rows (vec_id, qv, cluster) as
+      * batch 0 of a complete new generation plus the centroid metadata,
+      * then swap — readers see old-complete or new-complete, never a
+      * mix. The code vector is IN the cell row, so the store is a true
+      * IVF inverted list: [[searchTopK]] reads codes straight out of
+      * the probed partitions, no join back to the corpus. */
     def save(cents: Seq[(Int, Array[Long])],
         assignments: DataFrame): Unit = {
       val tmp = path + ".tmp"
-      assignments.select(col("vec_id"), col("cluster"))
+      assignments.select(col("vec_id"), col("qv"), col("cluster"))
         .withColumn("batch_id", lit(0L))
         .repartition(col("cluster"))
         .write.mode(SaveMode.Overwrite)
@@ -174,15 +184,57 @@ object IncrementalAnn {
       assigned
     }
 
-    /** All assignments so far: (vec_id, cluster, batch_id). Partition
+    /** All cell rows so far: (vec_id, qv, cluster, batch_id). Partition
       * pruning applies on both partition columns — a one-cell probe
       * reads only that cluster's directories. */
     def load(): Option[DataFrame] = {
       recover()
       if (!fs.exists(new Path(path))) None
       else Some(spark.read.parquet(path)
-        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        .select(col("vec_id"), col("qv"),
+          col("cluster").cast("int").as("cluster"),
           col("batch_id").cast("long").as("batch_id")))
+    }
+
+    /** Top-k nearest neighbors for `queryVecs` (vec_id, qv) SERVED FROM
+      * THE STORE — the IVF query path: per query, the `nprobe` nearest
+      * frozen centroids (in-row against the literal table), then ONE
+      * partition-pruned read of exactly the probed cells (the probe
+      * set is ≤ k_centroids cluster ids — driver-bounded by
+      * construction), ranked by exact integer squared-L2 on the
+      * CodeDists kernel with a per-query top-k window. At 100 TB the
+      * scan touches nprobe/k of the corpus — the IVF economics — and
+      * arrivals ingested a second ago are searchable because they sit
+      * in the same cells. */
+    def searchTopK(queryVecs: DataFrame, k: Int,
+        nprobe: Int = 2): DataFrame = {
+      val cents = centroids
+      val probes = queryVecs.select(col("vec_id").as("query_id"),
+          col("qv").as("qqv"),
+          posexplode(slice(array_sort(
+            graft.functions.CodeDists.l2Col(col("qv"), cents)),
+            1, nprobe)).as(Seq("pos", "p")))
+        .select(col("query_id"), col("qqv"),
+          col("p.cluster").as("cluster"))
+        .materialized
+      // the probed cell set: ≤ |centroids| ints — a bounded driver
+      // collect that turns into PARTITION pruning on the store scan
+      val cells = probes.select("cluster").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val corpus = spark.read.parquet(path)
+        .filter(col("cluster").isin(cells: _*))
+        .select(col("vec_id").as("neighbor_id"), col("qv"),
+          col("cluster").cast("int").as("cluster"))
+      val scored = probes.join(corpus, Seq("cluster"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dist2",
+          graft.functions.CodeDists.l2PairCol(col("qqv"), col("qv")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dist2"), col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          col("dist2"))
     }
 
     /** Maintenance rebase — the index's small-file cure: fold every
@@ -197,7 +249,7 @@ object IncrementalAnn {
       * folded batch's checkpoint commit already landed). */
     def compact(): Unit = {
       val all = load().getOrElse(return)
-      save(centroids, all.select("vec_id", "cluster"))
+      save(centroids, all.select("vec_id", "qv", "cluster"))
     }
   }
 }

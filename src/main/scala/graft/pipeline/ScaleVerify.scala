@@ -334,7 +334,7 @@ object ScaleVerify {
       val base = java.nio.file.Files
         .createTempDirectory("graft-sv-ann").toString
       val store = new IncrementalAnn.AnnIndexStore(s, s"$base/ann")
-      store.save(cents, Similarity.assignAgainst(resident, cents))
+      store.save(cents, IncrementalAnn.assign(resident, cents))
       // two arrival batches (vec_id parity split), timed: the ingest
       // cost a batch pays vs re-training the whole index
       val tI = System.nanoTime()

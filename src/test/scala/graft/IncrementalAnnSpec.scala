@@ -31,6 +31,24 @@ class IncrementalAnnSpec extends AnyFunSuite {
     df.select(col("vec_id"), col("cluster").cast("int"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
 
+  /** Rows read by every task across the thunk's jobs — the
+    * layout-independent pruning measure (IncrementalDedupSpec's). */
+  private def recordsReadDuring(f: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(2000) }
+    finally spark.sparkContext.removeSparkListener(l)
+    recs.get()
+  }
+
   test("ingest ≡ monolithic assignment against the frozen centroids, " +
       "across batches, idempotent under replay, durable across load") {
     val base = java.nio.file.Files
@@ -118,6 +136,58 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(oneCell < allFiles && oneCell <= 2,
       s"cluster=$probed probe scanned $oneCell of $allFiles files — " +
         "partition pruning is not engaging on the index layout")
+  }
+
+  test("searchTopK: the store SERVES queries — results equal a driver " +
+      "union of probed cells ranked by exact integer L2, arrivals are " +
+      "immediately searchable, and the scan is partition-pruned") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annsearch").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 300L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    store.ingest(vecs(301L to 360L), batchId = 1L)
+
+    val queryIds = Seq(5L, 100L, 302L) // 302 arrived a moment ago
+    val got = store.searchTopK(vecs(queryIds), k = 3, nprobe = 2)
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3))).toSet
+
+    // independent driver-side reference: plain Scala arithmetic over
+    // the raw vectors (no Spark, no kernel, no store)
+    def qvOf(i: Long): Array[Long] = {
+      val blob = (i % 3).toInt
+      (0 until 8).map(d =>
+        (blob * 40 - 60 + ((i * 31 + d * 17) % 13) - 6).toLong).toArray
+    }
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cellOf = (1L to 360L).map { i =>
+      i -> cents.map { case (c, ct) => (l2(qvOf(i), ct), c) }.min._2
+    }.toMap
+    val want = queryIds.flatMap { q =>
+      val probed = cents.map { case (c, ct) => (l2(qvOf(q), ct), c) }
+        .sorted.take(2).map(_._2).toSet
+      (1L to 360L).filter(i => i != q && probed(cellOf(i)))
+        .map(i => (l2(qvOf(q), qvOf(i)), i))
+        .sorted.take(3).zipWithIndex
+        .map { case ((d, i), rk) => (q, rk + 1, i, d) }
+    }.toSet
+    assert(gotRows === want)
+
+    // the probe read admits only the probed cells' ROWS: a one-query,
+    // one-probe search must read a cell, not the store (the listener
+    // measure IncrementalDedupSpec uses — layout-independent ground
+    // truth of what partition pruning admitted)
+    val storeRows = store.load().get.count()
+    val recs = recordsReadDuring {
+      store.searchTopK(vecs(Seq(5L)), k = 3, nprobe = 1).collect()
+      ()
+    }
+    assert(recs < storeRows,
+      s"one-cell search read $recs records of a $storeRows-row store — " +
+        "partition pruning is not engaging on the search path")
   }
 
   test("compact(): per-batch file accretion folds into one file per " +

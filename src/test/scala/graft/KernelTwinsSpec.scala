@@ -262,4 +262,24 @@ class KernelTwinsSpec extends AnyFunSuite {
       .collect()
       .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
+
+  // ---- L2CodePair: pairwise integer squared-L2 vs aggregate/zip_with --
+
+  test("l2_code_pair equals the aggregate/zip_with declarative spelling") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(0L, 0L, 0L), Seq(0L, 0L, 0L)),          // zero distance
+      (Seq(1L, 2L, 3L), Seq(3L, 2L, 1L)),          // symmetric diffs
+      (Seq(-127L, 127L, 0L), Seq(127L, -127L, 64L)), // code-range extremes
+      (Seq(5L), Seq(-5L)),                          // single dim
+    )
+    val decl = expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, " +
+        "(s, x) -> s + x)")
+    rows.toDF("a", "b")
+      .select(graft.functions.CodeDists.l2PairCol(col("a"), col("b"))
+          .as("k"), decl.as("d"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
 }
