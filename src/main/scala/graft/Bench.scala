@@ -98,6 +98,30 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id % 7)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
+    // Spark-side floor probe: a fixed deterministic 32-task hash+shuffle
+    // aggregate, best-of-2 wall seconds. Round 12 found an epoch class
+    // the OTHER two instruments cannot see: the python integer loop
+    // (single-core, register-bound) and the DuckDB anchor (mostly
+    // single-threaded) both read healthy while every multi-core Spark
+    // chain ran ~1.4x the committed record — same code, judged by a
+    // same-epoch old-vs-new source A/B. This probe times the degrading
+    // thing itself (JVM-wide shuffle/agg throughput); its healthy
+    // reference lives in BASELINE.md next to the artifact of record,
+    // and a record taken while it reads high is not record-class no
+    // matter what the CPU probe says.
+    def sparkProbe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 48000000L, 1L, 32)
+          .selectExpr("xxhash64(id) AS h", "pmod(xxhash64(id), 4096) AS b")
+          .groupBy("b").count()
+          .selectExpr("sum(count)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s = math.min(once(), once())
+      math.round(s * 10000).toDouble / 10000
+    }
+    val sparkProbeBefore = sparkProbe()
     // Best of two runs per query: the first pays codegen compilation and
     // shuffle-file warmup, the second is the steady-state number a
     // long-running cluster actually sees.
@@ -173,6 +197,7 @@ object Bench {
     // this container, see tools/cpu_probe.py calibration); the anchor
     // gives the ratio denominator without a separate archaeology step.
     val probeAfter = cpuProbe()
+    val sparkProbeAfter = sparkProbe()
     val anchor = if (only.isEmpty) duckdbAnchor() else None
     def jn[A](o: Option[A]): String = o.map(_.toString).getOrElse("null")
     // Explicit verdict so downstream tooling doesn't re-derive the band:
@@ -186,7 +211,7 @@ object Bench {
         if (a >= HealthyOps && b >= HealthyOps) "healthy" else "degraded"
       case _ => "unknown"
     }
-    val health = s""""probe_before":${jn(probeBefore)},"probe_after":${jn(probeAfter)},"duckdb_anchor_sec":${jn(anchor)},"epoch_health":"$epochHealth""""
+    val health = s""""probe_before":${jn(probeBefore)},"probe_after":${jn(probeAfter)},"spark_probe_sec_before":$sparkProbeBefore,"spark_probe_sec_after":$sparkProbeAfter,"duckdb_anchor_sec":${jn(anchor)},"epoch_health":"$epochHealth""""
     val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retr = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -198,7 +223,7 @@ object Bench {
     // got truncated mid-line in rounds 1-3 (BENCH_r*.json "parsed": null).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; dd16_incremental_lsh times INGEST ONLY against a per-session memoized signature store (the gated query's one-time bootstrap is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,$health}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; spark_probe_sec_* is a fixed 32-task shuffle+agg best-of-2 timed in THIS JVM (the epoch instrument that sees JVM-wide throughput sag the python loop and the anchor miss — healthy reference in BASELINE.md); dd16_incremental_lsh times INGEST ONLY against a per-session memoized signature store (the gated query's one-time bootstrap is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,$health}"""
     println(full)
     // persist only FULL runs: a SPARK_GRAFT_BENCH_ONLY dev subset must
     // not clobber the repo's full-suite record
