@@ -41,6 +41,14 @@ import graft.tables.Tables
   *    and the incremental save rewrites ≤16 of 256 cells, vs the flat
   *    arm's 3 full scans + full rewrite per 4-doc batch.
   *
+  * A third regime, `ann`, A/Bs the INCREMENTAL ANN tier (sim14): arm
+  * `ingest` = the product path (frozen centroids, AnnIndexStore
+  * per-batch dynamic-overwrite commits — work ∝ batch), arm `retrain`
+  * = the naive path it replaces (re-run Lloyd over all-data-so-far and
+  * rewrite the whole index every batch — work ∝ corpus, growing as
+  * batches land). Same per-batch JSON (seconds, store rows, records
+  * read, peak task I/O).
+  *
   * Usage: runMain graft.ArrivalBench <sfDir> [nBatches] [arm,arm] [mode]
   * One JSON line per batch per arm (now incl. total records read — the
   * pruning signal) + a summary line per arm. */
@@ -49,9 +57,10 @@ object ArrivalBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nBatches = if (args.length > 1) args(1).toInt else 10
-    val arms = if (args.length > 2) args(2).split(",").toSeq
-      else Seq("bucketed", "flat")
     val mode = if (args.length > 3) args(3) else "prop"
+    val arms = if (args.length > 2) args(2).split(",").toSeq
+      else if (mode == "ann") Seq("ingest", "retrain")
+      else Seq("bucketed", "flat")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,6 +71,12 @@ object ArrivalBench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new StressDedup.PeakListener
     spark.sparkContext.addSparkListener(listener)
+
+    if (mode == "ann") {
+      runAnn(spark, listener, dir, nBatches, arms)
+      spark.stop()
+      return
+    }
 
     val all = Tables.spread(spark, Tables.documents(spark, dir), "doc_id")
     val bucket = pmod(
@@ -166,5 +181,77 @@ object ArrivalBench {
       println(s"""{"arm":"$arm","mode":"$mode","phase":"total_ingest","sec":${f"$total%.2f"},"batches":$batches,"sf":"$dir"}""")
     }
     spark.stop()
+  }
+
+  /** The ANN-tier A/B: frozen-centroid per-batch ingest (the sim14
+    * product path) vs retrain-over-everything per batch (the naive
+    * path whose cost grows with the corpus). */
+  private def runAnn(spark: SparkSession, listener: StressDedup.PeakListener,
+      dir: String, nBatches: Int, arms: Seq[String]): Unit = {
+    import graft.pipeline.IncrementalAnn
+    val vecs = IncrementalAnn.codeVectors(spark, dir)
+    val bucket = pmod(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(50))
+    val bootstrapDf = vecs.filter(bucket >= nBatches)
+    def batchDf(i: Int): DataFrame = vecs.filter(bucket === i)
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-ann").toString
+
+    // untimed warm-up through the store path (scratch data)
+    {
+      val scratch = vecs.limit(64)
+      val st = new IncrementalAnn.AnnIndexStore(spark, s"$base/warm")
+      val c = IncrementalAnn.trainCentroids(scratch, k = 2)
+      st.save(c, IncrementalAnn.assign(scratch, c))
+      st.ingest(vecs.limit(70).except(scratch), batchId = 1L)
+      st.load().get.count()
+      ()
+    }
+
+    arms.foreach { arm =>
+      var total = 0.0
+      arm match {
+        case "ingest" =>
+          val st = new IncrementalAnn.AnnIndexStore(spark, s"$base/ing")
+          val t0 = System.nanoTime()
+          val cents = IncrementalAnn.trainCentroids(bootstrapDf)
+          st.save(cents, IncrementalAnn.assign(bootstrapDf, cents))
+          val bootSec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"arm":"$arm","mode":"ann","phase":"bootstrap","sec":${f"$bootSec%.2f"},"k":${cents.size}}""")
+          (0 until nBatches).foreach { i =>
+            listener.reset()
+            val b0 = System.nanoTime()
+            st.ingest(batchDf(i), batchId = i + 1L)
+            val sec = (System.nanoTime() - b0) / 1e9
+            total += sec
+            val rows = st.load().get.count()
+            println(s"""{"arm":"$arm","mode":"ann","batch":$i,"sec":${f"$sec%.2f"},"store_rows":$rows,"records_read":${listener.totalInput.get()},"max_task_input":${listener.maxInput.get()},"max_task_shuffle":${listener.maxShuffle.get()}}""")
+          }
+        case "retrain" =>
+          // the naive path: every batch re-trains Lloyd over ALL data
+          // so far and rewrites the whole index generation
+          val st = new IncrementalAnn.AnnIndexStore(spark, s"$base/ret")
+          val t0 = System.nanoTime()
+          val cents0 = IncrementalAnn.trainCentroids(bootstrapDf)
+          st.save(cents0, IncrementalAnn.assign(bootstrapDf, cents0))
+          val bootSec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"arm":"$arm","mode":"ann","phase":"bootstrap","sec":${f"$bootSec%.2f"},"k":${cents0.size}}""")
+          (0 until nBatches).foreach { i =>
+            listener.reset()
+            val b0 = System.nanoTime()
+            val soFar = vecs.filter(bucket >= nBatches || bucket <= i)
+            val c = IncrementalAnn.trainCentroids(soFar)
+            st.save(c, IncrementalAnn.assign(soFar, c))
+            val sec = (System.nanoTime() - b0) / 1e9
+            total += sec
+            val rows = st.load().get.count()
+            println(s"""{"arm":"$arm","mode":"ann","batch":$i,"sec":${f"$sec%.2f"},"store_rows":$rows,"records_read":${listener.totalInput.get()},"max_task_input":${listener.maxInput.get()},"max_task_shuffle":${listener.maxShuffle.get()}}""")
+          }
+        case other => sys.error(s"unknown ann arm: $other")
+      }
+      println(s"""{"arm":"$arm","mode":"ann","phase":"total_ingest","sec":${f"$total%.2f"},"batches":$nBatches,"sf":"$dir"}""")
+    }
   }
 }
