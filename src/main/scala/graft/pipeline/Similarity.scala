@@ -1245,9 +1245,82 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** Multi-probe IVF top-k with EXACT integer L2 ranking — the gated
+    * twin of the persisted index's query path
+    * ([[IncrementalAnn.AnnIndexStore.searchTopK]]): per query the
+    * nprobe=2 nearest centroids (in-row against the literal table,
+    * (dist2, cluster) tiebreak), candidates = the probed cells'
+    * members via one cluster equi-join (never a pair enumeration),
+    * ranked by integer squared-L2 on the codegen'd `l2_code_pair`
+    * kernel with a (dist2, neighbor_id) tiebreak — bit-reproducible on
+    * both engines, so the strict gate pins the search semantics and
+    * `IncrementalAnnSpec` pins the store path EQUAL to this query over
+    * the same corpus (the gate covers the store transitively).
+    * Complements sim02 (cosine, single-probe, float ranking): this is
+    * the integer-exact multi-probe tier the incremental store serves.
+    *
+    * Scale shape: probe selection is a zero-shuffle projection; the
+    * candidate join's corpus side shrinks by nprobe/k (the IVF
+    * economics — on the persisted store that restriction is PARTITION
+    * pruning, spec-measured); ranking work is Σ|probed cells| per
+    * query; the top-k window carries k·|queries| rows. */
+  val sim15IvfL2TopK: Q = Q(
+    "sim15_ivf_l2_topk",
+    s"""WITH $kmeansCte,
+       |probe AS (
+       |  SELECT q.vec_id AS query_id, c.cluster,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY sum((q.q - c.c) * (q.q - c.c)), c.cluster) AS pk
+       |  FROM q JOIN c2 c ON q.d = c.d
+       |  WHERE q.vec_id < 10
+       |  GROUP BY q.vec_id, c.cluster),
+       |pl AS (SELECT query_id, cluster FROM probe WHERE pk <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM pl p JOIN a3 a USING (cluster)
+       |  WHERE a.vec_id <> p.query_id),
+       |dist AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    sum((qq.q - qn.q) * (qq.q - qn.q)) AS dist2
+       |  FROM cand c
+       |  JOIN q qq ON qq.vec_id = c.query_id
+       |  JOIN q qn ON qn.vec_id = c.neighbor_id AND qn.d = qq.d
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist2, neighbor_id) AS rk FROM dist)
+       |SELECT query_id, rk, neighbor_id, CAST(dist2 AS BIGINT) AS dist2
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) {
+    (s, d) =>
+      val codes = quantVecs(s, d)
+      val cents = lloydCentroids(codes)
+      val corpus = codes.select(col("vec_id").as("neighbor_id"),
+        col("qv"),
+        array_min(graft.functions.CodeDists.l2Col(col("qv"), cents))
+          .getField("cluster").as("cluster"))
+      val probes = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+          posexplode(slice(array_sort(
+            graft.functions.CodeDists.l2Col(col("qv"), cents)),
+            1, 2)).as(Seq("pos", "p")))
+        .select(col("query_id"), col("qqv"),
+          col("p.cluster").as("cluster"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dist2"), col("neighbor_id"))
+      probes.join(corpus, Seq("cluster"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("dist2",
+          graft.functions.CodeDists.l2PairCol(col("qqv"), col("qv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          col("dist2"))
+        .orderBy("query_id", "rk")
+  }
+
   val queries: Seq[Q] = Seq(sim01BruteForceTopK, sim02IvfTopK,
     sim03EmbeddingProfile, sim04LshTopK, sim05RecallAt3, sim06QuantizedTopK,
     sim07KmeansClusters, sim08PqTopK, sim09IvfPqTopK, pipe12ClusterSample,
     sim10RangeSearch, sim11MmrTopK, sim12KnnClassify, sim13IndexDrift,
-    sim14IncrementalAnn)
+    sim14IncrementalAnn, sim15IvfL2TopK)
 }

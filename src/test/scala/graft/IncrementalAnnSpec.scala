@@ -190,6 +190,28 @@ class IncrementalAnnSpec extends AnyFunSuite {
         "partition pruning is not engaging on the search path")
   }
 
+  test("store-backed searchTopK over the FIXTURE corpus equals the " +
+      "strict-gated sim15 query — the oracle covers the store path " +
+      "transitively") {
+    import graft.pipeline.{IncrementalAnn => IA}
+    val d = SparkTestSession.sfDir
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annsim15").toString
+    val store = new IA.AnnIndexStore(spark, s"$base/ann")
+    val codes = IA.codeVectors(spark, d)
+    // same training as sim15: full corpus, k=8 (the oracle's literal)
+    val cents = IA.trainCentroids(codes)
+    store.save(cents, IA.assign(codes, cents))
+    val got = store.searchTopK(
+        codes.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.pipeline.Similarity.sim15IvfL2TopK.run(spark, d)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
+
   test("compact(): per-batch file accretion folds into one file per " +
       "cluster cell, content and centroids unchanged") {
     val base = java.nio.file.Files

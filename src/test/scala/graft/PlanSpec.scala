@@ -645,6 +645,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "occupancy rollup must combine map-side")
   }
 
+  test("sim15: probe lists broadcast into the cell equi-join; ranking " +
+      "stays on the l2_code_pair kernel; never a pair enumeration") {
+    val p = planOf("sim15_ivf_l2_topk")
+    assert(p.contains("l2_code_pair"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tx23: arrival tokens collapse to composite keys BEFORE the " +
       "vocabulary join, and the vocabulary broadcasts") {
     val p = planOf("tx23_arrival_oov")
