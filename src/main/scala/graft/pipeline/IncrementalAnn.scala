@@ -65,15 +65,24 @@ object IncrementalAnn {
   def codeVectors(s: SparkSession, dir: String): DataFrame =
     Similarity.quantVecs(s, dir)
 
-  /** The persisted index: centroids in `_graft_meta.json`, assignments
-    * parquet partitioned by (batch_id, cluster). Single-writer by
-    * assumption (wrap with [[IncrementalDedup.SigStore]]'s lease
-    * pattern for multi-writer deployments — the lease is store-layout
-    * agnostic). */
+  /** The persisted index: centroids in `_graft_meta.json`, cell rows
+    * parquet partitioned by (batch_id, cluster). Single-writer is
+    * ENFORCED best-effort by the shared [[graft.tables.StoreLease]]
+    * (the SigStore's hardened round-10/11 semantics): writes go
+    * through [[withLease]] or assert ownership first, so a second
+    * writer fails loudly instead of interleaving generation swaps. */
   final class AnnIndexStore(spark: SparkSession, path: String) {
     private def fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private def metaPath(root: String) = new Path(root, "_graft_meta.json")
+
+    private val lease =
+      new graft.tables.StoreLease(spark, path, "AnnIndexStore")
+    def acquireLease(ttlMs: Long = 15 * 60 * 1000L): Unit =
+      lease.acquire(ttlMs)
+    def renewLease(): Unit = lease.renew()
+    def releaseLease(): Unit = lease.release()
+    def withLease[T](f: => T): T = lease.withLease(f)
 
     /** Normalize on-disk state after a crash: complete an interrupted
       * bootstrap swap (tmp generation fully written = meta present),
@@ -149,6 +158,7 @@ object IncrementalAnn {
       * the probed partitions, no join back to the corpus. */
     def save(cents: Seq[(Int, Array[Long])],
         assignments: DataFrame): Unit = {
+      lease.assertStillHeld()
       val tmp = path + ".tmp"
       assignments.select(col("vec_id"), col("qv"), col("cluster"))
         .withColumn("batch_id", lit(0L))
@@ -174,6 +184,7 @@ object IncrementalAnn {
     def ingest(newVecs: DataFrame, batchId: Long): DataFrame = {
       require(batchId > 0L, s"batchId must be > 0 (got $batchId): " +
         "batch 0 is the bootstrap generation")
+      lease.assertStillHeld()
       val cents = centroids
       val assigned = assign(newVecs, cents)
       assigned.withColumn("batch_id", lit(batchId))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -330,14 +330,8 @@ object IncrementalDedup {
     private def fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    private def lockPath = new Path(path + ".lock")
     private def bakPath = new Path(path + ".bakparts")
     private def metaPath(root: String) = new Path(root, "_graft_meta.json")
-
-    /** This instance's writer identity — what the lock file carries
-      * while this instance holds the lease. */
-    private val writerId = java.util.UUID.randomUUID().toString
-    @volatile private var leased = false
 
     /** (fan-out, meta-file mtime, meta-file length) — the cached read
       * of `_graft_meta.json`, revalidated against the file's stat so a
@@ -608,112 +602,22 @@ object IncrementalDedup {
       ()
     }
 
-    /** The lock file's content: holder UUID + heartbeat timestamp,
-      * written BY the holder (object stores where `setTimes` is a no-op
-      * still heartbeat correctly). None = no lock or unreadable. */
-    private def readLock(): Option[(String, Long)] = {
-      try {
-        val in = fs.open(lockPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.trim.split("\\s+") match {
-          case Array(id, ts) => Some((id, ts.toLong))
-          case Array(id) => // pre-v2 lock: fall back to mtime
-            Some((id, fs.getFileStatus(lockPath).getModificationTime))
-          case _ => Some(("", 0L))
-        }
-      } catch { case _: java.io.IOException => None }
-    }
+    /** Writer lease — the proven round-10/11 semantics, extracted to
+      * [[graft.tables.StoreLease]] in round 12 so every persisted
+      * store shares ONE hardened implementation (see its doc for the
+      * create-verify, stale-break and usurpation-abort story). */
+    private val lease = new graft.tables.StoreLease(spark, path, "SigStore")
 
-    private def writeLock(overwrite: Boolean): Unit = {
-      val out = fs.create(lockPath, overwrite)
-      out.writeBytes(s"$writerId ${System.currentTimeMillis()}\n")
-      out.close()
-    }
+    def acquireLease(ttlMs: Long = 15 * 60 * 1000L): Unit =
+      lease.acquire(ttlMs)
 
-    /** Claim the store for writing. Creates `path.lock` carrying this
-      * writer's UUID and verifies BY RE-READING that the UUID survived
-      * (create-if-absent is atomic on HDFS-like stores but
-      * check-then-write on the local FS and S3A — the verify closes
-      * that window). A live lease (heartbeat younger than `ttlMs`)
-      * makes a second writer FAIL LOUDLY — the swap chain has exactly
-      * one owner. A lease older than the TTL is presumed dead (crashed
-      * holder) and broken by renaming it aside to a breaker-unique
-      * tombstone, so when several writers race to break the same stale
-      * lock exactly one rename wins and the losers fail. */
-    def acquireLease(ttlMs: Long = 15 * 60 * 1000L): Unit = {
-      readLock() match {
-        case Some((holder, hb)) =>
-          val age = System.currentTimeMillis() - hb
-          if (age < ttlMs) throw new IllegalStateException(
-            s"SigStore at $path is leased to writer $holder " +
-              s"(heartbeat age ${age} ms < ttl ${ttlMs} ms). Concurrent " +
-              "ingest would interleave the swap chain; if the holder " +
-              s"is dead, wait for lease expiry or remove $path.lock")
-          // stale: break it by renaming aside — one breaker wins
-          val tomb = new Path(path + s".lock.broken.$writerId")
-          if (!fs.rename(lockPath, tomb)) throw new IllegalStateException(
-            s"SigStore at $path: lost the stale-lease break race to " +
-              "another writer")
-          fs.delete(tomb, false)
-        case None => () // no lock (or vanished mid-read: create decides)
-      }
-      try writeLock(overwrite = false)
-      catch {
-        case _: FileAlreadyExistsException |
-            _: org.apache.hadoop.fs.PathExistsException =>
-          throw new IllegalStateException(
-            s"SigStore at $path was leased concurrently by another " +
-              "writer (lost the lock-file creation race)")
-      }
-      // write-then-verify: on stores whose create(overwrite=false) is
-      // check-then-write, two racers can both "succeed" — the re-read
-      // picks the one whose bytes landed last
-      readLock() match {
-        case Some((id, _)) if id == writerId => leased = true
-        case other => throw new IllegalStateException(
-          s"SigStore at $path was leased concurrently by another " +
-            s"writer (lock now carries ${other.map(_._1)})")
-      }
-    }
+    def renewLease(): Unit = lease.renew()
 
-    /** Heartbeat: rewrite the lock content with a fresh timestamp so a
-      * long run outlives the TTL. Call once per batch; verifies this
-      * writer still OWNS the lease first and fails loudly if a breaker
-      * took it (the batch must abort rather than interleave commits). */
-    def renewLease(): Unit = {
-      assertLeaseStillHeld()
-      writeLock(overwrite = true)
-    }
+    private def assertLeaseStillHeld(): Unit = lease.assertStillHeld()
 
-    /** No-op unless this instance acquired the lease; then: fail if the
-      * lock no longer carries OUR UUID (broken by another writer after
-      * a TTL lapse — e.g. one batch ran longer than the TTL with no
-      * heartbeat). Checked before every store write, so a usurped
-      * writer aborts before it can interleave a commit. */
-    private def assertLeaseStillHeld(): Unit = if (leased) {
-      readLock() match {
-        case Some((id, _)) if id == writerId => ()
-        case other => throw new IllegalStateException(
-          s"SigStore at $path: writer lease lost (lock now carries " +
-            s"${other.map(_._1).getOrElse("<absent>")}); aborting the " +
-            "store write — another writer may have claimed the store " +
-            "after a TTL lapse")
-      }
-    }
+    def releaseLease(): Unit = lease.release()
 
-    def releaseLease(): Unit = {
-      // only the owner may release; a usurped lease belongs to the
-      // usurper now
-      if (readLock().exists(_._1 == writerId)) fs.delete(lockPath, false)
-      leased = false
-      ()
-    }
-
-    def withLease[T](f: => T): T = {
-      acquireLease()
-      try f finally releaseLease()
-    }
+    def withLease[T](f: => T): T = lease.withLease(f)
   }
 
   /** The dd16 fixture split: md5 bucket % 5 == 0 → the "arriving" 20%. */

@@ -550,24 +550,27 @@ object Streams {
       checkpoint: String): Unit = {
     import graft.pipeline.IncrementalAnn
     val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
-    val q = spark.readStream.schema(schema).parquet(srcDir)
-      .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        val codes = batch.toDF().select(col("vec_id"),
-          graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
-        if (id == 0L) {
-          val cents = IncrementalAnn.trainCentroids(codes)
-          store.save(cents, IncrementalAnn.assign(codes, cents))
-        } else {
-          store.ingest(codes, batchId = id)
-          ()
+    store.withLease {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          store.renewLease()
+          val codes = batch.toDF().select(col("vec_id"),
+            graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
+          if (id == 0L) {
+            val cents = IncrementalAnn.trainCentroids(codes)
+            store.save(cents, IncrementalAnn.assign(codes, cents))
+          } else {
+            store.ingest(codes, batchId = id)
+            ()
+          }
         }
-      }
-      .start()
-    q.awaitTermination()
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Same, with the micro-batch id passed to `checkFn` — callers that

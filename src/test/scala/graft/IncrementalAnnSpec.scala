@@ -241,6 +241,31 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(store.load().get.count() === 380L)
   }
 
+  test("writer lease (shared StoreLease): a second concurrent writer " +
+      "fails loudly; a usurped writer's ingest aborts before any " +
+      "store write") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annlease").toString
+    val st1 = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val st2 = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 60L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 2)
+    st1.acquireLease()
+    st1.save(cents, IncrementalAnn.assign(resident, cents))
+    val e = intercept[IllegalStateException](st2.acquireLease())
+    assert(e.getMessage.contains("leased"), e.getMessage)
+    // simulate a TTL lapse: st2 breaks the (aged) lease and takes over
+    st2.acquireLease(ttlMs = 0L)
+    // the usurped writer must abort before touching the store
+    val lost = intercept[IllegalStateException](
+      st1.ingest(vecs(61L to 70L), batchId = 1L))
+    assert(lost.getMessage.contains("lease lost"), lost.getMessage)
+    // the usurper ingests fine, and release hands the store back
+    st2.ingest(vecs(61L to 70L), batchId = 1L)
+    st2.releaseLease()
+    assert(st1.load().get.count() === 70L)
+  }
+
   test("interrupted bootstrap swap completes on recover: a complete " +
       "tmp generation (with metadata) is promoted") {
     val base = java.nio.file.Files

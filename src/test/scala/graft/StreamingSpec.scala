@@ -575,6 +575,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedKeys === batch)
   }
 
+  test("Main --ann-ingest source probe: an empty landing dir skips " +
+      "gracefully; a partitioned landing layout reaches the stream " +
+      "and bootstraps the index") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-annprobe").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val cp = s"$base/cp"; val storePath = s"$base/ann"
+    // 1. empty landing dir: skip, no store created
+    graft.Main.annIngestRun(spark, src, storePath, cp)
+    assert(!Files.exists(Paths.get(storePath)),
+      "no arrivals -> no store may have been bootstrapped")
+    // 2. arrivals under a partition subdir reach the stream
+    val stage = s"$base/stage"
+    (1L to 40L).map(i => (i, (0 until 8).map(d =>
+        ((i * 31 + d * 17) % 13).toFloat / 64f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    Files.createDirectories(Paths.get(s"$src/date=2026-01-01"))
+    Files.copy(Paths.get(part),
+      Paths.get(s"$src/date=2026-01-01/arrival-1.parquet"))
+    graft.Main.annIngestRun(spark, src, storePath, cp)
+    val store = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+      spark, storePath)
+    assert(store.load().get.count() === 40L)
+    assert(store.centroids.nonEmpty)
+  }
+
   test("incrementalAnnStream: epoch 0 bootstraps the index, later " +
       "drains ingest against the frozen centroids, and the store " +
       "equals the monolithic assignment over all-data-so-far") {
