@@ -66,10 +66,16 @@ object Main {
     * that a top-level listing misses; anything under a hidden (_/.)
     * path component (stream metadata, staging dirs) is skipped. */
   private def hasLandedFiles(spark: SparkSession, src: String): Boolean = {
-    val srcP = new org.apache.hadoop.fs.Path(src)
-    val srcFs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = new org.apache.hadoop.fs.Path(src)
+    val srcFs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // QUALIFY the base before computing relative components: a relative
+    // or scheme-less src would otherwise fail the string stripPrefix
+    // and the hidden-check would scan ancestor directories OUTSIDE the
+    // landing zone — a workspace under a dot-dir would silently
+    // classify every arrival hidden (round-12 review finding)
+    val srcP = srcFs.makeQualified(raw)
     srcFs.exists(srcP) && {
-      val basePath = srcP.toUri.getPath
+      val basePath = srcP.toUri.getPath.stripSuffix("/") + "/"
       val it = srcFs.listFiles(srcP, true)
       var found = false
       while (!found && it.hasNext) {

@@ -85,26 +85,38 @@ object IncrementalAnn {
     def withLease[T](f: => T): T = lease.withLease(f)
 
     /** Normalize on-disk state after a crash: complete an interrupted
-      * bootstrap swap (tmp generation fully written = meta present),
-      * drop garbage tmp bytes, sweep staging dirs an interrupted batch
-      * commit left behind. An interrupted APPEND needs no restore step:
-      * its partial partition is rewritten wholesale when the batch
-      * replays (dynamic overwrite of `batch_id=<id>`). */
+      * bootstrap swap (tmp generation fully written = meta present);
+      * stray-file maintenance (dropping garbage tmp bytes, sweeping
+      * staging dirs) runs only when safe — this instance holds the
+      * writer lease, or no writer holds one (StoreLease.canMaintain). An
+      * interrupted APPEND needs no restore step: its partial partition
+      * is rewritten wholesale when the batch replays (dynamic
+      * overwrite of `batch_id=<id>`). */
     def recover(): Unit = {
       val tmp = new Path(path + ".tmp")
       val p = new Path(path)
       val pOld = new Path(path + ".old")
+      // Any caller (reader or writer) may complete an interrupted
+      // swap — the SigStore contract — and a racing save() detects the
+      // interference through its CHECKED renames and fails loudly with
+      // both generations still on disk. The `.spark-staging` sweep,
+      // however, is WRITER-ONLY (lease-gated): on an unleased read
+      // path it would delete a concurrent ingest's in-flight
+      // dynamic-overwrite staging — gated on canMaintain (leased, or
+      // no writer leased at all).
       if (fs.exists(new Path(tmp, "_SUCCESS")) &&
           fs.exists(metaPath(path + ".tmp"))) {
         if (fs.exists(pOld)) fs.delete(pOld, true)
         if (fs.exists(p)) fs.rename(p, pOld)
         fs.rename(tmp, p)
         fs.delete(pOld, true)
-      } else if (fs.exists(tmp)) {
+      } else if (fs.exists(tmp) && lease.canMaintain) {
+        // garbage tmp bytes: discarded only when no LIVE writer could
+        // be mid-write to tmp (we hold the lease, or nobody does)
         fs.delete(tmp, true)
       }
       if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
-      if (fs.exists(p)) {
+      if (fs.exists(p) && lease.canMaintain) {
         fs.listStatus(p).filter(s => s.isDirectory &&
             s.getPath.getName.startsWith(".spark-staging"))
           .foreach(s => fs.delete(s.getPath, true))
@@ -138,16 +150,39 @@ object IncrementalAnn {
       }
     }
 
+    /** (centroids, meta-file mtime, meta-file length) — the cached
+      * read of `_graft_meta.json`, revalidated against the file's stat
+      * so a retrain by another process (new mtime/size) is picked up
+      * while the steady-state per-batch/per-search call costs one stat
+      * instead of a recover-plus-read (the SigStore metaCache
+      * discipline). */
+    @volatile private var metaCache:
+        Option[(Seq[(Int, Array[Long])], Long, Long)] = None
+
     /** The frozen centroid table. A store directory without metadata is
       * an index we cannot assign into — fail actionably (the SigStore
       * missing-meta discipline: a guessed index silently mis-assigns). */
     def centroids: Seq[(Int, Array[Long])] = {
+      val mp = metaPath(path)
+      val cached = metaCache
+      if (cached.isDefined) {
+        try {
+          val st = fs.getFileStatus(mp)
+          val (c, mt, len) = cached.get
+          if (st.getModificationTime == mt && st.getLen == len) return c
+        } catch { case _: java.io.IOException => () }
+      }
       recover()
-      readMeta(path).getOrElse(throw new IllegalStateException(
+      val c = readMeta(path).getOrElse(throw new IllegalStateException(
         s"AnnIndexStore at $path has no _graft_meta.json: its frozen " +
           "centroids are unknown, and assigning against re-trained ones " +
           "would silently fork the index. Rebuild with save() (which " +
           "records the centroids) or restore the metadata."))
+      try {
+        val st = fs.getFileStatus(mp)
+        metaCache = Some((c, st.getModificationTime, st.getLen))
+      } catch { case _: java.io.IOException => () }
+      c
     }
 
     /** Bootstrap / retrain: write the cell rows (vec_id, qv, cluster) as
@@ -169,9 +204,25 @@ object IncrementalAnn {
       val p = new Path(path)
       val pOld = new Path(path + ".old")
       if (fs.exists(pOld)) fs.delete(pOld, true)
-      if (fs.exists(p)) fs.rename(p, pOld)
-      fs.rename(new Path(tmp), p)
+      // every rename checked: an interfering process (e.g. a racing
+      // recover that already promoted this tmp) must make the save
+      // FAIL LOUDLY with both generations still on disk — never reach
+      // a delete that could drop the only surviving copy
+      if (fs.exists(p) && !fs.rename(p, pOld))
+        throw new IllegalStateException(
+          s"AnnIndexStore at $path: could not archive the live " +
+            "generation before the swap (concurrent writer?); store " +
+            "left untouched")
+      if (!fs.rename(new Path(tmp), p)) {
+        // put the archived generation back before failing
+        if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
+        throw new IllegalStateException(
+          s"AnnIndexStore at $path: tmp generation vanished before " +
+            "the swap (a racing recover may have promoted it); " +
+            "re-read the store before retrying")
+      }
       fs.delete(pOld, true)
+      metaCache = None
       ()
     }
 

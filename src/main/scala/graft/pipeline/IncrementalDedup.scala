@@ -412,8 +412,13 @@ object IncrementalDedup {
         if (fs.exists(p)) fs.rename(p, pOld)
         fs.rename(tmp, p)
         fs.delete(pOld, true)
-      } else if (fs.exists(tmp)) {
-        fs.delete(tmp, true) // died mid-write: the tmp bytes are garbage
+      } else if (fs.exists(tmp) && lease.canMaintain) {
+        // died mid-write: the tmp bytes are garbage. Discarded only
+        // when no LIVE writer could be mid-write to tmp (we hold the
+        // lease, or nobody does) — an unleased reader racing a leased
+        // writer's in-progress tmp write must not delete it
+        // (round-12 review finding).
+        fs.delete(tmp, true)
       }
       if (!fs.exists(p) && fs.exists(pOld)) {
         // died between path→old and tmp→path with tmp already promoted
@@ -435,9 +440,13 @@ object IncrementalDedup {
         }
         fs.delete(bakPath, true)
       }
-      if (fs.exists(p)) {
+      if (fs.exists(p) && lease.canMaintain) {
         // a crash before the overwrite's commit can leave its staging
-        // dir behind; reads ignore dot-dirs but the garbage accretes
+        // dir behind; reads ignore dot-dirs but the garbage accretes.
+        // Swept only when safe (we hold the lease, or no writer holds
+        // one): an unleased read path sweeping under a LIVE writer
+        // would delete its in-flight dynamic-overwrite staging
+        // (round-12 review finding).
         fs.listStatus(p).filter(s => s.isDirectory &&
             s.getPath.getName.startsWith(".spark-staging"))
           .foreach(s => fs.delete(s.getPath, true))
@@ -497,8 +506,21 @@ object IncrementalDedup {
       val pOld = new Path(path + ".old")
       if (fs.exists(bakPath)) fs.delete(bakPath, true)
       if (fs.exists(pOld)) fs.delete(pOld, true)
-      if (fs.exists(p)) fs.rename(p, pOld)
-      fs.rename(new Path(tmp), p)
+      // every rename checked (round-12 review): an interfering process
+      // (e.g. a racing recover that already promoted this tmp) must
+      // make the swap FAIL LOUDLY with both generations still on disk,
+      // never reach a delete that could drop the only surviving copy
+      if (fs.exists(p) && !fs.rename(p, pOld))
+        throw new IllegalStateException(
+          s"SigStore at $path: could not archive the live generation " +
+            "before the swap (concurrent writer?); store left untouched")
+      if (!fs.rename(new Path(tmp), p)) {
+        if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
+        throw new IllegalStateException(
+          s"SigStore at $path: tmp generation vanished before the " +
+            "swap (a racing recover may have promoted it); re-read " +
+            "the store before retrying")
+      }
       fs.delete(pOld, true)
       try {
         val st = fs.getFileStatus(metaPath(path))

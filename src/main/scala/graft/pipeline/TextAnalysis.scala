@@ -1500,7 +1500,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
     val rateRaw = sum(col("oov") * col("cnt")).cast("double") /
       nullif(sum("cnt").cast("double"), lit(0.0))
-    atok.join(broadcast(vocab), Seq("token"), "left")
+    // no broadcast() HINT: the planner broadcasts the vocabulary while
+    // it fits the threshold (PlanSpec pins that at fixture scale) and
+    // falls back to a shuffle join when a web-scale vocabulary
+    // outgrows it — a hard hint would override that fallback and
+    // drive the driver into the 8 GB broadcast wall instead
+    atok.join(vocab, Seq("token"), "left")
       .withColumn("oov", when(col("inv").isNull, 1L).otherwise(0L))
       .groupBy("source")
       .agg(countDistinct("doc_id").as("n_docs"),

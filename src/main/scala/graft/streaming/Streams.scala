@@ -542,9 +542,10 @@ object Streams {
     * overwrite of THAT epoch's batch partition — so an at-least-once
     * foreachBatch replay rewrites its own partition instead of
     * duplicating rows. One checkpoint per store lifetime: the epoch
-    * counter IS the batch-id key, so pointing a FRESH checkpoint at an
-    * existing store would re-bootstrap over it (same contract as the
-    * dedup stream's store/checkpoint pairing). */
+    * counter IS the batch-id key, and pointing a FRESH checkpoint at
+    * an already-EVOLVED store is REFUSED loudly (epoch 0 against a
+    * store holding ingested batches would otherwise retrain on one
+    * batch and swap away the accumulated index). */
   def incrementalAnnStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType, storePath: String,
       checkpoint: String): Unit = {
@@ -561,6 +562,23 @@ object Streams {
           val codes = batch.toDF().select(col("vec_id"),
             graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
           if (id == 0L) {
+            // epoch 0 bootstraps — but NEVER over an already-EVOLVED
+            // index: that is a fresh checkpoint pointed at an existing
+            // store (checkpoints deleted, store kept), and silently
+            // re-bootstrapping would train centroids on one batch and
+            // swap away every previously ingested vector (round-12
+            // review finding). A store holding only its own batch-0
+            // generation is a legitimate epoch-0 REPLAY (save crashed
+            // before the checkpoint commit): re-bootstrapping it is
+            // idempotent — same batch, deterministic training.
+            val evolved = store.load().exists(
+              _.filter(col("batch_id") > 0L).limit(1).count() > 0)
+            if (evolved) throw new IllegalStateException(
+              s"incrementalAnnStream: micro-batch 0 arrived against an " +
+                s"ALREADY-EVOLVED index at $storePath — a fresh " +
+                "checkpoint was pointed at an existing store. Use the " +
+                "store's original checkpoint, or delete the store to " +
+                "rebuild intentionally.")
             val cents = IncrementalAnn.trainCentroids(codes)
             store.save(cents, IncrementalAnn.assign(codes, cents))
           } else {

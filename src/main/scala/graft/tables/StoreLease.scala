@@ -124,6 +124,19 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
     }
   }
 
+  /** Whether THIS instance currently believes it holds the lease —
+    * gate for writer-only maintenance (e.g. sweeping a dynamic
+    * overwrite's staging dirs, which on a READ path would delete a
+    * concurrent writer's in-flight commit). */
+  def isHeld: Boolean = leased
+
+  /** Whether this context may run STRAY-FILE maintenance (discard a
+    * garbage tmp generation, sweep staging dirs): it holds the lease,
+    * or NO writer holds one (every disciplined writer leases, so an
+    * absent lock means no in-flight commit to race — best-effort, like
+    * the lease itself: the check-then-clean window is accepted). */
+  def canMaintain: Boolean = leased || readLock().isEmpty
+
   def release(): Unit = {
     // only the owner may release; a usurped lease belongs to the
     // usurper now

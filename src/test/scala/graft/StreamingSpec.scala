@@ -659,5 +659,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.groupBy("batch_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       Map(0L -> 200L, 1L -> 30L, 2L -> 40L))
+    // a FRESH checkpoint pointed at the evolved store is refused: its
+    // epoch 0 would retrain on whatever files still sit in the landing
+    // zone and swap away the accumulated index
+    val e = intercept[Exception] {
+      Streams.incrementalAnnStream(spark, src, schema, storePath,
+        s"$base/cp-fresh")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("ALREADY-EVOLVED")),
+      messages(e).mkString(" | "))
+    // and the store survived the refusal untouched
+    assert(asgSet(store.load().get) ===
+      asgSet(IncrementalAnn.assign(codesOf(1L to 270L), cents)))
   }
 }
