@@ -106,9 +106,17 @@ object IncrementalAnn {
       // no writer leased at all).
       if (fs.exists(new Path(tmp, "_SUCCESS")) &&
           fs.exists(metaPath(path + ".tmp"))) {
+        // CHECKED renames (round-12 review): two recover() calls can
+        // race here (any two unleased readers) — the loser of either
+        // rename must stop and restore, never fall through to a
+        // delete that could drop the only surviving generation. pOld
+        // is deleted only by the racer that COMPLETED the swap.
         if (fs.exists(pOld)) fs.delete(pOld, true)
-        if (fs.exists(p)) fs.rename(p, pOld)
-        fs.rename(tmp, p)
+        if (fs.exists(p) && !fs.rename(p, pOld)) return ()
+        if (!fs.rename(tmp, p)) {
+          if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
+          return ()
+        }
         fs.delete(pOld, true)
       } else if (fs.exists(tmp) && lease.canMaintain) {
         // garbage tmp bytes: discarded only when no LIVE writer could
@@ -125,64 +133,65 @@ object IncrementalAnn {
     }
 
     private def writeMeta(root: String,
-        centroids: Seq[(Int, Array[Long])]): Unit = {
+        centroids: Seq[(Int, Array[Long])],
+        origin: Option[String]): Unit = {
       val body = centroids.sortBy(_._1).map { case (cl, cs) =>
         s""""$cl":"${cs.mkString(",")}""""
       }.mkString(",")
+      val originField =
+        origin.fold("")(o => s""","origin":"$o"""")
       val out = fs.create(metaPath(root), true)
-      out.writeBytes(
-        s"""{"format":1,"k":${centroids.size},"centroids":{$body}}\n""")
+      out.writeBytes(s"""{"format":2,"k":${centroids.size}""" +
+        s"""$originField,"centroids":{$body}}\n""")
       out.close()
     }
 
-    private def readMeta(root: String): Option[Seq[(Int, Array[Long])]] = {
+    private def readMetaText(root: String): Option[String] = {
       val mp = metaPath(root)
       if (!fs.exists(mp)) None
       else {
         val in = fs.open(mp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val cs = """"(\d+)":"(-?[\d,-]*)"""".r.findAllMatchIn(txt).map { m =>
-          m.group(1).toInt ->
-            m.group(2).split(',').filter(_.nonEmpty).map(_.toLong)
-        }.toSeq
-        if (cs.isEmpty) None else Some(cs)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
       }
     }
 
-    /** (centroids, meta-file mtime, meta-file length) — the cached
-      * read of `_graft_meta.json`, revalidated against the file's stat
-      * so a retrain by another process (new mtime/size) is picked up
-      * while the steady-state per-batch/per-search call costs one stat
-      * instead of a recover-plus-read (the SigStore metaCache
-      * discipline). */
-    @volatile private var metaCache:
-        Option[(Seq[(Int, Array[Long])], Long, Long)] = None
+    private def parseMeta(txt: String): Option[Seq[(Int, Array[Long])]] = {
+      val cs = """"(\d+)":"(-?[\d,-]*)"""".r.findAllMatchIn(txt).map { m =>
+        m.group(1).toInt ->
+          m.group(2).split(',').filter(_.nonEmpty).map(_.toLong)
+      }.toSeq
+      if (cs.isEmpty) None else Some(cs)
+    }
 
-    /** The frozen centroid table. A store directory without metadata is
-      * an index we cannot assign into — fail actionably (the SigStore
-      * missing-meta discipline: a guessed index silently mis-assigns). */
+    /** The bootstrap ORIGIN token recorded in the metadata (the
+      * streaming tier writes its checkpoint identity here, so an
+      * epoch-0 replay can be told apart from a FRESH checkpoint pointed
+      * at someone else's store). None = no origin recorded (manual
+      * save(), or a compact() rebase — which clears it on purpose: a
+      * rebased store is no longer any checkpoint's bootstrap). */
+    def origin: Option[String] = readMetaText(path).flatMap(txt =>
+      """"origin":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)))
+
+    /** The frozen centroid table, read FRESH from the metadata on every
+      * call (the file is kilobytes — one small read beats a stat-cache
+      * that a same-length same-mtime-granularity retrain could fool
+      * into serving stale centroids, the silent-index-fork the error
+      * below calls out; round-12 review). recover() runs only on a
+      * miss. A store directory without metadata is an index we cannot
+      * assign into — fail actionably (the SigStore missing-meta
+      * discipline: a guessed index silently mis-assigns). */
     def centroids: Seq[(Int, Array[Long])] = {
-      val mp = metaPath(path)
-      val cached = metaCache
-      if (cached.isDefined) {
-        try {
-          val st = fs.getFileStatus(mp)
-          val (c, mt, len) = cached.get
-          if (st.getModificationTime == mt && st.getLen == len) return c
-        } catch { case _: java.io.IOException => () }
+      def attempt(): Option[Seq[(Int, Array[Long])]] =
+        readMetaText(path).flatMap(parseMeta)
+      attempt().getOrElse {
+        recover()
+        attempt().getOrElse(throw new IllegalStateException(
+          s"AnnIndexStore at $path has no _graft_meta.json: its frozen " +
+            "centroids are unknown, and assigning against re-trained " +
+            "ones would silently fork the index. Rebuild with save() " +
+            "(which records the centroids) or restore the metadata."))
       }
-      recover()
-      val c = readMeta(path).getOrElse(throw new IllegalStateException(
-        s"AnnIndexStore at $path has no _graft_meta.json: its frozen " +
-          "centroids are unknown, and assigning against re-trained ones " +
-          "would silently fork the index. Rebuild with save() (which " +
-          "records the centroids) or restore the metadata."))
-      try {
-        val st = fs.getFileStatus(mp)
-        metaCache = Some((c, st.getModificationTime, st.getLen))
-      } catch { case _: java.io.IOException => () }
-      c
     }
 
     /** Bootstrap / retrain: write the cell rows (vec_id, qv, cluster) as
@@ -192,7 +201,8 @@ object IncrementalAnn {
       * IVF inverted list: [[searchTopK]] reads codes straight out of
       * the probed partitions, no join back to the corpus. */
     def save(cents: Seq[(Int, Array[Long])],
-        assignments: DataFrame): Unit = {
+        assignments: DataFrame,
+        origin: Option[String] = None): Unit = {
       lease.assertStillHeld()
       val tmp = path + ".tmp"
       assignments.select(col("vec_id"), col("qv"), col("cluster"))
@@ -200,7 +210,11 @@ object IncrementalAnn {
         .repartition(col("cluster"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("batch_id", "cluster").parquet(tmp)
-      writeMeta(tmp, cents)
+      writeMeta(tmp, cents, origin)
+      // re-assert after the (possibly long) tmp write: a lease broken
+      // mid-write must abort BEFORE the swap, not interleave with the
+      // usurper's commits (round-12 review)
+      lease.assertStillHeld()
       val p = new Path(path)
       val pOld = new Path(path + ".old")
       if (fs.exists(pOld)) fs.delete(pOld, true)
@@ -222,7 +236,6 @@ object IncrementalAnn {
             "re-read the store before retrying")
       }
       fs.delete(pOld, true)
-      metaCache = None
       ()
     }
 
@@ -231,7 +244,16 @@ object IncrementalAnn {
       * THIS batch's partition — idempotent under replay, touches no
       * resident partition. Returns the batch's assignment frame.
       * `batchId` must be > 0 (0 is the bootstrap generation) and unique
-      * per logical batch (a stream's epoch id fits). */
+      * per logical batch (a stream's epoch id fits).
+      *
+      * Residual lease window: ownership is asserted at entry, but the
+      * parquet write itself can outlast the TTL, and a mid-write
+      * usurpation cannot be detected from inside the commit. The blast
+      * radius is bounded by the layout: this writer only touches its
+      * OWN batch partition, and a usurper replaying the same epoch
+      * writes the same deterministic content to the same partition —
+      * last-wins converges. A usurper on a NEW epoch never collides
+      * with this partition at all. */
     def ingest(newVecs: DataFrame, batchId: Long): DataFrame = {
       require(batchId > 0L, s"batchId must be > 0 (got $batchId): " +
         "batch 0 is the bootstrap generation")
@@ -311,7 +333,11 @@ object IncrementalAnn {
       * folded batch's checkpoint commit already landed). */
     def compact(): Unit = {
       val all = load().getOrElse(return)
-      save(centroids, all.select("vec_id", "qv", "cluster"))
+      // origin intentionally CLEARED: a rebased store is no longer any
+      // checkpoint's bootstrap, so a stream's epoch-0 guard refuses it
+      // instead of re-bootstrapping over the folded corpus
+      save(centroids, all.select("vec_id", "qv", "cluster"),
+        origin = None)
     }
   }
 }

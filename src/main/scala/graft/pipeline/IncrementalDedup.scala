@@ -407,10 +407,18 @@ object IncrementalDedup {
         // A partition archive from an older interrupted incremental
         // predates this full rebuild — drop it, never restore it over
         // the newer generation.
+        // CHECKED renames (round-12 review): two recover() calls can
+        // race here — the loser of either rename must stop (restoring
+        // what it moved), never fall through to a delete that could
+        // drop the only surviving generation. pOld is deleted only by
+        // the racer that COMPLETED the swap.
         if (fs.exists(bakPath)) fs.delete(bakPath, true)
         if (fs.exists(pOld)) fs.delete(pOld, true)
-        if (fs.exists(p)) fs.rename(p, pOld)
-        fs.rename(tmp, p)
+        if (fs.exists(p) && !fs.rename(p, pOld)) return ()
+        if (!fs.rename(tmp, p)) {
+          if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
+          return ()
+        }
         fs.delete(pOld, true)
       } else if (fs.exists(tmp) && lease.canMaintain) {
         // died mid-write: the tmp bytes are garbage. Discarded only

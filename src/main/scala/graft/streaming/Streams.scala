@@ -562,25 +562,39 @@ object Streams {
           val codes = batch.toDF().select(col("vec_id"),
             graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
           if (id == 0L) {
-            // epoch 0 bootstraps — but NEVER over an already-EVOLVED
-            // index: that is a fresh checkpoint pointed at an existing
-            // store (checkpoints deleted, store kept), and silently
-            // re-bootstrapping would train centroids on one batch and
-            // swap away every previously ingested vector (round-12
-            // review finding). A store holding only its own batch-0
-            // generation is a legitimate epoch-0 REPLAY (save crashed
-            // before the checkpoint commit): re-bootstrapping it is
-            // idempotent — same batch, deterministic training.
-            val evolved = store.load().exists(
-              _.filter(col("batch_id") > 0L).limit(1).count() > 0)
-            if (evolved) throw new IllegalStateException(
-              s"incrementalAnnStream: micro-batch 0 arrived against an " +
-                s"ALREADY-EVOLVED index at $storePath — a fresh " +
-                "checkpoint was pointed at an existing store. Use the " +
-                "store's original checkpoint, or delete the store to " +
-                "rebuild intentionally.")
+            // epoch 0 bootstraps — but ONLY a store this checkpoint
+            // itself bootstrapped (origin token match, un-evolved):
+            // anything else is a FRESH checkpoint pointed at an
+            // existing store (checkpoints deleted/rotated, store
+            // kept), and silently re-bootstrapping would train
+            // centroids on one micro-batch and swap away every
+            // previously ingested vector (round-12 review finding;
+            // the origin token also refuses a compact()ed store,
+            // whose rebase folds ingested batches into batch 0 and
+            // deliberately CLEARS the origin). A store carrying THIS
+            // checkpoint's token and only its batch-0 generation is a
+            // legitimate epoch-0 REPLAY (save crashed before the
+            // checkpoint commit): re-bootstrapping it is idempotent —
+            // same batch, deterministic training.
+            val token = java.security.MessageDigest.getInstance("MD5")
+              .digest(checkpoint.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val storeExists = store.load().isDefined
+            if (storeExists) {
+              val evolved = store.load().exists(
+                _.filter(col("batch_id") > 0L).limit(1).count() > 0)
+              val originOk = store.origin.contains(token)
+              if (evolved || !originOk) throw new IllegalStateException(
+                s"incrementalAnnStream: micro-batch 0 arrived against " +
+                  s"an ALREADY-EVOLVED or foreign index at $storePath " +
+                  s"(evolved=$evolved, originMatch=$originOk) — a " +
+                  "fresh checkpoint was pointed at an existing store. " +
+                  "Use the store's original checkpoint, or delete the " +
+                  "store to rebuild intentionally.")
+            }
             val cents = IncrementalAnn.trainCentroids(codes)
-            store.save(cents, IncrementalAnn.assign(codes, cents))
+            store.save(cents, IncrementalAnn.assign(codes, cents),
+              origin = Some(token))
           } else {
             store.ingest(codes, batchId = id)
             ()

@@ -103,8 +103,13 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
   /** Heartbeat: rewrite the lock content with a fresh timestamp so a
     * long run outlives the TTL. Call once per batch; verifies this
     * writer still OWNS the lease first and fails loudly if a breaker
-    * took it (the batch must abort rather than interleave commits). */
+    * took it (the batch must abort rather than interleave commits).
+    * Calling renew() WITHOUT having acquired is refused — the
+    * overwrite would silently usurp a live holder's lock. */
   def renew(): Unit = {
+    if (!leased) throw new IllegalStateException(
+      s"$what at $path: renew() without an acquired lease would " +
+        "overwrite the live holder's lock; call acquire() first")
     assertStillHeld()
     writeLock(overwrite = true)
   }
@@ -131,11 +136,21 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
   def isHeld: Boolean = leased
 
   /** Whether this context may run STRAY-FILE maintenance (discard a
-    * garbage tmp generation, sweep staging dirs): it holds the lease,
-    * or NO writer holds one (every disciplined writer leases, so an
-    * absent lock means no in-flight commit to race — best-effort, like
-    * the lease itself: the check-then-clean window is accepted). */
-  def canMaintain: Boolean = leased || readLock().isEmpty
+    * garbage tmp generation, sweep staging dirs): it VERIFIABLY holds
+    * the lease (the local flag is re-checked against the lock content,
+    * so a writer usurped after a TTL lapse cannot sweep the live
+    * usurper's in-flight staging), or NO writer holds one (every
+    * disciplined writer leases, so an absent lock means no in-flight
+    * commit to race — best-effort, like the lease itself: the
+    * check-then-clean window is accepted). A PRESENT-but-unreadable
+    * lock blocks maintenance — a transient read error must not be
+    * taken as "no writer". */
+  def canMaintain: Boolean =
+    if (leased) readLock().exists(_._1 == writerId)
+    else {
+      try !fs.exists(lockPath)
+      catch { case _: java.io.IOException => false }
+    }
 
   def release(): Unit = {
     // only the owner may release; a usurped lease belongs to the

@@ -634,6 +634,8 @@ class StreamingSpec extends AnyFunSuite {
     land(1L to 200L)
     Streams.incrementalAnnStream(spark, src, schema, storePath, cp)
     val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
+    assert(store.origin.isDefined,
+      "the stream's bootstrap must record its checkpoint identity")
     val cents = store.centroids
     def asgSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
       df.select(col("vec_id"), col("cluster").cast("int"))
