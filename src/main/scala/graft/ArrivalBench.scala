@@ -199,13 +199,20 @@ object ArrivalBench {
     val base = java.nio.file.Files
       .createTempDirectory("graft-arrival-ann").toString
 
-    // untimed warm-up through the store path (scratch data)
+    // untimed warm-up through the store path (scratch data). Split
+    // derived from vec_id ranges, not limit(): limit without an
+    // ordering is job-nondeterministic, so a limit/except pair could
+    // recompute DIFFERENT subsets across jobs and make the warm-up
+    // batches irreproducible (round-12 review) — harmless to the timed
+    // arms, but the bench's determinism discipline should hold
+    // everywhere.
     {
-      val scratch = vecs.limit(64)
+      val scratch = vecs.filter(col("vec_id") < 64)
       val st = new IncrementalAnn.AnnIndexStore(spark, s"$base/warm")
       val c = IncrementalAnn.trainCentroids(scratch, k = 2)
       st.save(c, IncrementalAnn.assign(scratch, c))
-      st.ingest(vecs.limit(70).except(scratch), batchId = 1L)
+      st.ingest(vecs.filter(col("vec_id") >= 64 && col("vec_id") < 70),
+        batchId = 1L)
       st.load().get.count()
       ()
     }

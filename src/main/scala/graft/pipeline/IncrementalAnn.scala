@@ -96,29 +96,41 @@ object IncrementalAnn {
       val tmp = new Path(path + ".tmp")
       val p = new Path(path)
       val pOld = new Path(path + ".old")
-      // Any caller (reader or writer) may complete an interrupted
-      // swap — the SigStore contract — and a racing save() detects the
-      // interference through its CHECKED renames and fails loudly with
-      // both generations still on disk. The `.spark-staging` sweep,
-      // however, is WRITER-ONLY (lease-gated): on an unleased read
-      // path it would delete a concurrent ingest's in-flight
-      // dynamic-overwrite staging — gated on canMaintain (leased, or
-      // no writer leased at all).
+      // Swap completion is MAINTENANCE (canMaintain-gated, round-13
+      // review): an unleased reader promoting a complete tmp while a
+      // LIVE leased writer is mid-save() can interleave with the
+      // writer's own renames so that the reader's trailing pOld
+      // cleanup removes the generation the writer just archived — the
+      // one interleaving where the round-12 checked renames still lost
+      // a generation. Gated, a reader only completes swaps left by a
+      // DEAD writer (no lock, or a stale one); while a writer lives,
+      // the writer's own save()/recover() handles its swap. Belt and
+      // braces: the completed swap's pOld is renamed to a uniquely
+      // named trash dir (swept below) rather than hard-deleted, so
+      // even an undisciplined-racer interleaving cannot destroy the
+      // only surviving generation. The `.spark-staging` sweep is
+      // equally canMaintain-gated: on an unleased read path it would
+      // delete a concurrent ingest's in-flight staging.
       if (fs.exists(new Path(tmp, "_SUCCESS")) &&
-          fs.exists(metaPath(path + ".tmp"))) {
+          fs.exists(metaPath(path + ".tmp")) && lease.canMaintain) {
         // CHECKED renames (round-12 review): two recover() calls can
         // race here (any two unleased readers) — the loser of either
         // rename must stop and restore, never fall through to a
         // delete that could drop the only surviving generation. pOld
-        // is deleted only by the racer that COMPLETED the swap.
+        // is trashed only by the racer that COMPLETED the swap.
         if (fs.exists(pOld)) fs.delete(pOld, true)
         if (fs.exists(p) && !fs.rename(p, pOld)) return ()
         if (!fs.rename(tmp, p)) {
           if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
           return ()
         }
-        fs.delete(pOld, true)
-      } else if (fs.exists(tmp) && lease.canMaintain) {
+        if (fs.exists(pOld))
+          fs.rename(pOld, new Path(path + ".trash." +
+            System.currentTimeMillis() + "." +
+            java.util.UUID.randomUUID().toString))
+      } else if (fs.exists(tmp) &&
+          !(fs.exists(new Path(tmp, "_SUCCESS")) &&
+            fs.exists(metaPath(path + ".tmp"))) && lease.canMaintain) {
         // garbage tmp bytes: discarded only when no LIVE writer could
         // be mid-write to tmp (we hold the lease, or nobody does)
         fs.delete(tmp, true)
@@ -128,6 +140,27 @@ object IncrementalAnn {
         fs.listStatus(p).filter(s => s.isDirectory &&
             s.getPath.getName.startsWith(".spark-staging"))
           .foreach(s => fs.delete(s.getPath, true))
+      }
+      if (lease.canMaintain) {
+        // stray stale-lease tombstones + completed-swap trash dirs.
+        // Trash names carry their creation millis; only trash older
+        // than the lease TTL is reaped, so a generation trashed
+        // moments ago (the undisciplined-racer window the trash
+        // exists FOR) survives long enough to be rescued manually.
+        lease.sweepTombstones()
+        val dir = new Path(path).getParent
+        val trashPrefix = new Path(path).getName + ".trash."
+        val now = System.currentTimeMillis()
+        if (dir != null && fs.exists(dir))
+          fs.listStatus(dir)
+            .filter { s =>
+              val n = s.getPath.getName
+              n.startsWith(trashPrefix) &&
+                n.stripPrefix(trashPrefix).takeWhile(_.isDigit)
+                  .toLongOption.exists(t =>
+                    now - t >= graft.tables.StoreLease.DefaultTtlMs)
+            }
+            .foreach(s => fs.delete(s.getPath, true))
       }
       ()
     }
@@ -305,11 +338,20 @@ object IncrementalAnn {
       // collect that turns into PARTITION pruning on the store scan
       val cells = probes.select("cluster").distinct()
         .collect().map(_.getInt(0)).toSeq
-      val corpus = spark.read.parquet(path)
+      // the corpus read goes through load(), which recover()s first: a
+      // reader-only process whose FIRST call is a search must complete
+      // an interrupted swap (serve the promoted generation), not the
+      // stale one (round-12 verdict finding #3)
+      val corpus = load().getOrElse(throw new IllegalStateException(
+          s"AnnIndexStore at $path holds no generation to search"))
         .filter(col("cluster").isin(cells: _*))
         .select(col("vec_id").as("neighbor_id"), col("qv"),
-          col("cluster").cast("int").as("cluster"))
-      val scored = probes.join(corpus, Seq("cluster"))
+          col("cluster"))
+      // explicit broadcast: the probe frame is (queries × nprobe) rows —
+      // dim-sized by construction — and the repo convention (PlanSpec)
+      // is to pin known-small sides rather than rely on AQE's runtime
+      // re-plan (round-12 verdict finding #4)
+      val scored = broadcast(probes).join(corpus, Seq("cluster"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("dist2",
           graft.functions.CodeDists.l2PairCol(col("qqv"), col("qv")))

@@ -213,26 +213,37 @@ object IncrementalDedup {
     val newRepRows = touchedWithRep
       .filter(col("doc_id") === col("rep"))
       .join(newIds, Seq("doc_id"), "left_semi")
-    val tb0 = newRepRows.select(b0Expr.as("bk0")).distinct()
-    val tb1 = newRepRows.select(b1Expr.as("bk1")).distinct()
+    // ONE tagged (band, key) frame covers both bands, so the probe
+    // below is a single pass over the cached rectangle — the round-12
+    // two-legs-per-band spelling cost two scans + two broadcast
+    // semi-joins of pure scheduling floor per batch (round-12 verdict
+    // directive #7).
+    val bandKeys = newRepRows.select(lit(0).as("band"), b0Expr.as("bkey"))
+      .unionByName(
+        newRepRows.select(lit(1).as("band"), b1Expr.as("bkey")))
+      .distinct()
     // untouched-class reps that share a touched bucket (either band):
-    // the only old state the banding needs. One row-filter per band on
-    // the shared rectangle scan (a band-0 hit has its bk0 in the
-    // batch's band-0 key set, hence its pb0 in the batch's bucket set —
-    // and symmetrically for band 1), semi-joined on the broadcast
-    // touched-bucket keys, then doc-level dedup (a rep can hit on both
-    // bands).
-    def untouchedRepsOn(bucketCol: String, buckets: Seq[Int],
-        keyExpr: org.apache.spark.sql.Column, keyName: String,
-        keys: DataFrame): DataFrame =
-      pruneBy(rect, bucketCol, buckets)
-        .filter(col("doc_id") === col("rep"))
-        .join(broadcast(touchedKeys), Seq("sig_key"), "left_anti")
-        .withColumn(keyName, keyExpr)
-        .join(broadcast(keys), Seq(keyName), "left_semi").drop(keyName)
-    val hit0 = untouchedRepsOn("pb0", pbs0, b0Expr, "bk0", tb0)
-    val hit1 = untouchedRepsOn("pb1", pbs1, b1Expr, "bk1", tb1)
-    val pruned = hit0.unionByName(hit1).dropDuplicates("doc_id")
+    // the only old state the banding needs. Each rep row fans out
+    // in-row to its per-band (band, key) entries — band b kept only
+    // when the row's pb_b is in the batch's band-b bucket set, the
+    // same guard the per-band legs applied as scan filters (a band-0
+    // hit has its bk0 in the batch's band-0 key set, hence its pb0 in
+    // the batch's bucket set; symmetrically for band 1) — then ONE
+    // broadcast semi-join on (band, key) and doc-level dedup (a rep
+    // can hit on both bands).
+    val pruned = rect
+      .filter(col("doc_id") === col("rep"))
+      .join(broadcast(touchedKeys), Seq("sig_key"), "left_anti")
+      .withColumn("bk", explode(filter(array(
+        when(inList("pb0", pbs0),
+          struct(lit(0).as("band"), b0Expr.as("bkey"))),
+        when(inList("pb1", pbs1),
+          struct(lit(1).as("band"), b1Expr.as("bkey")))),
+        x => x.isNotNull)))
+      .withColumn("band", col("bk.band"))
+      .withColumn("bkey", col("bk.bkey"))
+      .join(broadcast(bandKeys), Seq("band", "bkey"), "left_semi")
+      .dropDuplicates("doc_id")
     // the SAME guarded expansion as the batch chain: star edges from the
     // touched classes, banding over touched buckets at full membership
     // (cap/truncate bit-identical to the full run there)
@@ -401,17 +412,24 @@ object IncrementalDedup {
       val p = new Path(path)
       val pOld = new Path(path + ".old")
       if (fs.exists(new Path(tmp, "_SUCCESS")) &&
-          fs.exists(metaPath(path + ".tmp"))) {
+          fs.exists(metaPath(path + ".tmp")) && lease.canMaintain) {
         // interrupted swap with a complete next generation (parquet
-        // commit done AND fan-out metadata recorded): finish it.
+        // commit done AND fan-out metadata recorded): finish it —
+        // but ONLY under the canMaintain discipline (round-13 review):
+        // an unleased reader promoting a complete tmp while a LIVE
+        // leased writer is mid-save() can interleave with the writer's
+        // renames so the reader's trailing pOld cleanup removes the
+        // generation the writer just archived. Gated, readers only
+        // complete swaps left by a DEAD writer (no lock, or stale).
         // A partition archive from an older interrupted incremental
         // predates this full rebuild — drop it, never restore it over
         // the newer generation.
         // CHECKED renames (round-12 review): two recover() calls can
         // race here — the loser of either rename must stop (restoring
         // what it moved), never fall through to a delete that could
-        // drop the only surviving generation. pOld is deleted only by
-        // the racer that COMPLETED the swap.
+        // drop the only surviving generation. pOld is trashed (not
+        // hard-deleted; TTL-aged sweep below) only by the racer that
+        // COMPLETED the swap.
         if (fs.exists(bakPath)) fs.delete(bakPath, true)
         if (fs.exists(pOld)) fs.delete(pOld, true)
         if (fs.exists(p) && !fs.rename(p, pOld)) return ()
@@ -419,8 +437,13 @@ object IncrementalDedup {
           if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
           return ()
         }
-        fs.delete(pOld, true)
-      } else if (fs.exists(tmp) && lease.canMaintain) {
+        if (fs.exists(pOld))
+          fs.rename(pOld, new Path(path + ".trash." +
+            System.currentTimeMillis() + "." +
+            java.util.UUID.randomUUID().toString))
+      } else if (fs.exists(tmp) &&
+          !(fs.exists(new Path(tmp, "_SUCCESS")) &&
+            fs.exists(metaPath(path + ".tmp"))) && lease.canMaintain) {
         // died mid-write: the tmp bytes are garbage. Discarded only
         // when no LIVE writer could be mid-write to tmp (we hold the
         // lease, or nobody does) — an unleased reader racing a leased
@@ -458,6 +481,25 @@ object IncrementalDedup {
         fs.listStatus(p).filter(s => s.isDirectory &&
             s.getPath.getName.startsWith(".spark-staging"))
           .foreach(s => fs.delete(s.getPath, true))
+      }
+      if (lease.canMaintain) {
+        // stray stale-lease tombstones + completed-swap trash dirs
+        // (names carry creation millis; reaped only past the TTL so a
+        // just-trashed generation can still be rescued manually)
+        lease.sweepTombstones()
+        val dir = new Path(path).getParent
+        val trashPrefix = new Path(path).getName + ".trash."
+        val now = System.currentTimeMillis()
+        if (dir != null && fs.exists(dir))
+          fs.listStatus(dir)
+            .filter { s =>
+              val n = s.getPath.getName
+              n.startsWith(trashPrefix) &&
+                n.stripPrefix(trashPrefix).takeWhile(_.isDigit)
+                  .toLongOption.exists(t =>
+                    now - t >= graft.tables.StoreLease.DefaultTtlMs)
+            }
+            .foreach(s => fs.delete(s.getPath, true))
       }
       ()
     }

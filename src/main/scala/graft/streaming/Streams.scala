@@ -576,14 +576,28 @@ object Streams {
             // legitimate epoch-0 REPLAY (save crashed before the
             // checkpoint commit): re-bootstrapping it is idempotent —
             // same batch, deterministic training.
-            val token = java.security.MessageDigest.getInstance("MD5")
-              .digest(checkpoint.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
+            // token = MD5 of the QUALIFIED checkpoint URI (round-12
+            // review): equivalent spellings of the same checkpoint
+            // (trailing slash, relative vs absolute, scheme-qualified
+            // vs bare) must yield ONE token, or a legitimate epoch-0
+            // replay relaunched with a normalized path is refused as
+            // foreign. Stores written before this normalization carry
+            // the verbatim-string token — accept that spelling too.
+            def md5hex(s: String): String =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(s.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+            val ckptP = new org.apache.hadoop.fs.Path(checkpoint)
+            val token = md5hex(ckptP
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .makeQualified(ckptP).toUri.toString)
+            val legacyToken = md5hex(checkpoint)
             val storeExists = store.load().isDefined
             if (storeExists) {
               val evolved = store.load().exists(
                 _.filter(col("batch_id") > 0L).limit(1).count() > 0)
-              val originOk = store.origin.contains(token)
+              val originOk = store.origin.contains(token) ||
+                store.origin.contains(legacyToken)
               if (evolved || !originOk) throw new IllegalStateException(
                 s"incrementalAnnStream: micro-batch 0 arrived against " +
                   s"an ALREADY-EVOLVED or foreign index at $storePath " +

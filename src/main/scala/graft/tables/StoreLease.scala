@@ -32,6 +32,7 @@ import org.apache.spark.sql.SparkSession
   * breaker's clock — single-host exact, cross-host best-effort under
   * skew. */
 final class StoreLease(spark: SparkSession, path: String, what: String) {
+  import StoreLease.DefaultTtlMs
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def lockPath = new Path(path + ".lock")
@@ -49,7 +50,14 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       txt.trim.split("\\s+") match {
-        case Array(id, ts) => Some((id, ts.toLong))
+        // a malformed timestamp (corrupt/truncated lock) must flow into
+        // the designed handling — acquire's loud lease message,
+        // canMaintain's false — not escape as NumberFormatException
+        // (round-12 review): treat it like a pre-v2 lock and fall back
+        // to the file's mtime.
+        case Array(id, ts) => Some((id,
+          ts.toLongOption.getOrElse(
+            fs.getFileStatus(lockPath).getModificationTime)))
         case Array(id) => // pre-v2 lock: fall back to mtime
           Some((id, fs.getFileStatus(lockPath).getModificationTime))
         case _ => Some(("", 0L))
@@ -64,7 +72,7 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
   }
 
   /** Claim the store for writing (see class doc for the race story). */
-  def acquire(ttlMs: Long = 15 * 60 * 1000L): Unit = {
+  def acquire(ttlMs: Long = DefaultTtlMs): Unit = {
     readLock() match {
       case Some((holder, hb)) =>
         val age = System.currentTimeMillis() - hb
@@ -78,7 +86,13 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
         if (!fs.rename(lockPath, tomb)) throw new IllegalStateException(
           s"$what at $path: lost the stale-lease break race to " +
             "another writer")
-        fs.delete(tomb, false)
+        // a failed tombstone delete must not strand garbage silently
+        // (round-12 review): retry once, then leave it for
+        // sweepTombstones() — the maintenance path that reaps strays
+        if (!fs.delete(tomb, false) && fs.exists(tomb) &&
+            !fs.delete(tomb, false))
+          System.err.println(s"[StoreLease] could not delete stale-" +
+            s"lease tombstone $tomb; maintenance will sweep it")
       case None => () // no lock (or vanished mid-read: create decides)
     }
     try writeLock(overwrite = false)
@@ -114,20 +128,38 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
     writeLock(overwrite = true)
   }
 
-  /** No-op unless this instance acquired the lease; then: fail if the
+  /** Called before every store write. Leased instance: fail if the
     * lock no longer carries OUR UUID (broken by another writer after
-    * a TTL lapse). Called before every store write, so a usurped
-    * writer aborts before it can interleave a commit. */
-  def assertStillHeld(): Unit = if (leased) {
-    readLock() match {
-      case Some((id, _)) if id == writerId => ()
-      case other => throw new IllegalStateException(
-        s"$what at $path: writer lease lost (lock now carries " +
-          s"${other.map(_._1).getOrElse("<absent>")}); aborting the " +
-          "store write — another writer may have claimed the store " +
-          "after a TTL lapse")
+    * a TTL lapse), so a usurped writer aborts before it can interleave
+    * a commit. UNLEASED instance: the lease is opt-in (specs and
+    * single-process tools write without one), but an unleased write
+    * while ANOTHER writer's lease is LIVE would interleave with its
+    * generation swaps unchecked — fail loudly instead (round-12
+    * review: assertStillHeld was a silent no-op here, contradicting
+    * the "second writer fails loudly" contract). A stale lock does not
+    * block: its holder is dead by the same TTL contract acquire()
+    * breaks leases with. */
+  def assertStillHeld(): Unit =
+    if (leased) {
+      readLock() match {
+        case Some((id, _)) if id == writerId => ()
+        case other => throw new IllegalStateException(
+          s"$what at $path: writer lease lost (lock now carries " +
+            s"${other.map(_._1).getOrElse("<absent>")}); aborting the " +
+            "store write — another writer may have claimed the store " +
+            "after a TTL lapse")
+      }
+    } else readLock() match {
+      case Some((id, hb))
+          if id != writerId &&
+            System.currentTimeMillis() - hb < DefaultTtlMs =>
+        throw new IllegalStateException(
+          s"$what at $path is leased to writer $id and this writer " +
+            "never acquired the lease; an unleased write would " +
+            "interleave with the holder's commits. Acquire the lease " +
+            "(acquire()/withLease) or wait for its expiry.")
+      case _ => ()
     }
-  }
 
   /** Whether THIS instance currently believes it holds the lease —
     * gate for writer-only maintenance (e.g. sweeping a dynamic
@@ -148,9 +180,32 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
   def canMaintain: Boolean =
     if (leased) readLock().exists(_._1 == writerId)
     else {
-      try !fs.exists(lockPath)
-      catch { case _: java.io.IOException => false }
+      try {
+        !fs.exists(lockPath) || readLock().exists { case (_, hb) =>
+          // a READABLE but STALE lock (heartbeat past the TTL) does not
+          // block maintenance: its holder is dead by the same contract
+          // acquire() breaks leases with — otherwise one crashed
+          // writer's lock file blocks every future reader's recovery
+          // forever. An unreadable lock still blocks (the None case).
+          System.currentTimeMillis() - hb >= DefaultTtlMs
+        }
+      } catch { case _: java.io.IOException => false }
     }
+
+  /** Reap stray stale-lease tombstones (`<path>.lock.broken.*` — a
+    * breaker whose delete failed leaves one; round-12 review). Safe
+    * only under the [[canMaintain]] discipline; callers (the stores'
+    * recover() maintenance sections) gate it there. */
+  def sweepTombstones(): Unit = {
+    val dir = new Path(path).getParent
+    val prefix = new Path(path).getName + ".lock.broken."
+    try {
+      if (dir != null && fs.exists(dir))
+        fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
+          .foreach(s => fs.delete(s.getPath, false))
+    } catch { case _: java.io.IOException => () }
+    ()
+  }
 
   def release(): Unit = {
     // only the owner may release; a usurped lease belongs to the
@@ -164,4 +219,11 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
     acquire()
     try f finally release()
   }
+}
+
+object StoreLease {
+  /** One TTL everywhere: acquire()'s stale-break, assertStillHeld()'s
+    * unleased-write guard, and canMaintain's stale-lock allowance all
+    * judge liveness by the same clock. */
+  val DefaultTtlMs: Long = 15 * 60 * 1000L
 }

@@ -266,6 +266,105 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(st1.load().get.count() === 70L)
   }
 
+  test("searchTopK as the FIRST call on an interrupted-swap store " +
+      "serves the PROMOTED generation (round-12 verdict #3), and its " +
+      "probe join broadcasts the probe side (#4)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annsearchrec").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // generation A (60 vectors) live at the store path
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val cents = IncrementalAnn.trainCentroids(vecs(1L to 60L), k = 2)
+    store.save(cents, IncrementalAnn.assign(vecs(1L to 60L), cents))
+    // generation B (90 vectors, same centroids) durable as a COMPLETE
+    // tmp generation — the crash point is "tmp written, swap not run"
+    val scratch = new IncrementalAnn.AnnIndexStore(spark, s"$base/next")
+    scratch.save(cents, IncrementalAnn.assign(vecs(1L to 90L), cents))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/next"),
+      new org.apache.hadoop.fs.Path(s"$base/ann.tmp"))
+    // a READER-ONLY process whose first call is a search: must recover
+    // (promote B) and answer from it, not serve stale A
+    val reader = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val got = reader.searchTopK(vecs(Seq(61L)), k = 3, nprobe = 2)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe-side join must broadcast explicitly")
+    assert(!plan.contains("SortMergeJoin"),
+      "store must never sort-merge against the probe frame")
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // vector 61 exists only in generation B; a search FOR it excluding
+    // itself proves B is live (A would have no row 61 to exclude and
+    // different membership); its nearest neighbors under B include
+    // ids > 60 iff the promoted corpus is being served
+    assert(reader.load().get.count() === 90L)
+    val fresh = new IncrementalAnn.AnnIndexStore(spark, s"$base/ref")
+    fresh.save(cents, IncrementalAnn.assign(vecs(1L to 90L), cents))
+    val want = fresh.searchTopK(vecs(Seq(61L)), k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3))).toSet === want)
+  }
+
+  test("a reader does NOT complete a swap while a foreign LIVE lease " +
+      "exists (fail-safe: serves the old generation); a stale lease " +
+      "unblocks it, and maintenance reaps stranded lease tombstones") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annlivegate").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val cents = IncrementalAnn.trainCentroids(vecs(1L to 60L), k = 2)
+    store.save(cents, IncrementalAnn.assign(vecs(1L to 60L), cents))
+    val scratch = new IncrementalAnn.AnnIndexStore(spark, s"$base/next")
+    scratch.save(cents, IncrementalAnn.assign(vecs(1L to 90L), cents))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/next"),
+      new org.apache.hadoop.fs.Path(s"$base/ann.tmp"))
+    def writeLock(ts: Long): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$base/ann.lock"), true)
+      out.writeBytes(s"foreign-writer $ts\n"); out.close()
+    }
+    // LIVE foreign lease: the reader must not race the (live) writer's
+    // swap — it serves the old generation untouched
+    writeLock(System.currentTimeMillis())
+    val reader = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    assert(reader.load().get.count() === 60L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/ann.tmp")),
+      "tmp generation must survive a gated (skipped) recover")
+    // STALE foreign lease (dead writer): recovery proceeds
+    writeLock(System.currentTimeMillis() -
+      graft.tables.StoreLease.DefaultTtlMs - 1000L)
+    // a stranded stale-break tombstone next to the store is reaped by
+    // the same maintenance pass (round-12 verdict #8 / advice)
+    val tomb = new org.apache.hadoop.fs.Path(
+      s"$base/ann.lock.broken.deadbeef")
+    fs.create(tomb, true).close()
+    assert(reader.load().get.count() === 90L)
+    assert(!fs.exists(tomb), "maintenance must sweep lease tombstones")
+  }
+
+  test("an unleased write is refused while ANOTHER writer's lease is " +
+      "live (the lease is opt-in, but it cannot be ignored)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annunleased").toString
+    val st1 = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val st2 = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val cents = IncrementalAnn.trainCentroids(vecs(1L to 60L), k = 2)
+    st1.acquireLease()
+    try {
+      st1.save(cents, IncrementalAnn.assign(vecs(1L to 60L), cents))
+      val e = intercept[IllegalStateException](
+        st2.ingest(vecs(61L to 70L), batchId = 1L))
+      assert(e.getMessage.contains("leased to writer"), e.getMessage)
+    } finally st1.releaseLease()
+    // lease released: the unleased write is allowed again (opt-in)
+    st2.ingest(vecs(61L to 70L), batchId = 1L)
+    assert(st2.load().get.count() === 70L)
+  }
+
   test("interrupted bootstrap swap completes on recover: a complete " +
       "tmp generation (with metadata) is promoted") {
     val base = java.nio.file.Files
