@@ -1428,6 +1428,53 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** The model-based quality filter running END-TO-END TRAINED — the
+    * round-12 composition gap closed: tx15 scores with marked-fake
+    * weights to pin the scoring SHAPE; tx20/tx22 train real integer
+    * weights; this query wires them together. The integer Rocchio
+    * student is trained ONLY on pipe02's train split (doc_id-hash
+    * bucket < 80 — tx22's exact model, whose held-out accuracy with
+    * Wald CIs tx22 reports: the val/test rows there are THIS model's
+    * deployment numbers), its ≤16-slot weight/midpoint table collects
+    * to the driver and broadcasts as the literal the tx15 contract
+    * consumes, and every document is scored with the integer-exact
+    * decision (score_micro ≥ 0 ⇒ keep) — no float ever crosses an
+    * engine boundary, so the strict gate replays training AND scoring
+    * bit-for-bit.
+    *
+    * Scale shape: training is tx20's (one map-side-combined 16-group
+    * aggregation over the train partitions + a ≤16-row collect);
+    * scoring is tx15's (one codegen'd counting pass + a 16-bounded
+    * in-row dot against the broadcast literal); nothing new shuffles
+    * but the presentation sort. */
+  val tx24TrainedFilter: Q = Q(
+    "tx24_trained_filter",
+    s"""WITH $centroidSplitCte,
+       |nt AS (SELECT doc_id, len(l) AS n_tokens FROM lab),
+       |sc AS (SELECT g.doc_id,
+       |    SUM(w.w * (g.x * $Micro - w.mid)) AS score
+       |  FROM grid g JOIN wts w ON w.slot = g.slot GROUP BY 1)
+       |SELECT s.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(s.score AS BIGINT) AS score_micro,
+       |  s.score >= 0 AS keep
+       |FROM sc s JOIN nt n USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val feats = trainFeats(s, d)
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100)))
+    val (w, mid) = trainFrom(feats.filter(col("bucket") < 80))
+    feats
+      .select(col("doc_id"),
+        // every token lands in exactly one slot, so the slot-count sum
+        // IS the token count — no re-tokenization for the report column
+        expr("aggregate(xv, 0L, (a, v) -> a + v)").as("n_tokens"),
+        centroidScore(w, mid).as("score_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("score_micro"),
+        (col("score_micro") >= 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Arrival-batch vocabulary drift / OOV monitor — the text-tier
     * member of the arrival family (dd16 ingests near-dup state, sim14
     * ingests the ANN index, tx23 QCs the arriving TEXT): per source,
@@ -1524,5 +1571,5 @@ object TextAnalysis {
     tx11TokenCommonness, tx12CharEntropy, tx13BigramLm, tx14GopherRules,
     tx15HashClassifier, tx16EncodingQc, tx17ZipfFit, tx18Readability,
     tx19TfidfKeywords, tx20TrainClassifier, tx21ClassifierEval,
-    tx22HeldoutEval, tx23ArrivalOov)
+    tx22HeldoutEval, tx23ArrivalOov, tx24TrainedFilter)
 }

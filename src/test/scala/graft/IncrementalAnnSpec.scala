@@ -365,6 +365,71 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(st2.load().get.count() === 70L)
   }
 
+  test("maintain(): the monitor→action loop — drifted arrivals trigger " +
+      "a REBUILD (new centroid generation, searchTopK serves it), " +
+      "same-distribution arrivals are a no-op, batch accretion " +
+      "triggers REORGANIZE (round-12 verdict directive #4)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annmaintain").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    // a far, tight blob the bootstrap distribution never visits
+    def drifted(ids: Seq[Long]): DataFrame =
+      ids.map { i =>
+        (i, (0 until 8).map(d => (100 + ((i + d) % 5)).toLong).toSeq)
+      }.toDF("vec_id", "qv")
+
+    val resident = vecs(1L to 300L)
+    val cents0 = IncrementalAnn.trainCentroids(resident, k = 4)
+    store.save(cents0, IncrementalAnn.assign(resident, cents0))
+
+    // 1) same-distribution arrivals: drift stays under threshold — the
+    // index is NOT rewritten (the IndexOptimize below-both-thresholds
+    // arm)
+    store.ingest(vecs(301L to 360L), batchId = 1L)
+    val r0 = store.maintain(rebuildDrift = 0.30, reorganizeBatches = 64L)
+    assert(r0.action === "none", r0.toString)
+    assert(r0.maxDrift < 0.30 && r0.arrivedBatches === 1L)
+    def cseq(cs: Seq[(Int, Array[Long])]) =
+      cs.map { case (c, a) => (c, a.toSeq) }
+    assert(cseq(store.centroids) === cseq(cents0),
+      "a no-op pass must not retrain")
+
+    // 2) drifted arrivals crowd one stale cell: drift crosses the
+    // threshold and maintain REBUILDS — fresh centroids, batches
+    // folded to the new bootstrap generation, nothing lost
+    store.ingest(drifted(361L to 420L), batchId = 2L)
+    val r1 = store.maintain(rebuildDrift = 0.30, reorganizeBatches = 64L)
+    assert(r1.action === "rebuild", r1.toString)
+    assert(r1.maxDrift > 0.30 && r1.arrivedBatches === 2L)
+    val centsNew = store.centroids
+    assert(cseq(centsNew) !== cseq(cents0),
+      "rebuild must retrain the centroids")
+    val all = store.load().get
+    assert(all.count() === 420L)
+    assert(all.filter(col("batch_id") > 0L).count() === 0L,
+      "rebuild folds every batch into the new bootstrap generation")
+    // the re-tessellated index now has a cell FOR the drifted region:
+    // a search there is served from the new generation and finds the
+    // drifted arrivals as nearest neighbors
+    val near = store.searchTopK(drifted(Seq(9999L)), k = 3, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(near.nonEmpty && near.forall(id => id >= 361L && id <= 420L),
+      s"drifted-region search must hit drifted arrivals, got $near")
+
+    // 3) accretion with no drift: many committed batches trip the
+    // REORGANIZE arm — compact() folds them, centroids unchanged
+    store.ingest(vecs(421L to 440L), batchId = 10L)
+    store.ingest(vecs(441L to 460L), batchId = 11L)
+    store.ingest(vecs(461L to 480L), batchId = 12L)
+    val r2 = store.maintain(rebuildDrift = 0.99, reorganizeBatches = 2L)
+    assert(r2.action === "reorganize", r2.toString)
+    assert(r2.arrivedBatches === 3L)
+    assert(cseq(store.centroids) === cseq(centsNew),
+      "reorganize must NOT retrain (compact keeps the centroids)")
+    assert(store.load().get.filter(col("batch_id") > 0L).count() === 0L)
+    assert(store.load().get.count() === 480L)
+  }
+
   test("interrupted bootstrap swap completes on recover: a complete " +
       "tmp generation (with metadata) is promoted") {
     val base = java.nio.file.Files
