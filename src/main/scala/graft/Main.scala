@@ -65,7 +65,8 @@ object Main {
     * arrivals may land under partition subdirs (date=.../part.parquet)
     * that a top-level listing misses; anything under a hidden (_/.)
     * path component (stream metadata, staging dirs) is skipped. */
-  private def hasLandedFiles(spark: SparkSession, src: String): Boolean = {
+  private[graft] def hasLandedFiles(spark: SparkSession,
+      src: String): Boolean = {
     val raw = new org.apache.hadoop.fs.Path(src)
     val srcFs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // QUALIFY the base before computing relative components: a relative
@@ -131,6 +132,7 @@ object Main {
     var dedupOut = "/tmp/graft-dedup-pairs"
     var annSrc: Option[String] = None
     var annStorePath = "/tmp/graft-annstore/ann"
+    var arrivalDir: Option[String] = None
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -144,7 +146,10 @@ object Main {
           "[--compact TABLE_DIR --target-bytes N] " +
           "[--dedup-ingest DOCS_DIR [--sig-store PATH] " +
           "[--dedup-out PATH] [--checkpoint ROOT]] " +
-          "[--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]]")
+          "[--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]] " +
+          "[--arrival LANDING_DIR [--db ...] [--time-limit SECONDS] " +
+          "[--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH] " +
+          "[--ann-store PATH] [--log PATH]]")
       sys.exit(1)
     }
     var i = 0
@@ -187,6 +192,7 @@ object Main {
         case "--dedup-out" => dedupOut = value("--dedup-out")
         case "--ann-ingest" => annSrc = Some(value("--ann-ingest"))
         case "--ann-store" => annStorePath = value("--ann-store")
+        case "--arrival" => arrivalDir = Some(value("--arrival"))
         case "--target-bytes" =>
           targetBytes = scala.util.Try(value("--target-bytes").toLong)
             .filter(_ > 0)
@@ -209,12 +215,20 @@ object Main {
       // would install a schedule that runs with different config than
       // the invocation specified.
       val allowed = Set("--print-schedule", "--db", "--state", "--log",
-        "--checkpoint")
+        "--checkpoint", "--arrival", "--time-limit", "--sig-store",
+        "--dedup-out", "--ann-store")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         s"--print-schedule cannot carry ${stray.mkString(", ")} into the " +
           "echoed jobs; configure those in the pasted line manually " +
-          "(accepted here: --db, --state, --log, --checkpoint)")
+          "(accepted here: --db, --state, --log, --checkpoint, " +
+          "--arrival, --time-limit, --sig-store, --dedup-out, " +
+          "--ann-store)")
+      if (arrivalDir.isEmpty &&
+          Seq("--time-limit", "--sig-store", "--dedup-out", "--ann-store")
+            .exists(seen.contains))
+        usage("--time-limit/--sig-store/--dedup-out/--ann-store only " +
+          "ride the composed arrival job; give --arrival LANDING_DIR")
       if (dbs.isEmpty)
         usage("--print-schedule requires at least one --db (the echoed " +
           "jobs must name the databases they check)")
@@ -232,6 +246,18 @@ object Main {
       println("# (O(new files) per pass — see --incremental):")
       println(s"*/15 * * * * $submit $dbArgs --incremental " +
         s"--checkpoint $checkpointRoot$logArg")
+      arrivalDir.foreach { landing =>
+        // the COMPOSED nightly arrival pass (integrity + dedup ingest +
+        // ANN ingest + OOV QC under one budget — see --arrival); the
+        // echoed line carries every store/budget argument it was given,
+        // so the installed job runs the configuration that was asked for
+        val tl = cfg.timeLimitSeconds.fold("")(s => s" --time-limit $s")
+        println("# composed nightly arrival pass (one budget, admission")
+        println("# control between stages — ref IC:505/592/677):")
+        println(s"37 2 * * * $submit $dbArgs --arrival $landing " +
+          s"--checkpoint $checkpointRoot --sig-store $sigStorePath " +
+          s"--dedup-out $dedupOut --ann-store $annStorePath$tl$logArg")
+      }
       return
     }
 
@@ -266,6 +292,16 @@ object Main {
           "--checkpoint, --log)")
       if (dbs.isEmpty) usage("--incremental requires at least one --db")
     }
+    if (arrivalDir.isDefined) {
+      val allowed = Set("--arrival", "--db", "--time-limit",
+        "--checkpoint", "--sig-store", "--dedup-out", "--ann-store",
+        "--log")
+      val stray = seen.filterNot(allowed)
+      if (stray.nonEmpty) usage(
+        "--arrival is the composed nightly pass; other flag(s) given: " +
+          s"${stray.mkString(", ")} (allowed: --db, --time-limit, " +
+          "--checkpoint, --sig-store, --dedup-out, --ann-store, --log)")
+    }
     if (dedupSrc.isDefined) {
       val allowed = Set("--dedup-ingest", "--sig-store", "--dedup-out",
         "--checkpoint")
@@ -274,8 +310,10 @@ object Main {
         "--dedup-ingest is a standalone arrival-dedup mode; other " +
           s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
           "--sig-store, --dedup-out, --checkpoint)")
-    } else if (Seq("--sig-store", "--dedup-out").exists(seen.contains))
-      usage("--sig-store/--dedup-out only apply to --dedup-ingest runs")
+    } else if (arrivalDir.isEmpty &&
+        Seq("--sig-store", "--dedup-out").exists(seen.contains))
+      usage("--sig-store/--dedup-out only apply to --dedup-ingest or " +
+        "--arrival runs")
     if (annSrc.isDefined) {
       val allowed = Set("--ann-ingest", "--ann-store", "--checkpoint")
       val stray = seen.filterNot(allowed)
@@ -283,12 +321,41 @@ object Main {
         "--ann-ingest is a standalone arrival-ANN mode; other " +
           s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
           "--ann-store, --checkpoint)")
-    } else if (seen.contains("--ann-store"))
-      usage("--ann-store only applies to --ann-ingest runs")
+    } else if (arrivalDir.isEmpty && seen.contains("--ann-store"))
+      usage("--ann-store only applies to --ann-ingest or --arrival runs")
     if (!incremental && dedupSrc.isEmpty && annSrc.isEmpty &&
-        seen.contains("--checkpoint"))
+        arrivalDir.isEmpty && seen.contains("--checkpoint"))
       usage("--checkpoint only applies to " +
-        "--incremental/--dedup-ingest/--ann-ingest runs")
+        "--incremental/--dedup-ingest/--ann-ingest/--arrival runs")
+    if (arrivalDir.isDefined) {
+      // the composed nightly pass: integrity + dedup ingest + ANN
+      // ingest + OOV QC over ONE landing zone under ONE time budget
+      val logObj = new CommandLog(spark, logPath)
+      val report = scheduler.ArrivalPass.run(spark,
+        scheduler.ArrivalConfig(
+          landing = arrivalDir.get,
+          dbs = dbs,
+          timeLimitSeconds = cfg.timeLimitSeconds,
+          checkpointRoot = checkpointRoot,
+          sigStorePath = sigStorePath,
+          dedupOut = dedupOut,
+          annStorePath = annStorePath),
+        logObj, SystemClock)
+      logObj.flush()
+      report.stages.foreach(s => println(
+        f"stage ${s.stage}%-22s ${s.status}%-18s ${s.seconds}%7.2fs  " +
+          s"${s.detail}"))
+      println(s"violations: ${report.violations}")
+      if (report.errors > 0)
+        println(s"errors: ${report.errors} (checks failed to run)")
+      val stageFailures = report.stages.count(_.status == "failed")
+      if (stageFailures > 0)
+        println(s"failed stages: $stageFailures (see audit log)")
+      spark.stop()
+      if (report.violations > 0) sys.exit(2)
+      if (report.errors > 0 || stageFailures > 0) sys.exit(3)
+      return
+    }
     if (dedupSrc.isDefined) {
       dedupIngestRun(spark, dedupSrc.get, sigStorePath, checkpointRoot,
         dedupOut)

@@ -1534,12 +1534,22 @@ object TextAnalysis {
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(5)) === 0
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val vocab = docs.filter(!isNew)
+    oovReport(docs.filter(isNew), docs.filter(!isNew))
+  }
+
+  /** The tx23 computation over EXPLICIT arriving/resident frames — the
+    * composed arrival pass (scheduler.ArrivalPass) QCs a landing zone's
+    * documents against the user's resident corpus through this exact
+    * code path, so the gated query transitively covers the product
+    * stage. `arriving` needs (doc_id, source, text); `resident` needs
+    * (text). Scale shape documented on [[tx23ArrivalOov]]. */
+  def oovReport(arriving: DataFrame, resident: DataFrame): DataFrame = {
+    val vocab = resident
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .distinct()
       .withColumn("inv", lit(1))
-    val atok = docs.filter(isNew)
+    val atok = arriving
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")

@@ -1,0 +1,205 @@
+package graft.scheduler
+
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.DirInventory
+import graft.executor.CommandLog
+import graft.model.{Clock, CommandLogEntry}
+
+/** Result of one stage of the composed arrival pass. `status`:
+  * `ran` | `failed` | `admission_skipped` (time budget exhausted
+  * before the stage) | `skipped_empty` (nothing landed for this
+  * stage) | `skipped_no_db` / `skipped_no_resident` (stage inputs not
+  * configured). */
+final case class StageResult(stage: String, status: String,
+    seconds: Double, detail: String)
+
+/** Everything one nightly arrival pass needs. `landing` is the landing
+  * zone root: arriving documents under `<landing>/documents`, arriving
+  * vectors under `<landing>/embeddings` (either may be absent — the
+  * stage skips with an audit row). `dbs` are the resident databases the
+  * integrity tier checks (and, when one holds a `documents.parquet`
+  * table, the resident corpus the OOV QC compares against). */
+final case class ArrivalConfig(
+    landing: String,
+    dbs: Map[String, String],
+    timeLimitSeconds: Option[Long] = None,
+    checkpointRoot: String = "/tmp/graft-arrival",
+    sigStorePath: String = "/tmp/graft-sigstore/sigs",
+    dedupOut: String = "/tmp/graft-dedup-pairs",
+    annStorePath: String = "/tmp/graft-annstore/ann")
+
+/** What the pass did: the per-stage results plus the integrity tier's
+  * violation/error tallies (they drive the CLI exit code exactly like
+  * the standalone `--incremental` mode). */
+final case class ArrivalReport(stages: Seq[StageResult],
+    violations: Long, errors: Long)
+
+/** ONE composed nightly pass over a landing zone — the reference's
+  * operating model is a SINGLE scheduled entry point that runs the
+  * whole maintenance surface under one time budget
+  * (IntegrityChecks_VLDB.sql:7-14; the SQL Agent job creation at
+  * ola/MaintenanceSolution.sql:7821 ff.), not four CLIs an operator
+  * stitches together by hand. This pass runs, in order:
+  *
+  *   1. `integrity_incremental` — arrived-file integrity checks over
+  *      the resident databases ([[IncrementalScheduler]]; O(new files));
+  *   2. `dedup_ingest`          — arriving documents through the
+  *      persisted signature store (Streams.incrementalDedupStream);
+  *   3. `ann_ingest`            — arriving vectors into the persisted
+  *      IVF index (Streams.incrementalAnnStream);
+  *   4. `oov_qc`                — the arriving documents' vocabulary
+  *      drift against the resident corpus (TextAnalysis.oovReport —
+  *      tx23's exact code path), report persisted under
+  *      `<checkpointRoot>/oov_last`.
+  *
+  * Budget discipline is the reference's admission control
+  * (IC:505/592/677: compute the stop time once, and before each unit
+  * of work ask "is there time left?" — work is SKIPPED, never killed
+  * mid-flight): the deadline is fixed at entry from
+  * `timeLimitSeconds`, each stage is admitted only while the clock is
+  * inside it, and a skipped stage writes an `ARRIVAL_STAGE` audit row
+  * saying so — the operator sees "ann_ingest: admission_skipped", not
+  * silence. Stages already running are not interrupted (a mid-commit
+  * kill would be worse than a late finish — the same reason the
+  * reference checks the budget between databases, not inside CHECKDB).
+  *
+  * Stage isolation: a FAILED stage is logged (status `failed`, error
+  * in the audit row) and the pass continues — a broken vector feed
+  * must not block document integrity, exactly as one corrupt database
+  * does not abort the reference's nightly loop (CommandExecute's
+  * error-capture contract, CE:204-222). The persisted stores' writer
+  * leases are taken by the stage streams themselves
+  * (store.withLease inside each stream), so the pass holds each
+  * store's lease exactly while writing it. */
+object ArrivalPass {
+
+  def run(spark: SparkSession, cfg: ArrivalConfig, log: CommandLog,
+      clock: Clock): ArrivalReport = {
+    val deadline: Option[Instant] =
+      cfg.timeLimitSeconds.map(s => clock.now().plusSeconds(s))
+    def overBudget: Boolean =
+      deadline.exists(d => !clock.now().isBefore(d))
+
+    val results = ArrayBuffer.empty[StageResult]
+    var violations = 0L
+    var errors = 0L
+
+    def audit(stage: String, status: String, sec: Double,
+        detail: String): Unit = {
+      val ts = Timestamp.from(clock.observe())
+      log.append(CommandLogEntry(
+        id = UUID.randomUUID().toString,
+        database_name = "arrival",
+        schema_name = "pass",
+        object_name = stage,
+        object_type = "STAGE",
+        extended_info =
+          s"""{"status":"$status","seconds":$sec}""",
+        command = s"ARRIVAL $stage ($detail)",
+        command_type = "ARRIVAL_STAGE",
+        start_time = ts,
+        end_time = Some(ts),
+        error_number = if (status == "failed") Some(50000) else None,
+        error_message = if (status == "failed") Some(detail) else None))
+    }
+
+    /** Admission-gate + run + audit one stage. `body` returns either a
+      * (status, detail) it decided itself (input-skips) or throws. */
+    def stage(name: String)(body: => (String, String)): Unit = {
+      if (overBudget) {
+        val d = "time budget exhausted before this stage " +
+          s"(limit ${cfg.timeLimitSeconds.getOrElse(-1L)} s)"
+        results += StageResult(name, "admission_skipped", 0.0, d)
+        audit(name, "admission_skipped", 0.0, d)
+      } else {
+        val t0 = System.nanoTime()
+        val (status, detail) =
+          try body
+          catch { case NonFatal(e) =>
+            ("failed", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        val sec = math.round(clock.elapsedMs(t0) / 10.0) / 100.0
+        results += StageResult(name, status, sec, detail)
+        audit(name, status, sec, detail)
+      }
+    }
+
+    stage("integrity_incremental") {
+      if (cfg.dbs.isEmpty)
+        ("skipped_no_db", "no --db given; nothing to check")
+      else {
+        val r = IncrementalScheduler.run(spark,
+          new DirInventory(spark, cfg.dbs),
+          s"${cfg.checkpointRoot}/integrity", log, clock)
+        violations += r.violations
+        errors += r.errors
+        ("ran", s"executed=${r.executedCommands.size} " +
+          s"violations=${r.violations} errors=${r.errors}")
+      }
+    }
+
+    val docsDir = s"${cfg.landing}/documents"
+    val docsLanded = graft.Main.hasLandedFiles(spark, docsDir)
+
+    stage("dedup_ingest") {
+      if (!docsLanded)
+        ("skipped_empty", s"no arrivals under $docsDir")
+      else {
+        val schema = spark.read.parquet(docsDir).schema
+        graft.streaming.Streams.incrementalDedupStream(spark, docsDir,
+          schema, cfg.sigStorePath, s"${cfg.checkpointRoot}/dedup",
+          cfg.dedupOut)
+        ("ran", s"store=${cfg.sigStorePath} pairs under ${cfg.dedupOut}")
+      }
+    }
+
+    stage("ann_ingest") {
+      val vecsDir = s"${cfg.landing}/embeddings"
+      if (!graft.Main.hasLandedFiles(spark, vecsDir))
+        ("skipped_empty", s"no arrivals under $vecsDir")
+      else {
+        val schema = spark.read.parquet(vecsDir).schema
+        graft.streaming.Streams.incrementalAnnStream(spark, vecsDir,
+          schema, cfg.annStorePath, s"${cfg.checkpointRoot}/ann")
+        ("ran", s"index=${cfg.annStorePath}")
+      }
+    }
+
+    stage("oov_qc") {
+      val resident = cfg.dbs.toSeq.sortBy(_._1).map(_._2 + "/documents.parquet")
+        .find { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(hp)
+        }
+      if (!docsLanded)
+        ("skipped_empty", s"no arrivals under $docsDir")
+      else resident match {
+        case None =>
+          ("skipped_no_resident",
+            "no --db holds a documents.parquet resident corpus")
+        case Some(res) =>
+          val report = graft.pipeline.TextAnalysis.oovReport(
+            spark.read.parquet(docsDir).select("doc_id", "source", "text"),
+            spark.read.parquet(res).select("text"))
+          val out = s"${cfg.checkpointRoot}/oov_last"
+          report.coalesce(1).write.mode("overwrite").parquet(out)
+          val rows = spark.read.parquet(out)
+          val flagged = rows.filter(org.apache.spark.sql.functions
+            .col("flagged")).count()
+          ("ran", s"sources=${rows.count()} flagged=$flagged " +
+            s"report=$out resident=$res")
+      }
+    }
+
+    ArrivalReport(results.toSeq, violations, errors)
+  }
+}

@@ -1,0 +1,186 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.executor.CommandLog
+import graft.model.{ManualClock, SystemClock}
+import graft.scheduler.{ArrivalConfig, ArrivalPass}
+
+/** The composed nightly arrival pass (round-12 verdict directive #3):
+  * ONE entry point drives integrity + dedup ingest + ANN ingest + OOV
+  * QC over one landing zone under ONE time budget, with the
+  * reference's admission control between stages (IC:505/592/677 —
+  * work is skipped with an audit row, never killed mid-flight). */
+class ArrivalPassSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** A landing zone + resident db fixture: arriving documents (with a
+    * planted near-dup and an OOV-heavy source), arriving vectors, and
+    * a resident corpus table the integrity tier checks and the OOV QC
+    * compares against. */
+  private def fixture(): (String, Map[String, String]) = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival").toString
+    val residentDocs = (1L to 50L).map { i =>
+      (i, "web", s"the quick brown fox jumps over dog number $i again")
+    }.toDF("doc_id", "source", "text")
+    residentDocs.coalesce(1).write.parquet(s"$base/db/documents.parquet")
+    val arriving = (101L to 115L).map { i =>
+      // one source speaks the resident language, the other is pure OOV
+      if (i % 2 == 0L)
+        (i, "web",
+          s"the quick brown fox jumps over dog number ${i - 100} again")
+      else
+        (i, "feedx", s"zzqx$i wobble flurb glorp snark blivet quux$i")
+    }.toDF("doc_id", "source", "text")
+    arriving.coalesce(1).write.parquet(s"$base/landing/documents")
+    val vecs = (1L to 80L).map { i =>
+      (i, (0 until 8).map(d =>
+        ((i % 4) * 30 + ((i * 7 + d * 3) % 9)).toFloat))
+    }.toDF("vec_id", "embedding")
+    vecs.coalesce(1).write.parquet(s"$base/landing/embeddings")
+    (base, Map("corpus" -> s"$base/db"))
+  }
+
+  test("full pass: all four stages run against one landing zone — " +
+      "dedup pairs land, the ANN index serves, the OOV report flags " +
+      "the drifted source, and every stage writes an audit row") {
+    val (base, dbs) = fixture()
+    val log = new CommandLog(spark, None)
+    val report = ArrivalPass.run(spark,
+      ArrivalConfig(
+        landing = s"$base/landing",
+        dbs = dbs,
+        timeLimitSeconds = None,
+        checkpointRoot = s"$base/ckpt",
+        sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs",
+        annStorePath = s"$base/ann"),
+      log, SystemClock)
+
+    assert(report.stages.map(s => s.stage -> s.status) === Seq(
+      "integrity_incremental" -> "ran",
+      "dedup_ingest" -> "ran",
+      "ann_ingest" -> "ran",
+      "oov_qc" -> "ran"), report.stages.mkString("\n"))
+    assert(report.errors === 0L)
+
+    // the ANN store was bootstrapped from the landing vectors and is
+    // immediately searchable
+    val ann = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+      spark, s"$base/ann")
+    assert(ann.load().get.count() === 80L)
+    assert(ann.searchTopK(
+      spark.read.parquet(s"$base/landing/embeddings")
+        .filter($"vec_id" === 1L)
+        .select($"vec_id",
+          graft.functions.Quantize.toLongsCol($"embedding").as("qv")),
+      k = 3).count() === 3L)
+
+    // the signature store holds every arriving doc's signature
+    val sig = new graft.pipeline.IncrementalDedup.SigStore(
+      spark, s"$base/sigs")
+    assert(sig.load().get.count() === 15L)
+
+    // the OOV report: the resident-language source passes, the
+    // drifted source is flagged
+    val oov = spark.read.parquet(s"$base/ckpt/oov_last")
+      .select("source", "flagged")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(oov === Map("web" -> false, "feedx" -> true))
+
+    // audit trail: one ARRIVAL_STAGE row per stage, all ran; the
+    // integrity tier's own CHECKTABLE INCREMENTAL rows are there too
+    val stageRows = log.entries.filter(_.command_type == "ARRIVAL_STAGE")
+    assert(stageRows.map(_.object_name) === Seq(
+      "integrity_incremental", "dedup_ingest", "ann_ingest", "oov_qc"))
+    assert(stageRows.forall(_.extended_info.contains("\"ran\"")))
+    assert(log.entries.exists(_.command.contains("CHECKTABLE INCREMENTAL")))
+  }
+
+  test("budget expires mid-pass: the running stage finishes, every " +
+      "later stage is admission-skipped with an audit row saying so " +
+      "(IC:505 admission control, never a mid-flight kill)") {
+    val (base, dbs) = fixture()
+    val log = new CommandLog(spark, None)
+    // ManualClock ticking 6 s per observation against a 10 s budget:
+    // the deadline is fixed at entry, stage 1 is admitted (6 s in),
+    // and by the stage-2 admission check the clock reads 12 s — over.
+    val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"),
+      tickMs = 6000L)
+    val report = ArrivalPass.run(spark,
+      ArrivalConfig(
+        landing = s"$base/landing",
+        dbs = dbs,
+        timeLimitSeconds = Some(10L),
+        checkpointRoot = s"$base/ckpt2",
+        sigStorePath = s"$base/sigs2",
+        dedupOut = s"$base/pairs2",
+        annStorePath = s"$base/ann2"),
+      log, clock)
+
+    assert(report.stages.map(s => s.stage -> s.status) === Seq(
+      "integrity_incremental" -> "ran",
+      "dedup_ingest" -> "admission_skipped",
+      "ann_ingest" -> "admission_skipped",
+      "oov_qc" -> "admission_skipped"), report.stages.mkString("\n"))
+    // skipped stages touched NOTHING: no stores, no pair output
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/sigs2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/ann2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/pairs2")))
+    // and each one says WHY in the audit log
+    val skipped = log.entries.filter(e =>
+      e.command_type == "ARRIVAL_STAGE" &&
+        e.extended_info.contains("admission_skipped"))
+    assert(skipped.map(_.object_name) ===
+      Seq("dedup_ingest", "ann_ingest", "oov_qc"))
+    assert(skipped.forall(_.command.contains("time budget exhausted")))
+  }
+
+  test("input skips are explicit: an empty landing zone and no " +
+      "resident corpus produce skip statuses, not crashes or silence") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-empty").toString
+    new java.io.File(s"$base/landing").mkdirs()
+    val log = new CommandLog(spark, None)
+    val report = ArrivalPass.run(spark,
+      ArrivalConfig(landing = s"$base/landing", dbs = Map.empty,
+        checkpointRoot = s"$base/ckpt"),
+      log, SystemClock)
+    assert(report.stages.map(s => s.stage -> s.status) === Seq(
+      "integrity_incremental" -> "skipped_no_db",
+      "dedup_ingest" -> "skipped_empty",
+      "ann_ingest" -> "skipped_empty",
+      "oov_qc" -> "skipped_empty"), report.stages.mkString("\n"))
+  }
+
+  test("--print-schedule with --arrival emits the composed crontab " +
+      "line carrying every store/budget argument it was given") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      Main.main(Array("--print-schedule",
+        "--db", "corpus=/data/corpus",
+        "--arrival", "/data/landing",
+        "--time-limit", "3600",
+        "--checkpoint", "/state/ckpt",
+        "--sig-store", "/state/sigs",
+        "--dedup-out", "/state/pairs",
+        "--ann-store", "/state/ann"))
+    }
+    val out = buf.toString("UTF-8")
+    val line = out.linesIterator
+      .find(_.contains("--arrival /data/landing"))
+      .getOrElse(fail(s"no composed arrival line in:\n$out"))
+    assert(line.startsWith("37 2 * * * "))
+    for (frag <- Seq("--db corpus=/data/corpus",
+        "--checkpoint /state/ckpt", "--sig-store /state/sigs",
+        "--dedup-out /state/pairs", "--ann-store /state/ann",
+        "--time-limit 3600"))
+      assert(line.contains(frag), s"missing $frag in: $line")
+  }
+}
