@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev gauge: jobs + stages one dd16 ingest schedules (the round-12
+  * directive-7 metric). Warms the memoized store first so the count
+  * prices ingest only. */
+object JobCount {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.pipeline.IncrementalDedup.warmDd16BenchStore(spark, sfDir)
+    graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir).count()
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size); ()
+        }
+      })
+    graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir).count()
+    Thread.sleep(1500)
+    println(s"JOBCOUNT jobs=${jobs.get()} stages=${stages.get()}")
+    spark.stop()
+  }
+}
