@@ -55,7 +55,11 @@ final case class ArrivalReport(stages: Seq[StageResult],
   *      persisted signature store (Streams.incrementalDedupStream);
   *   3. `ann_ingest`            — arriving vectors into the persisted
   *      IVF index (Streams.incrementalAnnStream);
-  *   4. `oov_qc`                — the arriving documents' vocabulary
+  *   4. `ann_maintain`          — the index maintenance loop
+  *      ([[graft.pipeline.IncrementalAnn]]'s `maintain()`: drift →
+  *      retrain, accretion → compact, healthy → no-op), exactly where
+  *      the reference's nightly job runs IndexOptimize;
+  *   5. `oov_qc`                — the arriving documents' vocabulary
   *      drift against the resident corpus (TextAnalysis.oovReport —
   *      tx23's exact code path), report persisted under
   *      `<checkpointRoot>/oov_last`.
@@ -170,6 +174,23 @@ object ArrivalPass {
         graft.streaming.Streams.incrementalAnnStream(spark, vecsDir,
           schema, cfg.annStorePath, s"${cfg.checkpointRoot}/ann")
         ("ran", s"index=${cfg.annStorePath}")
+      }
+    }
+
+    stage("ann_maintain") {
+      // the reference's nightly job runs IndexOptimize right after the
+      // integrity checks (MS:7821 ff. creates both jobs); the vector
+      // tier's analog is the monitor→action loop — measured drift
+      // retrains, accretion compacts, a healthy index is a no-op
+      // (AnnIndexStore.maintain; thresholds calibrated in SCALE.md)
+      val store = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+        spark, cfg.annStorePath)
+      if (store.load().isEmpty)
+        ("skipped_empty", s"no index at ${cfg.annStorePath}")
+      else {
+        val r = store.withLease(store.maintain())
+        ("ran", s"action=${r.action} maxDrift=${r.maxDrift} " +
+          s"arrivedBatches=${r.arrivedBatches}")
       }
     }
 

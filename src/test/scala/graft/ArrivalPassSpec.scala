@@ -65,8 +65,13 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "ran",
       "dedup_ingest" -> "ran",
       "ann_ingest" -> "ran",
+      "ann_maintain" -> "ran",
       "oov_qc" -> "ran"), report.stages.mkString("\n"))
     assert(report.errors === 0L)
+    // a just-bootstrapped index has no arrivals: the maintenance loop
+    // measures, decides NO-OP, and says so in its stage detail
+    assert(report.stages.find(_.stage == "ann_maintain").get
+      .detail.contains("action=none"))
 
     // the ANN store was bootstrapped from the landing vectors and is
     // immediately searchable
@@ -96,7 +101,8 @@ class ArrivalPassSpec extends AnyFunSuite {
     // integrity tier's own CHECKTABLE INCREMENTAL rows are there too
     val stageRows = log.entries.filter(_.command_type == "ARRIVAL_STAGE")
     assert(stageRows.map(_.object_name) === Seq(
-      "integrity_incremental", "dedup_ingest", "ann_ingest", "oov_qc"))
+      "integrity_incremental", "dedup_ingest", "ann_ingest",
+      "ann_maintain", "oov_qc"))
     assert(stageRows.forall(_.extended_info.contains("\"ran\"")))
     assert(log.entries.exists(_.command.contains("CHECKTABLE INCREMENTAL")))
   }
@@ -126,6 +132,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "ran",
       "dedup_ingest" -> "admission_skipped",
       "ann_ingest" -> "admission_skipped",
+      "ann_maintain" -> "admission_skipped",
       "oov_qc" -> "admission_skipped"), report.stages.mkString("\n"))
     // skipped stages touched NOTHING: no stores, no pair output
     val fs = new org.apache.hadoop.fs.Path(base)
@@ -138,7 +145,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       e.command_type == "ARRIVAL_STAGE" &&
         e.extended_info.contains("admission_skipped"))
     assert(skipped.map(_.object_name) ===
-      Seq("dedup_ingest", "ann_ingest", "oov_qc"))
+      Seq("dedup_ingest", "ann_ingest", "ann_maintain", "oov_qc"))
     assert(skipped.forall(_.command.contains("time budget exhausted")))
   }
 
@@ -150,12 +157,15 @@ class ArrivalPassSpec extends AnyFunSuite {
     val log = new CommandLog(spark, None)
     val report = ArrivalPass.run(spark,
       ArrivalConfig(landing = s"$base/landing", dbs = Map.empty,
-        checkpointRoot = s"$base/ckpt"),
+        checkpointRoot = s"$base/ckpt",
+        sigStorePath = s"$base/sigs", dedupOut = s"$base/pairs",
+        annStorePath = s"$base/ann"),
       log, SystemClock)
     assert(report.stages.map(s => s.stage -> s.status) === Seq(
       "integrity_incremental" -> "skipped_no_db",
       "dedup_ingest" -> "skipped_empty",
       "ann_ingest" -> "skipped_empty",
+      "ann_maintain" -> "skipped_empty",
       "oov_qc" -> "skipped_empty"), report.stages.mkString("\n"))
   }
 
