@@ -354,7 +354,61 @@ object ScaleVerify {
           f"two-batch ingest $incSecs%.1f s)")
     }
 
-    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12)
+    // ---- round 13: the maintain() monitor→retrain loop AT SCALE — the
+    // same-distribution arrival stream measures BELOW the rebuild
+    // threshold (the calibration claim, verified at this sf), a
+    // genuinely shifted batch measures above it and triggers a retrain
+    // that loses nothing and serves the drifted region ----------------
+    val r13 = timed("ann_maintain_monitor_retrain_loop") {
+      val codes = Similarity.quantVecs(s, d)
+      val isNew = pmod(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(5)) === 0
+      val resident = codes.filter(!isNew)
+      val arrivals = codes.filter(isNew).materialized
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sv-maint").toString
+      val store = new IncrementalAnn.AnnIndexStore(s, s"$base/ann")
+      val cents = Similarity.lloydCentroids(resident)
+      store.save(cents, IncrementalAnn.assign(resident, cents))
+      store.ingest(arrivals, 1L)
+      // same-distribution arrivals: measured drift sits in the
+      // sampling-noise band, the loop must NOT rewrite the index
+      val rNone = store.maintain(rebuildDrift = 0.10)
+      val noneOk = rNone.action == "none"
+      // a shifted batch (every component +300: far outside the int8
+      // code range every cell tessellates) crowds one stale cell
+      val drifted = arrivals.select(
+        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        expr("transform(qv, x -> x + 300L)").as("qv")).materialized
+      store.ingest(drifted, 2L)
+      val tR = System.nanoTime()
+      val rReb = store.maintain(rebuildDrift = 0.10)
+      val rebSecs = (System.nanoTime() - tR) / 1e9
+      val rebOk = rReb.action == "rebuild" && rReb.maxDrift > 0.10
+      val all = store.load().get
+      val total = codes.count() + drifted.count()
+      val countOk = all.count() == total
+      val folded = all.filter(col("batch_id") > 0L).count() == 0L
+      val centsChanged =
+        store.centroids.map { case (c, a) => (c, a.toSeq) } !=
+          cents.map { case (c, a) => (c, a.toSeq) }
+      // the re-tessellated index serves the drifted region: a query
+      // there finds only drifted arrivals as nearest neighbors
+      val probe = drifted.limit(1).select(
+        lit(99999999L).as("vec_id"), col("qv"))
+      val near = store.searchTopK(probe, k = 3, nprobe = 1)
+        .select("neighbor_id").collect().map(_.getLong(0))
+      val serveOk = near.nonEmpty && near.forall(_ >= 10000000L)
+      (noneOk && rebOk && countOk && folded && centsChanged && serveOk,
+        s"noDriftPass=${rNone.action}@${rNone.maxDrift} " +
+          s"driftedPass=${rReb.action}@${rReb.maxDrift} " +
+          f"rows=${all.count()}/$total foldedToBatch0=$folded " +
+          f"centroidsChanged=$centsChanged driftedServe=$serveOk " +
+          f"(retrain $rebSecs%.1f s)")
+    }
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13)
   }
 
   /** Driver union-find re-derivation on sampled components: collect the

@@ -262,6 +262,19 @@ class PlanSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
 
+  test("tx24: trained-filter scoring is in-row over the feature " +
+      "checkpoint (training collected at plan build; no join, only " +
+      "the sort exchange)") {
+    // the tx15 scoring contract with trained weights: the model is a
+    // broadcast LITERAL (≤16 longs), so inference must stay a per-row
+    // projection over the materialized feature frame — a join or a
+    // second aggregation here would mean the model is being recomputed
+    // distributed per query
+    val p = planOf("tx24_trained_filter")
+    assert(!p.contains("Join"), "model must be a literal, not a join")
+    assert("Exchange".r.findAllIn(p).size === 1) // only the orderBy
+  }
+
   test("dd13: pair/total counts ride one checkpointed table; totals broadcast") {
     val p = planOf("dd13_source_overlap")
     assert(!p.contains("SortMergeJoin"))
