@@ -628,7 +628,22 @@ object Streams {
       schema: org.apache.spark.sql.types.StructType,
       checkFn: (DataFrame, Long) => DataFrame,
       checkpoint: String, outPath: String): Unit = {
-    val q = spark.readStream.schema(schema).parquet(srcDir)
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A table may be a single parquet FILE, not a directory (DuckDB's
+    // COPY, pandas to_parquet, a manual upload all produce one): the
+    // file-stream source requires a directory basePath, so stream the
+    // PARENT glob-filtered to exactly this file — the batch read path
+    // (Tables/checks) already handles both layouts, and the round-13
+    // arrival-pass smoke found the incremental tier erroring on every
+    // file-table with "Option 'basePath' must be a directory".
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (fs.exists(p) && fs.getFileStatus(p).isFile)
+        reader.option("pathGlobFilter", p.getName)
+          .parquet(p.getParent.toString)
+      else reader.parquet(srcDir)
+    val q = src
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)

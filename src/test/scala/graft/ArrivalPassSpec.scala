@@ -28,6 +28,18 @@ class ArrivalPassSpec extends AnyFunSuite {
       (i, "web", s"the quick brown fox jumps over dog number $i again")
     }.toDF("doc_id", "source", "text")
     residentDocs.coalesce(1).write.parquet(s"$base/db/documents.parquet")
+    // a second resident table stored as a single parquet FILE (the
+    // DuckDB-COPY / pandas layout): the integrity tier must check it
+    // without erroring (round-13 smoke finding: the file-stream source
+    // needs a directory basePath — Streams now streams the parent
+    // glob-filtered to the file)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    residentDocs.limit(5).coalesce(1).write.parquet(s"$base/tmp-meta")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/tmp-meta"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$base/db/meta.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/tmp-meta"), true)
     val arriving = (101L to 115L).map { i =>
       // one source speaks the resident language, the other is pure OOV
       if (i % 2 == 0L)
@@ -68,6 +80,10 @@ class ArrivalPassSpec extends AnyFunSuite {
       "ann_maintain" -> "ran",
       "oov_qc" -> "ran"), report.stages.mkString("\n"))
     assert(report.errors === 0L)
+    // BOTH table layouts were checked error-free (the dir-table and
+    // the single-file meta.parquet)
+    assert(report.stages.head.detail.contains("executed=2"),
+      report.stages.head.detail)
     // a just-bootstrapped index has no arrivals: the maintenance loop
     // measures, decides NO-OP, and says so in its stage detail
     assert(report.stages.find(_.stage == "ann_maintain").get
@@ -167,6 +183,42 @@ class ArrivalPassSpec extends AnyFunSuite {
       "ann_ingest" -> "skipped_empty",
       "ann_maintain" -> "skipped_empty",
       "oov_qc" -> "skipped_empty"), report.stages.mkString("\n"))
+  }
+
+  test("stage isolation: a FAILED stage (corrupt vector feed) is " +
+      "captured with an error audit row and the pass CONTINUES — a " +
+      "broken feed must not block document QC (CE:204-222 contract)") {
+    val (base, dbs) = fixture()
+    // replace the vector landing with garbage bytes that pass the
+    // landed-file probe but fail parquet schema inference
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/landing/embeddings"),
+      true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$base/landing/embeddings/junk.parquet"), true)
+    out.writeBytes("this is not parquet"); out.close()
+    val log = new CommandLog(spark, None)
+    val report = ArrivalPass.run(spark,
+      ArrivalConfig(
+        landing = s"$base/landing", dbs = dbs,
+        checkpointRoot = s"$base/ckpt3", sigStorePath = s"$base/sigs3",
+        dedupOut = s"$base/pairs3", annStorePath = s"$base/ann3"),
+      log, SystemClock)
+    assert(report.stages.map(s => s.stage -> s.status) === Seq(
+      "integrity_incremental" -> "ran",
+      "dedup_ingest" -> "ran",
+      "ann_ingest" -> "failed",
+      "ann_maintain" -> "skipped_empty", // no index was ever built
+      "oov_qc" -> "ran"), report.stages.mkString("\n"))
+    // the failure is a real audit row with the error captured
+    val failRow = log.entries.find(e =>
+      e.command_type == "ARRIVAL_STAGE" && e.object_name == "ann_ingest")
+      .get
+    assert(failRow.error_number === Some(50000))
+    assert(failRow.error_message.isDefined)
+    // and the document-side work still happened
+    assert(spark.read.parquet(s"$base/ckpt3/oov_last").count() === 2L)
   }
 
   test("--print-schedule with --arrival emits the composed crontab " +
