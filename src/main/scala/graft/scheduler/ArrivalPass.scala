@@ -61,8 +61,9 @@ final case class ArrivalReport(stages: Seq[StageResult],
   *      the reference's nightly job runs IndexOptimize;
   *   5. `oov_qc`                — the arriving documents' vocabulary
   *      drift against the resident corpus (TextAnalysis.oovReport —
-  *      tx23's exact code path), report persisted under
-  *      `<checkpointRoot>/oov_last`.
+  *      tx23's exact code path), checkpointed like the ingest stages
+  *      (only files arrived since the last pass are QC'd; per-batch
+  *      reports under `<checkpointRoot>/oov/batch_id=<n>`).
   *
   * Budget discipline is the reference's admission control
   * (IC:505/592/677: compute the stop time once, and before each unit
@@ -208,11 +209,19 @@ object ArrivalPass {
           ("skipped_no_resident",
             "no --db holds a documents.parquet resident corpus")
         case Some(res) =>
-          val report = graft.pipeline.TextAnalysis.oovReport(
-            spark.read.parquet(docsDir).select("doc_id", "source", "text"),
-            spark.read.parquet(res).select("text"))
-          val out = s"${cfg.checkpointRoot}/oov_last"
-          report.coalesce(1).write.mode("overwrite").parquet(out)
+          // the same checkpointed O(new files) discipline as the ingest
+          // stages: only files arrived since the last pass are QC'd
+          // (an accumulating landing zone must not be re-scored
+          // nightly), per-batch reports land under batch_id partitions
+          // idempotent under replay
+          val schema = spark.read.parquet(docsDir).schema
+          val resDocs = spark.read.parquet(res).select("text")
+          val out = s"${cfg.checkpointRoot}/oov"
+          graft.streaming.Streams.incrementalCheckById(spark, docsDir,
+            schema,
+            (batch, _) => graft.pipeline.TextAnalysis.oovReport(
+              batch.select("doc_id", "source", "text"), resDocs),
+            s"${cfg.checkpointRoot}/oov_ckpt", out)
           val rows = spark.read.parquet(out)
           val flagged = rows.filter(org.apache.spark.sql.functions
             .col("flagged")).count()

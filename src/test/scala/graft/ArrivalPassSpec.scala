@@ -106,17 +106,40 @@ class ArrivalPassSpec extends AnyFunSuite {
       spark, s"$base/sigs")
     assert(sig.load().get.count() === 15L)
 
-    // the OOV report: the resident-language source passes, the
-    // drifted source is flagged
-    val oov = spark.read.parquet(s"$base/ckpt/oov_last")
+    // the OOV report (checkpointed per-batch stream, batch_id
+    // partitions): the resident-language source passes, the drifted
+    // source is flagged
+    val oov = spark.read.parquet(s"$base/ckpt/oov")
       .select("source", "flagged")
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(oov === Map("web" -> false, "feedx" -> true))
+    val oovRows = spark.read.parquet(s"$base/ckpt/oov").count()
 
-    // audit trail: one ARRIVAL_STAGE row per stage, all ran; the
-    // integrity tier's own CHECKTABLE INCREMENTAL rows are there too
+    // SECOND pass over the SAME landing zone: every checkpointed stage
+    // drains nothing (O(new files), not O(landing)) — the OOV report
+    // gains no rows and the stores are unchanged
+    val report2 = ArrivalPass.run(spark,
+      ArrivalConfig(
+        landing = s"$base/landing",
+        dbs = dbs,
+        timeLimitSeconds = None,
+        checkpointRoot = s"$base/ckpt",
+        sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs",
+        annStorePath = s"$base/ann"),
+      log, SystemClock)
+    assert(report2.stages.forall(st =>
+      st.status == "ran"), report2.stages.mkString("\n"))
+    assert(spark.read.parquet(s"$base/ckpt/oov").count() === oovRows)
+    assert(ann.load().get.count() === 80L)
+
+    // audit trail: one ARRIVAL_STAGE row per stage per pass (two
+    // passes above), all ran; the integrity tier's own CHECKTABLE
+    // INCREMENTAL rows are there too
     val stageRows = log.entries.filter(_.command_type == "ARRIVAL_STAGE")
     assert(stageRows.map(_.object_name) === Seq(
+      "integrity_incremental", "dedup_ingest", "ann_ingest",
+      "ann_maintain", "oov_qc",
       "integrity_incremental", "dedup_ingest", "ann_ingest",
       "ann_maintain", "oov_qc"))
     assert(stageRows.forall(_.extended_info.contains("\"ran\"")))
@@ -218,7 +241,7 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(failRow.error_number === Some(50000))
     assert(failRow.error_message.isDefined)
     // and the document-side work still happened
-    assert(spark.read.parquet(s"$base/ckpt3/oov_last").count() === 2L)
+    assert(spark.read.parquet(s"$base/ckpt3/oov").count() === 2L)
   }
 
   test("--print-schedule with --arrival emits the composed crontab " +
