@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Dev gauge: jobs + stages one dd16 ingest schedules (the round-12
   * directive-7 metric). Warms the memoized store first so the count
-  * prices ingest only. */
+  * prices ingest only, and keys the listener on a job group so
+  * late-delivered warm-up events on the async listener bus can never
+  * inflate the measured count (round-13 review). */
 object JobCount {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,15 +18,22 @@ object JobCount {
     graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir).count()
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
+    val group = "graft-jobcount-" + java.util.UUID.randomUUID()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size); ()
+          if (j.properties != null &&
+              group == j.properties.getProperty("spark.jobGroup.id")) {
+            jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          }
+          ()
         }
       })
-    graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir).count()
-    Thread.sleep(1500)
+    spark.sparkContext.setJobGroup(group, "measured dd16 ingest")
+    try graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir).count()
+    finally spark.sparkContext.clearJobGroup()
+    Thread.sleep(1500) // let the async bus drain the group's events
     println(s"JOBCOUNT jobs=${jobs.get()} stages=${stages.get()}")
     spark.stop()
   }

@@ -149,25 +149,11 @@ object IncrementalAnn {
           .foreach(s => fs.delete(s.getPath, true))
       }
       if (lease.canMaintain) {
-        // stray stale-lease tombstones + completed-swap trash dirs.
-        // Trash names carry their creation millis; only trash older
-        // than the lease TTL is reaped, so a generation trashed
-        // moments ago (the undisciplined-racer window the trash
-        // exists FOR) survives long enough to be rescued manually.
+        // stray stale-lease tombstones + TTL-aged completed-swap trash
+        // (both shared StoreLease definitions, so the liveness
+        // contract cannot fork between the persisted stores)
         lease.sweepTombstones()
-        val dir = new Path(path).getParent
-        val trashPrefix = new Path(path).getName + ".trash."
-        val now = System.currentTimeMillis()
-        if (dir != null && fs.exists(dir))
-          fs.listStatus(dir)
-            .filter { s =>
-              val n = s.getPath.getName
-              n.startsWith(trashPrefix) &&
-                n.stripPrefix(trashPrefix).takeWhile(_.isDigit)
-                  .toLongOption.exists(t =>
-                    now - t >= graft.tables.StoreLease.DefaultTtlMs)
-            }
-            .foreach(s => fs.delete(s.getPath, true))
+        lease.sweepTrash()
       }
       ()
     }
@@ -377,28 +363,46 @@ object IncrementalAnn {
       * absolute shift. k-row aggregate + bounded driver collect;
       * nothing corpus-sized moves. None = store absent or no arrivals
       * yet (drift is undefined, not zero). */
-    def occupancyDrift(): Option[Double] = load().flatMap { all =>
+    def occupancyDrift(): Option[Double] = load().flatMap(occupancyDriftOf)
+
+    /** Drift + arrival-batch count in ONE k-row aggregate over an
+      * already-loaded store frame, so [[maintain]] pays one
+      * load()/recover() pass (and one store scan) for both metrics
+      * (round-13 review: three separate load() calls re-ran recover()'s
+      * filesystem sweeps per nightly pass). Per cluster the aggregate
+      * also folds the cell's distinct arrival batches; the global
+      * count is the size of their union (batch ids are not
+      * cluster-disjoint, so union — never sum). */
+    private def driftAndBatchesOf(all: DataFrame)
+        : (Option[Double], Long) = {
       val per = all
         .withColumn("arrived",
           when(col("batch_id") > 0L, 1L).otherwise(0L))
         .groupBy("cluster")
         .agg(sum(lit(1L) - col("arrived")).as("n_res"),
-          sum("arrived").as("n_arr"))
-        .collect().map(r => (r.getLong(1), r.getLong(2)))
+          sum("arrived").as("n_arr"),
+          collect_set(when(col("batch_id") > 0L, col("batch_id")))
+            .as("cell_batches"))
+        .collect().map(r => (r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3)))
+      val batches = per.iterator.flatMap(_._3).toSet.size.toLong
       val tr = per.map(_._1).sum.toDouble
       val ta = per.map(_._2).sum.toDouble
-      if (ta == 0 || tr == 0) None
-      else Some(per.map { case (nr, na) =>
-        math.abs(na / ta - nr / tr)
-      }.max)
+      val drift =
+        if (ta == 0 || tr == 0) None
+        else Some(per.map { case (nr, na, _) =>
+          math.abs(na / ta - nr / tr)
+        }.max)
+      (drift, batches)
     }
+
+    private def occupancyDriftOf(all: DataFrame): Option[Double] =
+      driftAndBatchesOf(all)._1
 
     /** Committed arrival batches (batch_id > 0) — the accretion measure
       * the reorganize threshold reads (each batch adds one file per
       * touched cell, so listings degrade linearly in it). */
-    def arrivedBatches(): Long = load().fold(0L)(
-      _.filter(col("batch_id") > 0L).select("batch_id").distinct()
-        .count())
+    def arrivedBatches(): Long = load().fold(0L)(driftAndBatchesOf(_)._2)
 
     /** The monitor→action maintenance policy — the reference's
       * IndexOptimize decision model (ola/IndexOptimize.sql parameter
@@ -428,22 +432,25 @@ object IncrementalAnn {
       * does — save() enforces it); never run concurrently with an
       * ingesting stream, exactly as [[compact]]. */
     def maintain(rebuildDrift: Double = 0.10,
-        reorganizeBatches: Long = 64L): MaintainReport = {
-      val drift = occupancyDrift()
-      val batches = arrivedBatches()
-      drift match {
-        case Some(d) if d > rebuildDrift =>
-          val all = load().get.select("vec_id", "qv").materialized
-          val k = centroids.size
-          val cents2 = trainCentroids(all, k)
-          save(cents2, assign(all, cents2))
-          MaintainReport("rebuild", d, batches)
-        case _ if batches > reorganizeBatches =>
-          compact()
-          MaintainReport("reorganize", drift.getOrElse(0.0), batches)
-        case _ =>
-          MaintainReport("none", drift.getOrElse(0.0), batches)
-      }
+        reorganizeBatches: Long = 64L): MaintainReport = load() match {
+      case None => MaintainReport("none", 0.0, 0L)
+      case Some(all) =>
+        // ONE load()/recover() pass serves the metrics AND the rebuild
+        // arm's corpus read (round-13 review)
+        val (drift, batches) = driftAndBatchesOf(all)
+        drift match {
+          case Some(d) if d > rebuildDrift =>
+            val vecs = all.select("vec_id", "qv").materialized
+            val k = centroids.size
+            val cents2 = trainCentroids(vecs, k)
+            save(cents2, assign(vecs, cents2))
+            MaintainReport("rebuild", d, batches)
+          case _ if batches > reorganizeBatches =>
+            compact()
+            MaintainReport("reorganize", drift.getOrElse(0.0), batches)
+          case _ =>
+            MaintainReport("none", drift.getOrElse(0.0), batches)
+        }
     }
 
     /** Maintenance rebase — the index's small-file cure: fold every

@@ -483,23 +483,11 @@ object IncrementalDedup {
           .foreach(s => fs.delete(s.getPath, true))
       }
       if (lease.canMaintain) {
-        // stray stale-lease tombstones + completed-swap trash dirs
-        // (names carry creation millis; reaped only past the TTL so a
-        // just-trashed generation can still be rescued manually)
+        // stray stale-lease tombstones + TTL-aged completed-swap trash
+        // (both shared StoreLease definitions, so the liveness
+        // contract cannot fork between the persisted stores)
         lease.sweepTombstones()
-        val dir = new Path(path).getParent
-        val trashPrefix = new Path(path).getName + ".trash."
-        val now = System.currentTimeMillis()
-        if (dir != null && fs.exists(dir))
-          fs.listStatus(dir)
-            .filter { s =>
-              val n = s.getPath.getName
-              n.startsWith(trashPrefix) &&
-                n.stripPrefix(trashPrefix).takeWhile(_.isDigit)
-                  .toLongOption.exists(t =>
-                    now - t >= graft.tables.StoreLease.DefaultTtlMs)
-            }
-            .foreach(s => fs.delete(s.getPath, true))
+        lease.sweepTrash()
       }
       ()
     }

@@ -217,16 +217,33 @@ object ArrivalPass {
           val schema = spark.read.parquet(docsDir).schema
           val resDocs = spark.read.parquet(res).select("text")
           val out = s"${cfg.checkpointRoot}/oov"
+          // batch ids THIS pass committed — the stage detail must
+          // report tonight's QC, not re-announce last week's flags
+          // from older batch partitions (round-13 review)
+          val passBatches =
+            java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
           graft.streaming.Streams.incrementalCheckById(spark, docsDir,
             schema,
-            (batch, _) => graft.pipeline.TextAnalysis.oovReport(
-              batch.select("doc_id", "source", "text"), resDocs),
+            (batch, id) => {
+              passBatches.add(id)
+              graft.pipeline.TextAnalysis.oovReport(
+                batch.select("doc_id", "source", "text"), resDocs)
+            },
             s"${cfg.checkpointRoot}/oov_ckpt", out)
-          val rows = spark.read.parquet(out)
-          val flagged = rows.filter(org.apache.spark.sql.functions
-            .col("flagged")).count()
-          ("ran", s"sources=${rows.count()} flagged=$flagged " +
-            s"report=$out resident=$res")
+          if (passBatches.isEmpty)
+            ("ran", "no new document files since the last pass " +
+              s"(cumulative report under $out)")
+          else {
+            import scala.jdk.CollectionConverters._
+            val ids = passBatches.asScala.toSeq
+            val rows = spark.read.parquet(out)
+              .filter(org.apache.spark.sql.functions.col("batch_id")
+                .isInCollection(ids))
+            val flagged = rows.filter(org.apache.spark.sql.functions
+              .col("flagged")).count()
+            ("ran", s"batches=${ids.size} report_rows=${rows.count()} " +
+              s"flagged=$flagged report=$out resident=$res")
+          }
       }
     }
 

@@ -640,7 +640,13 @@ object Streams {
     val reader = spark.readStream.schema(schema)
     val src =
       if (fs.exists(p) && fs.getFileStatus(p).isFile)
-        reader.option("pathGlobFilter", p.getName)
+        // the filename is data, not a pattern: a name containing glob
+        // metacharacters (data[2024].parquet) would otherwise be read
+        // AS a glob, silently match zero files, and report a corrupt
+        // table clean forever (round-13 review) — escape every
+        // metacharacter so the filter matches exactly this file
+        reader.option("pathGlobFilter",
+          p.getName.replaceAll("([\\\\*?\\[\\]{}])", "\\\\$1"))
           .parquet(p.getParent.toString)
       else reader.parquet(srcDir)
     val q = src

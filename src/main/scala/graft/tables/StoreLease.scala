@@ -207,6 +207,35 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
     ()
   }
 
+  /** Reap TTL-aged completed-swap trash dirs (`<path>.trash.<millis>.
+    * <uuid>` — recover()'s swap completion renames the superseded
+    * generation there instead of hard-deleting it). Names carry their
+    * creation millis; only trash older than [[StoreLease.DefaultTtlMs]]
+    * is reaped, so a generation trashed moments ago (the
+    * undisciplined-racer window the trash exists FOR) survives long
+    * enough to be rescued manually. ONE definition for every persisted
+    * store — the liveness contract must not fork between them
+    * (round-13 review). canMaintain-gated by callers, like
+    * [[sweepTombstones]]. */
+  def sweepTrash(): Unit = {
+    val dir = new Path(path).getParent
+    val prefix = new Path(path).getName + ".trash."
+    val now = System.currentTimeMillis()
+    try {
+      if (dir != null && fs.exists(dir))
+        fs.listStatus(dir)
+          .filter { s =>
+            val n = s.getPath.getName
+            n.startsWith(prefix) &&
+              n.stripPrefix(prefix).takeWhile(_.isDigit)
+                .toLongOption.exists(t =>
+                  now - t >= StoreLease.DefaultTtlMs)
+          }
+          .foreach(s => fs.delete(s.getPath, true))
+    } catch { case _: java.io.IOException => () }
+    ()
+  }
+
   def release(): Unit = {
     // only the owner may release; a usurped lease belongs to the
     // usurper now
