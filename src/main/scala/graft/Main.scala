@@ -284,12 +284,16 @@ object Main {
     } else if (seen.contains("--target-bytes"))
       usage("--target-bytes only applies to --compact maintenance runs")
     if (incremental) {
-      val allowed = Set("--incremental", "--db", "--checkpoint", "--log")
+      // --time-limit rides along: a 15-minute cron pass must not
+      // overrun its slot — IC:592's per-table budget check applies to
+      // the incremental tier exactly as to the batch scheduler
+      val allowed = Set("--incremental", "--db", "--checkpoint", "--log",
+        "--time-limit")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         "--incremental checks arrived files only; full-run flag(s) given: " +
           s"${stray.mkString(", ")} (allowed with --incremental: --db, " +
-          "--checkpoint, --log)")
+          "--checkpoint, --log, --time-limit)")
       if (dbs.isEmpty) usage("--incremental requires at least one --db")
     }
     if (arrivalDir.isDefined) {
@@ -377,9 +381,12 @@ object Main {
       // arrived-data tier: O(new files) per pass (see IncrementalScheduler)
       val logObj = new CommandLog(spark, logPath)
       val r = scheduler.IncrementalScheduler.run(spark,
-        new DirInventory(spark, dbs), checkpointRoot, logObj, SystemClock)
+        new DirInventory(spark, dbs), checkpointRoot, logObj, SystemClock,
+        deadline = cfg.timeLimitSeconds
+          .map(s => SystemClock.now().plusSeconds(s)))
       logObj.flush()
       r.executedCommands.foreach(c => println(s"executed: $c"))
+      r.skipped.foreach { case (o, why) => println(s"skipped: $o ($why)") }
       println(s"violations: ${r.violations}")
       if (r.errors > 0) println(s"errors: ${r.errors} (checks failed to run)")
       if (r.violations > 0) sys.exit(2)

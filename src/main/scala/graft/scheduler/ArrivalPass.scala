@@ -141,13 +141,18 @@ object ArrivalPass {
       if (cfg.dbs.isEmpty)
         ("skipped_no_db", "no --db given; nothing to check")
       else {
+        // the pass deadline flows INTO the stage: IC:592's per-table
+        // budget check, so a many-table landing degrades
+        // table-at-a-time instead of all-or-nothing at this boundary
         val r = IncrementalScheduler.run(spark,
           new DirInventory(spark, cfg.dbs),
-          s"${cfg.checkpointRoot}/integrity", log, clock)
+          s"${cfg.checkpointRoot}/integrity", log, clock, deadline)
         violations += r.violations
         errors += r.errors
+        val sk = if (r.skipped.isEmpty) ""
+          else s" skipped=${r.skipped.size} (budget)"
         ("ran", s"executed=${r.executedCommands.size} " +
-          s"violations=${r.violations} errors=${r.errors}")
+          s"violations=${r.violations} errors=${r.errors}$sk")
       }
     }
 

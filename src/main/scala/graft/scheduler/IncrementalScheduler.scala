@@ -10,11 +10,16 @@ import graft.executor.{CommandExecutor, CommandLog}
 import graft.model.Clock
 import graft.streaming.Streams
 
-/** Result of one incremental pass. */
+/** Result of one incremental pass. `skipped` lists (object, reason)
+  * for tables the deadline admission control declined — skipped work
+  * is always VISIBLE work (ref IC:592's budget check before each
+  * database, surfaced the same way the batch Scheduler reports its
+  * admission skips). */
 final case class IncrementalReport(
     executedCommands: Seq[String],
     violations: Long,
-    errors: Long)
+    errors: Long,
+    skipped: Seq[(String, String)] = Nil)
 
 /** Arrived-data CHECKTABLE tier — the reference's nightly loop
   * (IntegrityChecks_VLDB.sql:505-744) evolved for a lake where data lands
@@ -39,10 +44,19 @@ final case class IncrementalReport(
   * the arrived-files scoping, not the predicate menu. */
 object IncrementalScheduler {
 
+  /** One arrived-data pass. `deadline`: the reference's IC:592 budget
+    * discipline INSIDE the pass — before each table's check the clock
+    * is compared against it, and a table past the deadline is skipped
+    * with an audit row (never killed mid-check). The composed
+    * ArrivalPass forwards its pass-wide deadline here, so a landing
+    * zone with many tables degrades a-table-at-a-time instead of
+    * all-or-nothing at the stage boundary. */
   def run(spark: SparkSession, inventory: Inventory, checkpointRoot: String,
-      log: CommandLog, clock: Clock): IncrementalReport = {
+      log: CommandLog, clock: Clock,
+      deadline: Option[java.time.Instant] = None): IncrementalReport = {
     val executor = new CommandExecutor(log, clock, execute = true)
     val executed = ArrayBuffer.empty[String]
+    val skipped = ArrayBuffer.empty[(String, String)]
     var violations = 0L
     var errors = 0L
     // events.parquet-style TIMESTAMP(NANOS) columns stream as longs, the
@@ -52,6 +66,20 @@ object IncrementalScheduler {
       inventory.objects(db).foreach { o =>
         val cmd = s"CHECKTABLE INCREMENTAL [$db].[${o.schema_name}]." +
           s"[${o.object_name}] WITH NO_INFOMSGS, DATA_PURITY"
+        if (deadline.exists(dl => !clock.now().isBefore(dl))) {
+          val obj = s"$db.${o.schema_name}.${o.object_name}"
+          val why = "time budget exhausted before this table (IC:592)"
+          skipped += (obj -> why)
+          log.append(graft.model.CommandLogEntry(
+            id = java.util.UUID.randomUUID().toString,
+            database_name = db, schema_name = o.schema_name,
+            object_name = o.object_name, object_type = o.object_type,
+            extended_info = """{"status":"admission_skipped"}""",
+            command = cmd, command_type = "DBCC_CHECKTABLE_INC",
+            start_time = java.sql.Timestamp.from(clock.observe()),
+            end_time = Some(java.sql.Timestamp.from(clock.observe())),
+            error_number = None, error_message = Some(why)))
+        } else {
         // The per-batch tally lives OUTSIDE the retried action and is
         // keyed by micro-batch id: a transient failure mid-stream makes
         // the executor re-run the action, but the stream's checkpoint
@@ -74,9 +102,10 @@ object IncrementalScheduler {
         }
         executed += cmd
         if (res.violations < 0L) errors += 1 else violations += res.violations
+        }
       }
     }
-    IncrementalReport(executed.toSeq, violations, errors)
+    IncrementalReport(executed.toSeq, violations, errors, skipped.toSeq)
   }
 
   /** One summary row per micro-batch: rows validated + entirely-null rows

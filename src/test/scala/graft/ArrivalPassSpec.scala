@@ -173,6 +173,19 @@ class ArrivalPassSpec extends AnyFunSuite {
       "ann_ingest" -> "admission_skipped",
       "ann_maintain" -> "admission_skipped",
       "oov_qc" -> "admission_skipped"), report.stages.mkString("\n"))
+    // the deadline also flowed INTO stage 1 (IC:592's per-table
+    // check): by the first table the 6 s ticks had crossed the 10 s
+    // budget, so both resident tables were admission-skipped WITH
+    // audit rows, and the stage detail says so
+    assert(report.stages.head.detail.contains("executed=0") &&
+      report.stages.head.detail.contains("skipped=2 (budget)"),
+      report.stages.head.detail)
+    val tableSkips = log.entries.filter(e =>
+      e.command_type == "DBCC_CHECKTABLE_INC" &&
+        e.extended_info.contains("admission_skipped"))
+    assert(tableSkips.size === 2)
+    assert(tableSkips.forall(_.error_message.exists(
+      _.contains("time budget"))))
     // skipped stages touched NOTHING: no stores, no pair output
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
