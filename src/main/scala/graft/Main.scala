@@ -225,10 +225,10 @@ object Main {
           "--arrival, --time-limit, --sig-store, --dedup-out, " +
           "--ann-store)")
       if (arrivalDir.isEmpty &&
-          Seq("--time-limit", "--sig-store", "--dedup-out", "--ann-store")
+          Seq("--sig-store", "--dedup-out", "--ann-store")
             .exists(seen.contains))
-        usage("--time-limit/--sig-store/--dedup-out/--ann-store only " +
-          "ride the composed arrival job; give --arrival LANDING_DIR")
+        usage("--sig-store/--dedup-out/--ann-store only ride the " +
+          "composed arrival job; give --arrival LANDING_DIR")
       if (dbs.isEmpty)
         usage("--print-schedule requires at least one --db (the echoed " +
           "jobs must name the databases they check)")
@@ -241,11 +241,15 @@ object Main {
       println("#  creates SQL Agent jobs; on a lake the scheduler is cron)")
       println("# nightly full integrity pass (daily idempotence makes")
       println("# re-runs safe, ref IC:664-665):")
-      println(s"17 1 * * * $submit $dbArgs --state $statePath$logArg")
+      val tlNightly = cfg.timeLimitSeconds.fold("")(s => s" --time-limit $s")
+      println(s"17 1 * * * $submit $dbArgs --state $statePath$tlNightly$logArg")
       println("# arrived-data incremental check, every 15 minutes")
-      println("# (O(new files) per pass — see --incremental):")
+      println("# (O(new files) per pass — see --incremental; a given")
+      println("# --time-limit rides along so the job cannot overrun")
+      println("# its slot — IC:592's per-table budget check):")
+      val tlArg = cfg.timeLimitSeconds.fold("")(s => s" --time-limit $s")
       println(s"*/15 * * * * $submit $dbArgs --incremental " +
-        s"--checkpoint $checkpointRoot$logArg")
+        s"--checkpoint $checkpointRoot$tlArg$logArg")
       arrivalDir.foreach { landing =>
         // the COMPOSED nightly arrival pass (integrity + dedup ingest +
         // ANN ingest + OOV QC under one budget — see --arrival); the

@@ -44,8 +44,9 @@ import graft.tables.Checkpoints.CheckpointOps
 object IncrementalAnn {
 
   /** What one [[AnnIndexStore.maintain]] pass measured and did:
-    * `action` ∈ rebuild | reorganize | none, `maxDrift` = the measured
-    * max per-cell occupancy shift (0.0 when undefined — no arrivals),
+    * `action` ∈ rebuild | reorganize | none | absent (no store on
+    * disk), `maxDrift` = the measured max per-cell occupancy shift
+    * (0.0 when undefined — no arrivals),
     * `arrivedBatches` = committed arrival batches before the action. */
   final case class MaintainReport(action: String, maxDrift: Double,
       arrivedBatches: Long)
@@ -365,44 +366,37 @@ object IncrementalAnn {
       * yet (drift is undefined, not zero). */
     def occupancyDrift(): Option[Double] = load().flatMap(occupancyDriftOf)
 
-    /** Drift + arrival-batch count in ONE k-row aggregate over an
-      * already-loaded store frame, so [[maintain]] pays one
-      * load()/recover() pass (and one store scan) for both metrics
-      * (round-13 review: three separate load() calls re-ran recover()'s
-      * filesystem sweeps per nightly pass). Per cluster the aggregate
-      * also folds the cell's distinct arrival batches; the global
-      * count is the size of their union (batch ids are not
-      * cluster-disjoint, so union — never sum). */
-    private def driftAndBatchesOf(all: DataFrame)
-        : (Option[Double], Long) = {
+    /** The drift metric over an already-loaded store frame — a k-row
+      * aggregate + bounded collect. Split from [[occupancyDrift]] so
+      * [[maintain]] pays ONE load()/recover() pass (and its filesystem
+      * sweeps) per nightly pass while each metric stays a lean
+      * purpose-built aggregation (round-13 review, twice: first the
+      * triple load(), then a combined collect_set aggregate whose
+      * driver collect grew as k × distinct-batches). */
+    private def occupancyDriftOf(all: DataFrame): Option[Double] = {
       val per = all
         .withColumn("arrived",
           when(col("batch_id") > 0L, 1L).otherwise(0L))
         .groupBy("cluster")
         .agg(sum(lit(1L) - col("arrived")).as("n_res"),
-          sum("arrived").as("n_arr"),
-          collect_set(when(col("batch_id") > 0L, col("batch_id")))
-            .as("cell_batches"))
-        .collect().map(r => (r.getLong(1), r.getLong(2),
-          r.getSeq[Long](3)))
-      val batches = per.iterator.flatMap(_._3).toSet.size.toLong
+          sum("arrived").as("n_arr"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
       val tr = per.map(_._1).sum.toDouble
       val ta = per.map(_._2).sum.toDouble
-      val drift =
-        if (ta == 0 || tr == 0) None
-        else Some(per.map { case (nr, na, _) =>
-          math.abs(na / ta - nr / tr)
-        }.max)
-      (drift, batches)
+      if (ta == 0 || tr == 0) None
+      else Some(per.map { case (nr, na) =>
+        math.abs(na / ta - nr / tr)
+      }.max)
     }
 
-    private def occupancyDriftOf(all: DataFrame): Option[Double] =
-      driftAndBatchesOf(all)._1
+    private def arrivedBatchesOf(all: DataFrame): Long =
+      all.filter(col("batch_id") > 0L).select("batch_id").distinct()
+        .count()
 
     /** Committed arrival batches (batch_id > 0) — the accretion measure
       * the reorganize threshold reads (each batch adds one file per
       * touched cell, so listings degrade linearly in it). */
-    def arrivedBatches(): Long = load().fold(0L)(driftAndBatchesOf(_)._2)
+    def arrivedBatches(): Long = load().fold(0L)(arrivedBatchesOf)
 
     /** The monitor→action maintenance policy — the reference's
       * IndexOptimize decision model (ola/IndexOptimize.sql parameter
@@ -433,11 +427,15 @@ object IncrementalAnn {
       * ingesting stream, exactly as [[compact]]. */
     def maintain(rebuildDrift: Double = 0.10,
         reorganizeBatches: Long = 64L): MaintainReport = load() match {
-      case None => MaintainReport("none", 0.0, 0L)
+      case None =>
+        // distinguishable from a healthy no-op: callers (ArrivalPass)
+        // report an absent index as a skip, not as a decision
+        MaintainReport("absent", 0.0, 0L)
       case Some(all) =>
         // ONE load()/recover() pass serves the metrics AND the rebuild
         // arm's corpus read (round-13 review)
-        val (drift, batches) = driftAndBatchesOf(all)
+        val drift = occupancyDriftOf(all)
+        val batches = arrivedBatchesOf(all)
         drift match {
           case Some(d) if d > rebuildDrift =>
             val vecs = all.select("vec_id", "qv").materialized

@@ -191,13 +191,16 @@ object ArrivalPass {
       // (AnnIndexStore.maintain; thresholds calibrated in SCALE.md)
       val store = new graft.pipeline.IncrementalAnn.AnnIndexStore(
         spark, cfg.annStorePath)
-      if (store.load().isEmpty)
+      // one maintain() call decides everything — a pre-check load()
+      // here would pay a second recover() pass (listings, sweeps)
+      // every night for nothing (round-13 review); an absent index
+      // comes back as action=absent
+      val r = store.withLease(store.maintain())
+      if (r.action == "absent")
         ("skipped_empty", s"no index at ${cfg.annStorePath}")
-      else {
-        val r = store.withLease(store.maintain())
+      else
         ("ran", s"action=${r.action} maxDrift=${r.maxDrift} " +
           s"arrivedBatches=${r.arrivedBatches}")
-      }
     }
 
     stage("oov_qc") {

@@ -70,15 +70,22 @@ object IncrementalScheduler {
           val obj = s"$db.${o.schema_name}.${o.object_name}"
           val why = "time budget exhausted before this table (IC:592)"
           skipped += (obj -> why)
+          // error_number/error_message stay PAIRED-on-failure-only
+          // (the CommandExecutor invariant; Model.scala documents
+          // error_number=None as running/dry-run) — a budget skip is
+          // not a failure, so the reason rides extended_info where a
+          // log consumer classifying by `error_message IS NOT NULL`
+          // cannot miscount it as a failed check (round-13 review)
           log.append(graft.model.CommandLogEntry(
             id = java.util.UUID.randomUUID().toString,
             database_name = db, schema_name = o.schema_name,
             object_name = o.object_name, object_type = o.object_type,
-            extended_info = """{"status":"admission_skipped"}""",
+            extended_info =
+              s"""{"status":"admission_skipped","reason":"$why"}""",
             command = cmd, command_type = "DBCC_CHECKTABLE_INC",
             start_time = java.sql.Timestamp.from(clock.observe()),
             end_time = Some(java.sql.Timestamp.from(clock.observe())),
-            error_number = None, error_message = Some(why)))
+            error_number = None, error_message = None))
         } else {
         // The per-batch tally lives OUTSIDE the retried action and is
         // keyed by micro-batch id: a transient failure mid-stream makes

@@ -184,8 +184,11 @@ class ArrivalPassSpec extends AnyFunSuite {
       e.command_type == "DBCC_CHECKTABLE_INC" &&
         e.extended_info.contains("admission_skipped"))
     assert(tableSkips.size === 2)
-    assert(tableSkips.forall(_.error_message.exists(
-      _.contains("time budget"))))
+    // the reason rides extended_info; a skip is NOT a failure, so the
+    // error columns stay null (the CommandExecutor pairing invariant)
+    assert(tableSkips.forall(_.extended_info.contains("time budget")))
+    assert(tableSkips.forall(e =>
+      e.error_number.isEmpty && e.error_message.isEmpty))
     // skipped stages touched NOTHING: no stores, no pair output
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -280,5 +283,12 @@ class ArrivalPassSpec extends AnyFunSuite {
         "--dedup-out /state/pairs", "--ann-store /state/ann",
         "--time-limit 3600"))
       assert(line.contains(frag), s"missing $frag in: $line")
+    // a given --time-limit must ride EVERY echoed job (the printer's
+    // never-drop-a-flag contract): the nightly full pass and the
+    // 15-minute incremental line both carry it
+    val nightly = out.linesIterator.find(_.startsWith("17 1 * * * ")).get
+    val inc = out.linesIterator.find(_.startsWith("*/15 * * * * ")).get
+    assert(nightly.contains("--time-limit 3600"), nightly)
+    assert(inc.contains("--time-limit 3600"), inc)
   }
 }
