@@ -143,7 +143,12 @@ object IncrementalAnn {
         // be mid-write to tmp (we hold the lease, or nobody does)
         fs.delete(tmp, true)
       }
-      if (!fs.exists(p) && fs.exists(pOld)) fs.rename(pOld, p)
+      // canMaintain-gated like every other recovery mutation (round-13
+      // review sweep): p-missing + pOld-present is ALSO a live
+      // writer's save() mid-swap, and an unleased reader renaming pOld
+      // back would make that save fail spuriously
+      if (!fs.exists(p) && fs.exists(pOld) && lease.canMaintain)
+        fs.rename(pOld, p)
       if (fs.exists(p) && lease.canMaintain) {
         fs.listStatus(p).filter(s => s.isDirectory &&
             s.getPath.getName.startsWith(".spark-staging"))

@@ -451,14 +451,25 @@ object IncrementalDedup {
         // (round-12 review finding).
         fs.delete(tmp, true)
       }
-      if (!fs.exists(p) && fs.exists(pOld)) {
+      if (!fs.exists(p) && fs.exists(pOld) && lease.canMaintain) {
         // died between path→old and tmp→path with tmp already promoted
-        // or lost: the archived generation is the newest complete one
+        // or lost: the archived generation is the newest complete one.
+        // canMaintain-gated like every other recovery mutation
+        // (round-13 review sweep): p-missing + pOld-present is ALSO a
+        // live writer's save() mid-swap, and an unleased reader
+        // renaming pOld back would make that save fail spuriously —
+        // gated, the reader sees a (transient) absent store instead
+        // and the writer's swap completes.
         fs.rename(pOld, p)
       }
-      if (fs.exists(bakPath)) {
+      if (fs.exists(bakPath) && lease.canMaintain) {
         // interrupted incremental commit: restore every archived
-        // partition the overwrite had removed but not yet rewritten
+        // partition the overwrite had removed but not yet rewritten.
+        // canMaintain-gated (round-13 review sweep): a PRESENT bakPath
+        // is also a live writer mid-saveIncremental, and an unleased
+        // reader restoring old partitions into the store the writer is
+        // overwriting — then DELETING the writer's crash-safety
+        // archive — would lose partitions if the writer then crashed.
         fs.listStatus(bakPath).filter(_.isDirectory).foreach { d0 =>
           fs.listStatus(d0.getPath).filter(_.isDirectory).foreach { d1 =>
             val dest = new Path(new Path(p, d0.getPath.getName),

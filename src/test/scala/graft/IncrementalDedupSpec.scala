@@ -473,6 +473,48 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(before.subsetOf(committed))
   }
 
+  test("a reader does NOT consume a LIVE writer's partition archive: " +
+      "bak restore is canMaintain-gated, and a stale lock unblocks " +
+      "it (round-13 review — the archive is mid-commit state while " +
+      "its writer lives)") {
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigbakgate").toString
+    val fs = hadoopFs(base)
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val docs = (1L to 64L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c tok${i}d"))
+    st.save(IncrementalDedup.initialStore(sigsOf(docs)), fanOut = 16)
+    val committed = storeKey(st.load().get)
+    // fabricate a mid-commit state: one partition moved to the archive
+    val part = fs.listStatus(new Path(s"$base/sigs"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pb0="))
+      .flatMap(d => fs.listStatus(d.getPath).filter(_.isDirectory)
+        .map(p => (d.getPath.getName, p.getPath.getName, p.getPath)))
+      .head
+    val bakDest = new Path(s"$base/sigs.bakparts/${part._1}/${part._2}")
+    fs.mkdirs(bakDest.getParent)
+    fs.rename(part._3, bakDest)
+    def writeLock(ts: Long): Unit = {
+      val out = fs.create(new Path(s"$base/sigs.lock"), true)
+      out.writeBytes(s"live-writer $ts\n"); out.close()
+    }
+    // LIVE foreign lease: the reader must leave the archive alone —
+    // it is the live writer's crash-safety state, and consuming it
+    // would lose partitions if that writer then crashed
+    writeLock(System.currentTimeMillis())
+    val reader = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    assert(storeKey(reader.load().get) !== committed,
+      "reader must serve the store AS IS during a live commit")
+    assert(fs.exists(new Path(s"$base/sigs.bakparts")),
+      "a live writer's archive must survive a reader's recover()")
+    // stale lease (dead writer): recovery restores the partition
+    writeLock(System.currentTimeMillis() -
+      graft.tables.StoreLease.DefaultTtlMs - 1000L)
+    assert(storeKey(reader.load().get) === committed)
+    assert(!fs.exists(new Path(s"$base/sigs.bakparts")))
+  }
+
   test("saveIncremental keeps the one-file-per-cell layout across " +
       "batches") {
     val base = java.nio.file.Files
