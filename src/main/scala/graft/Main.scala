@@ -35,6 +35,12 @@ import graft.state.StateStore
   *       (arrival-ANN mode: new vector files stream into the persisted
   *       IVF index — epoch 0 bootstraps (Lloyd training), later epochs
   *       assign against the frozen centroids, O(batch) work)
+  *     [--arrival LANDING_DIR [--db ...] [--time-limit SECONDS]
+  *       [--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH]
+  *       [--ann-store PATH] [--log PATH]]  (THE composed nightly pass:
+  *       integrity + dedup ingest + ANN ingest + index maintenance +
+  *       OOV QC over one landing zone under ONE budget — see
+  *       scheduler.ArrivalPass)
   */
 object Main {
 
@@ -239,15 +245,16 @@ object Main {
       println("# graft scheduled-run bootstrap — paste into crontab -e")
       println("# (ref ola/MaintenanceSolution.sql:7821 ff.: the reference")
       println("#  creates SQL Agent jobs; on a lake the scheduler is cron)")
+      // a given --time-limit rides EVERY echoed job (the printer's
+      // never-drop-a-flag contract)
+      val tlArg = cfg.timeLimitSeconds.fold("")(s => s" --time-limit $s")
       println("# nightly full integrity pass (daily idempotence makes")
       println("# re-runs safe, ref IC:664-665):")
-      val tlNightly = cfg.timeLimitSeconds.fold("")(s => s" --time-limit $s")
-      println(s"17 1 * * * $submit $dbArgs --state $statePath$tlNightly$logArg")
+      println(s"17 1 * * * $submit $dbArgs --state $statePath$tlArg$logArg")
       println("# arrived-data incremental check, every 15 minutes")
       println("# (O(new files) per pass — see --incremental; a given")
       println("# --time-limit rides along so the job cannot overrun")
       println("# its slot — IC:592's per-table budget check):")
-      val tlArg = cfg.timeLimitSeconds.fold("")(s => s" --time-limit $s")
       println(s"*/15 * * * * $submit $dbArgs --incremental " +
         s"--checkpoint $checkpointRoot$tlArg$logArg")
       arrivalDir.foreach { landing =>
@@ -255,12 +262,11 @@ object Main {
         // ANN ingest + OOV QC under one budget — see --arrival); the
         // echoed line carries every store/budget argument it was given,
         // so the installed job runs the configuration that was asked for
-        val tl = cfg.timeLimitSeconds.fold("")(s => s" --time-limit $s")
         println("# composed nightly arrival pass (one budget, admission")
         println("# control between stages — ref IC:505/592/677):")
         println(s"37 2 * * * $submit $dbArgs --arrival $landing " +
           s"--checkpoint $checkpointRoot --sig-store $sigStorePath " +
-          s"--dedup-out $dedupOut --ann-store $annStorePath$tl$logArg")
+          s"--dedup-out $dedupOut --ann-store $annStorePath$tlArg$logArg")
       }
       return
     }
