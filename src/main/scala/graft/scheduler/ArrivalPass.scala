@@ -34,7 +34,11 @@ final case class ArrivalConfig(
     checkpointRoot: String = "/tmp/graft-arrival",
     sigStorePath: String = "/tmp/graft-sigstore/sigs",
     dedupOut: String = "/tmp/graft-dedup-pairs",
-    annStorePath: String = "/tmp/graft-annstore/ann")
+    annStorePath: String = "/tmp/graft-annstore/ann",
+    // micro-batch size bound for the ingest streams — the deadline's
+    // granularity: the per-batch budget check (IC:644) can only stop
+    // at batch boundaries, so one unbounded batch has no check points
+    maxFilesPerBatch: Int = 1000)
 
 /** What the pass did: the per-stage results plus the integrity tier's
   * violation/error tallies (they drive the CLI exit code exactly like
@@ -72,9 +76,16 @@ final case class ArrivalReport(stages: Seq[StageResult],
   * `timeLimitSeconds`, each stage is admitted only while the clock is
   * inside it, and a skipped stage writes an `ARRIVAL_STAGE` audit row
   * saying so — the operator sees "ann_ingest: admission_skipped", not
-  * silence. Stages already running are not interrupted (a mid-commit
-  * kill would be worse than a late finish — the same reason the
-  * reference checks the budget between databases, not inside CHECKDB).
+  * silence. The deadline also flows INTO the admitted work at every
+  * inner-loop head the engine owns (the reference checks the clock
+  * before each inner unit, IC:644, not only between phases): the
+  * integrity stage checks per table, and the ingest streams check per
+  * MICRO-BATCH — at the deadline a drain stops gracefully after the
+  * current batch commits, the checkpoint holds the remainder for the
+  * next pass, and the stage detail reports `drained=N remaining≈M`.
+  * Work is never killed MID-batch (a mid-commit kill would be worse
+  * than a slightly late finish); the batch-size bound
+  * (`maxFilesPerBatch`) keeps that tail short.
   *
   * Stage isolation: a FAILED stage is logged (status `failed`, error
   * in the audit row) and the pass continues — a broken vector feed
@@ -85,6 +96,16 @@ final case class ArrivalReport(stages: Seq[StageResult],
   * (store.withLease inside each stream), so the pass holds each
   * store's lease exactly while writing it. */
 object ArrivalPass {
+
+  /** Stage detail for an ingest drain: the normal summary, or — when
+    * the drain stopped at the pass deadline — the drained/remaining
+    * accounting the operator needs to size tomorrow's backlog. */
+  private def drainDetail(r: graft.streaming.Streams.DrainReport,
+      normal: String): String =
+    if (r.stoppedAtDeadline)
+      s"drained=${r.drained} remaining≈${r.remainingFiles} files " +
+        s"(budget; checkpoint resumes next pass) $normal"
+    else s"drained=${r.drained} $normal"
 
   def run(spark: SparkSession, cfg: ArrivalConfig, log: CommandLog,
       clock: Clock): ArrivalReport = {
@@ -164,10 +185,16 @@ object ArrivalPass {
         ("skipped_empty", s"no arrivals under $docsDir")
       else {
         val schema = spark.read.parquet(docsDir).schema
-        graft.streaming.Streams.incrementalDedupStream(spark, docsDir,
-          schema, cfg.sigStorePath, s"${cfg.checkpointRoot}/dedup",
-          cfg.dedupOut)
-        ("ran", s"store=${cfg.sigStorePath} pairs under ${cfg.dedupOut}")
+        // the pass deadline flows INTO the drain (IC:644's inner-loop
+        // clock check): a backlogged landing zone admitted late in the
+        // budget stops at a batch boundary instead of overrunning
+        // unboundedly; the checkpoint keeps the remainder
+        val r = graft.streaming.Streams.incrementalDedupStream(spark,
+          docsDir, schema, cfg.sigStorePath,
+          s"${cfg.checkpointRoot}/dedup", cfg.dedupOut,
+          deadline, clock, Some(cfg.maxFilesPerBatch))
+        ("ran", drainDetail(r,
+          s"store=${cfg.sigStorePath} pairs under ${cfg.dedupOut}"))
       }
     }
 
@@ -177,9 +204,11 @@ object ArrivalPass {
         ("skipped_empty", s"no arrivals under $vecsDir")
       else {
         val schema = spark.read.parquet(vecsDir).schema
-        graft.streaming.Streams.incrementalAnnStream(spark, vecsDir,
-          schema, cfg.annStorePath, s"${cfg.checkpointRoot}/ann")
-        ("ran", s"index=${cfg.annStorePath}")
+        val r = graft.streaming.Streams.incrementalAnnStream(spark,
+          vecsDir, schema, cfg.annStorePath,
+          s"${cfg.checkpointRoot}/ann",
+          deadline, clock, Some(cfg.maxFilesPerBatch))
+        ("ran", drainDetail(r, s"index=${cfg.annStorePath}"))
       }
     }
 

@@ -470,6 +470,136 @@ object Streams {
     incrementalCheckById(spark, srcDir, schema, (b, _) => checkFn(b),
       checkpoint, outPath)
 
+  /** What an arrival ingest stream drained this run: committed
+    * micro-batches, whether it stopped at the pass deadline (vs
+    * exhausting the landing zone), and — when it stopped early — an
+    * estimate of the landed files still pending in the checkpoint
+    * (the next pass's backlog). */
+  final case class DrainReport(drained: Long, stoppedAtDeadline: Boolean,
+      remainingFiles: Long)
+
+  /** Control-flow signal for the graceful deadline stop: thrown at a
+    * micro-batch HEAD (before any processing), so every batch admitted
+    * before the deadline commits and the refused batch replays next
+    * pass from the checkpoint. Never escapes [[awaitDrain]]. */
+  private[graft] final class DeadlineReached(msg: String)
+      extends RuntimeException(msg)
+
+  /** The IC:644 inner-loop discipline for ingest streams: before each
+    * micro-batch, is there budget left? Past the deadline the batch is
+    * REFUSED (never killed mid-flight — the committed prefix stands and
+    * the checkpoint holds the remainder). `observe()` not `now()`: a
+    * stream-thread read must not perturb a deterministic test clock's
+    * driver tick sequence (the Clock contract). */
+  private def admitBatch(deadline: Option[java.time.Instant],
+      clock: graft.model.Clock, what: String): Unit =
+    deadline.foreach { d =>
+      val t = clock.observe()
+      if (!t.isBefore(d)) throw new DeadlineReached(
+        s"$what: pass deadline $d reached (clock $t) before this " +
+          "micro-batch; stopping after the committed prefix — the " +
+          "checkpoint holds the remainder for the next pass (IC:644)")
+    }
+
+  /** Await an AvailableNow drain, translating a [[DeadlineReached]]
+    * thrown from foreachBatch (it surfaces wrapped in the stream's
+    * failure exception) into `true` = stopped at the deadline. Any
+    * other failure propagates unchanged. */
+  private def awaitDrain(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Boolean =
+    try { q.awaitTermination(); false }
+    catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+      var c: Throwable = e
+      var hit = false
+      while (c != null && !hit) {
+        hit = c.isInstanceOf[DeadlineReached]; c = c.getCause
+      }
+      if (hit) true else throw e
+    }
+
+  /** Non-hidden data files currently under `src`, by bare URI path —
+    * the same recursive/hidden-component discipline as the arrival
+    * modes' landing probe (graft.Main.hasLandedFiles). */
+  private[graft] def listDataFiles(spark: SparkSession,
+      src: String): Seq[String] = {
+    val raw = new org.apache.hadoop.fs.Path(src)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcP = fs.makeQualified(raw)
+    if (!fs.exists(srcP)) Nil
+    else {
+      val basePath = srcP.toUri.getPath.stripSuffix("/") + "/"
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(srcP, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(basePath)
+        val hidden = rel.split("/").exists(c =>
+          c.startsWith("_") || c.startsWith("."))
+        if (st.isFile && st.getLen > 0 && !hidden)
+          buf += st.getPath.toUri.getPath
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Files the checkpoint's file-source log has COMMITTED — parsed
+    * from `<checkpoint>/sources/0` (each batch's listing is JSON-lines
+    * of `{"path":...}` entries keyed by batch id; `.compact` files
+    * carry the folded history). Only listings whose batch id is ≤ the
+    * newest entry in `<checkpoint>/commits` count: the source writes a
+    * batch's listing at PLANNING time, so a batch refused by the
+    * deadline (offset planned, commit never written — it replays next
+    * pass) must not count its files as seen. Edge: a `.compact` whose
+    * id is past the last commit folds committed history together with
+    * the uncommitted tail and is skipped wholesale — the estimate errs
+    * toward counting those files unseen, the safe direction for both
+    * consumers (a larger `remaining≈` report; a quiet-table probe that
+    * runs the stream rather than skipping it). Empty when the
+    * checkpoint has no source log yet. */
+  private[graft] def seenFiles(spark: SparkSession,
+      checkpoint: String): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint, "sources/0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else {
+      val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+      val lastCommitted: Long =
+        if (!fs.exists(commits)) -1L
+        else fs.listStatus(commits)
+          .flatMap(s => s.getPath.getName.toLongOption)
+          .foldLeft(-1L)(math.max)
+      val pathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
+      fs.listStatus(dir).filter { st =>
+        st.isFile && st.getPath.getName.stripSuffix(".compact")
+          .toLongOption.exists(_ <= lastCommitted)
+      }.flatMap { st =>
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        pathRe.findAllMatchIn(txt).map { m =>
+          // entries are file URIs; normalize to the bare path so they
+          // compare against listDataFiles regardless of scheme spelling
+          val p = m.group(1).replace("\\/", "/")
+          try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+            .toUri.getPath
+          catch { case _: Exception => p }
+        }
+      }.toSet
+    }
+  }
+
+  /** How many landed files `checkpoint` has NOT yet committed — the
+    * deadline-stop report's `remaining≈` estimate, and the quiet-table
+    * fast-path probe (0 with an existing checkpoint = nothing new
+    * landed; the stream spin-up can be skipped entirely). Approximate
+    * by design: a file the source would age out (maxFileAge) still
+    * counts, erring toward running the stream. */
+  private[graft] def unseenFiles(spark: SparkSession, src: String,
+      checkpoint: String): Long = {
+    val seen = seenFiles(spark, checkpoint)
+    listDataFiles(spark, src).count(p => !seen.contains(p)).toLong
+  }
+
   /** Arrived-docs DEDUP stream — the arrival pipeline composed end to
     * end: a file-source stream of documents, each micro-batch run
     * through [[graft.pipeline.IncrementalDedup.ingest]] against the
@@ -493,19 +623,37 @@ object Streams {
     * run fails loudly instead of interleaving store swaps.
     * Trigger.AvailableNow drains what exists and stops, so the same
     * call is a scheduled catch-up job or a continuous monitor with a
-    * different trigger. */
+    * different trigger.
+    *
+    * `deadline`: the pass budget, checked at every micro-batch HEAD
+    * (ref IC:644 — the reference checks the clock before each inner
+    * unit of work, not only between phases): at the deadline the
+    * stream stops gracefully after the current batch commits, the
+    * checkpoint holds the remainder for the next pass, and the
+    * returned [[DrainReport]] says how much was drained and roughly
+    * how many landed files remain. `maxFilesPerBatch` bounds a
+    * micro-batch (the deadline's granularity knob — one giant batch
+    * has no check points). */
   def incrementalDedupStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType, storePath: String,
-      checkpoint: String, outPath: String): Unit = {
+      checkpoint: String, outPath: String,
+      deadline: Option[java.time.Instant] = None,
+      clock: graft.model.Clock = graft.model.SystemClock,
+      maxFilesPerBatch: Option[Int] = None): DrainReport = {
     import graft.pipeline.{Dedup, IncrementalDedup}
     val store = new IncrementalDedup.SigStore(spark, storePath)
-    store.withLease {
-      val q = spark.readStream.schema(schema).parquet(srcDir)
+    val drained = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stopped = store.withLease {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerBatch.foreach(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+      val q = reader.parquet(srcDir)
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
             id: Long) =>
+          admitBatch(deadline, clock, "incrementalDedupStream")
           store.renewLease()
           val prev = store.load()
           val r = IncrementalDedup.ingest(
@@ -522,10 +670,14 @@ object Streams {
           // partition overwrite of only the partitions the batch touched
           if (prev.isEmpty) store.save(r.updatedStore)
           else store.saveIncremental(r.touched, r.touchedParts)
+          drained.incrementAndGet()
+          ()
         }
         .start()
-      q.awaitTermination()
+      awaitDrain(q)
     }
+    DrainReport(drained.get(), stopped,
+      if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L)
   }
 
   /** Test seam for the crash window between the pair write and the
@@ -545,19 +697,32 @@ object Streams {
     * counter IS the batch-id key, and pointing a FRESH checkpoint at
     * an already-EVOLVED store is REFUSED loudly (epoch 0 against a
     * store holding ingested batches would otherwise retrain on one
-    * batch and swap away the accumulated index). */
+    * batch and swap away the accumulated index).
+    *
+    * `deadline`/`clock`/`maxFilesPerBatch`: the same per-micro-batch
+    * budget discipline as [[incrementalDedupStream]] (IC:644) — at the
+    * deadline the drain stops after the committed prefix and the
+    * checkpoint holds the remainder. */
   def incrementalAnnStream(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType, storePath: String,
-      checkpoint: String): Unit = {
+      checkpoint: String,
+      deadline: Option[java.time.Instant] = None,
+      clock: graft.model.Clock = graft.model.SystemClock,
+      maxFilesPerBatch: Option[Int] = None): DrainReport = {
     import graft.pipeline.IncrementalAnn
     val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
-    store.withLease {
-      val q = spark.readStream.schema(schema).parquet(srcDir)
+    val drained = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stopped = store.withLease {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerBatch.foreach(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+      val q = reader.parquet(srcDir)
         .writeStream
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
             id: Long) =>
+          admitBatch(deadline, clock, "incrementalAnnStream")
           store.renewLease()
           val codes = batch.toDF().select(col("vec_id"),
             graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
@@ -613,11 +778,21 @@ object Streams {
             store.ingest(codes, batchId = id)
             ()
           }
+          drained.incrementAndGet()
+          onAnnBatchIngested(id)
         }
         .start()
-      q.awaitTermination()
+      awaitDrain(q)
     }
+    DrainReport(drained.get(), stopped,
+      if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L)
   }
+
+  /** Test seam mirroring [[onDedupPairsWritten]] for the ANN tier:
+    * called after each committed ingest batch, so a spec can advance a
+    * ManualClock per batch and exercise the mid-drain deadline stop.
+    * No-op in production. */
+  private[graft] var onAnnBatchIngested: Long => Unit = _ => ()
 
   /** Same, with the micro-batch id passed to `checkFn` — callers that
     * accumulate per-batch results OUTSIDE the stream (e.g. a violations

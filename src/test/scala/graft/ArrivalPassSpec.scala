@@ -204,6 +204,123 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(skipped.forall(_.command.contains("time budget exhausted")))
   }
 
+  test("deadline expires MID-DRAIN: the admitted ingest stage stops " +
+      "gracefully at a batch boundary (IC:644 inner-loop check), the " +
+      "committed prefix stands, the audit row reports drained/" +
+      "remaining, and the NEXT pass drains exactly the remainder") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-drain").toString
+    // a 4-file backlog: one doc per file, so maxFilesPerBatch=1 gives
+    // the drain four batch-boundary check points
+    (1L to 4L).foreach { i =>
+      Seq((100L + i, "web", s"backlog document number $i body text"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$base/landing/documents")
+    }
+    (1L to 3L).foreach { i =>
+      Seq((i, (0 until 8).map(d => (i * 10 + d).toFloat)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$base/landing/embeddings")
+    }
+    val log = new CommandLog(spark, None)
+    // tick 0 + a per-committed-batch 6 s advance through the test
+    // seam: the 10 s budget admits batches 0 and 1 (clock 0 s, 6 s)
+    // and refuses batch 2 (12 s) — a mid-drain expiry, not a
+    // stage-boundary one
+    val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"))
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = Map.empty,
+      timeLimitSeconds = Some(10L),
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann",
+      maxFilesPerBatch = 1)
+    val report =
+      try {
+        graft.streaming.Streams.onDedupPairsWritten =
+          _ => clock.advance(6000L)
+        ArrivalPass.run(spark, cfg, log, clock)
+      } finally graft.streaming.Streams.onDedupPairsWritten = _ => ()
+
+    val dedup = report.stages.find(_.stage == "dedup_ingest").get
+    assert(dedup.status === "ran")
+    assert(dedup.detail.contains("drained=2") &&
+      dedup.detail.contains("remaining≈2") &&
+      dedup.detail.contains("budget"), dedup.detail)
+    // the committed prefix stands: exactly the two drained docs' sigs
+    val sig = new graft.pipeline.IncrementalDedup.SigStore(
+      spark, s"$base/sigs")
+    assert(sig.load().get.count() === 2L)
+    // the refused batch was never processed, so later stages see the
+    // exhausted budget at their admission gate
+    assert(report.stages.find(_.stage == "ann_ingest").get.status
+      === "admission_skipped")
+    // the audit row carries the drained/remaining accounting
+    val row = log.entries.find(e =>
+      e.command_type == "ARRIVAL_STAGE" &&
+        e.object_name == "dedup_ingest").get
+    assert(row.command.contains("remaining≈2") &&
+      row.command.contains("checkpoint resumes next pass"), row.command)
+
+    // NEXT pass, fresh budget: the checkpoint drains EXACTLY the
+    // remainder (2 batches), and the store converges on all 4 docs
+    val report2 = ArrivalPass.run(spark,
+      cfg.copy(timeLimitSeconds = None), log,
+      new ManualClock(Instant.parse("2026-01-02T00:00:00Z")))
+    val dedup2 = report2.stages.find(_.stage == "dedup_ingest").get
+    assert(dedup2.status === "ran")
+    assert(dedup2.detail.contains("drained=2") &&
+      !dedup2.detail.contains("remaining"), dedup2.detail)
+    assert(sig.load().get.count() === 4L)
+    // the ANN tier (skipped entirely in pass 1) bootstraps + ingests
+    // its 3-file backlog under the same per-batch discipline
+    val ann2 = report2.stages.find(_.stage == "ann_ingest").get
+    assert(ann2.status === "ran" && ann2.detail.contains("drained=3"),
+      ann2.detail)
+  }
+
+  test("deadline expires mid-drain on the ANN tier too: the vector " +
+      "ingest stops at a batch boundary and resumes from its " +
+      "checkpoint next pass") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ann-drain").toString
+    (1L to 3L).foreach { i =>
+      Seq((i, (0 until 8).map(d => (i * 10 + d).toFloat)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$base/landing/embeddings")
+    }
+    val log = new CommandLog(spark, None)
+    val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"))
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = Map.empty,
+      timeLimitSeconds = Some(10L),
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann",
+      maxFilesPerBatch = 1)
+    val report =
+      try {
+        graft.streaming.Streams.onAnnBatchIngested =
+          _ => clock.advance(6000L)
+        ArrivalPass.run(spark, cfg, log, clock)
+      } finally graft.streaming.Streams.onAnnBatchIngested = _ => ()
+    val ann = report.stages.find(_.stage == "ann_ingest").get
+    assert(ann.status === "ran")
+    assert(ann.detail.contains("drained=2") &&
+      ann.detail.contains("remaining≈1"), ann.detail)
+    val store = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+      spark, s"$base/ann")
+    assert(store.load().get.count() === 2L)
+    val report2 = ArrivalPass.run(spark,
+      cfg.copy(timeLimitSeconds = None), log,
+      new ManualClock(Instant.parse("2026-01-02T00:00:00Z")))
+    val ann2 = report2.stages.find(_.stage == "ann_ingest").get
+    assert(ann2.status === "ran" && ann2.detail.contains("drained=1"),
+      ann2.detail)
+    assert(store.load().get.count() === 3L)
+  }
+
   test("input skips are explicit: an empty landing zone and no " +
       "resident corpus produce skip statuses, not crashes or silence") {
     val base = java.nio.file.Files
