@@ -97,6 +97,57 @@ final case class ArrivalReport(stages: Seq[StageResult],
   * store's lease exactly while writing it. */
 object ArrivalPass {
 
+  /** Persisted per-stage duration history for predicted-cost admission
+    * (ref IC:677-680: the reference never STARTS a check its average
+    * duration says cannot finish inside the remaining budget; the
+    * estimate is the same incremental-mean recurrence the batch
+    * scheduler's state rows keep, `avg += (new - avg) / n`, IC:706 /
+    * state/StateStore.recordRun). Lives next to the pass checkpoints
+    * (`<checkpointRoot>/stage_stats.json`), one tiny driver-side file.
+    * Written with a plain overwrite: a crash mid-write at worst loses
+    * the history, and admission degrades to the time-remaining gate —
+    * never to wrong work. */
+  private final class StageStats(spark: SparkSession, path: String) {
+    private val p = new org.apache.hadoop.fs.Path(path)
+    private def fs = p.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    private val entryRe =
+      """"([A-Za-z0-9_]+)":\{"n":(\d+),"avg_ms":(\d+)\}""".r
+    private var m: Map[String, (Long, Long)] =
+      try {
+        if (!fs.exists(p)) Map.empty
+        else {
+          val in = fs.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          entryRe.findAllMatchIn(txt).map(g =>
+            g.group(1) -> (g.group(2).toLong, g.group(3).toLong)).toMap
+        }
+      } catch { case NonFatal(_) => Map.empty }
+
+    /** Predicted duration for a stage = its running average; None
+      * until the stage has run at least once (a never-seen stage is
+      * always admitted — the reference's first run of a new database
+      * has no estimate either). */
+    def predictMs(stage: String): Option[Long] = m.get(stage).map(_._2)
+
+    /** Fold one completed run into the history (IC:706 recurrence,
+      * integer arithmetic) and persist. */
+    def record(stage: String, durMs: Long): Unit = {
+      val (n0, avg0) = m.getOrElse(stage, (0L, 0L))
+      val n = n0 + 1
+      m += stage -> (n, avg0 + (durMs - avg0) / n)
+      try {
+        val body = m.toSeq.sortBy(_._1).map { case (s, (cnt, avg)) =>
+          s""""$s":{"n":$cnt,"avg_ms":$avg}"""
+        }.mkString(",")
+        val out = fs.create(p, true)
+        out.writeBytes(s"""{"format":1,"stages":{$body}}\n""")
+        out.close()
+      } catch { case NonFatal(_) => () }
+    }
+  }
+
   /** Stage detail for an ingest drain: the normal summary, or — when
     * the drain stopped at the pass deadline — the drained/remaining
     * accounting the operator needs to size tomorrow's backlog. */
@@ -111,8 +162,8 @@ object ArrivalPass {
       clock: Clock): ArrivalReport = {
     val deadline: Option[Instant] =
       cfg.timeLimitSeconds.map(s => clock.now().plusSeconds(s))
-    def overBudget: Boolean =
-      deadline.exists(d => !clock.now().isBefore(d))
+    val stats = new StageStats(spark,
+      s"${cfg.checkpointRoot}/stage_stats.json")
 
     val results = ArrayBuffer.empty[StageResult]
     var violations = 0L
@@ -137,28 +188,73 @@ object ArrivalPass {
         error_message = if (status == "failed") Some(detail) else None))
     }
 
-    /** Admission-gate + run + audit one stage. `body` returns either a
-      * (status, detail) it decided itself (input-skips) or throws. */
-    def stage(name: String)(body: => (String, String)): Unit = {
-      if (overBudget) {
+    /** Admission-gate + run + audit one stage. Two gates, both the
+      * reference's (work is SKIPPED with an audit row, never killed):
+      * is there time left (IC:592), and — when the stage HAS work and
+      * a duration history — will it FINISH in the time left (IC:677,
+      * predicted from the persisted incremental mean)? The prediction
+      * gets a 25 % grace (≥1 s): averages are noisy, and an admitted
+      * overrunner is now bounded anyway — the ingest stages stop at
+      * the deadline per micro-batch. `hasWork` = false (an input probe
+      * already knows the stage will input-skip) bypasses the cost gate
+      * so a cheap skip is never refused on the cost of the work it
+      * won't do. `body` returns either a (status, detail) it decided
+      * itself (input-skips) or throws. Only `ran` stages feed the
+      * duration history — a skip's near-zero duration would drag the
+      * mean under the real cost and re-admit overrunners. */
+    def stage(name: String, hasWork: => Boolean = true)(
+        body: => (String, String)): Unit = {
+      val nowT = clock.now()
+      if (deadline.exists(d => !nowT.isBefore(d))) {
         val d = "time budget exhausted before this stage " +
           s"(limit ${cfg.timeLimitSeconds.getOrElse(-1L)} s)"
         results += StageResult(name, "admission_skipped", 0.0, d)
         audit(name, "admission_skipped", 0.0, d)
-      } else {
-        val t0 = System.nanoTime()
-        val (status, detail) =
-          try body
-          catch { case NonFatal(e) =>
-            ("failed", s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
-        val sec = math.round(clock.elapsedMs(t0) / 10.0) / 100.0
-        results += StageResult(name, status, sec, detail)
-        audit(name, status, sec, detail)
+        return
+      }
+      val remainingMs =
+        deadline.map(d => d.toEpochMilli - nowT.toEpochMilli)
+      val predictedMs =
+        if (remainingMs.isDefined && hasWork) stats.predictMs(name)
+        else None
+      (remainingMs, predictedMs) match {
+        case (Some(rem), Some(p))
+            if p > rem + math.max(1000L, p / 4) =>
+          val d = f"predicted ${p / 1000.0}%.1f s > remaining " +
+            f"${rem / 1000.0}%.1f s (+25%% grace) from the persisted " +
+            "stage duration history — admission refused (IC:677)"
+          results += StageResult(name, "admission_skipped", 0.0, d)
+          audit(name, "admission_skipped", 0.0, d)
+        case _ =>
+          val t0 = System.nanoTime()
+          val (status, detail) =
+            try body
+            catch { case NonFatal(e) =>
+              ("failed", s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          val durMs = clock.elapsedMs(t0)
+          val sec = math.round(durMs / 10.0) / 100.0
+          results += StageResult(name, status, sec, detail)
+          audit(name, status, sec, detail)
+          if (status == "ran") stats.record(name, durMs)
       }
     }
 
-    stage("integrity_incremental") {
+    // cheap input probes, computed once per pass: they feed the
+    // stages' input-skip arms AND tell the cost gate which stages
+    // have real work tonight (a stage that will input-skip must not
+    // be admission-refused on the predicted cost of work it won't do)
+    val docsDir = s"${cfg.landing}/documents"
+    val docsLanded = graft.Main.hasLandedFiles(spark, docsDir)
+    val vecsDir = s"${cfg.landing}/embeddings"
+    val vecsLanded = graft.Main.hasLandedFiles(spark, vecsDir)
+    def annStoreExists: Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(cfg.annStorePath)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(hp)
+    }
+
+    stage("integrity_incremental", hasWork = cfg.dbs.nonEmpty) {
       if (cfg.dbs.isEmpty)
         ("skipped_no_db", "no --db given; nothing to check")
       else {
@@ -177,10 +273,7 @@ object ArrivalPass {
       }
     }
 
-    val docsDir = s"${cfg.landing}/documents"
-    val docsLanded = graft.Main.hasLandedFiles(spark, docsDir)
-
-    stage("dedup_ingest") {
+    stage("dedup_ingest", hasWork = docsLanded) {
       if (!docsLanded)
         ("skipped_empty", s"no arrivals under $docsDir")
       else {
@@ -198,9 +291,8 @@ object ArrivalPass {
       }
     }
 
-    stage("ann_ingest") {
-      val vecsDir = s"${cfg.landing}/embeddings"
-      if (!graft.Main.hasLandedFiles(spark, vecsDir))
+    stage("ann_ingest", hasWork = vecsLanded) {
+      if (!vecsLanded)
         ("skipped_empty", s"no arrivals under $vecsDir")
       else {
         val schema = spark.read.parquet(vecsDir).schema
@@ -212,7 +304,10 @@ object ArrivalPass {
       }
     }
 
-    stage("ann_maintain") {
+    // hasWork evaluated HERE (by-name), after a possible bootstrap by
+    // this very pass's ann_ingest stage — a pass-start snapshot would
+    // cost-gate the first-ever maintain on an index that now exists
+    stage("ann_maintain", hasWork = annStoreExists) {
       // the reference's nightly job runs IndexOptimize right after the
       // integrity checks (MS:7821 ff. creates both jobs); the vector
       // tier's analog is the monitor→action loop — measured drift
@@ -232,7 +327,7 @@ object ArrivalPass {
           s"arrivedBatches=${r.arrivedBatches}")
     }
 
-    stage("oov_qc") {
+    stage("oov_qc", hasWork = docsLanded) {
       val resident = cfg.dbs.toSeq.sortBy(_._1).map(_._2 + "/documents.parquet")
         .find { p =>
           val hp = new org.apache.hadoop.fs.Path(p)

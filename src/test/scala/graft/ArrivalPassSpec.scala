@@ -321,6 +321,59 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(store.load().get.count() === 3L)
   }
 
+  test("IC:677 predicted-cost admission: a stage whose persisted " +
+      "duration history predicts an overrun of the remaining budget " +
+      "is admission-skipped (audit row says predicted > remaining) " +
+      "while cheap later stages still run") {
+    val (base, dbs) = fixture()
+    // seeded history: dedup_ingest averages 600 s over 5 runs — far
+    // past tonight's 30 s budget; no other stage has history
+    val statsP = new org.apache.hadoop.fs.Path(
+      s"$base/ckpt/stage_stats.json")
+    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(statsP, true)
+    out.writeBytes(
+      """{"format":1,"stages":{"dedup_ingest":{"n":5,"avg_ms":600000}}}""")
+    out.close()
+    val log = new CommandLog(spark, None)
+    val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"),
+      tickMs = 1000L)
+    val report = ArrivalPass.run(spark,
+      ArrivalConfig(
+        landing = s"$base/landing", dbs = dbs,
+        timeLimitSeconds = Some(30L),
+        checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs", annStorePath = s"$base/ann"),
+      log, clock)
+    assert(report.stages.map(s => s.stage -> s.status) === Seq(
+      "integrity_incremental" -> "ran",
+      "dedup_ingest" -> "admission_skipped",
+      "ann_ingest" -> "ran",
+      "ann_maintain" -> "ran",
+      "oov_qc" -> "ran"), report.stages.mkString("\n"))
+    val skip = report.stages.find(_.stage == "dedup_ingest").get
+    assert(skip.detail.contains("predicted 600.0 s") &&
+      skip.detail.contains("remaining") &&
+      skip.detail.contains("IC:677"), skip.detail)
+    // the refusal is an audit row, and the skipped stage touched
+    // nothing (no signature store was created)
+    val row = log.entries.find(e =>
+      e.command_type == "ARRIVAL_STAGE" &&
+        e.object_name == "dedup_ingest").get
+    assert(row.extended_info.contains("admission_skipped"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/sigs")))
+    // ran stages fed the history (IC:706 recurrence; ManualClock's
+    // fixed 1000 ms elapsed makes the fold deterministic) and the
+    // seeded entry survived un-diluted — skips never feed the mean
+    val in = fs.open(statsP)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(txt.contains(""""dedup_ingest":{"n":5,"avg_ms":600000}"""),
+      txt)
+    assert(txt.contains(""""ann_ingest":{"n":1,"avg_ms":1000}"""), txt)
+    assert(txt.contains(""""integrity_incremental":{"n":1"""), txt)
+  }
+
   test("input skips are explicit: an empty landing zone and no " +
       "resident corpus produce skip statuses, not crashes or silence") {
     val base = java.nio.file.Files
