@@ -20,12 +20,17 @@ import graft.state.StateStore
   *     [--database-order POLICY] [--dry-run]
   *     [--state PATH] [--log PATH] [--report]
   *     [--print-schedule]                       (echo crontab lines for the
-  *       nightly full pass + the 15-minute incremental pass, the lake
-  *       analog of ref ola/MaintenanceSolution.sql:7821 ff. job creation)
+  *       nightly full pass + the 15-minute incremental pass — plus the
+  *       composed arrival job when --arrival is given and the weekly
+  *       compaction job when --compact is given: the WHOLE maintenance
+  *       surface, the lake analog of ref ola/MaintenanceSolution.sql:7821
+  *       ff. creating both the IntegrityCheck and IndexOptimize jobs)
   *     [--incremental [--checkpoint ROOT]]      (arrived-data mode: check
   *       only files landed since the last checkpoint — O(new files))
-  *     [--compact TABLE_DIR --target-bytes N]   (maintenance mode:
-  *       plan is printed; executed unless --dry-run)
+  *     [--compact TABLE_DIR --target-bytes N [--time-limit S]]
+  *       (maintenance mode: plan is printed; executed unless --dry-run;
+  *       a time limit is checked at every merge-group head — IC:644 —
+  *       and the next run re-plans what was left)
   *     [--dedup-ingest DOCS_DIR [--sig-store PATH] [--dedup-out PATH]
   *       [--checkpoint ROOT]]                   (arrival-dedup mode: new
   *       document files stream through IncrementalDedup against the
@@ -149,7 +154,7 @@ object Main {
           "[--database-order POLICY] [--dry-run] [--state PATH] " +
           "[--log PATH] [--report] [--print-schedule] " +
           "[--incremental [--checkpoint ROOT]] " +
-          "[--compact TABLE_DIR --target-bytes N] " +
+          "[--compact TABLE_DIR --target-bytes N [--time-limit S]] " +
           "[--dedup-ingest DOCS_DIR [--sig-store PATH] " +
           "[--dedup-out PATH] [--checkpoint ROOT]] " +
           "[--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]] " +
@@ -222,14 +227,17 @@ object Main {
       // the invocation specified.
       val allowed = Set("--print-schedule", "--db", "--state", "--log",
         "--checkpoint", "--arrival", "--time-limit", "--sig-store",
-        "--dedup-out", "--ann-store")
+        "--dedup-out", "--ann-store", "--compact", "--target-bytes")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         s"--print-schedule cannot carry ${stray.mkString(", ")} into the " +
           "echoed jobs; configure those in the pasted line manually " +
           "(accepted here: --db, --state, --log, --checkpoint, " +
           "--arrival, --time-limit, --sig-store, --dedup-out, " +
-          "--ann-store)")
+          "--ann-store, --compact, --target-bytes)")
+      if (compactDir.isEmpty && seen.contains("--target-bytes"))
+        usage("--target-bytes only rides the echoed compaction job; " +
+          "give --compact TABLE_DIR")
       if (arrivalDir.isEmpty &&
           Seq("--sig-store", "--dedup-out", "--ann-store")
             .exists(seen.contains))
@@ -263,10 +271,30 @@ object Main {
         // echoed line carries every store/budget argument it was given,
         // so the installed job runs the configuration that was asked for
         println("# composed nightly arrival pass (one budget, admission")
-        println("# control between stages — ref IC:505/592/677):")
+        println("# control between stages — ref IC:505/592/677).")
+        println("# NOTE: its integrity stage and the */15 job above keep")
+        println("# SEPARATE file-source checkpoints on purpose — the two")
+        println("# jobs can run CONCURRENTLY (a long nightly pass")
+        println("# overlaps the 15-minute cron) and a shared streaming")
+        println("# checkpoint has no cross-process writer lock, so each")
+        println("# tier owns its seen-set. Cost: an arrived file is")
+        println("# CHECKTABLE'd once per tier — double coverage, never")
+        println("# missed coverage.")
         println(s"37 2 * * * $submit $dbArgs --arrival $landing " +
           s"--checkpoint $checkpointRoot --sig-store $sigStorePath " +
           s"--dedup-out $dedupOut --ann-store $annStorePath$tlArg$logArg")
+      }
+      compactDir.foreach { dir =>
+        // the missing third of the reference's maintenance surface
+        // (MS:7821 ff. creates IntegrityCheck AND IndexOptimize jobs):
+        // weekly small-file compaction of a lake table — the parquet
+        // analog of the index-rebuild job. --time-limit rides along
+        // (compact() checks the budget at every group head, IC:644)
+        println("# weekly small-file compaction (the IndexOptimize-job")
+        println("# analog, ref MS:7821 ff.; budget checked per merge")
+        println("# group — see --compact):")
+        println(s"47 3 * * 0 $submit --compact $dir " +
+          s"--target-bytes $targetBytes$tlArg")
       }
       return
     }
@@ -284,13 +312,14 @@ object Main {
     // Mode separation, enforced not implied: every flag belongs to exactly
     // one mode, and a flag from the other mode is an error rather than a
     // silent no-op (the reference CLIs fail on unknown parameter combos).
-    val compactFlags = Set("--compact", "--target-bytes", "--dry-run")
+    val compactFlags =
+      Set("--compact", "--target-bytes", "--dry-run", "--time-limit")
     if (compactDir.isDefined) {
       val stray = seen.filterNot(compactFlags)
       if (stray.nonEmpty) usage(
         "--compact is a standalone maintenance mode; scheduler-only " +
           s"flag(s) given: ${stray.mkString(", ")} (allowed with " +
-          "--compact: --target-bytes, --dry-run)")
+          "--compact: --target-bytes, --dry-run, --time-limit)")
     } else if (seen.contains("--target-bytes"))
       usage("--target-bytes only applies to --compact maintenance runs")
     if (incremental) {
@@ -384,7 +413,11 @@ object Main {
       maintenance.Compaction.plan(files, targetBytes).collect()
         .foreach(r => println(s"plan: $r"))
       if (cfg.execute) {
-        val n = maintenance.Compaction.compact(spark, dir, files, targetBytes)
+        // a given --time-limit is checked at every merge-group head
+        // (IC:644); groups past the deadline stay for the next run
+        val n = maintenance.Compaction.compact(spark, dir, files,
+          targetBytes, deadline = cfg.timeLimitSeconds
+            .map(s => SystemClock.now().plusSeconds(s)))
         println(s"compacted: $n group(s)")
       } else println("dry-run: plan not executed")
     } else if (incremental) {

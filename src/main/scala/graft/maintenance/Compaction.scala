@@ -157,9 +157,18 @@ object Compaction {
   /** Same, against an already-taken file listing — the CLI passes the
     * SNAPSHOT it echoed as the plan, so what executes is exactly what was
     * printed (the reference's @Execute contract: echo, then run the SAME
-    * commands), and the directory is listed once. */
+    * commands), and the directory is listed once.
+    *
+    * `deadline`: the budget check at every GROUP head (each merge group
+    * is one independent admission-controlled unit — the IC:644
+    * inner-loop discipline): a group past the deadline is skipped, the
+    * committed prefix stands, and the next run re-plans exactly the
+    * remainder (the planner is idempotent — merged groups re-plan as
+    * noop). A group is never killed mid-swap. */
   def compact(spark: SparkSession, tableDir: String, files: DataFrame,
-      targetBytes: Long): Int = {
+      targetBytes: Long,
+      deadline: Option[java.time.Instant] = None,
+      clock: graft.model.Clock = graft.model.SystemClock): Int = {
     val dirPath = new Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // membership travels WITH each plan row (see planWithMembers) — never
@@ -169,7 +178,8 @@ object Compaction {
       .select("members").collect()
       .map(_.getSeq[String](0))
     val tmp = new Path(dirPath, ".compact-tmp")
-    groups.zipWithIndex.foreach { case (members, i) =>
+
+    def mergeOne(members: Seq[String], i: Int): Unit = {
       val out = new Path(tmp, s"merge-$i")
       spark.read.parquet(members: _*).coalesce(1)
         .write.mode("overwrite").parquet(out.toString)
@@ -211,8 +221,24 @@ object Compaction {
               s"are duplicated until it is removed (see $manifest)")
       }
     }
+
+    var done = 0
+    var budgetStop = false
+    while (done < groups.length && !budgetStop) {
+      if (deadline.exists(d => !clock.observe().isBefore(d))) {
+        // loud skip, reference-style: the operator sees what a
+        // time-boxed run left for the next one
+        println(s"compact: time budget exhausted before group $done " +
+          s"(${groups.length - done} group(s) remain; re-run to " +
+          "compact the remainder)")
+        budgetStop = true
+      } else {
+        mergeOne(groups(done), done)
+        done += 1
+      }
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    groups.length
+    done
   }
 
   /** STRICT-oracled planner gate: the full packing algebra (segment

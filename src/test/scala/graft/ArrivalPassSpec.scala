@@ -441,7 +441,9 @@ class ArrivalPassSpec extends AnyFunSuite {
         "--checkpoint", "/state/ckpt",
         "--sig-store", "/state/sigs",
         "--dedup-out", "/state/pairs",
-        "--ann-store", "/state/ann"))
+        "--ann-store", "/state/ann",
+        "--compact", "/data/corpus/events.parquet",
+        "--target-bytes", "134217728"))
     }
     val out = buf.toString("UTF-8")
     val line = out.linesIterator
@@ -460,5 +462,17 @@ class ArrivalPassSpec extends AnyFunSuite {
     val inc = out.linesIterator.find(_.startsWith("*/15 * * * * ")).get
     assert(nightly.contains("--time-limit 3600"), nightly)
     assert(inc.contains("--time-limit 3600"), inc)
+    // the WHOLE maintenance surface is echoed (MS:7821 ff. creates the
+    // IndexOptimize job too): a given --compact produces the weekly
+    // compaction line, carrying its target size AND the time limit
+    val compactLine = out.linesIterator
+      .find(_.startsWith("47 3 * * 0 "))
+      .getOrElse(fail(s"no compaction job line in:\n$out"))
+    for (frag <- Seq("--compact /data/corpus/events.parquet",
+        "--target-bytes 134217728", "--time-limit 3600"))
+      assert(compactLine.contains(frag), s"missing $frag in: $compactLine")
+    // the deliberate two-tier double coverage is documented in the
+    // printed comment, not left for the operator to discover
+    assert(out.contains("double coverage"), out)
   }
 }

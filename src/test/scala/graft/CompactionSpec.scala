@@ -123,6 +123,51 @@ class CompactionSpec extends AnyFunSuite {
     assert(replan.isEmpty)
   }
 
+  test("compact() honors a time budget at merge-group boundaries: the " +
+      "committed prefix stands, the skip is loud, and a re-run " +
+      "compacts exactly the remainder (IC:644)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-b")
+    val dir = s"$base/frag.parquet"
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val files = Compaction.tableFiles(spark, dir)
+    val total = files.collect().map(_.getAs[Long]("bytes")).sum
+    val target = total / 3
+    assert(Compaction.merges(files, target).count() >= 2,
+      "fixture must plan at least two merge groups")
+    // the budget check reads the clock once per group head: 6 s per
+    // read against a 10 s horizon admits group 0 and refuses group 1
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val clock = new graft.model.Clock {
+      private var calls = 0
+      def now(): java.time.Instant = synchronized {
+        calls += 1; t0.plusSeconds(6L * calls)
+      }
+      override def observe(): java.time.Instant = now()
+    }
+    val done = Compaction.compact(spark, dir, files, target,
+      deadline = Some(t0.plusSeconds(10L)), clock = clock)
+    assert(done === 1)
+    // nothing lost: the compacted group's rows and every untouched
+    // original are all still readable
+    assert(spark.read.parquet(dir).count() === before)
+    // the next (unbudgeted) run picks up the remainder; iterated
+    // re-planning converges to a no-merge plan (merged outputs can
+    // themselves be sub-target and re-merge once more)
+    val done2 = Compaction.compact(spark, dir, target)
+    assert(done2 >= 1)
+    assert(spark.read.parquet(dir).count() === before)
+    var rounds = 0
+    while (rounds < 3 && Compaction.merges(
+        Compaction.tableFiles(spark, dir), target).count() > 0) {
+      Compaction.compact(spark, dir, target); rounds += 1
+    }
+    assert(Compaction.merges(
+      Compaction.tableFiles(spark, dir), target).count() === 0)
+    assert(spark.read.parquet(dir).count() === before)
+  }
+
   test("planWithMembers: explicit member lists partition the listing exactly") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // execution consumes the members column — so it must name every input
