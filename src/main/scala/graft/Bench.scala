@@ -225,9 +225,21 @@ object Bench {
     //    BASELINE.md round-13 addendum).
     // A full run missing its anchor -> "unknown", never silently
     // healthy. Subset runs (no anchor by design) gate on the other two.
-    val HealthyOps = 7200000L
-    val HealthyAnchorRefSec = 0.148
-    val SparkProbeGateSec = 0.90
+    // The three pinned values are THIS container's calibration
+    // (tools/cpu_probe.py + BASELINE.md); on any other host they are
+    // wrong in one direction or the other — a slower-but-healthy host
+    // would quarantine every run forever, a faster one could mint
+    // records while throttled. Overridable via env (like
+    // SPARK_GRAFT_SF_DIR), with the effective values recorded in the
+    // emitted JSON so a reader can see which calibration gated the
+    // sample.
+    val HealthyOps = sys.env.get("SPARK_GRAFT_HEALTHY_OPS")
+      .flatMap(_.toLongOption).getOrElse(7200000L)
+    val HealthyAnchorRefSec = sys.env.get("SPARK_GRAFT_ANCHOR_REF_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(0.148)
+    val SparkProbeGateSec =
+      sys.env.get("SPARK_GRAFT_SPARK_PROBE_GATE_SEC")
+        .flatMap(_.toDoubleOption).getOrElse(0.90)
     val cpuOk = (probeBefore, probeAfter) match {
       case (Some(a), Some(b)) => Some(a >= HealthyOps && b >= HealthyOps)
       case _ => None
@@ -242,7 +254,7 @@ object Bench {
         if (c && a && sparkProbeOk) "healthy" else "degraded"
       case _ => "unknown"
     }
-    val health = s""""probe_before":${jn(probeBefore)},"probe_after":${jn(probeAfter)},"spark_probe_sec_before":$sparkProbeBefore,"spark_probe_sec_after":$sparkProbeAfter,"duckdb_anchor_sec":${jn(anchor)},"epoch_health":"$epochHealth""""
+    val health = s""""probe_before":${jn(probeBefore)},"probe_after":${jn(probeAfter)},"spark_probe_sec_before":$sparkProbeBefore,"spark_probe_sec_after":$sparkProbeAfter,"duckdb_anchor_sec":${jn(anchor)},"gate":{"healthy_ops":$HealthyOps,"anchor_ref_sec":$HealthyAnchorRefSec,"spark_probe_gate_sec":$SparkProbeGateSec},"epoch_health":"$epochHealth""""
     val resc = rescued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retr = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -254,7 +266,7 @@ object Bench {
     // got truncated mid-line in rounds 1-3 (BENCH_r*.json "parsed": null).
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; spark_probe_sec_* is a fixed 32-task shuffle+agg best-of-2 timed in THIS JVM (calibration in BASELINE.md); epoch_health=healthy requires cpu probes >= 7.2e6 AND anchor <= 1.3x the pinned 0.148 s healthy reference AND min spark_probe <= 0.90 s — a failing full run is quarantined to BENCH_DEGRADED_LOCAL.json and never overwrites BENCH_FULL_LOCAL.json; dd16_incremental_lsh times INGEST ONLY against a per-session memoized signature store (the gated query's one-time bootstrap is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,$health}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; spark_probe_sec_* is a fixed 32-task shuffle+agg best-of-2 timed in THIS JVM (calibration in BASELINE.md); epoch_health=healthy requires cpu probes >= the gate's healthy_ops AND anchor <= 1.3x its anchor_ref_sec AND min spark_probe <= its spark_probe_gate_sec (pinned container calibration by default, overridable via SPARK_GRAFT_HEALTHY_OPS / SPARK_GRAFT_ANCHOR_REF_SEC / SPARK_GRAFT_SPARK_PROBE_GATE_SEC; effective values in the gate field) — a failing full run is quarantined to BENCH_DEGRADED_LOCAL.json and never overwrites BENCH_FULL_LOCAL.json, and a HEALTHY run overwrites the record only when its total BEATS the committed one (slower healthy samples go to BENCH_HEALTHY_LAST.json); dd16_incremental_lsh times INGEST ONLY against a per-session memoized signature store (the gated query's one-time bootstrap is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,$health}"""
     println(full)
     // persist only FULL runs: a SPARK_GRAFT_BENCH_ONLY dev subset must
     // not clobber the repo's full-suite record. QUARANTINE (round-12
@@ -266,7 +278,25 @@ object Bench {
     // construction.
     if (only.isEmpty) try {
       if (epochHealth == "healthy") {
-        val w = new java.io.PrintWriter("BENCH_FULL_LOCAL.json")
+        // MONOTONE record (round-13 verdict #1): healthy-window noise
+        // spreads ~8-18%, so a routine healthy diagnostic run can read
+        // slower than the record without any regression. The record
+        // file only improves — a healthy sample that does NOT beat the
+        // committed total lands in BENCH_HEALTHY_LAST.json instead
+        // (still visible, never shadowing). An unparseable/absent
+        // record is replaced (a fresh clone must be able to mint one).
+        val committedTotal: Option[Double] =
+          try {
+            val f = java.nio.file.Paths.get("BENCH_FULL_LOCAL.json")
+            if (!java.nio.file.Files.exists(f)) None
+            else """"value":([0-9][0-9.eE+-]*)""".r
+              .findFirstMatchIn(java.nio.file.Files.readString(f))
+              .map(_.group(1).toDouble)
+          } catch { case _: Throwable => None }
+        val dest =
+          if (committedTotal.forall(total < _)) "BENCH_FULL_LOCAL.json"
+          else "BENCH_HEALTHY_LAST.json"
+        val w = new java.io.PrintWriter(dest)
         try w.println(full) finally w.close()
       } else {
         // latest rejected sample stays visible at the fixed name, and
