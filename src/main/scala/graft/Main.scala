@@ -430,6 +430,8 @@ object Main {
       logObj.flush()
       r.executedCommands.foreach(c => println(s"executed: $c"))
       r.skipped.foreach { case (o, why) => println(s"skipped: $o ($why)") }
+      if (r.quiet.nonEmpty) println(s"quiet: ${r.quiet.size} table(s) " +
+        "(checkpoint covers every landed file; streams skipped)")
       println(s"violations: ${r.violations}")
       if (r.errors > 0) println(s"errors: ${r.errors} (checks failed to run)")
       if (r.violations > 0) sys.exit(2)

@@ -268,8 +268,10 @@ object ArrivalPass {
         errors += r.errors
         val sk = if (r.skipped.isEmpty) ""
           else s" skipped=${r.skipped.size} (budget)"
+        val qt = if (r.quiet.isEmpty) ""
+          else s" quiet=${r.quiet.size} (no new files)"
         ("ran", s"executed=${r.executedCommands.size} " +
-          s"violations=${r.violations} errors=${r.errors}$sk")
+          s"violations=${r.violations} errors=${r.errors}$sk$qt")
       }
     }
 

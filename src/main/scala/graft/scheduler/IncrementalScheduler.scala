@@ -19,7 +19,11 @@ final case class IncrementalReport(
     executedCommands: Seq[String],
     violations: Long,
     errors: Long,
-    skipped: Seq[(String, String)] = Nil)
+    skipped: Seq[(String, String)] = Nil,
+    // tables whose checkpoint already covers every landed file — the
+    // stream spin-up was skipped entirely (no work existed, unlike
+    // `skipped` where work was declined for budget)
+    quiet: Seq[String] = Nil)
 
 /** Arrived-data CHECKTABLE tier — the reference's nightly loop
   * (IntegrityChecks_VLDB.sql:505-744) evolved for a lake where data lands
@@ -62,11 +66,25 @@ object IncrementalScheduler {
     // events.parquet-style TIMESTAMP(NANOS) columns stream as longs, the
     // same legacy switch Tables.events uses for the batch tier
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val quiet = ArrayBuffer.empty[String]
     inventory.databases().foreach { db =>
       inventory.objects(db).foreach { o =>
         val cmd = s"CHECKTABLE INCREMENTAL [$db].[${o.schema_name}]." +
           s"[${o.object_name}] WITH NO_INFOMSGS, DATA_PURITY"
-        if (deadline.exists(dl => !clock.now().isBefore(dl))) {
+        val ckpt = s"$checkpointRoot/$db/${o.object_name}/_checkpoint"
+        // QUIET-TABLE fast path: when the table's checkpoint already
+        // covers every landed file, the stream would plan and drain
+        // nothing — skip the ~1-2 s spin-up entirely (a 20k-table
+        // inventory pays that floor per table per pass otherwise).
+        // Checked BEFORE the deadline gate, so idle tables never
+        // produce admission-skip audit rows either: the reference only
+        // logs skips for work it would have RUN, and under a
+        // chronically tight budget the per-table skip rows for idle
+        // tables flooded the command log (round-13 advice).
+        if (graft.streaming.Streams.nothingNewLanded(spark, o.path,
+            ckpt)) {
+          quiet += s"$db.${o.schema_name}.${o.object_name}"
+        } else if (deadline.exists(dl => !clock.now().isBefore(dl))) {
           val obj = s"$db.${o.schema_name}.${o.object_name}"
           val why = "time budget exhausted before this table (IC:592)"
           skipped += (obj -> why)
@@ -102,7 +120,7 @@ object IncrementalScheduler {
           val schema = spark.read.parquet(o.path).schema
           Streams.incrementalCheckById(spark, o.path, schema,
             (batch, id) => summarize(batch, id, perBatch),
-            s"$checkpointRoot/$db/${o.object_name}/_checkpoint",
+            ckpt,
             s"$checkpointRoot/$db/${o.object_name}/summaries")
           import scala.jdk.CollectionConverters._
           perBatch.values().asScala.foldLeft(0L)(_ + _)
@@ -112,7 +130,26 @@ object IncrementalScheduler {
         }
       }
     }
-    IncrementalReport(executed.toSeq, violations, errors, skipped.toSeq)
+    // quiet tables stay visible as ONE aggregated audit row per pass
+    // (not one per table — the round-13 advice's flood concern), so the
+    // log still shows the pass saw them and chose not to spin streams
+    if (quiet.nonEmpty) {
+      val ts = java.sql.Timestamp.from(clock.observe())
+      log.append(graft.model.CommandLogEntry(
+        id = java.util.UUID.randomUUID().toString,
+        database_name = "(all)", schema_name = "(all)",
+        object_name = "(quiet-tables)", object_type = "U",
+        extended_info = s"""{"status":"quiet","tables":${quiet.size},""" +
+          """"reason":"checkpoint covers every landed file; stream """ +
+          """spin-up skipped"}""",
+        command = s"CHECKTABLE INCREMENTAL (quiet: ${quiet.size} " +
+          "table(s), no new files)",
+        command_type = "DBCC_CHECKTABLE_INC",
+        start_time = ts, end_time = Some(ts),
+        error_number = None, error_message = None))
+    }
+    IncrementalReport(executed.toSeq, violations, errors, skipped.toSeq,
+      quiet.toSeq)
   }
 
   /** One summary row per micro-batch: rows validated + entirely-null rows

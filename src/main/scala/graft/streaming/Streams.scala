@@ -526,7 +526,12 @@ object Streams {
     val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val srcP = fs.makeQualified(raw)
     if (!fs.exists(srcP)) Nil
-    else {
+    else if (fs.getFileStatus(srcP).isFile) {
+      // a single-file table (DuckDB COPY / pandas layout): the file was
+      // explicitly named, so no hidden-component filtering applies
+      if (fs.getFileStatus(srcP).getLen > 0) Seq(srcP.toUri.getPath)
+      else Nil
+    } else {
       val basePath = srcP.toUri.getPath.stripSuffix("/") + "/"
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(srcP, true)
@@ -598,6 +603,26 @@ object Streams {
       checkpoint: String): Long = {
     val seen = seenFiles(spark, checkpoint)
     listDataFiles(spark, src).count(p => !seen.contains(p)).toLong
+  }
+
+  /** Quiet-table probe: the checkpoint has committed at least one
+    * batch AND no currently-landed file is outside its committed
+    * seen-set — so a stream spin-up would plan and drain NOTHING. A
+    * nightly pass over a 20k-table inventory pays ~1-2 s of stream
+    * machinery per table without this; with it a quiet table costs a
+    * driver-side listing + one small metadata read. Conservative by
+    * construction (see [[seenFiles]]): any doubt reads as "not quiet"
+    * and the stream runs exactly as before. */
+  private[graft] def nothingNewLanded(spark: SparkSession, src: String,
+      checkpoint: String): Boolean = {
+    val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      fs.exists(commits) &&
+        fs.listStatus(commits).exists(s =>
+          s.getPath.getName.toLongOption.isDefined) &&
+        unseenFiles(spark, src, checkpoint) == 0L
+    } catch { case _: java.io.IOException => false }
   }
 
   /** Arrived-docs DEDUP stream — the arrival pipeline composed end to

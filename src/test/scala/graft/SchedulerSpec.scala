@@ -101,6 +101,64 @@ class SchedulerSpec extends AnyFunSuite {
     assert(log.entries.forall(_.error_number === Some(0)))
   }
 
+  test("incremental tier: quiet tables (checkpoint covers every landed " +
+      "file) skip the stream spin-up entirely — ZERO Spark jobs — and " +
+      "stay visible as one aggregated audit row, never a per-table " +
+      "flood; a new arrival wakes the table") {
+    import graft.scheduler.IncrementalScheduler
+    val base = java.nio.file.Files.createTempDirectory("graft-incq").toString
+    val dbDir = s"$base/db"
+    val cp = s"$base/checkpoints"
+    Tables.nation(spark, SparkTestSession.sfDir)
+      .write.parquet(s"$dbDir/nation.parquet")
+    val log = new CommandLog(spark, None)
+    val clock = new graft.model.ManualClock(
+      Instant.parse("2026-01-01T00:00:00Z"), tickMs = 10)
+    val inv = new DirInventory(spark, Map("db" -> dbDir))
+    // pass 1 streams the bootstrap generation
+    val r1 = IncrementalScheduler.run(spark, inv, cp, log, clock)
+    assert(r1.executedCommands.size === 1 && r1.quiet.isEmpty)
+
+    // pass 2: nothing landed — the probe must keep Spark entirely idle
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r2 =
+      try {
+        val r = IncrementalScheduler.run(spark, inv, cp, log, clock)
+        Thread.sleep(500) // listener bus is async; let events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(r2.executedCommands.isEmpty)
+    assert(r2.quiet === Seq("db.main.nation"))
+    assert(jobs.get() === 0,
+      s"quiet pass ran ${jobs.get()} Spark job(s); the fast path must " +
+        "not spin up the stream machinery")
+    // one aggregated audit row for the whole quiet set — a skip is not
+    // a failure (error columns stay null), and there is no per-table row
+    val quietRows = log.entries.filter(_.extended_info.contains(
+      "\"quiet\""))
+    assert(quietRows.size === 1)
+    assert(quietRows.head.object_name === "(quiet-tables)")
+    assert(quietRows.head.extended_info.contains("\"tables\":1"))
+    assert(quietRows.head.error_number.isEmpty &&
+      quietRows.head.error_message.isEmpty)
+
+    // an arrival wakes the table: pass 3 streams exactly the new file
+    Tables.nation(spark, SparkTestSession.sfDir).limit(2)
+      .write.mode("append").parquet(s"$dbDir/nation.parquet")
+    val r3 = IncrementalScheduler.run(spark, inv, cp, log, clock)
+    assert(r3.executedCommands.size === 1 && r3.quiet.isEmpty)
+    val sums = spark.read.parquet(s"$cp/db/nation/summaries")
+      .orderBy("batch_id").collect()
+    assert(sums.last.getAs[Long]("rows_checked") === 2L)
+  }
+
   test("scheduler_state_after_run and command_log match committed goldens") {
     // the two real-run inspection views are deterministic (fixed clock,
     // clean fixtures); gate them file-exactly like the dry-run so every
