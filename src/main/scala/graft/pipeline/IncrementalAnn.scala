@@ -164,6 +164,21 @@ object IncrementalAnn {
       ()
     }
 
+    /** Which generation an UNLEASED read serves while a LIVE writer is
+      * mid-swap (round-13 advice): `p` missing + `pOld` present +
+      * canMaintain false is exactly a live save() between its two
+      * renames (or a writer crashed with its lock not yet TTL-stale) —
+      * the gated recover() correctly refuses to MUTATE, but refusing to
+      * READ turned that safety into up-to-15-minutes of "store absent"
+      * for pure readers. Serve the archived generation READ-ONLY
+      * (nothing renamed, nothing swept); all mutations stay
+      * lease-gated. Everywhere else the live root is served. */
+    private def serveRoot(): String =
+      if (!fs.exists(new Path(path)) &&
+          fs.exists(new Path(path + ".old")) && !lease.canMaintain)
+        path + ".old"
+      else path
+
     private def writeMeta(root: String,
         centroids: Seq[(Int, Array[Long])],
         origin: Option[String]): Unit = {
@@ -215,7 +230,7 @@ object IncrementalAnn {
       * discipline: a guessed index silently mis-assigns). */
     def centroids: Seq[(Int, Array[Long])] = {
       def attempt(): Option[Seq[(Int, Array[Long])]] =
-        readMetaText(path).flatMap(parseMeta)
+        readMetaText(serveRoot()).flatMap(parseMeta)
       attempt().getOrElse {
         recover()
         attempt().getOrElse(throw new IllegalStateException(
@@ -305,8 +320,11 @@ object IncrementalAnn {
       * reads only that cluster's directories. */
     def load(): Option[DataFrame] = {
       recover()
-      if (!fs.exists(new Path(path))) None
-      else Some(spark.read.parquet(path)
+      // a live writer mid-swap: serve the archived generation read-only
+      // instead of reporting the store absent (round-13 advice)
+      val root = serveRoot()
+      if (!fs.exists(new Path(root))) None
+      else Some(spark.read.parquet(root)
         .select(col("vec_id"), col("qv"),
           col("cluster").cast("int").as("cluster"),
           col("batch_id").cast("long").as("batch_id")))

@@ -366,9 +366,13 @@ object IncrementalDedup {
         } catch { case _: java.io.IOException => () }
       }
       recover()
-      if (!fs.exists(new Path(path))) StoreBuckets
+      // the read-only mid-swap window serves pOld (see serveRoot): its
+      // METADATA must come from the same generation, or a reader would
+      // prune pOld's layout with the default modulus
+      val root = serveRoot()
+      if (!fs.exists(new Path(root))) StoreBuckets
       else {
-        val b = readMeta(path).getOrElse(throw new IllegalStateException(
+        val b = readMeta(root).getOrElse(throw new IllegalStateException(
           s"SigStore at $path has no _graft_meta.json: its partition " +
             "fan-out is unknown, and pruning with a guessed modulus " +
             "would silently miss store rows. Rebuild the store with " +
@@ -503,9 +507,24 @@ object IncrementalDedup {
       ()
     }
 
+    /** Which generation an UNLEASED read serves while a LIVE writer is
+      * mid-swap (round-13 advice, same pattern as AnnIndexStore): `p`
+      * missing + `pOld` present + canMaintain false is a live save()
+      * between its two renames (or a crashed writer whose lock is not
+      * yet TTL-stale) — recover() correctly refuses to mutate, but the
+      * read path must not report the store ABSENT for up to the lease
+      * TTL. Serve the archived generation READ-ONLY; every mutation
+      * stays lease-gated. */
+    private def serveRoot(): String =
+      if (!fs.exists(new Path(path)) &&
+          fs.exists(new Path(path + ".old")) && !lease.canMaintain)
+        path + ".old"
+      else path
+
     def load(): Option[DataFrame] = {
       recover()
-      if (fs.exists(new Path(path))) Some(spark.read.parquet(path))
+      val root = serveRoot()
+      if (fs.exists(new Path(root))) Some(spark.read.parquet(root))
       else None
     }
 

@@ -346,6 +346,42 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(!fs.exists(tomb), "maintenance must sweep lease tombstones")
   }
 
+  test("mid-swap READ availability: p missing + pOld present under a " +
+      "LIVE foreign lease serves the archived generation read-only " +
+      "(load AND searchTopK), mutating nothing; a stale lease lets " +
+      "recover() promote it back") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annmidswap").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val cents = IncrementalAnn.trainCentroids(vecs(1L to 60L), k = 2)
+    store.save(cents, IncrementalAnn.assign(vecs(1L to 60L), cents))
+    // a writer crashed between its two swap renames: live generation
+    // archived to .old, the new one never landed — and its lock is
+    // still fresh (not yet TTL-stale)
+    assert(fs.rename(p(s"$base/ann"), p(s"$base/ann.old")))
+    def writeLock(ts: Long): Unit = {
+      val out = fs.create(p(s"$base/ann.lock"), true)
+      out.writeBytes(s"foreign-writer $ts\n"); out.close()
+    }
+    writeLock(System.currentTimeMillis())
+    // an unleased reader is NOT blind for the lease TTL (round-13
+    // advice): it serves the archived generation read-only
+    val reader = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    assert(reader.load().get.count() === 60L)
+    assert(reader.searchTopK(vecs(Seq(1L)), k = 3).count() === 3L)
+    // ...and mutated NOTHING: p still absent, the archive untouched
+    assert(!fs.exists(p(s"$base/ann")) && fs.exists(p(s"$base/ann.old")))
+    // the lock goes stale (writer dead by the TTL contract): the same
+    // reader's next load completes the recovery and serves from p
+    writeLock(System.currentTimeMillis() -
+      graft.tables.StoreLease.DefaultTtlMs - 1000L)
+    assert(reader.load().get.count() === 60L)
+    assert(fs.exists(p(s"$base/ann")) && !fs.exists(p(s"$base/ann.old")))
+  }
+
   test("an unleased write is refused while ANOTHER writer's lease is " +
       "live (the lease is opt-in, but it cannot be ignored)") {
     val base = java.nio.file.Files

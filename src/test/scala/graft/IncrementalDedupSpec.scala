@@ -123,6 +123,40 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(st.load().get.count() === 4)
   }
 
+  test("SigStore mid-swap READ availability: p missing + pOld present " +
+      "under a LIVE foreign lease serves the archived generation " +
+      "read-only with ITS fan-out metadata; a stale lease lets " +
+      "recover() promote it back") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sigmidswap").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val st = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "alpha beta alpha"),
+      (3L, "gamma delta"))
+    st.save(IncrementalDedup.initialStore(sigsOf(docs)), fanOut = 4)
+    assert(fs.rename(p(s"$base/sigs"), p(s"$base/sigs.old")))
+    def writeLock(ts: Long): Unit = {
+      val out = fs.create(p(s"$base/sigs.lock"), true)
+      out.writeBytes(s"foreign-writer $ts\n"); out.close()
+    }
+    writeLock(System.currentTimeMillis())
+    val reader = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    // the reader serves the archive — rows AND the fan-out it was
+    // written with (a default-modulus guess would silently mis-prune)
+    assert(reader.load().get.count() === 3L)
+    assert(reader.buckets === 4)
+    assert(!fs.exists(p(s"$base/sigs")) &&
+      fs.exists(p(s"$base/sigs.old")))
+    // stale lock: the next read completes the recovery
+    writeLock(System.currentTimeMillis() -
+      graft.tables.StoreLease.DefaultTtlMs - 1000L)
+    assert(reader.load().get.count() === 3L)
+    assert(fs.exists(p(s"$base/sigs")) &&
+      !fs.exists(p(s"$base/sigs.old")))
+  }
+
   test("skew pile: a batch arriving into a 3000-copy identical class " +
       "emits |batch| star rows, never a clique") {
     // the GenSkew finding applied to arrival: 600 new copies of a doc
