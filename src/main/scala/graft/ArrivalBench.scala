@@ -109,13 +109,19 @@ object ArrivalBench {
     // Untimed warm-up through BOTH store shapes (scratch data): without
     // it, whichever arm runs first absorbs classloading, codegen and
     // parquet writer init (~2 s) and the A/B compares warmup, not
-    // layout. Mirrors graft.Bench's warmup discipline.
+    // layout. Mirrors graft.Bench's warmup discipline. Scratch split
+    // derived from doc_id RANGES, not limit(): limit without an
+    // ordering is job-nondeterministic, so a limit/except pair could
+    // recompute DIFFERENT subsets across jobs and make the warm-up
+    // batches irreproducible — the same fix the ann mode's warm-up got
+    // (round-12 review; round-13 advice flagged this copy).
     {
-      val scratch = all.limit(64)
+      val scratch = all.filter(col("doc_id") < 64)
       val st = new IncrementalDedup.SigStore(spark, s"$base/warm")
       st.save(IncrementalDedup.initialStore(sigsOf(scratch)), fanOut = 2)
       val winc = IncrementalDedup.ingest(st.load().get,
-        sigsOf(all.limit(70).except(scratch)), buckets = st.buckets)
+        sigsOf(all.filter(col("doc_id") >= 64 && col("doc_id") < 70)),
+        buckets = st.buckets)
       winc.pairs.count()
       st.saveIncremental(winc.touched, winc.touchedParts)
       IncrementalDedup.initialStore(sigsOf(scratch))

@@ -881,7 +881,16 @@ object TextAnalysis {
     * decide every row identically. Scale shape: ONE in-row aggregate
     * lambda per doc — no explode, no shuffle but the presentation sort;
     * a real-weights variant broadcasts a 256-row weight table and the
-    * shape is unchanged. */
+    * shape is unchanged.
+    *
+    * REGISTERED ROLE (round 14, settling the tx15↔tx24 relationship):
+    * tx15 is the CONTRACT-PIN TWIN of [[tx24TrainedFilter]]. tx24 is
+    * the product scoring path — this exact in-row scoring contract fed
+    * by the TRAINED tx22 model; tx15 keeps the 256-slot hashing-trick
+    * shape itself oracle-gated with weights that can never drift
+    * (deterministic placeholders), so a training change can never
+    * silently change what the scoring CONTRACT computes. Nobody should
+    * filter a corpus with tx15's weights. */
   /** tx15's fake-but-deterministic per-slot weights as a SQL literal:
     * w[s] = uint32(md5("w"+s)[0..8)) % 1001 - 500, exactly the oracle's
     * spelling — computed once on the driver (256 longs). */
