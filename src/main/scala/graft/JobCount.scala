@@ -26,6 +26,11 @@ object JobCount {
           if (j.properties != null &&
               group == j.properties.getProperty("spark.jobGroup.id")) {
             jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+            // per-job provenance so a shave targets the right job: the
+            // callsite line + stage count of each scheduled job
+            if (sys.env.contains("SPARK_GRAFT_JOBCOUNT_VERBOSE"))
+              println(s"JOB ${j.jobId} stages=${j.stageInfos.size} " +
+                j.stageInfos.map(_.name).mkString(" | "))
           }
           ()
         }

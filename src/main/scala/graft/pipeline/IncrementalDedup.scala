@@ -143,10 +143,13 @@ object IncrementalDedup {
     Dedup.sigWithRep(sigFrame)
 
   /** One arriving batch against the persisted signature state.
-    * `buckets` MUST be the fan-out the store was written with
-    * ([[SigStore.buckets]] for a loaded store) — the batch-side pruning
-    * values are computed with the same modulus the store's partition
-    * values were. */
+    * `newSigs` is [[Dedup.minhashSig]]'s layout — in particular ONE ROW
+    * PER doc_id (its groupBy is the distinct); the restriction joins
+    * below rely on that, so a caller feeding hand-rolled duplicate
+    * rows would duplicate pairs. `buckets` MUST be the fan-out the
+    * store was written with ([[SigStore.buckets]] for a loaded store)
+    * — the batch-side pruning values are computed with the same
+    * modulus the store's partition values were. */
   def ingest(store: DataFrame, newSigs: DataFrame,
       maxBucket: Int = 1000, buckets: Int = StoreBuckets): IngestResult = {
     val newKeyed = newSigs
@@ -183,31 +186,37 @@ object IncrementalDedup {
     // consumer materializes (localCheckpoint) inside this call.
     val rect = storeB.filter(inList("pb0", pbs0) || inList("pb1", pbs1))
       .cache()
+    // batch doc ids: ONE ROW PER DOC by construction — `newSigs` is
+    // [[Dedup.minhashSig]]'s layout (its groupBy(doc_id) is the
+    // distinct), which every caller (streams, bench, specs) feeds. The
+    // round-13 spelling re-distinct-ed this frame lazily in each of
+    // its three consumers (semi-join + two broadcasts) — three
+    // exchange stages of pure scheduling floor per batch for rows that
+    // were already unique (round-13 verdict directive #7).
+    val newIds = newKeyed.select("doc_id")
     // full membership of every touched class (store side pruned to the
     // batch's (pb0, pb1) rectangle — a touched class's row carries the
     // batch's OWN band keys, so both bucket filters hold), with the
     // representative RECOMPUTED over old ∪ new (a new doc with a
     // smaller id takes over as rep, exactly as the full-corpus groupBy
     // would decide).
-    // dropDuplicates: a RE-ARRIVING doc (an at-least-once replay — same
-    // doc_id, same text, so the identical signature row on both sides
-    // of the union) collapses to one membership row, which makes a
-    // replayed batch produce byte-identical pairs and an unchanged
-    // store instead of duplicated star edges. doc_id is an immutable
-    // content id by contract — the dedup is over touched classes only,
-    // never the corpus.
+    // The doc_id anti-join collapses a RE-ARRIVING doc (an
+    // at-least-once replay — same doc_id, same text by the immutable
+    // content-id contract, so the identical signature row on both
+    // sides of the union) to its batch copy, which makes a replayed
+    // batch produce byte-identical pairs and an unchanged store
+    // instead of duplicated star edges. The previous
+    // dropDuplicates(sig_key, doc_id) spelling did the same collapse
+    // through a full extra exchange over the membership (mega-pile
+    // classes shuffled one extra time); a batch-sized broadcast
+    // anti-join is the same set under the content-id contract.
     val storeTouched = pruneBy(pruneBy(rect, "pb0", pbs0), "pb1", pbs1)
       .join(broadcast(touchedKeys), "sig_key")
     val members = storeTouched.select(sigCols: _*)
+      .join(broadcast(newIds), Seq("doc_id"), "left_anti")
       .unionByName(newKeyed)
-      .dropDuplicates("sig_key", "doc_id")
     val reps2 = members.groupBy("sig_key").agg(min("doc_id").as("rep"))
     val touchedWithRep = members.join(reps2, "sig_key").materialized
-    // lazy on purpose: a batch-sized distinct over the newKeyed
-    // checkpoint, recomputed inside each consumer's job (semi-join +
-    // two broadcasts) for less than one scheduling floor each — a
-    // separate eager materialization cost more than it saved
-    val newIds = newKeyed.select("doc_id").distinct()
     // buckets worth expanding = buckets containing a NEW-DOC rep; their
     // (band, band_key) set is batch-sized -> broadcast
     val newRepRows = touchedWithRep
@@ -218,10 +227,14 @@ object IncrementalDedup {
     // two-legs-per-band spelling cost two scans + two broadcast
     // semi-joins of pure scheduling floor per batch (round-12 verdict
     // directive #7).
+    // no distinct: the only consumer is a left_semi probe, whose result
+    // is unchanged by duplicate build-side keys — the distinct was one
+    // more exchange stage per batch for nothing (two reps sharing a
+    // band key is precisely the collision the probe looks for, and the
+    // broadcast build hashes the dup away)
     val bandKeys = newRepRows.select(lit(0).as("band"), b0Expr.as("bkey"))
       .unionByName(
         newRepRows.select(lit(1).as("band"), b1Expr.as("bkey")))
-      .distinct()
     // untouched-class reps that share a touched bucket (either band):
     // the only old state the banding needs. Each rep row fans out
     // in-row to its per-band (band, key) entries — band b kept only
