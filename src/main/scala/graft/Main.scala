@@ -42,7 +42,8 @@ import graft.state.StateStore
   *       assign against the frozen centroids, O(batch) work)
   *     [--arrival LANDING_DIR [--db ...] [--time-limit SECONDS]
   *       [--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH]
-  *       [--ann-store PATH] [--log PATH]]  (THE composed nightly pass:
+  *       [--ann-store PATH] [--max-files-per-batch N] [--log PATH]]
+  *       (THE composed nightly pass:
   *       integrity + dedup ingest + ANN ingest + index maintenance +
   *       OOV QC over one landing zone under ONE budget — see
   *       scheduler.ArrivalPass)
@@ -144,6 +145,7 @@ object Main {
     var annSrc: Option[String] = None
     var annStorePath = "/tmp/graft-annstore/ann"
     var arrivalDir: Option[String] = None
+    var maxFilesPerBatch: Option[Int] = None
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -160,7 +162,7 @@ object Main {
           "[--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]] " +
           "[--arrival LANDING_DIR [--db ...] [--time-limit SECONDS] " +
           "[--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH] " +
-          "[--ann-store PATH] [--log PATH]]")
+          "[--ann-store PATH] [--max-files-per-batch N] [--log PATH]]")
       sys.exit(1)
     }
     var i = 0
@@ -204,6 +206,13 @@ object Main {
         case "--ann-ingest" => annSrc = Some(value("--ann-ingest"))
         case "--ann-store" => annStorePath = value("--ann-store")
         case "--arrival" => arrivalDir = Some(value("--arrival"))
+        // the ingest streams' micro-batch bound = the per-batch
+        // deadline check's granularity (see ArrivalConfig)
+        case "--max-files-per-batch" =>
+          maxFilesPerBatch =
+            Some(scala.util.Try(value("--max-files-per-batch").toInt)
+              .filter(_ > 0).getOrElse(usage(
+                "--max-files-per-batch expects a positive integer")))
         case "--target-bytes" =>
           targetBytes = scala.util.Try(value("--target-bytes").toLong)
             .filter(_ > 0)
@@ -227,7 +236,8 @@ object Main {
       // the invocation specified.
       val allowed = Set("--print-schedule", "--db", "--state", "--log",
         "--checkpoint", "--arrival", "--time-limit", "--sig-store",
-        "--dedup-out", "--ann-store", "--compact", "--target-bytes")
+        "--dedup-out", "--ann-store", "--compact", "--target-bytes",
+        "--max-files-per-batch")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         s"--print-schedule cannot carry ${stray.mkString(", ")} into the " +
@@ -239,10 +249,11 @@ object Main {
         usage("--target-bytes only rides the echoed compaction job; " +
           "give --compact TABLE_DIR")
       if (arrivalDir.isEmpty &&
-          Seq("--sig-store", "--dedup-out", "--ann-store")
-            .exists(seen.contains))
-        usage("--sig-store/--dedup-out/--ann-store only ride the " +
-          "composed arrival job; give --arrival LANDING_DIR")
+          Seq("--sig-store", "--dedup-out", "--ann-store",
+            "--max-files-per-batch").exists(seen.contains))
+        usage("--sig-store/--dedup-out/--ann-store/" +
+          "--max-files-per-batch only ride the composed arrival job; " +
+          "give --arrival LANDING_DIR")
       if (dbs.isEmpty)
         usage("--print-schedule requires at least one --db (the echoed " +
           "jobs must name the databases they check)")
@@ -280,9 +291,12 @@ object Main {
         println("# tier owns its seen-set. Cost: an arrived file is")
         println("# CHECKTABLE'd once per tier — double coverage, never")
         println("# missed coverage.")
+        val mfbArg = maxFilesPerBatch.fold("")(n =>
+          s" --max-files-per-batch $n")
         println(s"37 2 * * * $submit $dbArgs --arrival $landing " +
           s"--checkpoint $checkpointRoot --sig-store $sigStorePath " +
-          s"--dedup-out $dedupOut --ann-store $annStorePath$tlArg$logArg")
+          s"--dedup-out $dedupOut --ann-store $annStorePath" +
+          s"$mfbArg$tlArg$logArg")
       }
       compactDir.foreach { dir =>
         // the missing third of the reference's maintenance surface
@@ -338,12 +352,13 @@ object Main {
     if (arrivalDir.isDefined) {
       val allowed = Set("--arrival", "--db", "--time-limit",
         "--checkpoint", "--sig-store", "--dedup-out", "--ann-store",
-        "--log")
+        "--log", "--max-files-per-batch")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         "--arrival is the composed nightly pass; other flag(s) given: " +
           s"${stray.mkString(", ")} (allowed: --db, --time-limit, " +
-          "--checkpoint, --sig-store, --dedup-out, --ann-store, --log)")
+          "--checkpoint, --sig-store, --dedup-out, --ann-store, --log, " +
+          "--max-files-per-batch)")
     }
     if (dedupSrc.isDefined) {
       val allowed = Set("--dedup-ingest", "--sig-store", "--dedup-out",
@@ -366,6 +381,8 @@ object Main {
           "--ann-store, --checkpoint)")
     } else if (arrivalDir.isEmpty && seen.contains("--ann-store"))
       usage("--ann-store only applies to --ann-ingest or --arrival runs")
+    if (arrivalDir.isEmpty && seen.contains("--max-files-per-batch"))
+      usage("--max-files-per-batch only applies to --arrival runs")
     if (!incremental && dedupSrc.isEmpty && annSrc.isEmpty &&
         arrivalDir.isEmpty && seen.contains("--checkpoint"))
       usage("--checkpoint only applies to " +
@@ -382,7 +399,8 @@ object Main {
           checkpointRoot = checkpointRoot,
           sigStorePath = sigStorePath,
           dedupOut = dedupOut,
-          annStorePath = annStorePath),
+          annStorePath = annStorePath,
+          maxFilesPerBatch = maxFilesPerBatch.getOrElse(1000)),
         logObj, SystemClock)
       logObj.flush()
       report.stages.foreach(s => println(

@@ -442,6 +442,7 @@ class ArrivalPassSpec extends AnyFunSuite {
         "--sig-store", "/state/sigs",
         "--dedup-out", "/state/pairs",
         "--ann-store", "/state/ann",
+        "--max-files-per-batch", "500",
         "--compact", "/data/corpus/events.parquet",
         "--target-bytes", "134217728"))
     }
@@ -453,7 +454,7 @@ class ArrivalPassSpec extends AnyFunSuite {
     for (frag <- Seq("--db corpus=/data/corpus",
         "--checkpoint /state/ckpt", "--sig-store /state/sigs",
         "--dedup-out /state/pairs", "--ann-store /state/ann",
-        "--time-limit 3600"))
+        "--max-files-per-batch 500", "--time-limit 3600"))
       assert(line.contains(frag), s"missing $frag in: $line")
     // a given --time-limit must ride EVERY echoed job (the printer's
     // never-drop-a-flag contract): the nightly full pass and the
