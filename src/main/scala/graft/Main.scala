@@ -32,11 +32,13 @@ import graft.state.StateStore
   *       a time limit is checked at every merge-group head — IC:644 —
   *       and the next run re-plans what was left)
   *     [--dedup-ingest DOCS_DIR [--sig-store PATH] [--dedup-out PATH]
-  *       [--checkpoint ROOT]]                   (arrival-dedup mode: new
+  *       [--checkpoint ROOT] [--time-limit S]
+  *       [--max-files-per-batch N]]             (arrival-dedup mode: new
   *       document files stream through IncrementalDedup against the
   *       persisted signature store — per batch, exactly the monolithic
   *       LSH pair set restricted to arriving docs, O(batch) work)
-  *     [--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]]
+  *     [--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]
+  *       [--time-limit S] [--max-files-per-batch N]]
   *       (arrival-ANN mode: new vector files stream into the persisted
   *       IVF index — epoch 0 bootstraps (Lloyd training), later epochs
   *       assign against the frozen centroids, O(batch) work)
@@ -56,11 +58,17 @@ object Main {
     * first-run/no-arrivals case logs a visible skip instead of dying
     * in schema inference. */
   private[graft] def annIngestRun(spark: SparkSession, src: String,
-      annStorePath: String, checkpointRoot: String): Unit = {
+      annStorePath: String, checkpointRoot: String,
+      deadline: Option[java.time.Instant] = None,
+      maxFilesPerBatch: Option[Int] = None): Unit = {
     if (hasLandedFiles(spark, src)) {
       val schema = spark.read.parquet(src).schema
-      streaming.Streams.incrementalAnnStream(spark, src, schema,
-        annStorePath, checkpointRoot)
+      val r = streaming.Streams.incrementalAnnStream(spark, src, schema,
+        annStorePath, checkpointRoot, deadline, SystemClock,
+        maxFilesPerBatch)
+      if (r.stoppedAtDeadline)
+        println(s"drained=${r.drained} remaining≈${r.remainingFiles} " +
+          "files (budget; checkpoint resumes next run)")
     } else println(s"no arrivals found under $src, skipping ANN " +
       "stream (nothing ingested this run)")
     val store = new pipeline.IncrementalAnn.AnnIndexStore(spark,
@@ -113,11 +121,17 @@ object Main {
     * spark.read.parquet's "unable to infer schema". */
   private[graft] def dedupIngestRun(spark: SparkSession, src: String,
       sigStorePath: String, checkpointRoot: String,
-      dedupOut: String): Unit = {
+      dedupOut: String,
+      deadline: Option[java.time.Instant] = None,
+      maxFilesPerBatch: Option[Int] = None): Unit = {
     if (hasLandedFiles(spark, src)) {
       val schema = spark.read.parquet(src).schema
-      streaming.Streams.incrementalDedupStream(spark, src, schema,
-        sigStorePath, checkpointRoot, dedupOut)
+      val r = streaming.Streams.incrementalDedupStream(spark, src,
+        schema, sigStorePath, checkpointRoot, dedupOut, deadline,
+        SystemClock, maxFilesPerBatch)
+      if (r.stoppedAtDeadline)
+        println(s"drained=${r.drained} remaining≈${r.remainingFiles} " +
+          "files (budget; checkpoint resumes next run)")
     } else println(s"no arrivals found under $src, skipping dedup " +
       "stream (nothing ingested this run)")
     val outP = new org.apache.hadoop.fs.Path(dedupOut)
@@ -362,27 +376,32 @@ object Main {
     }
     if (dedupSrc.isDefined) {
       val allowed = Set("--dedup-ingest", "--sig-store", "--dedup-out",
-        "--checkpoint")
+        "--checkpoint", "--time-limit", "--max-files-per-batch")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         "--dedup-ingest is a standalone arrival-dedup mode; other " +
           s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
-          "--sig-store, --dedup-out, --checkpoint)")
+          "--sig-store, --dedup-out, --checkpoint, --time-limit, " +
+          "--max-files-per-batch)")
     } else if (arrivalDir.isEmpty &&
         Seq("--sig-store", "--dedup-out").exists(seen.contains))
       usage("--sig-store/--dedup-out only apply to --dedup-ingest or " +
         "--arrival runs")
     if (annSrc.isDefined) {
-      val allowed = Set("--ann-ingest", "--ann-store", "--checkpoint")
+      val allowed = Set("--ann-ingest", "--ann-store", "--checkpoint",
+        "--time-limit", "--max-files-per-batch")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         "--ann-ingest is a standalone arrival-ANN mode; other " +
           s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
-          "--ann-store, --checkpoint)")
+          "--ann-store, --checkpoint, --time-limit, " +
+          "--max-files-per-batch)")
     } else if (arrivalDir.isEmpty && seen.contains("--ann-store"))
       usage("--ann-store only applies to --ann-ingest or --arrival runs")
-    if (arrivalDir.isEmpty && seen.contains("--max-files-per-batch"))
-      usage("--max-files-per-batch only applies to --arrival runs")
+    if (arrivalDir.isEmpty && dedupSrc.isEmpty && annSrc.isEmpty &&
+        seen.contains("--max-files-per-batch"))
+      usage("--max-files-per-batch only applies to " +
+        "--arrival/--dedup-ingest/--ann-ingest runs")
     if (!incremental && dedupSrc.isEmpty && annSrc.isEmpty &&
         arrivalDir.isEmpty && seen.contains("--checkpoint"))
       usage("--checkpoint only applies to " +
@@ -418,10 +437,18 @@ object Main {
       return
     }
     if (dedupSrc.isDefined) {
+      // --time-limit is the stream's per-micro-batch deadline (IC:644):
+      // the cron'd standalone job gets the same slot discipline as the
+      // composed pass's dedup stage
       dedupIngestRun(spark, dedupSrc.get, sigStorePath, checkpointRoot,
-        dedupOut)
+        dedupOut, deadline = cfg.timeLimitSeconds
+          .map(s => SystemClock.now().plusSeconds(s)),
+        maxFilesPerBatch = maxFilesPerBatch)
     } else if (annSrc.isDefined) {
-      annIngestRun(spark, annSrc.get, annStorePath, checkpointRoot)
+      annIngestRun(spark, annSrc.get, annStorePath, checkpointRoot,
+        deadline = cfg.timeLimitSeconds
+          .map(s => SystemClock.now().plusSeconds(s)),
+        maxFilesPerBatch = maxFilesPerBatch)
     } else if (compactDir.isDefined) {
       // maintenance mode (the IndexOptimize analog): print the plan
       // (dry-run echo, ref CE:197), then execute THE SAME SNAPSHOT unless
