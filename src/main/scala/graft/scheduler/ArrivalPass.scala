@@ -97,57 +97,6 @@ final case class ArrivalReport(stages: Seq[StageResult],
   * store's lease exactly while writing it. */
 object ArrivalPass {
 
-  /** Persisted per-stage duration history for predicted-cost admission
-    * (ref IC:677-680: the reference never STARTS a check its average
-    * duration says cannot finish inside the remaining budget; the
-    * estimate is the same incremental-mean recurrence the batch
-    * scheduler's state rows keep, `avg += (new - avg) / n`, IC:706 /
-    * state/StateStore.recordRun). Lives next to the pass checkpoints
-    * (`<checkpointRoot>/stage_stats.json`), one tiny driver-side file.
-    * Written with a plain overwrite: a crash mid-write at worst loses
-    * the history, and admission degrades to the time-remaining gate —
-    * never to wrong work. */
-  private final class StageStats(spark: SparkSession, path: String) {
-    private val p = new org.apache.hadoop.fs.Path(path)
-    private def fs = p.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    private val entryRe =
-      """"([A-Za-z0-9_]+)":\{"n":(\d+),"avg_ms":(\d+)\}""".r
-    private var m: Map[String, (Long, Long)] =
-      try {
-        if (!fs.exists(p)) Map.empty
-        else {
-          val in = fs.open(p)
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString finally in.close()
-          entryRe.findAllMatchIn(txt).map(g =>
-            g.group(1) -> (g.group(2).toLong, g.group(3).toLong)).toMap
-        }
-      } catch { case NonFatal(_) => Map.empty }
-
-    /** Predicted duration for a stage = its running average; None
-      * until the stage has run at least once (a never-seen stage is
-      * always admitted — the reference's first run of a new database
-      * has no estimate either). */
-    def predictMs(stage: String): Option[Long] = m.get(stage).map(_._2)
-
-    /** Fold one completed run into the history (IC:706 recurrence,
-      * integer arithmetic) and persist. */
-    def record(stage: String, durMs: Long): Unit = {
-      val (n0, avg0) = m.getOrElse(stage, (0L, 0L))
-      val n = n0 + 1
-      m += stage -> (n, avg0 + (durMs - avg0) / n)
-      try {
-        val body = m.toSeq.sortBy(_._1).map { case (s, (cnt, avg)) =>
-          s""""$s":{"n":$cnt,"avg_ms":$avg}"""
-        }.mkString(",")
-        val out = fs.create(p, true)
-        out.writeBytes(s"""{"format":1,"stages":{$body}}\n""")
-        out.close()
-      } catch { case NonFatal(_) => () }
-    }
-  }
-
   /** Stage detail for an ingest drain: the normal summary, or — when
     * the drain stopped at the pass deadline — the drained/remaining
     * accounting the operator needs to size tomorrow's backlog. */
@@ -162,7 +111,9 @@ object ArrivalPass {
       clock: Clock): ArrivalReport = {
     val deadline: Option[Instant] =
       cfg.timeLimitSeconds.map(s => clock.now().plusSeconds(s))
-    val stats = new StageStats(spark,
+    // per-STAGE duration history (ref IC:677; shared [[DurationStats]]
+    // — the incremental tier keeps the per-TABLE twin)
+    val stats = new DurationStats(spark,
       s"${cfg.checkpointRoot}/stage_stats.json")
 
     val results = ArrayBuffer.empty[StageResult]
@@ -214,12 +165,11 @@ object ArrivalPass {
       }
       val remainingMs =
         deadline.map(d => d.toEpochMilli - nowT.toEpochMilli)
-      val predictedMs =
-        if (remainingMs.isDefined && hasWork) stats.predictMs(name)
-        else None
+      val predictedMs = remainingMs
+        .filter(_ => hasWork)
+        .flatMap(rem => stats.wouldOverrun(name, rem))
       (remainingMs, predictedMs) match {
-        case (Some(rem), Some(p))
-            if p > rem + math.max(1000L, p / 4) =>
+        case (Some(rem), Some(p)) =>
           val d = f"predicted ${p / 1000.0}%.1f s > remaining " +
             f"${rem / 1000.0}%.1f s (+25%% grace) from the persisted " +
             "stage duration history — admission refused (IC:677)"

@@ -1,0 +1,77 @@
+package graft.scheduler
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+/** Persisted per-unit duration history for predicted-cost admission
+  * (ref IntegrityChecks_VLDB.sql:677-680: the reference never STARTS a
+  * unit of work its average duration says cannot finish inside the
+  * remaining budget; the estimate is the same incremental-mean
+  * recurrence the batch scheduler's state rows keep, `avg += (new -
+  * avg) / n`, IC:706 / state/StateStore.recordRun). One tiny
+  * driver-side JSON file next to the caller's checkpoints; the unit
+  * key is whatever granularity the caller admits at (ArrivalPass:
+  * stage names; IncrementalScheduler: `db.schema.table`). Written with
+  * a plain overwrite: a crash mid-write at worst loses the history,
+  * and admission degrades to the time-remaining gate — never to wrong
+  * work. */
+private[scheduler] final class DurationStats(spark: SparkSession,
+    path: String) {
+  private val p = new org.apache.hadoop.fs.Path(path)
+  private def fs = p.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+  private val entryRe =
+    """"((?:[^"\\]|\\.)+)":\{"n":(\d+),"avg_ms":(\d+)\}""".r
+  private var m: Map[String, (Long, Long)] =
+    try {
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        entryRe.findAllMatchIn(txt).map(g =>
+          unescape(g.group(1)) ->
+            (g.group(2).toLong, g.group(3).toLong)).toMap
+      }
+    } catch { case NonFatal(_) => Map.empty }
+
+  private def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Predicted duration for a unit = its running average; None until
+    * the unit has run at least once (a never-seen unit is always
+    * admitted — the reference's first run of a new database has no
+    * estimate either). */
+  def predictMs(unit: String): Option[Long] = m.get(unit).map(_._2)
+
+  /** The IC:677 refusal test: true when the prediction overruns the
+    * remaining budget past the grace (25 % of the prediction, floor
+    * 1 s — averages are noisy, and callers bound an admitted
+    * overrunner's tail with their own inner-loop deadline checks). */
+  def wouldOverrun(unit: String, remainingMs: Long): Option[Long] =
+    predictMs(unit).filter(pMs =>
+      pMs > remainingMs + math.max(1000L, pMs / 4))
+
+  /** Fold one completed run into the history (IC:706 recurrence,
+    * integer arithmetic) and persist. */
+  def record(unit: String, durMs: Long): Unit = {
+    val (n0, avg0) = m.getOrElse(unit, (0L, 0L))
+    val n = n0 + 1
+    m += unit -> (n, avg0 + (durMs - avg0) / n)
+    try {
+      val body = m.toSeq.sortBy(_._1).map { case (u, (cnt, avg)) =>
+        s""""${escape(u)}":{"n":$cnt,"avg_ms":$avg}"""
+      }.mkString(",")
+      val out = fs.create(p, true)
+      out.writeBytes(s"""{"format":1,"stages":{$body}}\n""")
+      out.close()
+    } catch { case NonFatal(_) => () }
+  }
+}

@@ -51,10 +51,15 @@ object IncrementalScheduler {
   /** One arrived-data pass. `deadline`: the reference's IC:592 budget
     * discipline INSIDE the pass — before each table's check the clock
     * is compared against it, and a table past the deadline is skipped
-    * with an audit row (never killed mid-check). The composed
-    * ArrivalPass forwards its pass-wide deadline here, so a landing
-    * zone with many tables degrades a-table-at-a-time instead of
-    * all-or-nothing at the stage boundary. */
+    * with an audit row (never killed mid-check) — plus the IC:677
+    * refinement: a table whose persisted duration history predicts an
+    * overrun of the remaining budget is admission-skipped too
+    * (`<checkpointRoot>/table_stats.json`, the [[DurationStats]]
+    * incremental mean — the lake twin of the batch scheduler's
+    * state-row estimates). The composed ArrivalPass forwards its
+    * pass-wide deadline here, so a landing zone with many tables
+    * degrades a-table-at-a-time instead of all-or-nothing at the
+    * stage boundary. */
   def run(spark: SparkSession, inventory: Inventory, checkpointRoot: String,
       log: CommandLog, clock: Clock,
       deadline: Option[java.time.Instant] = None): IncrementalReport = {
@@ -67,26 +72,18 @@ object IncrementalScheduler {
     // same legacy switch Tables.events uses for the batch tier
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val quiet = ArrayBuffer.empty[String]
+    // per-TABLE duration history for IC:677 predicted-cost admission —
+    // the same incremental-mean file the arrival pass keeps per stage
+    // (DurationStats; the batch scheduler's analog is its state rows)
+    val stats = new DurationStats(spark,
+      s"$checkpointRoot/table_stats.json")
     inventory.databases().foreach { db =>
       inventory.objects(db).foreach { o =>
+        val obj = s"$db.${o.schema_name}.${o.object_name}"
         val cmd = s"CHECKTABLE INCREMENTAL [$db].[${o.schema_name}]." +
           s"[${o.object_name}] WITH NO_INFOMSGS, DATA_PURITY"
         val ckpt = s"$checkpointRoot/$db/${o.object_name}/_checkpoint"
-        // QUIET-TABLE fast path: when the table's checkpoint already
-        // covers every landed file, the stream would plan and drain
-        // nothing — skip the ~1-2 s spin-up entirely (a 20k-table
-        // inventory pays that floor per table per pass otherwise).
-        // Checked BEFORE the deadline gate, so idle tables never
-        // produce admission-skip audit rows either: the reference only
-        // logs skips for work it would have RUN, and under a
-        // chronically tight budget the per-table skip rows for idle
-        // tables flooded the command log (round-13 advice).
-        if (graft.streaming.Streams.nothingNewLanded(spark, o.path,
-            ckpt)) {
-          quiet += s"$db.${o.schema_name}.${o.object_name}"
-        } else if (deadline.exists(dl => !clock.now().isBefore(dl))) {
-          val obj = s"$db.${o.schema_name}.${o.object_name}"
-          val why = "time budget exhausted before this table (IC:592)"
+        def skipRow(why: String): Unit = {
           skipped += (obj -> why)
           // error_number/error_message stay PAIRED-on-failure-only
           // (the CommandExecutor invariant; Model.scala documents
@@ -104,7 +101,42 @@ object IncrementalScheduler {
             start_time = java.sql.Timestamp.from(clock.observe()),
             end_time = Some(java.sql.Timestamp.from(clock.observe())),
             error_number = None, error_message = None))
+        }
+        // QUIET-TABLE fast path: when the table's checkpoint already
+        // covers every landed file, the stream would plan and drain
+        // nothing — skip the ~1-2 s spin-up entirely (a 20k-table
+        // inventory pays that floor per table per pass otherwise).
+        // Checked BEFORE the deadline gate, so idle tables never
+        // produce admission-skip audit rows either: the reference only
+        // logs skips for work it would have RUN, and under a
+        // chronically tight budget the per-table skip rows for idle
+        // tables flooded the command log (round-13 advice).
+        if (graft.streaming.Streams.nothingNewLanded(spark, o.path,
+            ckpt)) {
+          quiet += obj
         } else {
+        // ONE clock read (only when a deadline exists — an unbudgeted
+        // pass must not perturb a deterministic clock's tick sequence)
+        // gates both admission tests: IC:592 "is there time left" and
+        // IC:677 "will THIS table finish in it" from the persisted
+        // per-table mean; a table refused by either is a loud skip,
+        // never a mid-check kill
+        val remainingMs = deadline.map(d =>
+          d.toEpochMilli - clock.now().toEpochMilli)
+        if (remainingMs.exists(_ <= 0L)) {
+          skipRow("time budget exhausted before this table (IC:592)")
+        } else remainingMs.flatMap(stats.wouldOverrun(obj, _)) match {
+          case Some(pMs) =>
+            skipRow(f"predicted ${pMs / 1000.0}%.1f s > remaining " +
+              f"${remainingMs.get / 1000.0}%.1f s from the persisted " +
+              "table duration history (IC:677)")
+          case None =>
+            runTable()
+        }
+        }
+
+        def runTable(): Unit = {
+        val t0 = System.nanoTime()
         // The per-batch tally lives OUTSIDE the retried action and is
         // keyed by micro-batch id: a transient failure mid-stream makes
         // the executor re-run the action, but the stream's checkpoint
@@ -127,6 +159,9 @@ object IncrementalScheduler {
         }
         executed += cmd
         if (res.violations < 0L) errors += 1 else violations += res.violations
+        // fold the run into the per-table history (IC:706 recurrence)
+        // so the NEXT pass's IC:677 gate has an estimate for this table
+        stats.record(obj, clock.elapsedMs(t0))
         }
       }
     }

@@ -159,6 +159,66 @@ class SchedulerSpec extends AnyFunSuite {
     assert(sums.last.getAs[Long]("rows_checked") === 2L)
   }
 
+  test("incremental tier: IC:677 per-table predicted-cost admission — " +
+      "a table whose persisted duration history predicts an overrun " +
+      "of the remaining budget is skipped with a predicted>remaining " +
+      "audit row; history-less tables still run, and an unbudgeted " +
+      "pass ignores the gate") {
+    import graft.scheduler.IncrementalScheduler
+    val base = java.nio.file.Files.createTempDirectory("graft-inc677")
+      .toString
+    val dbDir = s"$base/db"
+    val cp = s"$base/checkpoints"
+    Tables.nation(spark, SparkTestSession.sfDir)
+      .write.parquet(s"$dbDir/nation.parquet")
+    Tables.region(spark, SparkTestSession.sfDir)
+      .write.parquet(s"$dbDir/region.parquet")
+    // seeded history: nation averages 600 s over 5 runs — far past a
+    // 30 s budget; region has no history (always admitted)
+    val statsP = new org.apache.hadoop.fs.Path(s"$cp/table_stats.json")
+    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(statsP, true)
+    out.writeBytes(
+      """{"format":1,"stages":{"db.main.nation":{"n":5,"avg_ms":600000}}}""")
+    out.close()
+    val log = new CommandLog(spark, None)
+    val inv = new DirInventory(spark, Map("db" -> dbDir))
+    val r = IncrementalScheduler.run(spark, inv, cp, log,
+      new graft.model.ManualClock(Instant.parse("2026-01-01T00:00:00Z"),
+        tickMs = 1000),
+      deadline = Some(Instant.parse("2026-01-01T00:00:30Z")))
+    assert(r.executedCommands.size === 1 &&
+      r.executedCommands.head.contains("[region]"), r.executedCommands)
+    assert(r.skipped.size === 1)
+    val (obj, why) = r.skipped.head
+    assert(obj === "db.main.nation")
+    assert(why.contains("predicted 600.0 s") && why.contains("IC:677"),
+      why)
+    // the refusal is a loud audit row, not a failure
+    val row = log.entries.find(e =>
+      e.object_name == "nation" &&
+        e.extended_info.contains("admission_skipped")).get
+    assert(row.extended_info.contains("predicted"), row.extended_info)
+    assert(row.error_number.isEmpty && row.error_message.isEmpty)
+    // the ran table fed the history (ManualClock's fixed 1000 ms fold)
+    val in = fs.open(statsP)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(txt.contains(""""db.main.region":{"n":1,"avg_ms":1000}"""),
+      txt)
+    assert(txt.contains(""""db.main.nation":{"n":5,"avg_ms":600000}"""),
+      txt)
+
+    // no budget, no gate: the skipped table runs on the next
+    // unbudgeted pass (and the quiet path leaves region alone)
+    val r2 = IncrementalScheduler.run(spark, inv, cp, log,
+      new graft.model.ManualClock(Instant.parse("2026-01-02T00:00:00Z"),
+        tickMs = 1000))
+    assert(r2.executedCommands.size === 1 &&
+      r2.executedCommands.head.contains("[nation]"), r2.executedCommands)
+    assert(r2.quiet === Seq("db.main.region"))
+  }
+
   test("scheduler_state_after_run and command_log match committed goldens") {
     // the two real-run inspection views are deterministic (fixed clock,
     // clean fixtures); gate them file-exactly like the dry-run so every
