@@ -59,7 +59,11 @@ object IncrementalScheduler {
     * state-row estimates). The composed ArrivalPass forwards its
     * pass-wide deadline here, so a landing zone with many tables
     * degrades a-table-at-a-time instead of all-or-nothing at the
-    * stage boundary. */
+    * stage boundary. A predicted-skipped table cannot refresh its own
+    * estimate (it never runs) — the history self-corrects on the
+    * first pass with budget to spare (or an unbudgeted run), exactly
+    * the reference's property: IC:677 reads the state rows of past
+    * RUNS, and the nightly full job is what refreshes them. */
   def run(spark: SparkSession, inventory: Inventory, checkpointRoot: String,
       log: CommandLog, clock: Clock,
       deadline: Option[java.time.Instant] = None): IncrementalReport = {
