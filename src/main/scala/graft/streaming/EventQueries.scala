@@ -466,21 +466,29 @@ object EventQueries {
       |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_sessions
       |FROM p GROUP BY day, peak ORDER BY day""".stripMargin) { (s, d) =>
-    // two delta projections consume the session frame — checkpoint the
-    // (small) session list so sessionization runs once
+    // ONE in-row fan-out makes both endpoint deltas from each
+    // session-day row (+1 at the clipped start, −1 at the clipped
+    // end), so the session frame has a single consumer chain and needs
+    // no checkpoint of its own — the round-13 two-projection union
+    // paid a localCheckpoint job plus a second scan for what a
+    // 2-element explode expresses in the row (the dd16 band fan-out
+    // pattern; `base` below stays materialized, it genuinely feeds two
+    // consumers)
     val sess = sessionize(Tables.events(s, d))
       .select("user_id", "session_no", "session_start", "session_end")
       .withColumn("day", explode(expr(
         "sequence(to_date(session_start), to_date(session_end))")))
-      .materialized
     val dayStart = col("day").cast("timestamp")
     val dayEnd = expr(
       "CAST(day AS TIMESTAMP) + INTERVAL '1' DAY - INTERVAL '1' MICROSECOND")
     val del = sess.select(col("day"), col("user_id"), col("session_no"),
-        greatest(col("session_start"), dayStart).as("t"),
-        lit(1).as("delta"))
-      .union(sess.select(col("day"), col("user_id"), col("session_no"),
-        least(col("session_end"), dayEnd).as("t"), lit(-1).as("delta")))
+        explode(array(
+          struct(greatest(col("session_start"), dayStart).as("t"),
+            lit(1).as("delta")),
+          struct(least(col("session_end"), dayEnd).as("t"),
+            lit(-1).as("delta")))).as("e"))
+      .select(col("day"), col("user_id"), col("session_no"),
+        col("e.t").as("t"), col("e.delta").as("delta"))
     // TWO-PASS PREFIX for the sweep (pipe07/pipe08's recipe). The bucket
     // is the ABSOLUTE epoch hour (floor(unix_micros/3600e6)) — a pure
     // function of the instant, so the soundness invariant (bucket
