@@ -193,11 +193,24 @@ object ArrivalPass {
     // cheap input probes, computed once per pass: they feed the
     // stages' input-skip arms AND tell the cost gate which stages
     // have real work tonight (a stage that will input-skip must not
-    // be admission-refused on the predicted cost of work it won't do)
+    // be admission-refused on the predicted cost of work it won't do).
+    // Two levels per ingest stage: has anything EVER landed (first-run
+    // schema inference needs a file), and has anything NEW landed
+    // since the stage's checkpoint (the quiet fast path — an
+    // accumulated landing zone must not pay three stream spin-ups per
+    // quiet night; same probe the integrity tier runs per table)
     val docsDir = s"${cfg.landing}/documents"
     val docsLanded = graft.Main.hasLandedFiles(spark, docsDir)
     val vecsDir = s"${cfg.landing}/embeddings"
     val vecsLanded = graft.Main.hasLandedFiles(spark, vecsDir)
+    def newUnder(src: String, ckpt: String): Boolean =
+      !graft.streaming.Streams.nothingNewLanded(spark, src, ckpt)
+    val docsNew = docsLanded &&
+      newUnder(docsDir, s"${cfg.checkpointRoot}/dedup")
+    val vecsNew = vecsLanded &&
+      newUnder(vecsDir, s"${cfg.checkpointRoot}/ann")
+    val oovNew = docsLanded &&
+      newUnder(docsDir, s"${cfg.checkpointRoot}/oov_ckpt")
     def annStoreExists: Boolean = {
       val hp = new org.apache.hadoop.fs.Path(cfg.annStorePath)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -225,9 +238,13 @@ object ArrivalPass {
       }
     }
 
-    stage("dedup_ingest", hasWork = docsLanded) {
+    stage("dedup_ingest", hasWork = docsNew) {
       if (!docsLanded)
         ("skipped_empty", s"no arrivals under $docsDir")
+      else if (!docsNew)
+        ("skipped_empty", "no NEW document files since the last pass " +
+          s"under $docsDir (checkpoint covers the landing; stream " +
+          "spin-up skipped)")
       else {
         val schema = spark.read.parquet(docsDir).schema
         // the pass deadline flows INTO the drain (IC:644's inner-loop
@@ -243,9 +260,13 @@ object ArrivalPass {
       }
     }
 
-    stage("ann_ingest", hasWork = vecsLanded) {
+    stage("ann_ingest", hasWork = vecsNew) {
       if (!vecsLanded)
         ("skipped_empty", s"no arrivals under $vecsDir")
+      else if (!vecsNew)
+        ("skipped_empty", "no NEW vector files since the last pass " +
+          s"under $vecsDir (checkpoint covers the landing; stream " +
+          "spin-up skipped)")
       else {
         val schema = spark.read.parquet(vecsDir).schema
         val r = graft.streaming.Streams.incrementalAnnStream(spark,
@@ -279,7 +300,7 @@ object ArrivalPass {
           s"arrivedBatches=${r.arrivedBatches}")
     }
 
-    stage("oov_qc", hasWork = docsLanded) {
+    stage("oov_qc", hasWork = oovNew) {
       val resident = cfg.dbs.toSeq.sortBy(_._1).map(_._2 + "/documents.parquet")
         .find { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -292,6 +313,10 @@ object ArrivalPass {
         case None =>
           ("skipped_no_resident",
             "no --db holds a documents.parquet resident corpus")
+        case Some(_) if !oovNew =>
+          ("skipped_empty", "no NEW document files since the last " +
+            s"pass (cumulative report under ${cfg.checkpointRoot}/oov; " +
+            "stream spin-up skipped)")
         case Some(res) =>
           // the same checkpointed O(new files) discipline as the ingest
           // stages: only files arrived since the last pass are QC'd

@@ -115,9 +115,12 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(oov === Map("web" -> false, "feedx" -> true))
     val oovRows = spark.read.parquet(s"$base/ckpt/oov").count()
 
-    // SECOND pass over the SAME landing zone: every checkpointed stage
-    // drains nothing (O(new files), not O(landing)) — the OOV report
-    // gains no rows and the stores are unchanged
+    // SECOND pass over the SAME landing zone: the quiet fast path —
+    // nothing NEW landed, so the ingest/QC stages skip their stream
+    // spin-ups entirely with loud skipped_empty reasons (O(new files),
+    // not O(landing)), the integrity tier reports its tables quiet,
+    // the maintenance loop still runs, the OOV report gains no rows
+    // and the stores are unchanged
     val report2 = ArrivalPass.run(spark,
       ArrivalConfig(
         landing = s"$base/landing",
@@ -128,21 +131,29 @@ class ArrivalPassSpec extends AnyFunSuite {
         dedupOut = s"$base/pairs",
         annStorePath = s"$base/ann"),
       log, SystemClock)
-    assert(report2.stages.forall(st =>
-      st.status == "ran"), report2.stages.mkString("\n"))
+    assert(report2.stages.map(s => s.stage -> s.status) === Seq(
+      "integrity_incremental" -> "ran",
+      "dedup_ingest" -> "skipped_empty",
+      "ann_ingest" -> "skipped_empty",
+      "ann_maintain" -> "ran",
+      "oov_qc" -> "skipped_empty"), report2.stages.mkString("\n"))
+    assert(report2.stages.head.detail.contains("quiet=2"),
+      report2.stages.head.detail)
+    assert(report2.stages.filter(_.status == "skipped_empty")
+      .forall(_.detail.contains("no NEW")), report2.stages.mkString("\n"))
     assert(spark.read.parquet(s"$base/ckpt/oov").count() === oovRows)
     assert(ann.load().get.count() === 80L)
 
     // audit trail: one ARRIVAL_STAGE row per stage per pass (two
-    // passes above), all ran; the integrity tier's own CHECKTABLE
-    // INCREMENTAL rows are there too
+    // passes above); pass 1 all ran, pass 2 records the quiet skips;
+    // the integrity tier's own CHECKTABLE INCREMENTAL rows are there
     val stageRows = log.entries.filter(_.command_type == "ARRIVAL_STAGE")
     assert(stageRows.map(_.object_name) === Seq(
       "integrity_incremental", "dedup_ingest", "ann_ingest",
       "ann_maintain", "oov_qc",
       "integrity_incremental", "dedup_ingest", "ann_ingest",
       "ann_maintain", "oov_qc"))
-    assert(stageRows.forall(_.extended_info.contains("\"ran\"")))
+    assert(stageRows.take(5).forall(_.extended_info.contains("\"ran\"")))
     assert(log.entries.exists(_.command.contains("CHECKTABLE INCREMENTAL")))
   }
 
