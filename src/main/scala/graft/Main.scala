@@ -44,11 +44,13 @@ import graft.state.StateStore
   *       assign against the frozen centroids, O(batch) work)
   *     [--arrival LANDING_DIR [--db ...] [--time-limit SECONDS]
   *       [--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH]
-  *       [--ann-store PATH] [--max-files-per-batch N] [--log PATH]]
+  *       [--ann-store PATH] [--max-files-per-batch N]
+  *       [--compact-tables BYTES] [--log PATH]]
   *       (THE composed nightly pass:
   *       integrity + dedup ingest + ANN ingest + index maintenance +
-  *       OOV QC over one landing zone under ONE budget — see
-  *       scheduler.ArrivalPass)
+  *       OOV QC — plus, with --compact-tables, small-file compaction
+  *       of the resident dir tables — over one landing zone under ONE
+  *       budget — see scheduler.ArrivalPass)
   */
 object Main {
 
@@ -160,6 +162,7 @@ object Main {
     var annStorePath = "/tmp/graft-annstore/ann"
     var arrivalDir: Option[String] = None
     var maxFilesPerBatch: Option[Int] = None
+    var compactTables: Option[Long] = None
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -176,7 +179,8 @@ object Main {
           "[--ann-ingest VECS_DIR [--ann-store PATH] [--checkpoint ROOT]] " +
           "[--arrival LANDING_DIR [--db ...] [--time-limit SECONDS] " +
           "[--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH] " +
-          "[--ann-store PATH] [--max-files-per-batch N] [--log PATH]]")
+          "[--ann-store PATH] [--max-files-per-batch N] " +
+          "[--compact-tables BYTES] [--log PATH]]")
       sys.exit(1)
     }
     var i = 0
@@ -227,6 +231,13 @@ object Main {
             Some(scala.util.Try(value("--max-files-per-batch").toInt)
               .filter(_ > 0).getOrElse(usage(
                 "--max-files-per-batch expects a positive integer")))
+        // opt-in table_compact stage for the composed pass: small-file
+        // compaction of resident dir tables at this target size
+        case "--compact-tables" =>
+          compactTables =
+            Some(scala.util.Try(value("--compact-tables").toLong)
+              .filter(_ > 0).getOrElse(usage(
+                "--compact-tables expects a positive byte target")))
         case "--target-bytes" =>
           targetBytes = scala.util.Try(value("--target-bytes").toLong)
             .filter(_ > 0)
@@ -251,23 +262,25 @@ object Main {
       val allowed = Set("--print-schedule", "--db", "--state", "--log",
         "--checkpoint", "--arrival", "--time-limit", "--sig-store",
         "--dedup-out", "--ann-store", "--compact", "--target-bytes",
-        "--max-files-per-batch")
+        "--max-files-per-batch", "--compact-tables")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         s"--print-schedule cannot carry ${stray.mkString(", ")} into the " +
           "echoed jobs; configure those in the pasted line manually " +
           "(accepted here: --db, --state, --log, --checkpoint, " +
           "--arrival, --time-limit, --sig-store, --dedup-out, " +
-          "--ann-store, --compact, --target-bytes)")
+          "--ann-store, --compact, --target-bytes, " +
+          "--max-files-per-batch, --compact-tables)")
       if (compactDir.isEmpty && seen.contains("--target-bytes"))
         usage("--target-bytes only rides the echoed compaction job; " +
           "give --compact TABLE_DIR")
       if (arrivalDir.isEmpty &&
           Seq("--sig-store", "--dedup-out", "--ann-store",
-            "--max-files-per-batch").exists(seen.contains))
+            "--max-files-per-batch", "--compact-tables")
+            .exists(seen.contains))
         usage("--sig-store/--dedup-out/--ann-store/" +
-          "--max-files-per-batch only ride the composed arrival job; " +
-          "give --arrival LANDING_DIR")
+          "--max-files-per-batch/--compact-tables only ride the " +
+          "composed arrival job; give --arrival LANDING_DIR")
       if (dbs.isEmpty)
         usage("--print-schedule requires at least one --db (the echoed " +
           "jobs must name the databases they check)")
@@ -307,10 +320,11 @@ object Main {
         println("# missed coverage.")
         val mfbArg = maxFilesPerBatch.fold("")(n =>
           s" --max-files-per-batch $n")
+        val ctArg = compactTables.fold("")(n => s" --compact-tables $n")
         println(s"37 2 * * * $submit $dbArgs --arrival $landing " +
           s"--checkpoint $checkpointRoot --sig-store $sigStorePath " +
           s"--dedup-out $dedupOut --ann-store $annStorePath" +
-          s"$mfbArg$tlArg$logArg")
+          s"$mfbArg$ctArg$tlArg$logArg")
       }
       compactDir.foreach { dir =>
         // the missing third of the reference's maintenance surface
@@ -366,13 +380,13 @@ object Main {
     if (arrivalDir.isDefined) {
       val allowed = Set("--arrival", "--db", "--time-limit",
         "--checkpoint", "--sig-store", "--dedup-out", "--ann-store",
-        "--log", "--max-files-per-batch")
+        "--log", "--max-files-per-batch", "--compact-tables")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         "--arrival is the composed nightly pass; other flag(s) given: " +
           s"${stray.mkString(", ")} (allowed: --db, --time-limit, " +
           "--checkpoint, --sig-store, --dedup-out, --ann-store, --log, " +
-          "--max-files-per-batch)")
+          "--max-files-per-batch, --compact-tables)")
     }
     if (dedupSrc.isDefined) {
       val allowed = Set("--dedup-ingest", "--sig-store", "--dedup-out",
@@ -402,6 +416,9 @@ object Main {
         seen.contains("--max-files-per-batch"))
       usage("--max-files-per-batch only applies to " +
         "--arrival/--dedup-ingest/--ann-ingest runs")
+    if (arrivalDir.isEmpty && seen.contains("--compact-tables"))
+      usage("--compact-tables only applies to --arrival runs " +
+        "(standalone compaction is --compact TABLE_DIR)")
     if (!incremental && dedupSrc.isEmpty && annSrc.isEmpty &&
         arrivalDir.isEmpty && seen.contains("--checkpoint"))
       usage("--checkpoint only applies to " +
@@ -419,7 +436,8 @@ object Main {
           sigStorePath = sigStorePath,
           dedupOut = dedupOut,
           annStorePath = annStorePath,
-          maxFilesPerBatch = maxFilesPerBatch.getOrElse(1000)),
+          maxFilesPerBatch = maxFilesPerBatch.getOrElse(1000),
+          compactTargetBytes = compactTables),
         logObj, SystemClock)
       logObj.flush()
       report.stages.foreach(s => println(

@@ -38,7 +38,12 @@ final case class ArrivalConfig(
     // micro-batch size bound for the ingest streams — the deadline's
     // granularity: the per-batch budget check (IC:644) can only stop
     // at batch boundaries, so one unbounded batch has no check points
-    maxFilesPerBatch: Int = 1000)
+    maxFilesPerBatch: Int = 1000,
+    // when set, the pass ends with a `table_compact` stage: small-file
+    // compaction of every resident DIRECTORY table at this target size
+    // (the IndexOptimize-job half of the reference's maintenance
+    // surface, run INSIDE the one nightly job; None = not requested)
+    compactTargetBytes: Option[Long] = None)
 
 /** What the pass did: the per-stage results plus the integrity tier's
   * violation/error tallies (they drive the CLI exit code exactly like
@@ -67,7 +72,12 @@ final case class ArrivalReport(stages: Seq[StageResult],
   *      drift against the resident corpus (TextAnalysis.oovReport —
   *      tx23's exact code path), checkpointed like the ingest stages
   *      (only files arrived since the last pass are QC'd; per-batch
-  *      reports under `<checkpointRoot>/oov/batch_id=<n>`).
+  *      reports under `<checkpointRoot>/oov/batch_id=<n>`);
+  *   6. `table_compact`         — opt-in (`compactTargetBytes`):
+  *      small-file compaction of every resident directory table, the
+  *      IndexOptimize-job half of the reference's maintenance surface
+  *      run inside the same nightly budget (skipped_empty when not
+  *      requested).
   *
   * Budget discipline is the reference's admission control
   * (IC:505/592/677: compute the stop time once, and before each unit
@@ -353,6 +363,49 @@ object ArrivalPass {
             ("ran", s"batches=${ids.size} report_rows=${rows.count()} " +
               s"flagged=$flagged report=$out resident=$res")
           }
+      }
+    }
+
+    stage("table_compact",
+        hasWork = cfg.compactTargetBytes.isDefined && cfg.dbs.nonEmpty) {
+      // the IndexOptimize half of the reference's nightly job
+      // (MS:7821 ff. creates BOTH maintenance jobs; here both run in
+      // the ONE pass): small-file compaction of every resident
+      // DIRECTORY table, LAST — the integrity tier already validated
+      // tonight's layout, and the merged files land as NEW files the
+      // next pass's incremental checkpoint picks up and re-validates
+      // (self-healing double-check of exactly the rewritten rows).
+      // compact() checks the pass deadline at every merge-group head
+      // (IC:644), so a big backlog compacts what fits and the next
+      // pass re-plans the remainder (the planner is idempotent).
+      cfg.compactTargetBytes match {
+        case None =>
+          ("skipped_empty",
+            "no --compact-tables target given; table compaction not " +
+              "requested")
+        case Some(_) if cfg.dbs.isEmpty =>
+          ("skipped_no_db", "no --db given; no resident tables to " +
+            "compact")
+        case Some(tb) =>
+          val inv = new DirInventory(spark, cfg.dbs)
+          var dirTables = 0
+          var merged = 0
+          inv.databases().foreach { db =>
+            inv.objects(db).foreach { o =>
+              val p = new org.apache.hadoop.fs.Path(o.path)
+              val fs = p.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              // single-file tables have no file set to merge
+              if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+                dirTables += 1
+                merged += graft.maintenance.Compaction.compact(spark,
+                  o.path, graft.maintenance.Compaction.tableFiles(
+                    spark, o.path), tb, deadline, clock)
+              }
+            }
+          }
+          ("ran", s"merged=$merged group(s) across $dirTables dir " +
+            s"table(s) (target=$tb bytes)")
       }
     }
 

@@ -78,7 +78,8 @@ class ArrivalPassSpec extends AnyFunSuite {
       "dedup_ingest" -> "ran",
       "ann_ingest" -> "ran",
       "ann_maintain" -> "ran",
-      "oov_qc" -> "ran"), report.stages.mkString("\n"))
+      "oov_qc" -> "ran",
+      "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
     assert(report.errors === 0L)
     // BOTH table layouts were checked error-free (the dir-table and
     // the single-file meta.parquet)
@@ -136,10 +137,13 @@ class ArrivalPassSpec extends AnyFunSuite {
       "dedup_ingest" -> "skipped_empty",
       "ann_ingest" -> "skipped_empty",
       "ann_maintain" -> "ran",
-      "oov_qc" -> "skipped_empty"), report2.stages.mkString("\n"))
+      "oov_qc" -> "skipped_empty",
+      "table_compact" -> "skipped_empty"),
+      report2.stages.mkString("\n"))
     assert(report2.stages.head.detail.contains("quiet=2"),
       report2.stages.head.detail)
-    assert(report2.stages.filter(_.status == "skipped_empty")
+    assert(report2.stages.filter(st => st.status == "skipped_empty" &&
+        st.stage != "table_compact")
       .forall(_.detail.contains("no NEW")), report2.stages.mkString("\n"))
     assert(spark.read.parquet(s"$base/ckpt/oov").count() === oovRows)
     assert(ann.load().get.count() === 80L)
@@ -150,9 +154,9 @@ class ArrivalPassSpec extends AnyFunSuite {
     val stageRows = log.entries.filter(_.command_type == "ARRIVAL_STAGE")
     assert(stageRows.map(_.object_name) === Seq(
       "integrity_incremental", "dedup_ingest", "ann_ingest",
-      "ann_maintain", "oov_qc",
+      "ann_maintain", "oov_qc", "table_compact",
       "integrity_incremental", "dedup_ingest", "ann_ingest",
-      "ann_maintain", "oov_qc"))
+      "ann_maintain", "oov_qc", "table_compact"))
     assert(stageRows.take(5).forall(_.extended_info.contains("\"ran\"")))
     assert(log.entries.exists(_.command.contains("CHECKTABLE INCREMENTAL")))
   }
@@ -183,7 +187,9 @@ class ArrivalPassSpec extends AnyFunSuite {
       "dedup_ingest" -> "admission_skipped",
       "ann_ingest" -> "admission_skipped",
       "ann_maintain" -> "admission_skipped",
-      "oov_qc" -> "admission_skipped"), report.stages.mkString("\n"))
+      "oov_qc" -> "admission_skipped",
+      "table_compact" -> "admission_skipped"),
+      report.stages.mkString("\n"))
     // the deadline also flowed INTO stage 1 (IC:592's per-table
     // check): by the first table the 6 s ticks had crossed the 10 s
     // budget, so both resident tables were admission-skipped WITH
@@ -211,7 +217,8 @@ class ArrivalPassSpec extends AnyFunSuite {
       e.command_type == "ARRIVAL_STAGE" &&
         e.extended_info.contains("admission_skipped"))
     assert(skipped.map(_.object_name) ===
-      Seq("dedup_ingest", "ann_ingest", "ann_maintain", "oov_qc"))
+      Seq("dedup_ingest", "ann_ingest", "ann_maintain", "oov_qc",
+        "table_compact"))
     assert(skipped.forall(_.command.contains("time budget exhausted")))
   }
 
@@ -361,7 +368,8 @@ class ArrivalPassSpec extends AnyFunSuite {
       "dedup_ingest" -> "admission_skipped",
       "ann_ingest" -> "ran",
       "ann_maintain" -> "ran",
-      "oov_qc" -> "ran"), report.stages.mkString("\n"))
+      "oov_qc" -> "ran",
+      "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
     val skip = report.stages.find(_.stage == "dedup_ingest").get
     assert(skip.detail.contains("predicted 600.0 s") &&
       skip.detail.contains("remaining") &&
@@ -402,7 +410,8 @@ class ArrivalPassSpec extends AnyFunSuite {
       "dedup_ingest" -> "skipped_empty",
       "ann_ingest" -> "skipped_empty",
       "ann_maintain" -> "skipped_empty",
-      "oov_qc" -> "skipped_empty"), report.stages.mkString("\n"))
+      "oov_qc" -> "skipped_empty",
+      "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
   }
 
   test("stage isolation: a FAILED stage (corrupt vector feed) is " +
@@ -430,7 +439,8 @@ class ArrivalPassSpec extends AnyFunSuite {
       "dedup_ingest" -> "ran",
       "ann_ingest" -> "failed",
       "ann_maintain" -> "skipped_empty", // no index was ever built
-      "oov_qc" -> "ran"), report.stages.mkString("\n"))
+      "oov_qc" -> "ran",
+      "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
     // the failure is a real audit row with the error captured
     val failRow = log.entries.find(e =>
       e.command_type == "ARRIVAL_STAGE" && e.object_name == "ann_ingest")
@@ -439,6 +449,52 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(failRow.error_message.isDefined)
     // and the document-side work still happened
     assert(spark.read.parquet(s"$base/ckpt3/oov").count() === 2L)
+  }
+
+  test("table_compact stage: the pass's opt-in IndexOptimize half — " +
+      "fragmented resident dir tables merge under the same nightly " +
+      "budget, rows survive, and the next pass's incremental tier " +
+      "picks the merged files up as new (self-healing re-check)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-compact").toString
+    // a fragmented resident table: 4 small files, all below target
+    val residentDocs = (1L to 40L).map { i =>
+      (i, "web", s"resident document number $i body")
+    }.toDF("doc_id", "source", "text")
+    residentDocs.repartition(4).write
+      .parquet(s"$base/db/documents.parquet")
+    new java.io.File(s"$base/landing").mkdirs()
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = Map("corpus" -> s"$base/db"),
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann",
+      compactTargetBytes = Some(64L * 1024 * 1024))
+    val report = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val tc = report.stages.find(_.stage == "table_compact").get
+    assert(tc.status === "ran")
+    assert(tc.detail.contains("merged=1"), tc.detail)
+    // rows survive the rewrite, and the directory converged to fewer
+    // files
+    assert(spark.read.parquet(s"$base/db/documents.parquet").count()
+      === 40L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$base/db/documents.parquet"))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(nFiles === 1, s"expected one merged file, found $nFiles")
+    // next pass: the merged file is NEW to the integrity checkpoint —
+    // re-validated (the self-healing double-check of exactly the
+    // rewritten rows), and a further compaction is a no-op
+    val report2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    assert(report2.stages.head.status === "ran")
+    val sums = spark.read.parquet(
+      s"$base/ckpt/integrity/corpus/documents/summaries")
+    assert(sums.agg(org.apache.spark.sql.functions.sum("rows_checked"))
+      .first().getLong(0) >= 80L) // originals (pass 1) + merged (pass 2)
+    assert(report2.stages.find(_.stage == "table_compact").get
+      .detail.contains("merged=0"))
   }
 
   test("--print-schedule with --arrival emits the composed crontab " +
@@ -454,6 +510,7 @@ class ArrivalPassSpec extends AnyFunSuite {
         "--dedup-out", "/state/pairs",
         "--ann-store", "/state/ann",
         "--max-files-per-batch", "500",
+        "--compact-tables", "268435456",
         "--compact", "/data/corpus/events.parquet",
         "--target-bytes", "134217728"))
     }
@@ -465,7 +522,8 @@ class ArrivalPassSpec extends AnyFunSuite {
     for (frag <- Seq("--db corpus=/data/corpus",
         "--checkpoint /state/ckpt", "--sig-store /state/sigs",
         "--dedup-out /state/pairs", "--ann-store /state/ann",
-        "--max-files-per-batch 500", "--time-limit 3600"))
+        "--max-files-per-batch 500", "--compact-tables 268435456",
+        "--time-limit 3600"))
       assert(line.contains(frag), s"missing $frag in: $line")
     // a given --time-limit must ride EVERY echoed job (the printer's
     // never-drop-a-flag contract): the nightly full pass and the
