@@ -393,6 +393,35 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(txt.contains(""""integrity_incremental":{"n":1"""), txt)
   }
 
+  test("a CORRUPT duration-history file degrades admission to the " +
+      "time-remaining gate — every stage still runs, nothing crashes, " +
+      "and the history re-seeds itself from this pass's runs") {
+    val (base, dbs) = fixture()
+    val statsP = new org.apache.hadoop.fs.Path(
+      s"$base/ckpt/stage_stats.json")
+    val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(statsP, true)
+    out.writeBytes("""{"format":1,"stages":{"dedup_ing""") // truncated
+    out.close()
+    val log = new CommandLog(spark, None)
+    val report = ArrivalPass.run(spark,
+      ArrivalConfig(
+        landing = s"$base/landing", dbs = dbs,
+        timeLimitSeconds = Some(3600L),
+        checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs", annStorePath = s"$base/ann"),
+      log, SystemClock)
+    // no predicted skip can fire from a history that failed to parse
+    assert(!report.stages.exists(_.status == "admission_skipped"),
+      report.stages.mkString("\n"))
+    assert(report.stages.count(_.status == "ran") >= 4)
+    // the pass rewrote the file with this pass's fresh entries
+    val in = fs.open(statsP)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(txt.contains(""""dedup_ingest":{"n":1"""), txt)
+  }
+
   test("input skips are explicit: an empty landing zone and no " +
       "resident corpus produce skip statuses, not crashes or silence") {
     val base = java.nio.file.Files
