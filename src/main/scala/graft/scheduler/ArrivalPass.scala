@@ -390,6 +390,7 @@ object ArrivalPass {
           val inv = new DirInventory(spark, cfg.dbs)
           var dirTables = 0
           var merged = 0
+          var budgetSkipped = 0
           inv.databases().foreach { db =>
             inv.objects(db).foreach { o =>
               val p = new org.apache.hadoop.fs.Path(o.path)
@@ -397,15 +398,26 @@ object ArrivalPass {
                 spark.sparkContext.hadoopConfiguration)
               // single-file tables have no file set to merge
               if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
-                dirTables += 1
-                merged += graft.maintenance.Compaction.compact(spark,
-                  o.path, graft.maintenance.Compaction.tableFiles(
-                    spark, o.path), tb, deadline, clock)
+                // the IC:592 per-TABLE check, like the integrity
+                // stage: past the deadline, skip even the planning
+                // listing (20k tables would otherwise each pay a plan
+                // job after the budget is gone); compact() itself
+                // re-checks per merge group (IC:644)
+                if (deadline.exists(d => !clock.observe().isBefore(d)))
+                  budgetSkipped += 1
+                else {
+                  dirTables += 1
+                  merged += graft.maintenance.Compaction.compact(spark,
+                    o.path, graft.maintenance.Compaction.tableFiles(
+                      spark, o.path), tb, deadline, clock)
+                }
               }
             }
           }
+          val sk = if (budgetSkipped == 0) ""
+            else s" skipped=$budgetSkipped table(s) (budget)"
           ("ran", s"merged=$merged group(s) across $dirTables dir " +
-            s"table(s) (target=$tb bytes)")
+            s"table(s) (target=$tb bytes)$sk")
       }
     }
 
