@@ -115,57 +115,60 @@ object IncrementalScheduler {
         // logs skips for work it would have RUN, and under a
         // chronically tight budget the per-table skip rows for idle
         // tables flooded the command log (round-13 advice).
+        def runTable(): Unit = {
+          val t0 = System.nanoTime()
+          // The per-batch tally lives OUTSIDE the retried action and is
+          // keyed by micro-batch id: a transient failure mid-stream
+          // makes the executor re-run the action, but the stream's
+          // checkpoint skips already-committed batches — an in-action
+          // counter would silently lose their violations on the retry.
+          // Keyed entries survive the retry (committed batches keep
+          // their first-attempt counts) and an at-least-once
+          // foreachBatch replay overwrites its own key instead of
+          // double-counting.
+          val perBatch =
+            new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+          val res = executor.run(db, o.schema_name, o.object_name,
+            o.object_type, cmd, "DBCC_CHECKTABLE_INC") {
+            val schema = spark.read.parquet(o.path).schema
+            Streams.incrementalCheckById(spark, o.path, schema,
+              (batch, id) => summarize(batch, id, perBatch),
+              ckpt,
+              s"$checkpointRoot/$db/${o.object_name}/summaries")
+            import scala.jdk.CollectionConverters._
+            perBatch.values().asScala.foldLeft(0L)(_ + _)
+          }
+          executed += cmd
+          if (res.violations < 0L) errors += 1
+          else violations += res.violations
+          // fold the run into the per-table history (IC:706 recurrence)
+          // so the NEXT pass's IC:677 gate has an estimate for this
+          // table
+          stats.record(obj, clock.elapsedMs(t0))
+        }
+
         if (graft.streaming.Streams.nothingNewLanded(spark, o.path,
             ckpt)) {
           quiet += obj
         } else {
-        // ONE clock read (only when a deadline exists — an unbudgeted
-        // pass must not perturb a deterministic clock's tick sequence)
-        // gates both admission tests: IC:592 "is there time left" and
-        // IC:677 "will THIS table finish in it" from the persisted
-        // per-table mean; a table refused by either is a loud skip,
-        // never a mid-check kill
-        val remainingMs = deadline.map(d =>
-          d.toEpochMilli - clock.now().toEpochMilli)
-        if (remainingMs.exists(_ <= 0L)) {
-          skipRow("time budget exhausted before this table (IC:592)")
-        } else remainingMs.flatMap(stats.wouldOverrun(obj, _)) match {
-          case Some(pMs) =>
-            skipRow(f"predicted ${pMs / 1000.0}%.1f s > remaining " +
-              f"${remainingMs.get / 1000.0}%.1f s from the persisted " +
-              "table duration history (IC:677)")
-          case None =>
-            runTable()
-        }
-        }
-
-        def runTable(): Unit = {
-        val t0 = System.nanoTime()
-        // The per-batch tally lives OUTSIDE the retried action and is
-        // keyed by micro-batch id: a transient failure mid-stream makes
-        // the executor re-run the action, but the stream's checkpoint
-        // skips already-committed batches — an in-action counter would
-        // silently lose their violations on the retry. Keyed entries
-        // survive the retry (committed batches keep their first-attempt
-        // counts) and an at-least-once foreachBatch replay overwrites
-        // its own key instead of double-counting.
-        val perBatch =
-          new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-        val res = executor.run(db, o.schema_name, o.object_name,
-          o.object_type, cmd, "DBCC_CHECKTABLE_INC") {
-          val schema = spark.read.parquet(o.path).schema
-          Streams.incrementalCheckById(spark, o.path, schema,
-            (batch, id) => summarize(batch, id, perBatch),
-            ckpt,
-            s"$checkpointRoot/$db/${o.object_name}/summaries")
-          import scala.jdk.CollectionConverters._
-          perBatch.values().asScala.foldLeft(0L)(_ + _)
-        }
-        executed += cmd
-        if (res.violations < 0L) errors += 1 else violations += res.violations
-        // fold the run into the per-table history (IC:706 recurrence)
-        // so the NEXT pass's IC:677 gate has an estimate for this table
-        stats.record(obj, clock.elapsedMs(t0))
+          // ONE clock read (only when a deadline exists — an unbudgeted
+          // pass must not perturb a deterministic clock's tick
+          // sequence) gates both admission tests: IC:592 "is there time
+          // left" and IC:677 "will THIS table finish in it" from the
+          // persisted per-table mean; a table refused by either is a
+          // loud skip, never a mid-check kill
+          val remainingMs = deadline.map(d =>
+            d.toEpochMilli - clock.now().toEpochMilli)
+          if (remainingMs.exists(_ <= 0L)) {
+            skipRow("time budget exhausted before this table (IC:592)")
+          } else remainingMs.flatMap(stats.wouldOverrun(obj, _)) match {
+            case Some(pMs) =>
+              skipRow(f"predicted ${pMs / 1000.0}%.1f s > remaining " +
+                f"${remainingMs.get / 1000.0}%.1f s from the " +
+                "persisted table duration history (IC:677)")
+            case None =>
+              runTable()
+          }
         }
       }
     }
