@@ -61,6 +61,41 @@ class StreamingSpec extends AnyFunSuite {
       "the failed batch must not have produced a summary")
   }
 
+  test("quiet probe survives source-log COMPACTION: after 12 one-file " +
+      "passes (the log folds into a .compact at batch 9) the probe " +
+      "still reads the landing as quiet, and one new file wakes it") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft-quietc").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val cp = s"$base/cp"; val out = s"$base/out"
+    val fixture = Paths.get(s"$sfDir/region.parquet")
+    val schema = spark.read.parquet(fixture.toString).schema
+    val checkFn = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)).as("n_rows"))
+    // 12 sequential one-file passes: the file-source metadata log
+    // compacts every 10 batches, so entries for batches ≤ 9 live only
+    // inside `9.compact` — the seen-set parser must read compacts (by
+    // their folded id) or the probe would mark old files unseen
+    // forever and the quiet fast path would never fire again
+    (0 until 12).foreach { i =>
+      Files.copy(fixture, Paths.get(s"$src/part-$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Streams.incrementalCheck(spark, src, schema, checkFn, cp, out)
+    }
+    val fs = new org.apache.hadoop.fs.Path(cp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$cp/sources/0"))
+      .exists(_.getPath.getName.endsWith(".compact")),
+      "fixture must actually exercise a compacted source log")
+    assert(Streams.nothingNewLanded(spark, src, cp),
+      "12 committed files, none new — the landing must read quiet")
+    // a 13th file wakes it
+    Files.copy(fixture, Paths.get(s"$src/part-12.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(!Streams.nothingNewLanded(spark, src, cp))
+    assert(Streams.unseenFiles(spark, src, cp) === 1L)
+  }
+
   test("incrementalDedupStream: per-batch pairs equal the monolithic " +
       "chain restricted to the batch; store survives restarts") {
     import java.nio.file.{Files, Paths}
