@@ -119,6 +119,33 @@ object ArrivalPass {
 
   def run(spark: SparkSession, cfg: ArrivalConfig, log: CommandLog,
       clock: Clock): ArrivalReport = {
+    // PASS-LEVEL lease on the checkpoint root: the reference's
+    // scheduler never overlaps a nightly job with itself (SQL Agent
+    // skips a run whose predecessor still holds the job), and two
+    // concurrent arrival passes sharing the per-table integrity
+    // checkpoints would race their file-source offset logs — no
+    // cross-process guard exists below this one. A second pass fails
+    // LOUDLY at entry instead. TTL 2 h with a renewal per stage, so a
+    // pass longer than the TTL keeps its claim while a CRASHED pass
+    // frees the next night automatically.
+    val passLease = new graft.tables.StoreLease(spark,
+      cfg.checkpointRoot, "ArrivalPass")
+    try passLease.acquire(ttlMs = 2L * 60 * 60 * 1000)
+    catch { case e: IllegalStateException =>
+      throw new IllegalStateException(
+        s"another arrival pass appears to be RUNNING against " +
+          s"${cfg.checkpointRoot} (${e.getMessage}). Overlapping " +
+          "passes would race the shared integrity checkpoints; wait " +
+          "for the running pass, or remove the stale lock if its " +
+          "holder is dead.")
+    }
+    try runLeased(spark, cfg, log, clock, passLease)
+    finally passLease.release()
+  }
+
+  private def runLeased(spark: SparkSession, cfg: ArrivalConfig,
+      log: CommandLog, clock: Clock,
+      passLease: graft.tables.StoreLease): ArrivalReport = {
     val deadline: Option[Instant] =
       cfg.timeLimitSeconds.map(s => clock.now().plusSeconds(s))
     // per-STAGE duration history (ref IC:677; shared [[DurationStats]]
@@ -165,6 +192,10 @@ object ArrivalPass {
       * mean under the real cost and re-admit overrunners. */
     def stage(name: String, hasWork: => Boolean = true)(
         body: => (String, String)): Unit = {
+      // heartbeat the pass lease once per stage (a usurped lease —
+      // someone broke it as stale mid-run — aborts the pass loudly
+      // here rather than interleave with the usurper's streams)
+      passLease.renew()
       val nowT = clock.now()
       if (deadline.exists(d => !nowT.isBefore(d))) {
         val d = "time budget exhausted before this stage " +

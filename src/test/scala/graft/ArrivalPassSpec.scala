@@ -526,6 +526,40 @@ class ArrivalPassSpec extends AnyFunSuite {
       .detail.contains("merged=0"))
   }
 
+  test("overlapping passes are refused LOUDLY by the pass-level " +
+      "lease (the reference's scheduler never overlaps a job with " +
+      "itself); a stale lock — dead holder — frees the next pass") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-lock").toString
+    new java.io.File(s"$base/landing").mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeLock(ts: Long): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$base/ckpt.lock"), true)
+      out.writeBytes(s"running-pass $ts\n"); out.close()
+    }
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = Map.empty,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+    val log = new CommandLog(spark, None)
+    // a LIVE lock (another pass mid-run): refused at entry, nothing ran
+    writeLock(System.currentTimeMillis())
+    val e = intercept[IllegalStateException](
+      ArrivalPass.run(spark, cfg, log, SystemClock))
+    assert(e.getMessage.contains("another arrival pass"), e.getMessage)
+    assert(log.entries.isEmpty, "a refused pass must not audit stages")
+    // a STALE lock (crashed pass, heartbeat older than the 2 h TTL):
+    // the next pass breaks it and runs
+    writeLock(System.currentTimeMillis() - 2L * 60 * 60 * 1000 - 60000)
+    val report = ArrivalPass.run(spark, cfg, log, SystemClock)
+    assert(report.stages.nonEmpty)
+    // and the lease was released on exit — a THIRD pass runs freely
+    val report2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    assert(report2.stages.nonEmpty)
+  }
+
   test("--print-schedule with --arrival emits the composed crontab " +
       "line carrying every store/budget argument it was given") {
     val buf = new java.io.ByteArrayOutputStream()
