@@ -125,9 +125,10 @@ object ArrivalPass {
     // concurrent arrival passes sharing the per-table integrity
     // checkpoints would race their file-source offset logs — no
     // cross-process guard exists below this one. A second pass fails
-    // LOUDLY at entry instead. TTL 2 h with a renewal per stage, so a
-    // pass longer than the TTL keeps its claim while a CRASHED pass
-    // frees the next night automatically.
+    // LOUDLY at entry instead. TTL 2 h, renewed per stage AND per
+    // ingest micro-batch (the streams' heartbeat hook), so even an
+    // unbudgeted multi-hour drain keeps its claim while a CRASHED
+    // pass frees the next night automatically.
     val passLease = new graft.tables.StoreLease(spark,
       cfg.checkpointRoot, "ArrivalPass")
     try passLease.acquire(ttlMs = 2L * 60 * 60 * 1000)
@@ -295,7 +296,8 @@ object ArrivalPass {
         val r = graft.streaming.Streams.incrementalDedupStream(spark,
           docsDir, schema, cfg.sigStorePath,
           s"${cfg.checkpointRoot}/dedup", cfg.dedupOut,
-          deadline, clock, Some(cfg.maxFilesPerBatch))
+          deadline, clock, Some(cfg.maxFilesPerBatch),
+          heartbeat = () => passLease.renew())
         ("ran", drainDetail(r,
           s"store=${cfg.sigStorePath} pairs under ${cfg.dedupOut}"))
       }
@@ -313,7 +315,8 @@ object ArrivalPass {
         val r = graft.streaming.Streams.incrementalAnnStream(spark,
           vecsDir, schema, cfg.annStorePath,
           s"${cfg.checkpointRoot}/ann",
-          deadline, clock, Some(cfg.maxFilesPerBatch))
+          deadline, clock, Some(cfg.maxFilesPerBatch),
+          heartbeat = () => passLease.renew())
         ("ran", drainDetail(r, s"index=${cfg.annStorePath}"))
       }
     }

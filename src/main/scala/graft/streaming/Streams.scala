@@ -664,7 +664,8 @@ object Streams {
       checkpoint: String, outPath: String,
       deadline: Option[java.time.Instant] = None,
       clock: graft.model.Clock = graft.model.SystemClock,
-      maxFilesPerBatch: Option[Int] = None): DrainReport = {
+      maxFilesPerBatch: Option[Int] = None,
+      heartbeat: () => Unit = () => ()): DrainReport = {
     import graft.pipeline.{Dedup, IncrementalDedup}
     val store = new IncrementalDedup.SigStore(spark, storePath)
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -679,6 +680,10 @@ object Streams {
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
             id: Long) =>
           admitBatch(deadline, clock, "incrementalDedupStream")
+          // caller-supplied per-batch heartbeat (the composed pass
+          // renews ITS pass-level lease here, so a long unbudgeted
+          // drain cannot outlive the pass lease's TTL mid-stage)
+          heartbeat()
           store.renewLease()
           val prev = store.load()
           val r = IncrementalDedup.ingest(
@@ -733,7 +738,8 @@ object Streams {
       checkpoint: String,
       deadline: Option[java.time.Instant] = None,
       clock: graft.model.Clock = graft.model.SystemClock,
-      maxFilesPerBatch: Option[Int] = None): DrainReport = {
+      maxFilesPerBatch: Option[Int] = None,
+      heartbeat: () => Unit = () => ()): DrainReport = {
     import graft.pipeline.IncrementalAnn
     val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -748,6 +754,7 @@ object Streams {
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
             id: Long) =>
           admitBatch(deadline, clock, "incrementalAnnStream")
+          heartbeat() // see incrementalDedupStream
           store.renewLease()
           val codes = batch.toDF().select(col("vec_id"),
             graft.functions.Quantize.toLongsCol(col("embedding")).as("qv"))
