@@ -518,14 +518,21 @@ object EventQueries {
     val conc = base.withColumn("lconc", sum("delta").over(wLoc))
       .join(broadcast(offs), Seq("day", "bucket"))
       .withColumn("conc", col("off") + col("lconc"))
-    val peaks = conc.groupBy("day").agg(max("conc").as("peak"))
-    conc.join(broadcast(peaks), Seq("day"))
-      .groupBy("day", "peak")
-      .agg(min(when(col("conc") === col("peak"), col("t"))).as("peak_ts"),
+    // Peak + its first-reached instant in the SAME aggregation: max_by
+    // ordered by (conc, -t) picks, among the max-concurrency rows, the
+    // earliest t — exactly the oracle's min(t WHERE conc = peak). The
+    // round-13 spelling computed a per-day peak table and broadcast it
+    // back, which priced a SECOND pass over the concurrency stream (the
+    // window chain re-ran for the probe side) — one aggregation reads it
+    // once, and at 10⁹ sessions/day the saved pass is corpus-sized.
+    conc.groupBy("day")
+      .agg(max("conc").as("peak_concurrency"),
+        max_by(col("t"),
+          struct(col("conc"), (-unix_micros(col("t"))).as("neg")))
+          .as("peak_ts"),
         sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("peak").as("peak_concurrency"), col("peak_ts"),
-        col("n_sessions"))
+        col("peak_concurrency"), col("peak_ts"), col("n_sessions"))
       .orderBy("day")
   }
 

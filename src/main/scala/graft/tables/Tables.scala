@@ -14,8 +14,49 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred-schema memo. `spark.read.parquet(path)` runs a DISTRIBUTED
+    * footer-read job per CALL to infer the schema — a query touching the
+    * same catalog of tables pays that job once per table reference
+    * (check_fk_containment scheduled 10 of its 16 jobs on exactly this;
+    * graft.JobCount round-14). A real deployment reads CATALOG tables
+    * whose schema is known at plan time; this memo gives path reads the
+    * same property: infer once, then plan every later read with
+    * `.schema(...)` (no inference job, no footer touch). The key carries
+    * the path's (mtime, length) from ONE driver-side stat, so a fixture
+    * rewritten in place (spec scratch dirs) re-infers instead of serving
+    * a stale schema, and the session's timezone/nanos conf rides the key
+    * because both change what inference returns for the same file. File
+    * LISTING is untouched — every read still sees files landed since the
+    * memo was taken; only the schema is pinned. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val conf = spark.conf.getOption(
+      "spark.sql.legacy.parquet.nanosAsLong").getOrElse("") + "/" +
+      spark.conf.getOption("spark.sql.session.timeZone").getOrElse("")
+    val key = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p)
+      (path, st.getModificationTime, st.getLen, conf)
+    } catch {
+      // missing/unstatable path: fall through to the plain read so the
+      // caller sees Spark's own error, and memoize nothing
+      case _: java.io.IOException =>
+        return spark.read.parquet(path)
+    }
+    val cached = schemaMemo.get(key)
+    val schema =
+      if (cached != null) cached
+      else {
+        val inferred = spark.read.parquet(path).schema
+        schemaMemo.putIfAbsent(key, inferred)
+        inferred
+      }
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

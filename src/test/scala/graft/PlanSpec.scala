@@ -396,15 +396,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"))
   }
 
-  test("ev12: two-pass sweep — no day-wide window; peak joins back") {
+  test("ev12: two-pass sweep — no day-wide window; one peak pass") {
     val p = planOf("ev12_peak_concurrency")
     // sessionization + deltas are checkpointed; events.parquet is gone
     assert("events\\.parquet".r.findAllIn(p).size === 0)
     // the running-concurrency window partitions by (day, hour-bucket),
-    // never bare day, and the per-day peak is a broadcast join of a
-    // map-side-combined aggregate, not a day-wide max window
+    // never bare day; peak + first-reached instant + session count all
+    // fall out of ONE map-side-combined aggregation over the
+    // concurrency stream (max_by carries the instant), so exactly one
+    // broadcast join remains (the prefix offsets) and the stream is
+    // never read twice
     assert(p.contains("partial_max") || p.contains("partial_sum"))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(p.contains("max_by"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 1)
     val winLines = p.linesIterator
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(winLines.nonEmpty && winLines.forall(_.contains("bucket")))
