@@ -324,7 +324,10 @@ object IncrementalAnn {
       // instead of reporting the store absent (round-13 advice)
       val root = serveRoot()
       if (!fs.exists(new Path(root))) None
-      else Some(spark.read.parquet(root)
+      // memoized-schema read (layout protocol-fixed; listing per-read,
+      // so a second-ago ingest is visible): no footer-inference job per
+      // search/metrics call
+      else Some(graft.tables.Tables.memoizedParquet(spark, root)
         .select(col("vec_id"), col("qv"),
           col("cluster").cast("int").as("cluster"),
           col("batch_id").cast("long").as("batch_id")))

@@ -537,7 +537,10 @@ object IncrementalDedup {
     def load(): Option[DataFrame] = {
       recover()
       val root = serveRoot()
-      if (fs.exists(new Path(root))) Some(spark.read.parquet(root))
+      // memoized-schema read (generation layout is protocol-fixed):
+      // skips the per-call footer-inference job; listing stays per-read
+      if (fs.exists(new Path(root)))
+        Some(graft.tables.Tables.memoizedParquet(spark, root))
       else None
     }
 

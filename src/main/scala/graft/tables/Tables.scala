@@ -31,8 +31,16 @@ object Tables {
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long, String), org.apache.spark.sql.types.StructType]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memoizedParquet(spark, s"$sfDir/$name.parquet")
+
+  /** A parquet read whose SCHEMA comes from the memo above. Also used by
+    * the persisted stores' `load()` (IncrementalDedup/IncrementalAnn):
+    * their layouts are protocol-fixed, every generation swap or new
+    * batch partition is a direct child of the root (so the root's mtime
+    * moves with every legal mutation), and only the schema is pinned —
+    * the per-read file listing still sees everything landed since. */
+  def memoizedParquet(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.conf.getOption(
       "spark.sql.legacy.parquet.nanosAsLong").getOrElse("") + "/" +
       spark.conf.getOption("spark.sql.session.timeZone").getOrElse("")
