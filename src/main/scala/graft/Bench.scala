@@ -233,13 +233,22 @@ object Bench {
     // SPARK_GRAFT_SF_DIR), with the effective values recorded in the
     // emitted JSON so a reader can see which calibration gated the
     // sample.
-    val HealthyOps = sys.env.get("SPARK_GRAFT_HEALTHY_OPS")
-      .flatMap(_.toLongOption).getOrElse(7200000L)
-    val HealthyAnchorRefSec = sys.env.get("SPARK_GRAFT_ANCHOR_REF_SEC")
-      .flatMap(_.toDoubleOption).getOrElse(0.148)
+    // a present-but-unparseable override FAILS LOUDLY instead of
+    // silently falling back to the pinned calibration — the silent
+    // fallback is exactly the faster-host-minting-while-throttled
+    // hazard the override exists to prevent
+    def gateEnv[T](name: String, parse: String => Option[T],
+        default: T): T =
+      sys.env.get(name).map(v => parse(v).getOrElse(sys.error(
+        s"$name='$v' is not parseable; refusing to run the health " +
+          "gate with a silently-ignored calibration override")))
+        .getOrElse(default)
+    val HealthyOps =
+      gateEnv("SPARK_GRAFT_HEALTHY_OPS", _.toLongOption, 7200000L)
+    val HealthyAnchorRefSec =
+      gateEnv("SPARK_GRAFT_ANCHOR_REF_SEC", _.toDoubleOption, 0.148)
     val SparkProbeGateSec =
-      sys.env.get("SPARK_GRAFT_SPARK_PROBE_GATE_SEC")
-        .flatMap(_.toDoubleOption).getOrElse(0.90)
+      gateEnv("SPARK_GRAFT_SPARK_PROBE_GATE_SEC", _.toDoubleOption, 0.90)
     val cpuOk = (probeBefore, probeAfter) match {
       case (Some(a), Some(b)) => Some(a >= HealthyOps && b >= HealthyOps)
       case _ => None

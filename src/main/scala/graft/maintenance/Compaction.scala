@@ -168,9 +168,29 @@ object Compaction {
   def compact(spark: SparkSession, tableDir: String, files: DataFrame,
       targetBytes: Long,
       deadline: Option[java.time.Instant] = None,
-      clock: graft.model.Clock = graft.model.SystemClock): Int = {
+      clock: graft.model.Clock = graft.model.SystemClock,
+      heartbeat: () => Unit = () => ()): Int = {
     val dirPath = new Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Single-compactor lease per table dir (the shared hardened
+    // StoreLease — the same liveness contract as the persisted
+    // stores): the echoed schedule installs BOTH a nightly
+    // --compact-tables pass and a weekly standalone --compact over the
+    // same tables, and two concurrent compactors would plan
+    // overlapping merge groups (duplicated rows when both land merges
+    // before the loser's delete throws) and destroy each other's
+    // in-flight recovery manifests via the shared .compact-tmp sweep.
+    // A held lease = another compactor is live: skip LOUDLY and let
+    // the next run re-plan — the planner is idempotent.
+    val lease = new graft.tables.StoreLease(spark, tableDir,
+      "table compaction")
+    try lease.acquire()
+    catch {
+      case e: IllegalStateException =>
+        println(s"compact: $tableDir is being compacted by another " +
+          s"run — skipping this table (${e.getMessage})")
+        return 0
+    }
     // membership travels WITH each plan row (see planWithMembers) — never
     // re-derived from the listing, so a packing-rule change cannot make
     // execution read or delete the wrong files
@@ -224,20 +244,27 @@ object Compaction {
 
     var done = 0
     var budgetStop = false
-    while (done < groups.length && !budgetStop) {
-      if (deadline.exists(d => !clock.observe().isBefore(d))) {
-        // loud skip, reference-style: the operator sees what a
-        // time-boxed run left for the next one
-        println(s"compact: time budget exhausted before group $done " +
-          s"(${groups.length - done} group(s) remain; re-run to " +
-          "compact the remainder)")
-        budgetStop = true
-      } else {
-        mergeOne(groups(done), done)
-        done += 1
+    try {
+      while (done < groups.length && !budgetStop) {
+        if (deadline.exists(d => !clock.observe().isBefore(d))) {
+          // loud skip, reference-style: the operator sees what a
+          // time-boxed run left for the next one
+          println(s"compact: time budget exhausted before group $done " +
+            s"(${groups.length - done} group(s) remain; re-run to " +
+            "compact the remainder)")
+          budgetStop = true
+        } else {
+          // per-group heartbeats: this compactor's own lease AND the
+          // caller's (the composed pass renews its pass lease here) —
+          // a many-group backlog must not let either go TTL-stale
+          lease.renew()
+          heartbeat()
+          mergeOne(groups(done), done)
+          done += 1
+        }
       }
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } finally lease.release()
     done
   }
 

@@ -452,7 +452,8 @@ object IncrementalAnn {
       * does — save() enforces it); never run concurrently with an
       * ingesting stream, exactly as [[compact]]. */
     def maintain(rebuildDrift: Double = 0.10,
-        reorganizeBatches: Long = 64L): MaintainReport = load() match {
+        reorganizeBatches: Long = 64L,
+        heartbeat: () => Unit = () => ()): MaintainReport = load() match {
       case None =>
         // distinguishable from a healthy no-op: callers (ArrivalPass)
         // report an absent index as a skip, not as a decision
@@ -462,11 +463,17 @@ object IncrementalAnn {
         // arm's corpus read (round-13 review)
         val drift = occupancyDriftOf(all)
         val batches = arrivedBatchesOf(all)
+        // phase-boundary heartbeats (metrics done / before the rebuild
+        // commit): a corpus-sized retrain must not let the composed
+        // pass's lease go TTL-stale mid-stage — the same per-unit
+        // renewal contract the ingest streams keep per micro-batch
+        heartbeat()
         drift match {
           case Some(d) if d > rebuildDrift =>
             val vecs = all.select("vec_id", "qv").materialized
             val k = centroids.size
             val cents2 = trainCentroids(vecs, k)
+            heartbeat()
             save(cents2, assign(vecs, cents2))
             MaintainReport("rebuild", d, batches)
           case _ if batches > reorganizeBatches =>

@@ -162,9 +162,30 @@ object IncrementalDedup {
     // share the batch's signatures exactly, so each pruning filter is a
     // strict superset of the join/semi condition it guards.
     val touchedKeys = newKeyed.select("sig_key").distinct()
+    // rows-vs-docs counts ride the SAME aggregation+collect that
+    // already drives partition pruning (zero extra jobs): a caller
+    // feeding duplicate rows for one doc_id (bypassing minhashSig's
+    // groupBy — the one-row-per-doc contract above) would silently
+    // persist duplicated members and emit duplicated pairs, compounding
+    // on every later batch touching those classes. Duplicate rows of
+    // the same doc carry the same signature, hence the same (pb0, pb1)
+    // group, so the within-group check catches them; a same-doc_id
+    // DIFFERENT-signature pair (a deeper content-id violation) lands in
+    // different groups and is caught downstream by the dup audits.
     val batchParts = withStoreBuckets(newKeyed, buckets)
-      .select("pb0", "pb1").distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy("pb0", "pb1")
+      .agg(count(lit(1)).as("rows"),
+        count_distinct(col("doc_id")).as("docs"))
+      .collect()
+      .map { r =>
+        if (r.getLong(2) != r.getLong(3)) throw new IllegalArgumentException(
+          s"ingest: newSigs carries ${r.getLong(2)} rows for " +
+            s"${r.getLong(3)} distinct doc_ids in bucket group " +
+            s"(${r.getInt(0)},${r.getInt(1)}) — one row per doc_id is " +
+            "the contract (Dedup.minhashSig's layout); refusing to " +
+            "persist duplicated signature rows")
+        (r.getInt(0), r.getInt(1))
+      }
     val pbs0 = batchParts.map(_._1).distinct.toSeq
     val pbs1 = batchParts.map(_._2).distinct.toSeq
     val storeB =

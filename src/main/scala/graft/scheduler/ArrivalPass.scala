@@ -190,8 +190,20 @@ object ArrivalPass {
       * won't do. `body` returns either a (status, detail) it decided
       * itself (input-skips) or throws. Only `ran` stages feed the
       * duration history — a skip's near-zero duration would drag the
-      * mean under the real cost and re-admit overrunners. */
-    def stage(name: String, hasWork: => Boolean = true)(
+      * mean under the real cost and re-admit overrunners.
+      *
+      * `resumable` = the stage drains a CHECKPOINTED stream that stops
+      * at the deadline per micro-batch and resumes next pass. Such a
+      * stage is exempt from the IC:677 cost refusal: refusing it on a
+      * predicted overrun would starve it FOREVER under a chronically
+      * tight budget (its mean exceeds every night's remainder, the
+      * backlog grows, the mean never updates), when admitting it
+      * safely drains exactly what fits and checkpoints the rest —
+      * the per-batch deadline IS its admission control. The atomic
+      * stages (ann_maintain's rebuild, a compaction merge group) keep
+      * the cost gate: they are the ones that cannot stop midway. */
+    def stage(name: String, hasWork: => Boolean = true,
+        resumable: Boolean = false)(
         body: => (String, String)): Unit = {
       // heartbeat the pass lease once per stage (a usurped lease —
       // someone broke it as stale mid-run — aborts the pass loudly
@@ -208,7 +220,7 @@ object ArrivalPass {
       val remainingMs =
         deadline.map(d => d.toEpochMilli - nowT.toEpochMilli)
       val predictedMs = remainingMs
-        .filter(_ => hasWork)
+        .filter(_ => hasWork && !resumable)
         .flatMap(rem => stats.wouldOverrun(name, rem))
       (remainingMs, predictedMs) match {
         case (Some(rem), Some(p)) =>
@@ -259,16 +271,26 @@ object ArrivalPass {
         .exists(hp)
     }
 
-    stage("integrity_incremental", hasWork = cfg.dbs.nonEmpty) {
+    // resumable: per-table checkpoints + the per-table IC:592/677
+    // gates INSIDE the stage are its admission control — a stage-level
+    // cost refusal would starve a big inventory forever under a
+    // chronically tight budget (and its mean is diluted by quiet
+    // nights anyway)
+    stage("integrity_incremental", hasWork = cfg.dbs.nonEmpty,
+        resumable = true) {
       if (cfg.dbs.isEmpty)
         ("skipped_no_db", "no --db given; nothing to check")
       else {
         // the pass deadline flows INTO the stage: IC:592's per-table
         // budget check, so a many-table landing degrades
-        // table-at-a-time instead of all-or-nothing at this boundary
+        // table-at-a-time instead of all-or-nothing at this boundary;
+        // the heartbeat flows in too (per table AND per micro-batch),
+        // so a multi-hour inventory sweep keeps the pass lease live
         val r = IncrementalScheduler.run(spark,
           new DirInventory(spark, cfg.dbs),
-          s"${cfg.checkpointRoot}/integrity", log, clock, deadline)
+          s"${cfg.checkpointRoot}/integrity", log, clock, deadline,
+          heartbeat = () => passLease.renew(),
+          maxFilesPerBatch = Some(cfg.maxFilesPerBatch))
         violations += r.violations
         errors += r.errors
         val sk = if (r.skipped.isEmpty) ""
@@ -280,7 +302,7 @@ object ArrivalPass {
       }
     }
 
-    stage("dedup_ingest", hasWork = docsNew) {
+    stage("dedup_ingest", hasWork = docsNew, resumable = true) {
       if (!docsLanded)
         ("skipped_empty", s"no arrivals under $docsDir")
       else if (!docsNew)
@@ -303,7 +325,7 @@ object ArrivalPass {
       }
     }
 
-    stage("ann_ingest", hasWork = vecsNew) {
+    stage("ann_ingest", hasWork = vecsNew, resumable = true) {
       if (!vecsLanded)
         ("skipped_empty", s"no arrivals under $vecsDir")
       else if (!vecsNew)
@@ -336,7 +358,8 @@ object ArrivalPass {
       // here would pay a second recover() pass (listings, sweeps)
       // every night for nothing (round-13 review); an absent index
       // comes back as action=absent
-      val r = store.withLease(store.maintain())
+      val r = store.withLease(
+        store.maintain(heartbeat = () => passLease.renew()))
       if (r.action == "absent")
         ("skipped_empty", s"no index at ${cfg.annStorePath}")
       else
@@ -344,7 +367,7 @@ object ArrivalPass {
           s"arrivedBatches=${r.arrivedBatches}")
     }
 
-    stage("oov_qc", hasWork = oovNew) {
+    stage("oov_qc", hasWork = oovNew, resumable = true) {
       val resident = cfg.dbs.toSeq.sortBy(_._1).map(_._2 + "/documents.parquet")
         .find { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -375,14 +398,21 @@ object ArrivalPass {
           // from older batch partitions (round-13 review)
           val passBatches =
             java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-          graft.streaming.Streams.incrementalCheckById(spark, docsDir,
-            schema,
-            (batch, id) => {
-              passBatches.add(id)
-              graft.pipeline.TextAnalysis.oovReport(
-                batch.select("doc_id", "source", "text"), resDocs)
-            },
-            s"${cfg.checkpointRoot}/oov_ckpt", out)
+          // deadline + heartbeat ride the drain like the ingest
+          // stages: a backlogged landing admitted late QCs what fits
+          // (checkpoint resumes), and the pass lease stays live
+          val stoppedAtDeadline =
+            graft.streaming.Streams.incrementalCheckById(spark, docsDir,
+              schema,
+              (batch, id) => {
+                passBatches.add(id)
+                graft.pipeline.TextAnalysis.oovReport(
+                  batch.select("doc_id", "source", "text"), resDocs)
+              },
+              s"${cfg.checkpointRoot}/oov_ckpt", out,
+              deadline = deadline, clock = clock,
+              maxFilesPerBatch = Some(cfg.maxFilesPerBatch),
+              heartbeat = () => passLease.renew())
           if (passBatches.isEmpty)
             ("ran", "no new document files since the last pass " +
               s"(cumulative report under $out)")
@@ -394,8 +424,10 @@ object ArrivalPass {
                 .isInCollection(ids))
             val flagged = rows.filter(org.apache.spark.sql.functions
               .col("flagged")).count()
+            val cut = if (!stoppedAtDeadline) ""
+              else " stopped-at-deadline (checkpoint resumes next pass)"
             ("ran", s"batches=${ids.size} report_rows=${rows.count()} " +
-              s"flagged=$flagged report=$out resident=$res")
+              s"flagged=$flagged report=$out resident=$res$cut")
           }
       }
     }
@@ -443,7 +475,8 @@ object ArrivalPass {
                   dirTables += 1
                   merged += graft.maintenance.Compaction.compact(spark,
                     o.path, graft.maintenance.Compaction.tableFiles(
-                      spark, o.path), tb, deadline, clock)
+                      spark, o.path), tb, deadline, clock,
+                    heartbeat = () => passLease.renew())
                 }
               }
             }

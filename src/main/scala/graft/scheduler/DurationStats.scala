@@ -42,8 +42,26 @@ private[scheduler] final class DurationStats(spark: SparkSession,
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Single-pass inverse of escape(): handles \uXXXX (which the old
+    * replace-chain left literal, so a unit key with a control char
+    * never round-tripped — its history entry was unmatched forever and
+    * the IC:677 gate silently inert for that unit) and is immune to
+    * the chained-replace ambiguity on backslash-then-quote sequences. */
+  private def unescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' if i + 5 < s.length =>
+          b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+            .toChar)
+          i += 6
+        case e => b.append(e); i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   /** Predicted duration for a unit = its running average; None until
     * the unit has run at least once (a never-seen unit is always

@@ -66,7 +66,9 @@ object IncrementalScheduler {
     * RUNS, and the nightly full job is what refreshes them. */
   def run(spark: SparkSession, inventory: Inventory, checkpointRoot: String,
       log: CommandLog, clock: Clock,
-      deadline: Option[java.time.Instant] = None): IncrementalReport = {
+      deadline: Option[java.time.Instant] = None,
+      heartbeat: () => Unit = () => (),
+      maxFilesPerBatch: Option[Int] = None): IncrementalReport = {
     val executor = new CommandExecutor(log, clock, execute = true)
     val executed = ArrayBuffer.empty[String]
     val skipped = ArrayBuffer.empty[(String, String)]
@@ -131,10 +133,21 @@ object IncrementalScheduler {
           val res = executor.run(db, o.schema_name, o.object_name,
             o.object_type, cmd, "DBCC_CHECKTABLE_INC") {
             val schema = spark.read.parquet(o.path).schema
+            // heartbeat per table AND per micro-batch: a 20k-table
+            // inventory (or one table with a deep backlog) must keep
+            // renewing the composed pass's lease — the per-stage renew
+            // alone lets it go TTL-stale inside a multi-hour stage
+            heartbeat()
+            // the pass deadline ALSO bounds this table's own drain
+            // (IC:644): a table admitted with little budget left
+            // checks what fits and its checkpoint resumes next pass
             Streams.incrementalCheckById(spark, o.path, schema,
               (batch, id) => summarize(batch, id, perBatch),
               ckpt,
-              s"$checkpointRoot/$db/${o.object_name}/summaries")
+              s"$checkpointRoot/$db/${o.object_name}/summaries",
+              deadline = deadline, clock = clock,
+              maxFilesPerBatch = maxFilesPerBatch,
+              heartbeat = heartbeat)
             import scala.jdk.CollectionConverters._
             perBatch.values().asScala.foldLeft(0L)(_ + _)
           }

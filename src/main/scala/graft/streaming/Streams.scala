@@ -831,10 +831,17 @@ object Streams {
     * tally that must survive a mid-stream retry) key them by this id, so
     * an at-least-once foreachBatch replay OVERWRITES its batch's entry
     * instead of double-counting it. */
+  /** Returns true when the drain stopped at `deadline` (the committed
+    * prefix is durable; the checkpoint holds the remainder — IC:644,
+    * same contract as the ingest streams). */
   def incrementalCheckById(spark: SparkSession, srcDir: String,
       schema: org.apache.spark.sql.types.StructType,
       checkFn: (DataFrame, Long) => DataFrame,
-      checkpoint: String, outPath: String): Unit = {
+      checkpoint: String, outPath: String,
+      deadline: Option[java.time.Instant] = None,
+      clock: graft.model.Clock = graft.model.SystemClock,
+      maxFilesPerBatch: Option[Int] = None,
+      heartbeat: () => Unit = () => ()): Boolean = {
     val p = new org.apache.hadoop.fs.Path(srcDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // A table may be a single parquet FILE, not a directory (DuckDB's
@@ -844,7 +851,24 @@ object Streams {
     // (Tables/checks) already handles both layouts, and the round-13
     // arrival-pass smoke found the incremental tier erroring on every
     // file-table with "Option 'basePath' must be a directory".
+    // Tolerate files that vanish between a batch's planning and its
+    // execution (the reference's TOCTOU re-probe, DIC:1615-1635): the
+    // schedule runs this tier CONCURRENTLY with table compaction, whose
+    // merge deletes member files after their rows land in a merged
+    // file. Without this, a planned-but-uncommitted batch referencing a
+    // deleted member re-executes from the offset log on EVERY later
+    // pass and throws FileNotFoundException forever — the table wedges
+    // until an operator deletes its checkpoint. The merged file arrives
+    // as a NEW file the next pass checks, so vanished-member rows are
+    // re-validated, never silently dropped (double coverage, the same
+    // posture as the two-tier checkpoint note in --print-schedule).
     val reader = spark.readStream.schema(schema)
+      .option("ignoreMissingFiles", "true")
+    // same per-batch granularity knob as the ingest streams: without
+    // it AvailableNow plans ONE batch over the whole backlog and the
+    // deadline check can only refuse everything or drain everything
+    maxFilesPerBatch.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
     val src =
       if (fs.exists(p) && fs.getFileStatus(p).isFile)
         // the filename is data, not a pattern: a name containing glob
@@ -861,12 +885,19 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // per-batch budget check + caller-supplied heartbeat, same
+        // contract as the ingest streams: a long drain must stop at
+        // the deadline after the committed prefix (not run a backlog
+        // to completion on a blown budget) and must keep renewing the
+        // composed pass's lease so it cannot go TTL-stale mid-stage
+        admitBatch(deadline, clock, "incrementalCheckById")
+        heartbeat()
         checkFn(batch, id)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$outPath/batch_id=$id")
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitDrain(q)
   }
 }

@@ -46,9 +46,23 @@ object Tables {
       spark.conf.getOption("spark.sql.session.timeZone").getOrElse("")
     val key = try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(spark.sessionState.newHadoopConf())
-        .getFileStatus(p)
-      (path, st.getModificationTime, st.getLen, conf)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      // Directory tables additionally fingerprint their DIRECT
+      // children (one driver-side listing — the same RPC Spark's scan
+      // pays at plan time anyway): a part file overwritten IN PLACE
+      // (same name) changes no root mtime, and serving the old schema
+      // for it would silently drop a new column. Deeper rewrites
+      // (inside partition subdirs) are still invisible — acceptable
+      // for the two consumers (fixture tables are flat; the persisted
+      // stores' protocol only ever mutates direct children or
+      // replays identical content).
+      val childFp =
+        if (!st.isDirectory) 0L
+        else fs.listStatus(p).foldLeft(0L)((h, c) =>
+          31L * (31L * (31L * h + c.getPath.getName.hashCode) +
+            c.getModificationTime) + c.getLen)
+      (path, st.getModificationTime ^ childFp, st.getLen, conf)
     } catch {
       // missing/unstatable path: fall through to the plain read so the
       // caller sees Spark's own error, and memoize nothing
@@ -60,6 +74,10 @@ object Tables {
       if (cached != null) cached
       else {
         val inferred = spark.read.parquet(path).schema
+        // long-lived ingest loops mint a fresh key per store mutation;
+        // bound the memo so dead keys cannot accumulate forever (a
+        // clear() just re-infers — correctness is unaffected)
+        if (schemaMemo.size > 512) schemaMemo.clear()
         schemaMemo.putIfAbsent(key, inferred)
         inferred
       }

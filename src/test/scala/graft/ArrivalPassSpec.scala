@@ -339,19 +339,24 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(store.load().get.count() === 3L)
   }
 
-  test("IC:677 predicted-cost admission: a stage whose persisted " +
-      "duration history predicts an overrun of the remaining budget " +
-      "is admission-skipped (audit row says predicted > remaining) " +
-      "while cheap later stages still run") {
+  test("IC:677 predicted-cost admission: an ATOMIC stage whose " +
+      "persisted history predicts an overrun is admission-skipped " +
+      "(audit row says predicted > remaining) while cheap later " +
+      "stages still run — and a RESUMABLE stage with the same monster " +
+      "history is admitted anyway (its per-batch deadline bounds the " +
+      "drain; a cost refusal would starve it forever)") {
     val (base, dbs) = fixture()
-    // seeded history: dedup_ingest averages 600 s over 5 runs — far
-    // past tonight's 30 s budget; no other stage has history
+    // seeded history: BOTH dedup_ingest (resumable — checkpointed
+    // stream, stops at the deadline per micro-batch) and ann_maintain
+    // (atomic — a rebuild cannot stop midway) average 600 s over 5
+    // runs, far past tonight's 30 s budget
     val statsP = new org.apache.hadoop.fs.Path(
       s"$base/ckpt/stage_stats.json")
     val fs = statsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(statsP, true)
     out.writeBytes(
-      """{"format":1,"stages":{"dedup_ingest":{"n":5,"avg_ms":600000}}}""")
+      """{"format":1,"stages":{"dedup_ingest":{"n":5,"avg_ms":600000},""" +
+        """"ann_maintain":{"n":5,"avg_ms":600000}}}""")
     out.close()
     val log = new CommandLog(spark, None)
     val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"),
@@ -365,31 +370,36 @@ class ArrivalPassSpec extends AnyFunSuite {
       log, clock)
     assert(report.stages.map(s => s.stage -> s.status) === Seq(
       "integrity_incremental" -> "ran",
-      "dedup_ingest" -> "admission_skipped",
+      "dedup_ingest" -> "ran",
       "ann_ingest" -> "ran",
-      "ann_maintain" -> "ran",
+      "ann_maintain" -> "admission_skipped",
       "oov_qc" -> "ran",
       "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
-    val skip = report.stages.find(_.stage == "dedup_ingest").get
+    val skip = report.stages.find(_.stage == "ann_maintain").get
     assert(skip.detail.contains("predicted 600.0 s") &&
       skip.detail.contains("remaining") &&
       skip.detail.contains("IC:677"), skip.detail)
-    // the refusal is an audit row, and the skipped stage touched
-    // nothing (no signature store was created)
+    // the refusal is an audit row
     val row = log.entries.find(e =>
       e.command_type == "ARRIVAL_STAGE" &&
-        e.object_name == "dedup_ingest").get
+        e.object_name == "ann_maintain").get
     assert(row.extended_info.contains("admission_skipped"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/sigs")))
+    // the admitted resumable stage really ran: the signature store
+    // exists (its drain was bounded by the per-batch deadline, not
+    // refused outright)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/sigs")))
     // ran stages fed the history (IC:706 recurrence; ManualClock's
-    // fixed 1000 ms elapsed makes the fold deterministic) and the
-    // seeded entry survived un-diluted — skips never feed the mean
+    // fixed elapsed makes the fold deterministic): the admitted
+    // dedup_ingest UPDATED its seeded mean (self-correction — the old
+    // stage-level refusal could never update it, so the starvation was
+    // permanent), while the refused atomic stage's entry survived
+    // un-diluted — skips never feed the mean
     val in = fs.open(statsP)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    assert(txt.contains(""""dedup_ingest":{"n":5,"avg_ms":600000}"""),
+    assert(txt.contains(""""ann_maintain":{"n":5,"avg_ms":600000}"""),
       txt)
-    assert(txt.contains(""""ann_ingest":{"n":1,"avg_ms":1000}"""), txt)
+    assert(txt.contains(""""dedup_ingest":{"n":6"""), txt)
     assert(txt.contains(""""integrity_incremental":{"n":1"""), txt)
   }
 

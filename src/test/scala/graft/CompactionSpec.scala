@@ -168,6 +168,35 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === before)
   }
 
+  test("compact() refuses a table another compactor holds the lease on " +
+      "(loud skip, zero groups, files untouched) and proceeds once " +
+      "the lease is released — the nightly --compact-tables pass and " +
+      "the weekly --compact job can overlap safely") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-l")
+    val dir = s"$base/frag.parquet"
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val nFilesBefore = Compaction.listFiles(spark, base.toString).count()
+    val total = Compaction.tableFiles(spark, dir)
+      .collect().map(_.getAs[Long]("bytes")).sum
+    // another live compactor: hold the same per-table lease
+    val other = new graft.tables.StoreLease(spark, dir,
+      "table compaction")
+    other.acquire()
+    try {
+      val done = Compaction.compact(spark, dir, targetBytes = total)
+      assert(done === 0)
+      // nothing moved, nothing deleted, no staging dir left behind
+      assert(Compaction.listFiles(spark, base.toString).count()
+        === nFilesBefore)
+      assert(spark.read.parquet(dir).count() === before)
+    } finally other.release()
+    // lease released: the same call now compacts
+    assert(Compaction.compact(spark, dir, targetBytes = total) >= 1)
+    assert(spark.read.parquet(dir).count() === before)
+  }
+
   test("planWithMembers: explicit member lists partition the listing exactly") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // execution consumes the members column — so it must name every input
