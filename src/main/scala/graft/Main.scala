@@ -25,8 +25,11 @@ import graft.state.StateStore
   *       compaction job when --compact is given: the WHOLE maintenance
   *       surface, the lake analog of ref ola/MaintenanceSolution.sql:7821
   *       ff. creating both the IntegrityCheck and IndexOptimize jobs)
-  *     [--incremental [--checkpoint ROOT]]      (arrived-data mode: check
-  *       only files landed since the last checkpoint — O(new files))
+  *     [--incremental [--checkpoint ROOT] [--time-limit S]
+  *       [--max-files-per-batch N]]             (arrived-data mode: check
+  *       only files landed since the last checkpoint — O(new files); the
+  *       per-batch bound is the deadline check's granularity inside an
+  *       admitted table's drain, same as every other streaming mode)
   *     [--compact TABLE_DIR --target-bytes N [--time-limit S]]
   *       (maintenance mode: plan is printed; executed unless --dry-run;
   *       a time limit is checked at every merge-group head — IC:644 —
@@ -489,7 +492,11 @@ object Main {
       val r = scheduler.IncrementalScheduler.run(spark,
         new DirInventory(spark, dbs), checkpointRoot, logObj, SystemClock,
         deadline = cfg.timeLimitSeconds
-          .map(s => SystemClock.now().plusSeconds(s)))
+          .map(s => SystemClock.now().plusSeconds(s)),
+        // same per-batch budget granularity as every other streaming
+        // mode: with a --time-limit, a deep single-table backlog stops
+        // at a batch boundary instead of draining past the deadline
+        maxFilesPerBatch = maxFilesPerBatch)
       logObj.flush()
       r.executedCommands.foreach(c => println(s"executed: $c"))
       r.skipped.foreach { case (o, why) => println(s"skipped: $o ($why)") }
