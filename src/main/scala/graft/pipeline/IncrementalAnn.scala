@@ -86,7 +86,8 @@ object IncrementalAnn {
 
     private val lease =
       new graft.tables.StoreLease(spark, path, "AnnIndexStore")
-    def acquireLease(ttlMs: Long = 15 * 60 * 1000L): Unit =
+    def acquireLease(
+        ttlMs: Long = graft.tables.StoreLease.DefaultTtlMs): Unit =
       lease.acquire(ttlMs)
     def renewLease(): Unit = lease.renew()
     def releaseLease(): Unit = lease.release()
@@ -465,19 +466,26 @@ object IncrementalAnn {
         val batches = arrivedBatchesOf(all)
         // phase-boundary heartbeats (metrics done / before the rebuild
         // commit): a corpus-sized retrain must not let the composed
-        // pass's lease go TTL-stale mid-stage — the same per-unit
-        // renewal contract the ingest streams keep per micro-batch
-        heartbeat()
+        // pass's lease — NOR this store's own writer lock, when the
+        // caller runs under withLease — go TTL-stale mid-stage. The
+        // ingest streams renew per micro-batch; here the phase
+        // boundary is the unit (round-14 review: a 20-min rebuild's
+        // stale lock invited a concurrent ingest to break it and
+        // sweep the in-flight tmp generation).
+        heartbeat(); lease.renewIfHeld()
         drift match {
           case Some(d) if d > rebuildDrift =>
             val vecs = all.select("vec_id", "qv").materialized
             val k = centroids.size
             val cents2 = trainCentroids(vecs, k)
-            heartbeat()
+            heartbeat(); lease.renewIfHeld()
             save(cents2, assign(vecs, cents2))
             MaintainReport("rebuild", d, batches)
           case _ if batches > reorganizeBatches =>
-            compact()
+            // reuse THIS pass's load: compact()'s own load() would pay
+            // a second recover() (listings + sweeps) right after this
+            // one — the one-load-per-pass discipline above
+            compact(preloaded = Some(all))
             MaintainReport("reorganize", drift.getOrElse(0.0), batches)
           case _ =>
             MaintainReport("none", drift.getOrElse(0.0), batches)
@@ -494,8 +502,10 @@ object IncrementalAnn {
       * — later epochs keep monotonically larger batch ids, so a rebase
       * between stream runs can never collide with a replay (every
       * folded batch's checkpoint commit already landed). */
-    def compact(): Unit = {
-      val all = load().getOrElse(return)
+    def compact(preloaded: Option[DataFrame] = None): Unit = {
+      // `preloaded`: a frame THIS caller already load()-ed (maintain's
+      // reorganize arm) — skips a second recover() pass
+      val all = preloaded.orElse(load()).getOrElse(return)
       // origin intentionally CLEARED: a rebased store is no longer any
       // checkpoint's bootstrap, so a stream's epoch-0 guard refuses it
       // instead of re-bootstrapping over the folded corpus

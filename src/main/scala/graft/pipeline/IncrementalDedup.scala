@@ -711,18 +711,14 @@ object IncrementalDedup {
           fs.rename(part, dest)
         }
       }
-      val conf = spark.conf
-      val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        out.write.mode(SaveMode.Overwrite)
-          .partitionBy("pb0", "pb1").parquet(path)
-      finally prev match {
-        case Some(v) =>
-          conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // per-WRITER option, not a session-conf toggle (round-14 review:
+      // the toggle leaked dynamic semantics to any concurrent write in
+      // the same session during the window, and the finally-restore
+      // could clobber a value a concurrent thread had just set; the
+      // ANN store's ingest already uses the scoped spelling)
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb0", "pb1").parquet(path)
       // commit durable: the archived generation of the rectangle is
       // obsolete (and must not be restored over the new one)
       fs.delete(bakPath, true)
@@ -735,7 +731,8 @@ object IncrementalDedup {
       * create-verify, stale-break and usurpation-abort story). */
     private val lease = new graft.tables.StoreLease(spark, path, "SigStore")
 
-    def acquireLease(ttlMs: Long = 15 * 60 * 1000L): Unit =
+    def acquireLease(
+        ttlMs: Long = graft.tables.StoreLease.DefaultTtlMs): Unit =
       lease.acquire(ttlMs)
 
     def renewLease(): Unit = lease.renew()

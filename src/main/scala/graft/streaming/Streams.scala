@@ -275,26 +275,39 @@ object Streams {
       .mapGroupsWithState[FunnelRow, FunnelRow](
         GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[FunnelRow]) =>
-          val prev = state.getOption.getOrElse(
-            FunnelRow(uid, None, None, None, 0, converted = false))
-          val sorted = rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0)
-          var fv = prev.first_view
-          var fc = prev.first_click
-          var fp = prev.first_purchase
-          sorted.foreach { case (_, tpe, ts) =>
-            if (tpe == "view" && fv.isEmpty) fv = Some(ts)
-            else if (tpe == "click" && fc.isEmpty &&
-              fv.exists(v => ts.compareTo(v) > 0)) fc = Some(ts)
-            else if (tpe == "purchase" && fp.isEmpty &&
-              fc.exists(c => ts.compareTo(c) > 0)) fp = Some(ts)
-          }
-          val stage =
-            if (fp.isDefined) 3 else if (fc.isDefined) 2
-            else if (fv.isDefined) 1 else 0
-          val next = FunnelRow(uid, fv, fc, fp, stage, fp.isDefined)
+          val next = advanceFunnel(uid, rows, state)
           state.update(next)
           next
       }
+  }
+
+  /** ONE definition of the per-user three-timestamp funnel state
+    * machine, shared by the Update-mode ([[streamingFunnel]]) and
+    * Append-mode ([[streamingClosedFunnels]]) forms — a fix to the
+    * ordering/strictness rules (the strict `>` comparisons, the
+    * sort-by-ts fold) cannot silently fork the two (round-14 review).
+    * Pure: reads the state, returns the advanced row; callers decide
+    * what to update/emit. */
+  private def advanceFunnel(uid: Long,
+      rows: Iterator[(Long, String, java.sql.Timestamp)],
+      state: GroupState[FunnelRow]): FunnelRow = {
+    val prev = state.getOption.getOrElse(
+      FunnelRow(uid, None, None, None, 0, converted = false))
+    val sorted = rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0)
+    var fv = prev.first_view
+    var fc = prev.first_click
+    var fp = prev.first_purchase
+    sorted.foreach { case (_, tpe, ts) =>
+      if (tpe == "view" && fv.isEmpty) fv = Some(ts)
+      else if (tpe == "click" && fc.isEmpty &&
+        fv.exists(v => ts.compareTo(v) > 0)) fc = Some(ts)
+      else if (tpe == "purchase" && fp.isEmpty &&
+        fc.exists(c => ts.compareTo(c) > 0)) fp = Some(ts)
+    }
+    val stage =
+      if (fp.isDefined) 3 else if (fc.isDefined) 2
+      else if (fv.isDefined) 1 else 0
+    FunnelRow(uid, fv, fc, fp, stage, fp.isDefined)
   }
 
   /** One funnel CLOSING: emitted exactly once per user, the trigger in
@@ -321,25 +334,12 @@ object Streams {
       .flatMapGroupsWithState[FunnelRow, ClosedFunnel](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[FunnelRow]) =>
-          val prev = state.getOption.getOrElse(
-            FunnelRow(uid, None, None, None, 0, converted = false))
-          val sorted = rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0)
-          var fv = prev.first_view
-          var fc = prev.first_click
-          var fp = prev.first_purchase
-          sorted.foreach { case (_, tpe, ts) =>
-            if (tpe == "view" && fv.isEmpty) fv = Some(ts)
-            else if (tpe == "click" && fc.isEmpty &&
-              fv.exists(v => ts.compareTo(v) > 0)) fc = Some(ts)
-            else if (tpe == "purchase" && fp.isEmpty &&
-              fc.exists(c => ts.compareTo(c) > 0)) fp = Some(ts)
-          }
-          val stage =
-            if (fp.isDefined) 3 else if (fc.isDefined) 2
-            else if (fv.isDefined) 1 else 0
-          state.update(FunnelRow(uid, fv, fc, fp, stage, fp.isDefined))
-          if (fp.isDefined && prev.first_purchase.isEmpty)
-            Iterator.single(ClosedFunnel(uid, fv.get, fp.get))
+          val wasConverted = state.getOption.exists(_.converted)
+          val next = advanceFunnel(uid, rows, state)
+          state.update(next)
+          if (next.converted && !wasConverted)
+            Iterator.single(ClosedFunnel(uid,
+              next.first_view.get, next.first_purchase.get))
           else Iterator.empty
       }
   }
@@ -670,7 +670,20 @@ object Streams {
     val store = new IncrementalDedup.SigStore(spark, storePath)
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     val stopped = store.withLease {
+      // Tolerate landed files that vanish between a batch's planning
+      // and its execution (same posture as incrementalCheckById, and
+      // the reference's TOCTOU re-probe DIC:1615-1635): a
+      // deadline-stopped pass leaves planned-but-uncommitted batches
+      // in the offset log, and an operator archiving the drained
+      // landing zone can legally remove those files — without this
+      // the checkpoint re-executes the batch and throws
+      // FileNotFoundException on EVERY later pass, wedging ingest
+      // until someone deletes the checkpoint. A removed undrained
+      // file's docs are gone by the remover's own declaration; Spark
+      // logs each ignored path, so the loss is loud in the log, not
+      // silent.
       val reader = spark.readStream.schema(schema)
+        .option("ignoreMissingFiles", "true")
       maxFilesPerBatch.foreach(n =>
         reader.option("maxFilesPerTrigger", n.toString))
       val q = reader.parquet(srcDir)
@@ -744,7 +757,9 @@ object Streams {
     val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     val stopped = store.withLease {
+      // vanished-file tolerance: see incrementalDedupStream
       val reader = spark.readStream.schema(schema)
+        .option("ignoreMissingFiles", "true")
       maxFilesPerBatch.foreach(n =>
         reader.option("maxFilesPerTrigger", n.toString))
       val q = reader.parquet(srcDir)
@@ -789,9 +804,12 @@ object Streams {
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
               .makeQualified(ckptP).toUri.toString)
             val legacyToken = md5hex(checkpoint)
-            val storeExists = store.load().isDefined
-            if (storeExists) {
-              val evolved = store.load().exists(
+            // ONE load() serves both probes — the second load() paid a
+            // full second recover() pass (listings + sweeps) on every
+            // epoch-0 bootstrap/replay (round-14 review)
+            val prev = store.load()
+            if (prev.isDefined) {
+              val evolved = prev.exists(
                 _.filter(col("batch_id") > 0L).limit(1).count() > 0)
               val originOk = store.origin.contains(token) ||
                 store.origin.contains(legacyToken)

@@ -42,39 +42,71 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
   private val writerId = java.util.UUID.randomUUID().toString
   @volatile private var leased = false
 
-  /** The lock file's content: holder UUID + heartbeat timestamp,
-    * written BY the holder. None = no lock or unreadable. */
-  private def readLock(): Option[(String, Long)] = {
+  /** The TTL this instance declares in its lock while holding the
+    * lease (set by acquire; renew re-writes it). */
+  @volatile private var myTtlMs: Long = DefaultTtlMs
+
+  /** The lock file's content: holder UUID + heartbeat timestamp + the
+    * HOLDER's declared TTL, written BY the holder. None = no lock or
+    * unreadable. The liveness judges that act on someone ELSE's lock
+    * (canMaintain's sweep allowance, assertStillHeld's unleased-write
+    * guard) read the TTL from the lock itself, so a holder that
+    * acquired with a longer TTL (the arrival pass's 2 h lease) is not
+    * judged dead by the 15-minute default between its renews. */
+  private def readLock(): Option[(String, Long, Long)] = {
     try {
       val in = fs.open(lockPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       txt.trim.split("\\s+") match {
-        // a malformed timestamp (corrupt/truncated lock) must flow into
+        // malformed numerics (corrupt/truncated lock) must flow into
         // the designed handling — acquire's loud lease message,
         // canMaintain's false — not escape as NumberFormatException
-        // (round-12 review): treat it like a pre-v2 lock and fall back
-        // to the file's mtime.
-        case Array(id, ts) => Some((id,
+        // (round-12 review): fall back to the file's mtime / the
+        // default TTL.
+        case Array(id, ts, ttl) => Some((id,
           ts.toLongOption.getOrElse(
-            fs.getFileStatus(lockPath).getModificationTime)))
+            fs.getFileStatus(lockPath).getModificationTime),
+          ttl.toLongOption.getOrElse(DefaultTtlMs)))
+        case Array(id, ts) => // v2 lock (no TTL field)
+          Some((id,
+            ts.toLongOption.getOrElse(
+              fs.getFileStatus(lockPath).getModificationTime),
+            DefaultTtlMs))
         case Array(id) => // pre-v2 lock: fall back to mtime
-          Some((id, fs.getFileStatus(lockPath).getModificationTime))
-        case _ => Some(("", 0L))
+          Some((id, fs.getFileStatus(lockPath).getModificationTime,
+            DefaultTtlMs))
+        case other =>
+          // ≥4 tokens = corruption. The old spelling returned an
+          // instantly-STALE sentinel (("", 0L)) — which let a torn
+          // write on a live holder's lock be broken immediately and
+          // let canMaintain sweep under the live writer (round-14
+          // review). Fail SAFE instead, like the other malformed
+          // arms: first token + mtime + default TTL.
+          Some((other.headOption.getOrElse(""),
+            fs.getFileStatus(lockPath).getModificationTime,
+            DefaultTtlMs))
       }
     } catch { case _: java.io.IOException => None }
   }
 
   private def writeLock(overwrite: Boolean): Unit = {
     val out = fs.create(lockPath, overwrite)
-    out.writeBytes(s"$writerId ${System.currentTimeMillis()}\n")
+    out.writeBytes(
+      s"$writerId ${System.currentTimeMillis()} $myTtlMs\n")
     out.close()
   }
 
-  /** Claim the store for writing (see class doc for the race story). */
+  /** Claim the store for writing (see class doc for the race story).
+    * `ttlMs` is BOTH this writer's declared liveness TTL (written into
+    * the lock, honored by every other judge) and this breaker's
+    * patience with an existing lock (operator/spec override — the
+    * default matches the default declaration, so disciplined writers
+    * agree). */
   def acquire(ttlMs: Long = DefaultTtlMs): Unit = {
+    myTtlMs = ttlMs
     readLock() match {
-      case Some((holder, hb)) =>
+      case Some((holder, hb, _)) =>
         val age = System.currentTimeMillis() - hb
         if (age < ttlMs) throw new IllegalStateException(
           s"$what at $path is leased to writer $holder " +
@@ -107,7 +139,7 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
     // check-then-write, two racers can both "succeed" — the re-read
     // picks the one whose bytes landed last
     readLock() match {
-      case Some((id, _)) if id == writerId => leased = true
+      case Some((id, _, _)) if id == writerId => leased = true
       case other => throw new IllegalStateException(
         s"$what at $path was leased concurrently by another " +
           s"writer (lock now carries ${other.map(_._1)})")
@@ -142,7 +174,7 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
   def assertStillHeld(): Unit =
     if (leased) {
       readLock() match {
-        case Some((id, _)) if id == writerId => ()
+        case Some((id, _, _)) if id == writerId => ()
         case other => throw new IllegalStateException(
           s"$what at $path: writer lease lost (lock now carries " +
             s"${other.map(_._1).getOrElse("<absent>")}); aborting the " +
@@ -150,9 +182,12 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
             "after a TTL lapse")
       }
     } else readLock() match {
-      case Some((id, hb))
+      // liveness judged by the HOLDER's declared TTL (carried in the
+      // lock), not the default: a long-TTL lease between renews is
+      // still live to an unleased writer
+      case Some((id, hb, lockTtl))
           if id != writerId &&
-            System.currentTimeMillis() - hb < DefaultTtlMs =>
+            System.currentTimeMillis() - hb < lockTtl =>
         throw new IllegalStateException(
           s"$what at $path is leased to writer $id and this writer " +
             "never acquired the lease; an unleased write would " +
@@ -181,13 +216,14 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
     if (leased) readLock().exists(_._1 == writerId)
     else {
       try {
-        !fs.exists(lockPath) || readLock().exists { case (_, hb) =>
-          // a READABLE but STALE lock (heartbeat past the TTL) does not
-          // block maintenance: its holder is dead by the same contract
+        !fs.exists(lockPath) || readLock().exists { case (_, hb, ttl) =>
+          // a READABLE but STALE lock (heartbeat past the HOLDER's
+          // declared TTL, carried in the lock) does not block
+          // maintenance: its holder is dead by the same contract
           // acquire() breaks leases with — otherwise one crashed
           // writer's lock file blocks every future reader's recovery
           // forever. An unreadable lock still blocks (the None case).
-          System.currentTimeMillis() - hb >= DefaultTtlMs
+          System.currentTimeMillis() - hb >= ttl
         }
       } catch { case _: java.io.IOException => false }
     }
@@ -244,6 +280,12 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
     ()
   }
 
+  /** Renew only if this instance holds the lease — the heartbeat hook
+    * for code paths that run BOTH leased (under withLease) and
+    * unleased (single-process tools, specs), where renew()'s
+    * no-lease refusal would be wrong. */
+  def renewIfHeld(): Unit = if (leased) renew()
+
   def withLease[T](f: => T): T = {
     acquire()
     try f finally release()
@@ -251,8 +293,11 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
 }
 
 object StoreLease {
-  /** One TTL everywhere: acquire()'s stale-break, assertStillHeld()'s
-    * unleased-write guard, and canMaintain's stale-lock allowance all
-    * judge liveness by the same clock. */
+  /** One DEFAULT TTL everywhere. Since round 14 the holder's declared
+    * TTL travels IN the lock (third token), so assertStillHeld's
+    * unleased-write guard and canMaintain's stale-lock allowance judge
+    * a non-default lease (the arrival pass's 2 h lock) by the TTL its
+    * holder actually declared; this constant remains the declaration
+    * default, the legacy-lock fallback, and the trash-age grace. */
   val DefaultTtlMs: Long = 15 * 60 * 1000L
 }
