@@ -101,6 +101,59 @@ class SchedulerSpec extends AnyFunSuite {
     assert(log.entries.forall(_.error_number === Some(0)))
   }
 
+  test("incremental tier: an admitted table's drain stops AT the pass " +
+      "deadline per micro-batch (IC:644) — the committed prefix " +
+      "stands, and the next pass drains exactly the remainder") {
+    import graft.scheduler.IncrementalScheduler
+    val base = java.nio.file.Files.createTempDirectory("graft-incd").toString
+    val dbDir = s"$base/db"
+    val cp = s"$base/checkpoints"
+    Tables.nation(spark, SparkTestSession.sfDir)
+      .write.parquet(s"$dbDir/nation.parquet")
+    val log = new CommandLog(spark, None)
+    val clock = new graft.model.ManualClock(
+      Instant.parse("2026-01-01T00:00:00Z"), tickMs = 10)
+    val inv = new DirInventory(spark, Map("db" -> dbDir))
+    // pass 1 (unbudgeted): bootstrap generation fully drained
+    val r1 = IncrementalScheduler.run(spark, inv, cp, log, clock)
+    assert(r1.executedCommands.size === 1 && r1.errors === 0L)
+    val batches1 = spark.read.parquet(s"$cp/db/nation/summaries").count()
+
+    // three files land; pass 2 runs one-file batches under a deadline
+    // the heartbeat hook fires once at the table head and once per
+    // micro-batch — expiring on the SECOND beat is "after the first
+    // batch was admitted", i.e. mid-drain, not at admission
+    (1 to 3).foreach { _ =>
+      Tables.nation(spark, SparkTestSession.sfDir).limit(3)
+        .write.mode("append").parquet(s"$dbDir/nation.parquet")
+    }
+    val beats = new java.util.concurrent.atomic.AtomicInteger(0)
+    val deadline = clock.observe().plusMillis(10000L)
+    val r2 = IncrementalScheduler.run(spark, inv, cp, log, clock,
+      deadline = Some(deadline),
+      heartbeat = () =>
+        { if (beats.incrementAndGet() == 2) clock.advance(20000L); () },
+      maxFilesPerBatch = Some(1))
+    assert(r2.errors === 0L, r2.toString)
+    val batches2 = spark.read.parquet(s"$cp/db/nation/summaries").count()
+    assert(batches2 === batches1 + 1,
+      s"exactly ONE of the three pending files must commit before the " +
+        s"mid-drain deadline (got ${batches2 - batches1})")
+
+    // pass 3 (fresh budget): the checkpoint holds the remainder — the
+    // two leftover files drain, nothing is re-validated
+    val r3 = IncrementalScheduler.run(spark, inv, cp, log, clock,
+      maxFilesPerBatch = Some(1))
+    assert(r3.errors === 0L)
+    val sums = spark.read.parquet(s"$cp/db/nation/summaries")
+      .orderBy("batch_id").collect()
+    assert(sums.length === batches1 + 3)
+    // the three arrival batches carry exactly 3 rows each — no row was
+    // lost at the deadline boundary and none double-counted on resume
+    assert(sums.drop(batches1.toInt).map(_.getAs[Long]("rows_checked"))
+      .toSeq === Seq(3L, 3L, 3L))
+  }
+
   test("incremental tier: quiet tables (checkpoint covers every landed " +
       "file) skip the stream spin-up entirely — ZERO Spark jobs — and " +
       "stay visible as one aggregated audit row, never a per-table " +
