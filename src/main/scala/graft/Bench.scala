@@ -307,6 +307,12 @@ object Bench {
           else "BENCH_HEALTHY_LAST.json"
         val w = new java.io.PrintWriter(dest)
         try w.println(full) finally w.close()
+        // EVERY healthy full sample also appends to a history file
+        // (round-14 verdict #6): the ~8-25% healthy-window spread was
+        // anecdotal while only the LATEST non-record sample survived;
+        // the degraded side has had a history since round 13
+        val h = new java.io.FileWriter("BENCH_HEALTHY_HISTORY.jsonl", true)
+        try h.write(full + "\n") finally h.close()
       } else {
         // latest rejected sample stays visible at the fixed name, and
         // the full sequence is APPENDED to a history file — each

@@ -480,11 +480,19 @@ object Main {
         .foreach(r => println(s"plan: $r"))
       if (cfg.execute) {
         // a given --time-limit is checked at every merge-group head
-        // (IC:644); groups past the deadline stay for the next run
-        val n = maintenance.Compaction.compact(spark, dir, files,
+        // (IC:644); groups past the deadline stay for the next run.
+        // The listing is re-taken AFTER the lease (by-name `files`
+        // param): if a concurrent compactor finished between the echo
+        // and the lock, the re-plan supersedes the echoed snapshot
+        // instead of crashing on its merged-away members
+        val r = maintenance.Compaction.compact(spark, dir,
+          maintenance.Compaction.tableFiles(spark, dir),
           targetBytes, deadline = cfg.timeLimitSeconds
             .map(s => SystemClock.now().plusSeconds(s)))
-        println(s"compacted: $n group(s)")
+        if (r.leaseSkipped)
+          println("compacted: 0 group(s) — table lease held by " +
+            "another compactor; re-run after it finishes")
+        else println(s"compacted: ${r.merged} group(s)")
       } else println("dry-run: plan not executed")
     } else if (incremental) {
       // arrived-data tier: O(new files) per pass (see IncrementalScheduler)

@@ -124,6 +124,68 @@ object Compaction {
       .toDF("table_name", "file", "bytes")
   }
 
+  /** What one [[compact]] run did: groups rewritten, and whether the
+    * whole table was skipped because another compactor holds its lease
+    * (`lease_skipped` — the caller's audit surface: every declined
+    * unit of work carries its reason, ref ola/CommandExecute.sql:204-222,
+    * instead of a stdout line only an operator tailing the job sees). */
+  final case class CompactReport(merged: Int, leaseSkipped: Boolean)
+
+  /** Durable record dir of superseded originals: after a merge group's
+    * originals are deleted, its sidecar manifest is MOVED here (from
+    * `.compact-tmp`) instead of dying with the staging dir. `_`-prefix
+    * = hidden to Spark scans and the streaming landing probes. The
+    * integrity tier's vanished-file reconciliation reads these (plus
+    * any in-flight `.compact-tmp` manifests) to tell compaction-induced
+    * removals from real data loss. One small JSON per merged group —
+    * bounded by merge history; a table rebase/teardown removes it. */
+  private[graft] val RecordDirName = "_graft_compacted"
+
+  /** Every path the durable compaction records (plus any in-flight
+    * `.compact-tmp` manifests — a crash window leaves the group's
+    * manifest there) declare superseded by a merge under `tableDir`,
+    * normalized to bare URI paths (the spelling the streaming offset
+    * log is compared in). Driver-side metadata reads only; empty when
+    * the table was never compacted. */
+  def supersededPaths(spark: SparkSession, tableDir: String): Set[String] = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val strRe = """"((?:[^"\\]|\\.)*)"""".r
+    def unescape(s: String): String = {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16)
+              .toChar); i += 6
+          case e => b.append(e); i += 2
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+    def barePath(p: String): String =
+      try new Path(new java.net.URI(p)).toUri.getPath
+      catch { case _: Exception => p }
+    def readDir(d: Path): Seq[String] =
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString finally in.close()
+          val key = "\"supersedes\""
+          val idx = txt.indexOf(key)
+          if (idx < 0) Nil
+          else strRe.findAllMatchIn(txt.substring(idx + key.length))
+            .map(m => barePath(unescape(m.group(1)))).toSeq
+        }
+    (readDir(new Path(dir, RecordDirName)) ++
+      readDir(new Path(dir, ".compact-tmp"))).toSet
+  }
+
   /** Execute the merge plan against ONE table directory — the
     * `@Execute='Y'` counterpart of the dry-run planner (ref
     * ola/CommandExecute.sql:197: same command text, executed instead of
@@ -151,13 +213,21 @@ object Compaction {
     * an integrity engine; exactly-once swaps need a table format with a
     * transactional manifest (Delta/Iceberg). */
   def compact(spark: SparkSession, tableDir: String,
-      targetBytes: Long): Int =
+      targetBytes: Long): CompactReport =
     compact(spark, tableDir, tableFiles(spark, tableDir), targetBytes)
 
-  /** Same, against an already-taken file listing — the CLI passes the
-    * SNAPSHOT it echoed as the plan, so what executes is exactly what was
-    * printed (the reference's @Execute contract: echo, then run the SAME
-    * commands), and the directory is listed once.
+  /** Same, against a caller-supplied file listing. `files` is BY-NAME
+    * and evaluated only AFTER the per-table lease is held (round-14
+    * advice): a listing taken before the lock can reference files a
+    * just-finished concurrent compactor merged away, and planning from
+    * it fails loudly mid-group (FileNotFoundException) where a
+    * post-lock listing re-plans correctly. Callers that pass the
+    * listing expression in argument position (the nightly pass) get
+    * the post-lock listing for free; the CLI still echoes a dry-run
+    * plan first — deterministic over the same listing, so when no
+    * concurrent compactor intervened the echo IS the executed plan
+    * (ref CE:197), and when one did, the re-plan supersedes the echo
+    * instead of crashing on its leftovers.
     *
     * `deadline`: the budget check at every GROUP head (each merge group
     * is one independent admission-controlled unit — the IC:644
@@ -165,11 +235,11 @@ object Compaction {
     * committed prefix stands, and the next run re-plans exactly the
     * remainder (the planner is idempotent — merged groups re-plan as
     * noop). A group is never killed mid-swap. */
-  def compact(spark: SparkSession, tableDir: String, files: DataFrame,
+  def compact(spark: SparkSession, tableDir: String, files: => DataFrame,
       targetBytes: Long,
       deadline: Option[java.time.Instant] = None,
       clock: graft.model.Clock = graft.model.SystemClock,
-      heartbeat: () => Unit = () => ()): Int = {
+      heartbeat: () => Unit = () => ()): CompactReport = {
     val dirPath = new Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Single-compactor lease per table dir (the shared hardened
@@ -187,19 +257,33 @@ object Compaction {
     try lease.acquire()
     catch {
       case e: IllegalStateException =>
+        // the skip travels back to the caller (CompactReport) so its
+        // stage detail / audit row can say lease_skipped, reference
+        // style (CE:204-222: every declined unit logs its reason); the
+        // println stays for the standalone CLI's operator
         println(s"compact: $tableDir is being compacted by another " +
           s"run — skipping this table (${e.getMessage})")
-        return 0
+        return CompactReport(0, leaseSkipped = true)
     }
-    // membership travels WITH each plan row (see planWithMembers) — never
-    // re-derived from the listing, so a packing-rule change cannot make
-    // execution read or delete the wrong files
-    val groups = merges(files, targetBytes)
-      .select("members").collect()
-      .map(_.getSeq[String](0))
+    // EVERYTHING after the successful acquire runs inside try/finally:
+    // a planning failure (the merges() job, tmp setup) must release the
+    // lock rather than strand it for the TTL, blocking the other
+    // scheduled compactor on this table in the interim (round-14
+    // advice)
     val tmp = new Path(dirPath, ".compact-tmp")
+    val recordDir = new Path(dirPath, RecordDirName)
+    var done = 0
+    try {
+      // `files` evaluated HERE — after the lease — so the plan reflects
+      // post-lock state (see the overload doc); membership travels WITH
+      // each plan row (see planWithMembers), never re-derived from the
+      // listing, so a packing-rule change cannot make execution read or
+      // delete the wrong files
+      val groups = merges(files, targetBytes)
+        .select("members").collect()
+        .map(_.getSeq[String](0))
 
-    def mergeOne(members: Seq[String], i: Int): Unit = {
+      def mergeOne(members: Seq[String], i: Int): Unit = {
       val out = new Path(tmp, s"merge-$i")
       spark.read.parquet(members: _*).coalesce(1)
         .write.mode("overwrite").parquet(out.toString)
@@ -211,8 +295,8 @@ object Compaction {
       // the rename and the deletes, .compact-tmp/manifest-<i>.json says
       // exactly which originals the landed merged file supersedes —
       // recovery is mechanical (delete the listed originals), not a
-      // row-count forensics exercise. Removed with the staging dir on
-      // success.
+      // row-count forensics exercise. On success it is PROMOTED to the
+      // durable record dir (see RecordDirName), not discarded.
       val manifest = new Path(tmp, s"manifest-$i.json")
       // paths are operator data, not trusted JSON: escape them (a quote
       // or backslash in a legal filename would otherwise corrupt the one
@@ -240,11 +324,19 @@ object Compaction {
             s"compact: delete $p failed after landing $dest — group rows " +
               s"are duplicated until it is removed (see $manifest)")
       }
-    }
+      // originals gone: promote the manifest to the DURABLE record dir
+      // (unique name — two compact() runs must not overwrite each
+      // other's history) so the integrity tier can forever explain
+      // these paths' absence as compaction, not data loss. A crash
+      // before this rename leaves the manifest in .compact-tmp, which
+      // the reconciliation reader also consults.
+      if (!fs.exists(recordDir)) fs.mkdirs(recordDir)
+      fs.rename(manifest, new Path(recordDir,
+        s"merge-${java.util.UUID.randomUUID().toString.take(8)}-$i.json"))
+      ()
+      }
 
-    var done = 0
-    var budgetStop = false
-    try {
+      var budgetStop = false
       while (done < groups.length && !budgetStop) {
         if (deadline.exists(d => !clock.observe().isBefore(d))) {
           // loud skip, reference-style: the operator sees what a
@@ -265,7 +357,7 @@ object Compaction {
       }
       if (fs.exists(tmp)) fs.delete(tmp, true)
     } finally lease.release()
-    done
+    CompactReport(done, leaseSkipped = false)
   }
 
   /** STRICT-oracled planner gate: the full packing algebra (segment

@@ -1487,7 +1487,7 @@ object Dedup {
       |FROM c JOIN tot ta ON ta.source = c.src_a
       |       JOIN tot tb ON tb.source = c.src_b
       |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
-    import graft.functions.StableRound
+    import s.implicits._
     // distinct sources per shingle in ONE exchange — collect_set both
     // dedups (no separate DISTINCT pass) and bounds the bucket at
     // |sources|, unlike a doc-keyed collect_list
@@ -1499,9 +1499,16 @@ object Dedup {
     // ONE consumer of the corpus-sized frame: each shingle's bounded set
     // emits BOTH its in-row pair structs and a ('src', '') total marker,
     // so pair counts and per-source totals fall out of a single
-    // ≤ |sources|²+|sources| group aggregation (map-side combined) —
-    // nothing corpus-sized is ever cached or recomputed. The tiny agg
-    // result has two readers (totals/pairs), so IT is checkpointed.
+    // map-side-combined aggregation — nothing corpus-sized is ever
+    // cached or recomputed. The agg result is CATALOG-bounded
+    // (≤ |sources|² + |sources| rows, ~400 for 20 sources at any
+    // corpus size), so everything after it is DRIVER work: one bounded
+    // collect replaces the round-14 checkpoint + two broadcast joins +
+    // distributed sort — five jobs of pure scheduling floor for a
+    // frame smaller than this comment (round-14 verdict #5 job-shave;
+    // same class as the batchParts/centroid collects). The metric
+    // arithmetic reproduces StableRound.r4 bit-for-bit:
+    // floor(x*10000 + 0.5)/10000 on doubles.
     val tagged = srcSets
       // kernel pairs+markers expansion (PairExpandSpec pins the concat
       // spelling it replaces — this projection runs once per shingle)
@@ -1509,24 +1516,21 @@ object Dedup {
         graft.functions.PairExpand.pairsStrTaggedCol(col("srcs"))).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
-      .materialized
-    val totals = tagged.filter(col("src_b") === "")
-      .select(col("src_a").as("source"), col("shared").as("n"))
-    val pairs = tagged.filter(col("src_b") =!= "")
-    pairs
-      .join(broadcast(totals.withColumnRenamed("source", "src_a")
-        .withColumnRenamed("n", "n_a")), "src_a")
-      .join(broadcast(totals.withColumnRenamed("source", "src_b")
-        .withColumnRenamed("n", "n_b")), "src_b")
-      .select(col("src_a"), col("src_b"), col("shared"),
-        col("n_a"), col("n_b"),
-        StableRound.r4(col("shared").cast("double") / col("n_a"))
-          .as("containment_a"),
-        StableRound.r4(col("shared").cast("double") / col("n_b"))
-          .as("containment_b"),
-        StableRound.r4(col("shared").cast("double")
-          / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
-      .orderBy("src_a", "src_b")
+      .collect()
+    val totals = tagged.filter(_.getString(1).isEmpty)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    tagged.filter(_.getString(1).nonEmpty)
+      .map { r =>
+        val (a, b, shared) = (r.getString(0), r.getString(1), r.getLong(2))
+        val (na, nb) = (totals(a), totals(b))
+        (a, b, shared, na, nb,
+          r4(shared.toDouble / na), r4(shared.toDouble / nb),
+          r4(shared.toDouble / (na + nb - shared)))
+      }
+      .sortBy(t => (t._1, t._2)).toSeq
+      .toDF("src_a", "src_b", "shared", "n_a", "n_b",
+        "containment_a", "containment_b", "jaccard")
   }
 
   /** Representative selection: turn dd06's near-dup clusters into the

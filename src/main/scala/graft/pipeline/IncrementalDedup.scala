@@ -72,7 +72,15 @@ object IncrementalDedup {
     * touched class shares the batch's signatures, hence exactly the
     * batch's bucket values). */
   final case class IngestResult(pairs: DataFrame, updatedStore: DataFrame,
-      touched: DataFrame, touchedParts: Seq[(Int, Int)])
+      touched: DataFrame, touchedParts: Seq[(Int, Int)],
+      // Some(rect) iff ingest was called with keepRect=true: the
+      // CACHED pruned-rectangle frame of pre-batch store rows, for
+      // [[SigStore.saveIncremental]] to derive its retained-rows scan
+      // from instead of re-reading the same partitions from disk (the
+      // round-14 verdict #4 rectangle share — per streaming batch the
+      // rectangle was read twice). The caller OWNS the cache: unpersist
+      // after the save commits.
+      rectCache: Option[DataFrame] = None)
 
   /** Default fan-out for IN-MEMORY store frames (the dd16 gate path,
     * property tests): there the bucket columns are plain row filters
@@ -151,7 +159,8 @@ object IncrementalDedup {
     * — the batch-side pruning values are computed with the same
     * modulus the store's partition values were. */
   def ingest(store: DataFrame, newSigs: DataFrame,
-      maxBucket: Int = 1000, buckets: Int = StoreBuckets): IngestResult = {
+      maxBucket: Int = 1000, buckets: Int = StoreBuckets,
+      keepRect: Boolean = false): IngestResult = {
     val newKeyed = newSigs
       .withColumn("sig_key", concat_ws("|", mCols: _*))
       .select(sigCols: _*).materialized
@@ -311,9 +320,12 @@ object IncrementalDedup {
       .unionByName(touchedOut)
     // every rect consumer has materialized by now (touchedWithRep and
     // the lshPairsFromRep input are localCheckpoints); `updated` reads
-    // storeB directly, so the cache can go
-    rect.unpersist(false)
-    IngestResult(pairs, updated, touchedOut, batchParts.toSeq)
+    // storeB directly, so the cache can go — unless the caller asked
+    // to keep it for the store update's retained-rows scan (the
+    // streaming path: one rectangle read per batch instead of two)
+    if (!keepRect) rect.unpersist(false)
+    IngestResult(pairs, updated, touchedOut, batchParts.toSeq,
+      rectCache = if (keepRect) Some(rect) else None)
   }
 
   /** Parquet-backed signature store, partitioned by the band-key bucket
@@ -648,7 +660,8 @@ object IncrementalDedup {
       * generation swap instead — cheaper, and crash-safe without the
       * partition archive. */
     def saveIncremental(touched: DataFrame,
-        partsHint: Seq[(Int, Int)] = Nil): Unit = {
+        partsHint: Seq[(Int, Int)] = Nil,
+        rect: Option[DataFrame] = None): Unit = {
       recover()
       assertLeaseStillHeld()
       val bkts = buckets
@@ -671,7 +684,14 @@ object IncrementalDedup {
       // rectangle partition with no touched class is rewritten with its
       // identical full content — harmless, and it keeps the filter a
       // pruning-friendly conjunction of IN-lists.
-      val remainder = spark.read.parquet(path)
+      // `rect`: the caller's CACHED pre-batch rectangle (ingest's OR
+      // probe scan — a superset of this AND rectangle), so the
+      // retained rows come out of executor-resident blocks instead of
+      // a second disk read of the same partitions (round-14 verdict
+      // #4). Sound because the writer lease guarantees the on-disk
+      // rectangle cannot have changed since ingest read it. Absent,
+      // the pruned disk scan is unchanged.
+      val remainder = rect.getOrElse(spark.read.parquet(path))
         .filter(col("pb0").isInCollection(pbs0) &&
           col("pb1").isInCollection(pbs1))
         .join(broadcast(keys), Seq("sig_key"), "left_anti")
@@ -719,6 +739,11 @@ object IncrementalDedup {
       out.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pb0", "pb1").parquet(path)
+      // the dynamic overwrite rewrote partition files two levels deep
+      // under unchanged direct-child names — the one mutation class
+      // the schema memo's child fingerprint cannot always see; drop
+      // the memo so the next read re-infers (round-14 advice)
+      graft.tables.Tables.invalidateSchemaMemo(path)
       // commit durable: the archived generation of the rectangle is
       // obsolete (and must not be restored over the new one)
       fs.delete(bakPath, true)

@@ -111,11 +111,18 @@ object ArrivalPass {
     * the drain stopped at the pass deadline — the drained/remaining
     * accounting the operator needs to size tomorrow's backlog. */
   private def drainDetail(r: graft.streaming.Streams.DrainReport,
-      normal: String): String =
+      normal: String): String = {
+    // unexplained vanishes (planned files gone with no compaction
+    // record — see Streams.vanishedUnexplained) ride the detail
+    // loudly; 0 is the healthy case and stays silent
+    val van = if (r.vanishedUnexplained == 0L) ""
+      else s" vanished_unexplained=${r.vanishedUnexplained} file(s) " +
+        "(planned files missing with no compaction record)"
     if (r.stoppedAtDeadline)
       s"drained=${r.drained} remaining≈${r.remainingFiles} files " +
-        s"(budget; checkpoint resumes next pass) $normal"
-    else s"drained=${r.drained} $normal"
+        s"(budget; checkpoint resumes next pass)$van $normal"
+    else s"drained=${r.drained}$van $normal"
+  }
 
   def run(spark: SparkSession, cfg: ArrivalConfig, log: CommandLog,
       clock: Clock): ArrivalReport = {
@@ -150,7 +157,8 @@ object ArrivalPass {
     val deadline: Option[Instant] =
       cfg.timeLimitSeconds.map(s => clock.now().plusSeconds(s))
     // per-STAGE duration history (ref IC:677; shared [[DurationStats]]
-    // — the incremental tier keeps the per-TABLE twin)
+    // — the incremental tier keeps the per-TABLE twin). record() is
+    // in-memory; ONE flush per pass at the bottom (round-14 verdict #2)
     val stats = new DurationStats(spark,
       s"${cfg.checkpointRoot}/stage_stats.json")
 
@@ -293,8 +301,13 @@ object ArrivalPass {
           maxFilesPerBatch = Some(cfg.maxFilesPerBatch))
         violations += r.violations
         errors += r.errors
+        // the split says WHICH admission gate bound tonight: IC:592
+        // time-exhausted vs IC:677 predicted-cost (round-14 verdict
+        // #7 — an operator sizing the budget reads these differently)
         val sk = if (r.skipped.isEmpty) ""
-          else s" skipped=${r.skipped.size} (budget)"
+          else s" skipped=${r.skipped.size} (budget: " +
+            s"skipped_time=${r.skippedTime} " +
+            s"skipped_cost=${r.skippedCost})"
         val qt = if (r.quiet.isEmpty) ""
           else s" quiet=${r.quiet.size} (no new files)"
         ("ran", s"executed=${r.executedCommands.size} " +
@@ -362,9 +375,15 @@ object ArrivalPass {
         store.maintain(heartbeat = () => passLease.renew()))
       if (r.action == "absent")
         ("skipped_empty", s"no index at ${cfg.annStorePath}")
-      else
-        ("ran", s"action=${r.action} maxDrift=${r.maxDrift} " +
+      else {
+        // quiet-night fast path (round-14 verdict #1): the decision
+        // watermark matched — nothing ingested since the last
+        // maintain, store scan skipped entirely
+        val un = r.unchangedSinceBatch.fold("")(b =>
+          s" (unchanged since batch $b; store scan skipped)")
+        ("ran", s"action=${r.action}$un maxDrift=${r.maxDrift} " +
           s"arrivedBatches=${r.arrivedBatches}")
+      }
     }
 
     stage("oov_qc", hasWork = oovNew, resumable = true) {
@@ -457,6 +476,7 @@ object ArrivalPass {
           var dirTables = 0
           var merged = 0
           var budgetSkipped = 0
+          var leaseSkipped = 0
           inv.databases().foreach { db =>
             inv.objects(db).foreach { o =>
               val p = new org.apache.hadoop.fs.Path(o.path)
@@ -473,21 +493,34 @@ object ArrivalPass {
                   budgetSkipped += 1
                 else {
                   dirTables += 1
-                  merged += graft.maintenance.Compaction.compact(spark,
+                  val r = graft.maintenance.Compaction.compact(spark,
                     o.path, graft.maintenance.Compaction.tableFiles(
                       spark, o.path), tb, deadline, clock,
                     heartbeat = () => passLease.renew())
+                  merged += r.merged
+                  // a table declined because another compactor holds
+                  // its lease is VISIBLE work declined — the audit row
+                  // must carry it, not just a stdout line (ref
+                  // CE:204-222; round-14 verdict #3)
+                  if (r.leaseSkipped) leaseSkipped += 1
                 }
               }
             }
           }
           val sk = if (budgetSkipped == 0) ""
             else s" skipped=$budgetSkipped table(s) (budget)"
+          val ls = if (leaseSkipped == 0) ""
+            else s" lease_skipped=$leaseSkipped table(s) (another " +
+              "compactor holds the lease)"
           ("ran", s"merged=$merged group(s) across $dirTables dir " +
-            s"table(s) (target=$tb bytes)$sk")
+            s"table(s) (target=$tb bytes)$sk$ls")
       }
     }
 
+    // ONE duration-history write per pass (record() is in-memory); an
+    // aborted pass (usurped lease) loses only its in-pass updates —
+    // admission degrades to the time gate, never to wrong work
+    stats.flush()
     ArrivalReport(results.toSeq, violations, errors)
   }
 }

@@ -12,10 +12,17 @@ import org.apache.spark.sql.SparkSession
   * avg) / n`, IC:706 / state/StateStore.recordRun). One tiny
   * driver-side JSON file next to the caller's checkpoints; the unit
   * key is whatever granularity the caller admits at (ArrivalPass:
-  * stage names; IncrementalScheduler: `db.schema.table`). Written with
-  * a plain overwrite: a crash mid-write at worst loses the history,
-  * and admission degrades to the time-remaining gate — never to wrong
-  * work. */
+  * stage names; IncrementalScheduler: `db.schema.table`).
+  *
+  * [[record]] folds into MEMORY only; [[flush]] persists the whole
+  * map ONCE — callers record per unit and flush once per PASS (the
+  * round-14 shape rewrote the full file per record(), which on a
+  * 20k-table inventory is O(tables²) bytes of driver JSON per pass).
+  * The file is a plain overwrite: a crash mid-pass loses at most the
+  * in-pass updates (nothing was flushed yet), and admission degrades
+  * to the time-remaining gate — never to wrong work. In-memory state
+  * is COMPLETE either way: this pass's own admission decisions see
+  * every record() regardless of flush timing, exactly as before. */
 private[scheduler] final class DurationStats(spark: SparkSession,
     path: String) {
   private val p = new org.apache.hadoop.fs.Path(path)
@@ -77,12 +84,23 @@ private[scheduler] final class DurationStats(spark: SparkSession,
     predictMs(unit).filter(pMs =>
       pMs > remainingMs + math.max(1000L, pMs / 4))
 
-  /** Fold one completed run into the history (IC:706 recurrence,
-    * integer arithmetic) and persist. */
+  /** Fold one completed run into the IN-MEMORY history (IC:706
+    * recurrence, integer arithmetic). Not persisted until [[flush]]. */
   def record(unit: String, durMs: Long): Unit = {
     val (n0, avg0) = m.getOrElse(unit, (0L, 0L))
     val n = n0 + 1
     m += unit -> (n, avg0 + (durMs - avg0) / n)
+    dirty = true
+  }
+
+  private var dirty = false
+
+  /** Persist the whole history in ONE write — call once per pass.
+    * No-op when nothing was recorded since the last flush (a quiet
+    * pass must not even rewrite an unchanged file). Best-effort like
+    * the old per-record write: a failed flush degrades admission to
+    * the time gate, never to wrong work. */
+  def flush(): Unit = if (dirty) {
     try {
       val body = m.toSeq.sortBy(_._1).map { case (u, (cnt, avg)) =>
         s""""${escape(u)}":{"n":$cnt,"avg_ms":$avg}"""
@@ -90,6 +108,15 @@ private[scheduler] final class DurationStats(spark: SparkSession,
       val out = fs.create(p, true)
       out.writeBytes(s"""{"format":1,"stages":{$body}}\n""")
       out.close()
+      dirty = false
+      DurationStats.flushes.incrementAndGet()
+      ()
     } catch { case NonFatal(_) => () }
   }
+}
+
+private[graft] object DurationStats {
+  /** Test-visible count of actual file writes — DurationStatsSpec
+    * asserts one per pass (round-14 verdict #2). */
+  private[graft] val flushes = new java.util.concurrent.atomic.AtomicLong(0L)
 }

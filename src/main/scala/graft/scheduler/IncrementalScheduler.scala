@@ -23,7 +23,15 @@ final case class IncrementalReport(
     // tables whose checkpoint already covers every landed file — the
     // stream spin-up was skipped entirely (no work existed, unlike
     // `skipped` where work was declined for budget)
-    quiet: Seq[String] = Nil)
+    quiet: Seq[String] = Nil,
+    // the `skipped` split by WHICH admission gate refused (round-14
+    // verdict #7): time = IC:592 (budget exhausted before the table),
+    // cost = IC:677 (predicted duration overruns the remainder). An
+    // operator sizing the budget needs to see which gate binds —
+    // time-bound means the budget is simply too small, cost-bound
+    // means a few big tables need their own window.
+    skippedTime: Long = 0L,
+    skippedCost: Long = 0L)
 
 /** Arrived-data CHECKTABLE tier — the reference's nightly loop
   * (IntegrityChecks_VLDB.sql:505-744) evolved for a lake where data lands
@@ -72,6 +80,8 @@ object IncrementalScheduler {
     val executor = new CommandExecutor(log, clock, execute = true)
     val executed = ArrayBuffer.empty[String]
     val skipped = ArrayBuffer.empty[(String, String)]
+    var skippedTime = 0L
+    var skippedCost = 0L
     var violations = 0L
     var errors = 0L
     // events.parquet-style TIMESTAMP(NANOS) columns stream as longs, the
@@ -83,6 +93,14 @@ object IncrementalScheduler {
     // (DurationStats; the batch scheduler's analog is its state rows)
     val stats = new DurationStats(spark,
       s"$checkpointRoot/table_stats.json")
+    // ONE history write per pass (flushed in the finally below): the
+    // old per-table record() rewrote the full file per table — O(tables²)
+    // bytes of driver JSON on a 20k-table inventory (round-14 verdict
+    // #2). Admission behavior is unchanged: this pass's own IC:677
+    // decisions read the in-memory map, which sees every record()
+    // immediately; a crash mid-pass loses only the in-pass updates and
+    // admission degrades to the time gate.
+    try {
     inventory.databases().foreach { db =>
       inventory.objects(db).foreach { o =>
         val obj = s"$db.${o.schema_name}.${o.object_name}"
@@ -117,6 +135,46 @@ object IncrementalScheduler {
         // logs skips for work it would have RUN, and under a
         // chronically tight budget the per-table skip rows for idle
         // tables flooded the command log (round-13 advice).
+        // Vanished-file reconciliation BEFORE the quiet gate AND the
+        // drain (round-14 advice): the stream tolerates missing
+        // planned files (ignoreMissingFiles — a deadline-stopped
+        // pass's replay must not wedge on legally-compacted members),
+        // but a planned-but-uncommitted file that is gone WITHOUT a
+        // compaction record explaining it is data that vanished before
+        // validation — a VIOLATION, counted and logged, never just a
+        // Spark log line. Committed files absent from disk stay legal
+        // (validated, then archived/compacted). Runs before the quiet
+        // probe because the vanish candidates are exactly files NOT on
+        // disk: a table whose only pending work vanished would read
+        // quiet and hide the loss. Cost on the quiet path: two driver
+        // listStatus calls (no Spark job) — the probe's own order.
+        val vanished = graft.streaming.Streams.vanishedUnexplained(
+          spark, o.path, ckpt)
+        if (vanished.nonEmpty) {
+          violations += vanished.size
+          def jesc(s: String): String = s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+          val ts = java.sql.Timestamp.from(clock.observe())
+          log.append(graft.model.CommandLogEntry(
+            id = java.util.UUID.randomUUID().toString,
+            database_name = db, schema_name = o.schema_name,
+            object_name = o.object_name, object_type = o.object_type,
+            extended_info =
+              s"""{"status":"vanished_files",""" +
+              s""""count":${vanished.size},"examples":[""" +
+              vanished.take(3).map(p => "\"" + jesc(p) + "\"")
+                .mkString(",") +
+              """],"reason":"planned-but-uncommitted files missing """ +
+              """from disk with no compaction record; data vanished """ +
+              """before validation"}""",
+            command = cmd, command_type = "DBCC_CHECKTABLE_INC",
+            start_time = ts, end_time = Some(ts),
+            error_number = None, error_message = None))
+        }
         def runTable(): Unit = {
           val t0 = System.nanoTime()
           // The per-batch tally lives OUTSIDE the retried action and is
@@ -160,7 +218,12 @@ object IncrementalScheduler {
           stats.record(obj, clock.elapsedMs(t0))
         }
 
-        if (graft.streaming.Streams.nothingNewLanded(spark, o.path,
+        // a vanish-flagged table bypasses the quiet gate: the stream
+        // must replay (and COMMIT) the planned batch so the vanish is
+        // reported exactly once — left quiet, the uncommitted batch
+        // would re-flag the same loss every pass forever
+        if (vanished.isEmpty &&
+            graft.streaming.Streams.nothingNewLanded(spark, o.path,
             ckpt)) {
           quiet += obj
         } else {
@@ -173,9 +236,11 @@ object IncrementalScheduler {
           val remainingMs = deadline.map(d =>
             d.toEpochMilli - clock.now().toEpochMilli)
           if (remainingMs.exists(_ <= 0L)) {
+            skippedTime += 1
             skipRow("time budget exhausted before this table (IC:592)")
           } else remainingMs.flatMap(stats.wouldOverrun(obj, _)) match {
             case Some(pMs) =>
+              skippedCost += 1
               skipRow(f"predicted ${pMs / 1000.0}%.1f s > remaining " +
                 f"${remainingMs.get / 1000.0}%.1f s from the " +
                 "persisted table duration history (IC:677)")
@@ -185,6 +250,7 @@ object IncrementalScheduler {
         }
       }
     }
+    } finally stats.flush()
     // quiet tables stay visible as ONE aggregated audit row per pass
     // (not one per table — the round-13 advice's flood concern), so the
     // log still shows the pass saw them and chose not to spin streams
@@ -204,7 +270,7 @@ object IncrementalScheduler {
         error_number = None, error_message = None))
     }
     IncrementalReport(executed.toSeq, violations, errors, skipped.toSeq,
-      quiet.toSeq)
+      quiet.toSeq, skippedTime, skippedCost)
   }
 
   /** One summary row per micro-batch: rows validated + entirely-null rows

@@ -476,7 +476,11 @@ object Streams {
     * estimate of the landed files still pending in the checkpoint
     * (the next pass's backlog). */
   final case class DrainReport(drained: Long, stoppedAtDeadline: Boolean,
-      remainingFiles: Long)
+      remainingFiles: Long,
+      // planned-but-uncommitted files found missing WITHOUT a
+      // compaction record before this drain started — see
+      // [[vanishedUnexplained]]; 0 = none (the healthy case)
+      vanishedUnexplained: Long = 0L)
 
   /** Control-flow signal for the graceful deadline stop: thrown at a
     * micro-batch HEAD (before any processing), so every batch admitted
@@ -593,6 +597,77 @@ object Streams {
     }
   }
 
+  /** Planned-but-uncommitted files the checkpoint's offset log
+    * references that are (a) no longer on disk and (b) not explained
+    * by a table compaction record — UNEXPLAINED VANISHES: data that
+    * disappeared before it was ever validated/ingested, for a reason
+    * other than compaction. The streams run with
+    * `ignoreMissingFiles=true` so a deadline-stopped pass's replay
+    * cannot wedge on legally-compacted members — but that tolerance
+    * previously swallowed EVERY vanish with only a Spark log line
+    * (round-14 advice: real data loss passed the integrity tier
+    * without a violation). This reconciliation scopes it: callers run
+    * it BEFORE the drain and surface the unexplained set loudly
+    * (the integrity tier counts them as violations).
+    *
+    * Precision notes, both erring AWAY from false alarms:
+    *  - COMMITTED files absent from disk are never flagged — they were
+    *    validated before archival/compaction removed them (the legal
+    *    removal class for an operator).
+    *  - only PLAIN per-batch offset listings past the last commit are
+    *    consulted; a `.compact` listing past the last commit folds
+    *    committed history whose originals the metadata-log cleaner may
+    *    have removed, and flagging from it could mis-report an archived
+    *    COMMITTED file as lost.
+    * Residual window (documented, not closed): a file that vanishes
+    * mid-drain — planned and skipped inside the same pass — commits
+    * with its batch and is only visible in Spark's own log. */
+  private[graft] def vanishedUnexplained(spark: SparkSession, src: String,
+      checkpoint: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint, "sources/0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val lastCommitted: Long =
+      if (!fs.exists(commits)) -1L
+      else fs.listStatus(commits)
+        .flatMap(s => s.getPath.getName.toLongOption)
+        .foldLeft(-1L)(math.max)
+    val pathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
+    val planned = fs.listStatus(dir).filter { st =>
+      // plain listings only, strictly past the last commit
+      st.isFile && !st.getPath.getName.endsWith(".compact") &&
+        st.getPath.getName.toLongOption.exists(_ > lastCommitted)
+    }.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      pathRe.findAllMatchIn(txt).map { m =>
+        val p = m.group(1).replace("\\/", "/")
+        try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+          .toUri.getPath
+        catch { case _: Exception => p }
+      }
+    }.toSet
+    if (planned.isEmpty) return Nil
+    val onDisk = listDataFiles(spark, src).toSet
+    val missing = planned -- onDisk
+    if (missing.isEmpty) return Nil
+    // compaction records live in the TABLE dir (a single-file table
+    // never compacts; its parent lookup is harmless)
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val recDir =
+      try {
+        val sfs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (sfs.exists(srcP) && sfs.getFileStatus(srcP).isFile)
+          srcP.getParent.toString
+        else src
+      } catch { case _: java.io.IOException => src }
+    val superseded =
+      graft.maintenance.Compaction.supersededPaths(spark, recDir)
+    (missing -- superseded).toSeq.sorted
+  }
+
   /** How many landed files `checkpoint` has NOT yet committed — the
     * deadline-stop report's `remaining≈` estimate, and the quiet-table
     * fast-path probe (0 with an existing checkpoint = nothing new
@@ -668,6 +743,9 @@ object Streams {
       heartbeat: () => Unit = () => ()): DrainReport = {
     import graft.pipeline.{Dedup, IncrementalDedup}
     val store = new IncrementalDedup.SigStore(spark, storePath)
+    // pre-drain reconciliation (round-14 advice): vanishes the
+    // ignoreMissingFiles tolerance would otherwise swallow silently
+    val vanished = vanishedUnexplained(spark, srcDir, checkpoint).size
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     val stopped = store.withLease {
       // Tolerate landed files that vanish between a batch's planning
@@ -705,14 +783,22 @@ object Streams {
             Dedup.minhashSig(batch.toDF()),
             // prune with the fan-out the store was WRITTEN with
             buckets = if (prev.isEmpty) IncrementalDedup.StoreBuckets
-              else store.buckets)
-          r.pairs.coalesce(1).write.mode("overwrite")
-            .parquet(s"$outPath/batch_id=$id")
-          onDedupPairsWritten(id)
-          // bootstrap = full-generation swap; steady state = dynamic
-          // partition overwrite of only the partitions the batch touched
-          if (prev.isEmpty) store.save(r.updatedStore)
-          else store.saveIncremental(r.touched, r.touchedParts)
+              else store.buckets,
+            // steady state: keep the pruned-rectangle cache alive so
+            // the store update's retained-rows scan reads executor
+            // blocks instead of the same partitions from disk a second
+            // time (round-14 verdict #4 rectangle share)
+            keepRect = prev.nonEmpty)
+          try {
+            r.pairs.coalesce(1).write.mode("overwrite")
+              .parquet(s"$outPath/batch_id=$id")
+            onDedupPairsWritten(id)
+            // bootstrap = full-generation swap; steady state = dynamic
+            // partition overwrite of only the touched partitions
+            if (prev.isEmpty) store.save(r.updatedStore)
+            else store.saveIncremental(r.touched, r.touchedParts,
+              rect = r.rectCache)
+          } finally r.rectCache.foreach(_.unpersist(false))
           drained.incrementAndGet()
           ()
         }
@@ -720,7 +806,8 @@ object Streams {
       awaitDrain(q)
     }
     DrainReport(drained.get(), stopped,
-      if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L)
+      if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L,
+      vanishedUnexplained = vanished)
   }
 
   /** Test seam for the crash window between the pair write and the
@@ -755,6 +842,8 @@ object Streams {
       heartbeat: () => Unit = () => ()): DrainReport = {
     import graft.pipeline.IncrementalAnn
     val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
+    // pre-drain reconciliation — see incrementalDedupStream
+    val vanished = vanishedUnexplained(spark, srcDir, checkpoint).size
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     val stopped = store.withLease {
       // vanished-file tolerance: see incrementalDedupStream
@@ -835,7 +924,8 @@ object Streams {
       awaitDrain(q)
     }
     DrainReport(drained.get(), stopped,
-      if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L)
+      if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L,
+      vanishedUnexplained = vanished)
   }
 
   /** Test seam mirroring [[onDedupPairsWritten]] for the ANN tier:

@@ -98,19 +98,24 @@ final class StoreLease(spark: SparkSession, path: String, what: String) {
   }
 
   /** Claim the store for writing (see class doc for the race story).
-    * `ttlMs` is BOTH this writer's declared liveness TTL (written into
-    * the lock, honored by every other judge) and this breaker's
-    * patience with an existing lock (operator/spec override — the
-    * default matches the default declaration, so disciplined writers
-    * agree). */
+    * `ttlMs` is this writer's declared liveness TTL (written into the
+    * lock, honored by every other judge). An EXISTING lock's staleness
+    * is judged by max(ttlMs, the lock's own declared TTL): the holder
+    * declared how long its heartbeats may gap (canMaintain and
+    * assertStillHeld already honor that declaration), so a default-TTL
+    * acquirer must not break a live long-TTL holder (the arrival
+    * pass's 2 h lease) fifteen minutes after its last renew
+    * (round-14 advice). `ttlMs` stays the FLOOR of the patience so an
+    * operator/spec can still declare extra patience of its own. */
   def acquire(ttlMs: Long = DefaultTtlMs): Unit = {
     myTtlMs = ttlMs
     readLock() match {
-      case Some((holder, hb, _)) =>
+      case Some((holder, hb, lockTtl)) =>
+        val patience = math.max(ttlMs, lockTtl)
         val age = System.currentTimeMillis() - hb
-        if (age < ttlMs) throw new IllegalStateException(
+        if (age < patience) throw new IllegalStateException(
           s"$what at $path is leased to writer $holder " +
-            s"(heartbeat age ${age} ms < ttl ${ttlMs} ms). Concurrent " +
+            s"(heartbeat age ${age} ms < ttl ${patience} ms). Concurrent " +
             "ingest would interleave the swap chain; if the holder " +
             s"is dead, wait for lease expiry or remove $path.lock")
         // stale: break it by renaming aside — one breaker wins

@@ -34,6 +34,21 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memoizedParquet(spark, s"$sfDir/$name.parquet")
 
+  /** Drop every memoized schema for `path`. The persisted stores call
+    * this after IN-PLACE partition rewrites (dynamic overwrites two
+    * levels deep — `batch_id=N/cluster=M/part…` replayed under the
+    * same names), which the direct-child fingerprint below cannot
+    * always see (a deeper rewrite moves the leaf dir's mtime, not the
+    * root's children's; round-14 advice). Re-inference costs one
+    * footer job on the next read; staleness would cost a silently
+    * dropped column. Same-JVM only, like the memo itself — a foreign
+    * process's rewrite is out of scope (the stores' single-writer
+    * lease makes that a non-event for their protocol-fixed schemas). */
+  def invalidateSchemaMemo(path: String): Unit = {
+    schemaMemo.keySet.removeIf(_._1 == path)
+    ()
+  }
+
   /** A parquet read whose SCHEMA comes from the memo above. Also used by
     * the persisted stores' `load()` (IncrementalDedup/IncrementalAnn):
     * their layouts are protocol-fixed, every generation swap or new

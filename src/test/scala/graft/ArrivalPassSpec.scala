@@ -146,6 +146,13 @@ class ArrivalPassSpec extends AnyFunSuite {
         st.stage != "table_compact")
       .forall(_.detail.contains("no NEW")), report2.stages.mkString("\n"))
     assert(spark.read.parquet(s"$base/ckpt/oov").count() === oovRows)
+    // ann_maintain's quiet-night gate (round-14 verdict #1): nothing
+    // was ingested since pass 1's maintain, so the decision watermark
+    // matched and the corpus-sized store scan was skipped — the stage
+    // detail says so
+    assert(report2.stages.find(_.stage == "ann_maintain").get
+      .detail.contains("unchanged since batch"),
+      report2.stages.find(_.stage == "ann_maintain").get.detail)
     assert(ann.load().get.count() === 80L)
 
     // audit trail: one ARRIVAL_STAGE row per stage per pass (two
@@ -194,9 +201,14 @@ class ArrivalPassSpec extends AnyFunSuite {
     // check): by the first table the 6 s ticks had crossed the 10 s
     // budget, so both resident tables were admission-skipped WITH
     // audit rows, and the stage detail says so
+    // the detail splits the two gates (round-14 verdict #7): here both
+    // tables were refused by the IC:592 time gate, none by the IC:677
+    // predicted-cost gate (no duration history exists on a first pass)
     assert(report.stages.head.detail.contains("executed=0") &&
-      report.stages.head.detail.contains("skipped=2 (budget)"),
+      report.stages.head.detail.contains(
+        "skipped=2 (budget: skipped_time=2 skipped_cost=0)"),
       report.stages.head.detail)
+    assert(report.violations === 0L)
     val tableSkips = log.entries.filter(e =>
       e.command_type == "DBCC_CHECKTABLE_INC" &&
         e.extended_info.contains("admission_skipped"))

@@ -110,13 +110,20 @@ class CompactionSpec extends AnyFunSuite {
     val totalBytes = Compaction.listFiles(spark, base.toString)
       .collect().map(_.getAs[Long]("bytes")).sum
     val merged = Compaction.compact(spark, dir, targetBytes = totalBytes)
-    assert(merged >= 1)
+    assert(merged.merged >= 1)
+    assert(!merged.leaseSkipped)
 
     // same rows, fewer files, staging dir gone
     assert(spark.read.parquet(dir).count() === before)
     val after = Compaction.listFiles(spark, base.toString)
     assert(after.count() < nFilesBefore)
     assert(!new java.io.File(s"$dir/.compact-tmp").exists())
+    // the durable record survives the staging-dir cleanup and explains
+    // every deleted original's absence as compaction, not data loss —
+    // the vanished-file reconciliation input (round-14 advice)
+    val superseded = Compaction.supersededPaths(spark, dir)
+    assert(superseded.nonEmpty)
+    assert(superseded.forall(p => !new java.io.File(p).exists()))
     // convergence: with everything at/above target (or a single small
     // survivor), the re-plan proposes no further merges
     val replan = Compaction.merges(after, totalBytes).collect()
@@ -148,7 +155,7 @@ class CompactionSpec extends AnyFunSuite {
     }
     val done = Compaction.compact(spark, dir, files, target,
       deadline = Some(t0.plusSeconds(10L)), clock = clock)
-    assert(done === 1)
+    assert(done.merged === 1)
     // nothing lost: the compacted group's rows and every untouched
     // original are all still readable
     assert(spark.read.parquet(dir).count() === before)
@@ -156,7 +163,7 @@ class CompactionSpec extends AnyFunSuite {
     // re-planning converges to a no-merge plan (merged outputs can
     // themselves be sub-target and re-merge once more)
     val done2 = Compaction.compact(spark, dir, target)
-    assert(done2 >= 1)
+    assert(done2.merged >= 1)
     assert(spark.read.parquet(dir).count() === before)
     var rounds = 0
     while (rounds < 3 && Compaction.merges(
@@ -186,14 +193,16 @@ class CompactionSpec extends AnyFunSuite {
     other.acquire()
     try {
       val done = Compaction.compact(spark, dir, targetBytes = total)
-      assert(done === 0)
+      assert(done.merged === 0)
+      // the decline reason travels back to the caller (round-14 #3)
+      assert(done.leaseSkipped)
       // nothing moved, nothing deleted, no staging dir left behind
       assert(Compaction.listFiles(spark, base.toString).count()
         === nFilesBefore)
       assert(spark.read.parquet(dir).count() === before)
     } finally other.release()
     // lease released: the same call now compacts
-    assert(Compaction.compact(spark, dir, targetBytes = total) >= 1)
+    assert(Compaction.compact(spark, dir, targetBytes = total).merged >= 1)
     assert(spark.read.parquet(dir).count() === before)
   }
 

@@ -254,8 +254,26 @@ class IncrementalAnnSpec extends AnyFunSuite {
     st1.save(cents, IncrementalAnn.assign(resident, cents))
     val e = intercept[IllegalStateException](st2.acquireLease())
     assert(e.getMessage.contains("leased"), e.getMessage)
-    // simulate a TTL lapse: st2 breaks the (aged) lease and takes over
-    st2.acquireLease(ttlMs = 0L)
+    // simulate a TTL lapse by AGING the holder's heartbeat in the lock
+    // itself (the liveness source of truth): since round 15 a breaker's
+    // patience is max(its ttl, the lock's declared ttl), so a
+    // zero-patience acquire can no longer break a live long-TTL holder
+    // — the round-14 advice hole this spec used to exploit
+    val lockP = new org.apache.hadoop.fs.Path(s"$base/ann.lock")
+    val lfs = lockP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val holderId = {
+      val in = lfs.open(lockP)
+      (try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()).trim.split("\\s+")(0)
+    }
+    val aged = System.currentTimeMillis() -
+      2 * graft.tables.StoreLease.DefaultTtlMs
+    val out = lfs.create(lockP, true)
+    out.writeBytes(
+      s"$holderId $aged ${graft.tables.StoreLease.DefaultTtlMs}\n")
+    out.close()
+    // st2 now sees a genuinely stale lease and takes over
+    st2.acquireLease()
     // the usurped writer must abort before touching the store
     val lost = intercept[IllegalStateException](
       st1.ingest(vecs(61L to 70L), batchId = 1L))
@@ -464,6 +482,71 @@ class IncrementalAnnSpec extends AnyFunSuite {
       "reorganize must NOT retrain (compact keeps the centroids)")
     assert(store.load().get.filter(col("batch_id") > 0L).count() === 0L)
     assert(store.load().get.count() === 480L)
+  }
+
+  test("maintain() quiet-night gate: a second maintain with nothing " +
+      "ingested since matches the decision watermark and runs ZERO " +
+      "Spark jobs (round-14 verdict #1 — no corpus-sized occupancy " +
+      "scan for an answer that cannot have moved); an ingest " +
+      "invalidates the watermark and the next maintain re-measures; " +
+      "a rebuild re-arms the gate against the post-swap state") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annquiet").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 200L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    store.ingest(vecs(201L to 240L), batchId = 1L)
+
+    // first maintain: the real measured pass (writes the watermark)
+    val r1 = store.maintain()
+    assert(r1.action === "none" && r1.unchangedSinceBatch.isEmpty)
+    assert(r1.arrivedBatches === 1L)
+
+    // second maintain, nothing ingested since: the watermark matches —
+    // same decision, same reported metrics, ZERO Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val r2 =
+      try {
+        val r = store.maintain()
+        Thread.sleep(500) // listener bus is async; let events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(r2.action === "none")
+    assert(r2.unchangedSinceBatch === Some(1L))
+    assert(r2.maxDrift === r1.maxDrift &&
+      r2.arrivedBatches === r1.arrivedBatches)
+    assert(jobs.get() === 0,
+      s"quiet maintain ran ${jobs.get()} Spark job(s); the watermark " +
+        "fast path must not touch the store")
+
+    // an arrival invalidates the watermark: the next maintain is a
+    // REAL measured pass again (max batch id moved)
+    store.ingest(vecs(241L to 260L), batchId = 2L)
+    val r3 = store.maintain()
+    assert(r3.unchangedSinceBatch.isEmpty)
+    assert(r3.arrivedBatches === 2L)
+
+    // a rebuild swaps the generation (old watermark dies with the old
+    // root) and re-arms the gate against the POST-swap state: the
+    // quiet night after a rebuild is also zero-scan
+    def drifted(ids: Seq[Long]): DataFrame =
+      ids.map { i =>
+        (i, (0 until 8).map(d => (100 + ((i + d) % 5)).toLong).toSeq)
+      }.toDF("vec_id", "qv")
+    store.ingest(drifted(261L to 340L), batchId = 3L)
+    val r4 = store.maintain(rebuildDrift = 0.10)
+    assert(r4.action === "rebuild", r4.toString)
+    val r5 = store.maintain(rebuildDrift = 0.10)
+    assert(r5.action === "none" && r5.unchangedSinceBatch === Some(0L),
+      r5.toString)
   }
 
   test("interrupted bootstrap swap completes on recover: a complete " +

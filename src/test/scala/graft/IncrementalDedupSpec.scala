@@ -277,16 +277,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("leased"), e.getMessage)
     st1.releaseLease()
     st2.acquireLease() // handover after release
-    // stale lease: age the lock's HEARTBEAT CONTENT past the TTL (the
-    // staleness signal is the holder-written timestamp, not mtime —
-    // object stores where setTimes is a no-op behave identically) and a
-    // new writer breaks it
+    // stale lease: age the lock's HEARTBEAT CONTENT past the HOLDER's
+    // TTL (the staleness signal is the holder-written timestamp, not
+    // mtime — object stores where setTimes is a no-op behave
+    // identically) and a new writer breaks it. Since round 15 the
+    // breaker's patience is max(its ttl, the lock's declared/default
+    // TTL) — a short-patience acquire can no longer break a live
+    // holder — so the age must genuinely exceed the default TTL this
+    // v2 (TTL-less) lock is judged by.
     val fs = hadoopFs(base)
     val lock = new org.apache.hadoop.fs.Path(s"$base/sigs.lock")
     val stale = fs.create(lock, true)
-    stale.writeBytes(s"dead-writer ${System.currentTimeMillis() - 60000L}\n")
+    stale.writeBytes(s"dead-writer ${System.currentTimeMillis() -
+      graft.tables.StoreLease.DefaultTtlMs - 60000L}\n")
     stale.close()
-    st1.acquireLease(ttlMs = 1000L)
+    st1.acquireLease()
     // ... and the usurped holder's next heartbeat/write FAILS LOUDLY
     // instead of interleaving commits (st2 held the lease we overwrote)
     val lost = intercept[IllegalStateException](st2.renewLease())
@@ -325,6 +330,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val batches = docs.grouped(3).toSeq
     st.save(IncrementalDedup.initialStore(sigsOf(batches.head)))
     var sofar = batches.head
+    // alternate batches exercise the round-15 rectangle SHARE (ingest's
+    // cached rect handed to saveIncremental's retained-rows scan — the
+    // streaming path's one-read-per-batch shape) vs the independent
+    // disk-scan path; the persisted-equality gate below pins both to
+    // the monolithic chain
+    var share = true
     batches.tail.foreach { b =>
       sofar = sofar ++ b
       // prune with the fan-out the store was WRITTEN with (the autoK
@@ -332,10 +343,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
       // old classes from the probes, which is why SigStore refuses
       // stores with no recorded fan-out
       val inc = IncrementalDedup.ingest(st.load().get, sigsOf(b),
-        buckets = st.buckets)
+        buckets = st.buckets, keepRect = share)
+      assert(inc.rectCache.isDefined === share)
       assert(pairSet(inc.pairs) ===
         fullRestricted(sofar, b.map(_._1).toSet), s"batch ${b.map(_._1)}")
-      st.saveIncremental(inc.touched)
+      try st.saveIncremental(inc.touched,
+        partsHint = inc.touchedParts, rect = inc.rectCache)
+      finally inc.rectCache.foreach(_.unpersist(false))
+      share = !share
       assert(storeKey(st.load().get) ===
         storeKey(Dedup.sigWithRep(sigsOf(sofar))),
         s"persisted store after batch ${b.map(_._1)}")

@@ -243,6 +243,9 @@ class SchedulerSpec extends AnyFunSuite {
     assert(r.executedCommands.size === 1 &&
       r.executedCommands.head.contains("[region]"), r.executedCommands)
     assert(r.skipped.size === 1)
+    // the typed split (round-14 verdict #7): this refusal was the
+    // IC:677 cost gate, not IC:592 time exhaustion
+    assert(r.skippedCost === 1L && r.skippedTime === 0L)
     val (obj, why) = r.skipped.head
     assert(obj === "db.main.nation")
     assert(why.contains("predicted 600.0 s") && why.contains("IC:677"),
@@ -270,6 +273,100 @@ class SchedulerSpec extends AnyFunSuite {
     assert(r2.executedCommands.size === 1 &&
       r2.executedCommands.head.contains("[nation]"), r2.executedCommands)
     assert(r2.quiet === Seq("db.main.region"))
+  }
+
+  test("vanished-file reconciliation (round-14 advice): a planned-but-" +
+      "uncommitted file that disappears WITHOUT a compaction record is " +
+      "a VIOLATION with a vanished_files audit row, reported exactly " +
+      "once; the same vanish WITH a compaction record is tolerated " +
+      "silently (scoped ignoreMissingFiles, not blanket)") {
+    import graft.scheduler.IncrementalScheduler
+    import org.apache.spark.sql.functions.{count, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft-vanish")
+      .toString
+    val dbDir = s"$base/db"
+    val cp = s"$base/checkpoints"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // two tables, each a 3-file backlog (one row per file so
+    // maxFilesPerBatch=1 gives three one-file batches)
+    for (t <- Seq("nation", "region"); _ <- 1 to 3)
+      Tables(spark, sfDir, t).limit(1)
+        .coalesce(1).write.mode("append").parquet(s"$dbDir/$t.parquet")
+
+    // drive each table's check stream DIRECTLY to a mid-drain stop:
+    // batches 0 and 1 commit (the clock advances 6 s per batch), batch
+    // 2 is planned, then refused at its head by the 10 s deadline —
+    // leaving one planned-but-uncommitted file in the offset log
+    def midDrainStop(t: String): Unit = {
+      val dir = s"$dbDir/$t.parquet"
+      val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"))
+      val stopped = graft.streaming.Streams.incrementalCheckById(spark,
+        dir, spark.read.parquet(dir).schema,
+        (b, _) => { clock.advance(6000L); b.agg(count(lit(1)).as("n")) },
+        s"$cp/db/$t/_checkpoint", s"$cp/db/$t/summaries",
+        deadline = Some(Instant.parse("2026-01-01T00:00:10Z")),
+        clock = clock, maxFilesPerBatch = Some(1))
+      assert(stopped, s"$t's drain must stop at the deadline")
+    }
+    def pendingFile(t: String): String = {
+      val dir = s"$dbDir/$t.parquet"
+      val seen = graft.streaming.Streams.seenFiles(spark,
+        s"$cp/db/$t/_checkpoint")
+      val pending = graft.streaming.Streams.listDataFiles(spark, dir)
+        .filterNot(seen.contains)
+      assert(pending.size === 1, s"$t pending=$pending")
+      pending.head
+    }
+    midDrainStop("nation"); midDrainStop("region")
+
+    // nation's pending file VANISHES with no explanation (bug,
+    // accidental delete); region's pending file is superseded by a
+    // compaction record first (the legal removal class)
+    val lostNation = pendingFile("nation")
+    assert(fs.delete(new org.apache.hadoop.fs.Path(lostNation), false))
+    val lostRegion = pendingFile("region")
+    val recDir = new org.apache.hadoop.fs.Path(
+      s"$dbDir/region.parquet/_graft_compacted")
+    fs.mkdirs(recDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(recDir, "merge-test-0.json"), true)
+    out.writeBytes(s"""{"merged": "$dbDir/region.parquet/merged-x.parquet", """ +
+      s""""supersedes": ["$lostRegion"]}\n""")
+    out.close()
+    assert(fs.delete(new org.apache.hadoop.fs.Path(lostRegion), false))
+
+    val log = new CommandLog(spark, None)
+    val inv = new DirInventory(spark,
+      Map("db" -> dbDir))
+    val r = IncrementalScheduler.run(spark, inv, cp, log,
+      new ManualClock(Instant.parse("2026-01-02T00:00:00Z")))
+    // ONE violation: nation's unexplained vanish. Region's explained
+    // vanish adds nothing.
+    assert(r.violations === 1L, r.toString)
+    assert(r.errors === 0L)
+    val vrows = log.entries.filter(
+      _.extended_info.contains("vanished_files"))
+    assert(vrows.size === 1, vrows.map(_.extended_info).mkString("\n"))
+    assert(vrows.head.object_name === "nation")
+    assert(vrows.head.extended_info.contains("\"count\":1"))
+    assert(vrows.head.extended_info.contains(lostNation),
+      vrows.head.extended_info)
+    // a vanish is data loss, not a failed check: error columns null
+    assert(vrows.head.error_number.isEmpty &&
+      vrows.head.error_message.isEmpty)
+
+    // reported exactly ONCE: the flagged table replayed and COMMITTED
+    // its planned batch (skipping the missing file), so the next pass
+    // is clean and quiet — no repeat violation forever
+    val log2 = new CommandLog(spark, None)
+    val r2 = IncrementalScheduler.run(spark, inv, cp, log2,
+      new ManualClock(Instant.parse("2026-01-03T00:00:00Z")))
+    assert(r2.violations === 0L, r2.toString)
+    assert(!log2.entries.exists(
+      _.extended_info.contains("vanished_files")))
+    assert(r2.quiet.contains("db.main.nation"), r2.toString)
   }
 
   test("scheduler_state_after_run and command_log match committed goldens") {

@@ -58,6 +58,25 @@ class StoreLeaseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("is leased to writer"))
   }
 
+  test("acquire()'s stale-break patience honors the HOLDER's declared " +
+      "TTL: a default-TTL acquirer cannot break a live 2h-lease holder " +
+      "20 minutes after its last heartbeat (round-14 advice), but a " +
+      "genuinely lapsed long lease IS breakable") {
+    val path = freshPath()
+    val hb = System.currentTimeMillis() - 20 * 60 * 1000L
+    writeLockFile(path, s"holder-uuid $hb ${2 * 60 * 60 * 1000L}\n")
+    val breaker = new StoreLease(spark, path, "test store")
+    // patience = max(breaker's default 15 min, the lock's declared 2 h)
+    val e = intercept[IllegalStateException](breaker.acquire())
+    assert(e.getMessage.contains("leased to writer holder-uuid"),
+      e.getMessage)
+    // past the HOLDER's OWN declaration the lease is dead — breakable
+    val lapsed = System.currentTimeMillis() - 3 * 60 * 60 * 1000L
+    writeLockFile(path, s"holder-uuid $lapsed ${2 * 60 * 60 * 1000L}\n")
+    breaker.acquire()
+    breaker.release()
+  }
+
   test("acquire writes the declared TTL into the lock; renew keeps it") {
     val path = freshPath()
     val holder = new StoreLease(spark, path, "test store")
