@@ -329,10 +329,26 @@ object Compaction {
       // other's history) so the integrity tier can forever explain
       // these paths' absence as compaction, not data loss. A crash
       // before this rename leaves the manifest in .compact-tmp, which
-      // the reconciliation reader also consults.
+      // the reconciliation reader also consults. The promotion is
+      // CHECKED like every other rename here: a false return (how
+      // HDFS-style filesystems signal failure) falls back to a byte
+      // copy, and if that fails too the run aborts LOUDLY — the
+      // end-of-run .compact-tmp cleanup would otherwise silently
+      // destroy the only record explaining the deleted originals.
       if (!fs.exists(recordDir)) fs.mkdirs(recordDir)
-      fs.rename(manifest, new Path(recordDir,
-        s"merge-${java.util.UUID.randomUUID().toString.take(8)}-$i.json"))
+      val record = new Path(recordDir,
+        s"merge-${java.util.UUID.randomUUID().toString.take(8)}-$i.json")
+      if (!fs.rename(manifest, record)) {
+        val in = fs.open(manifest)
+        val bytes = try in.readAllBytes() finally in.close()
+        val out2 = fs.create(record, false)
+        try out2.write(bytes) finally out2.close()
+        if (!fs.exists(record)) throw new java.io.IOException(
+          s"compact: could not promote $manifest to $record — aborting " +
+            "before the staging cleanup can destroy the supersession " +
+            "record for the already-deleted originals")
+        fs.delete(manifest, false)
+      }
       ()
       }
 

@@ -1520,6 +1520,20 @@ object Dedup {
     val totals = tagged.filter(_.getString(1).isEmpty)
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    // UTF-8 BYTE ordering, not Java's UTF-16 code-unit compareTo: the
+    // replaced distributed orderBy (and the DuckDB oracle's ORDER BY)
+    // sort by binary UTF-8, which differs for supplementary-plane
+    // source names vs U+E000..U+FFFF ones (surrogate range sorts
+    // between them in UTF-16)
+    implicit val utf8Ord: Ordering[String] = (x: String, y: String) => {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      var c = 0
+      while (c == 0 && i < a.length && i < b.length) {
+        c = (a(i) & 0xff) - (b(i) & 0xff); i += 1
+      }
+      if (c != 0) c else a.length - b.length
+    }
     tagged.filter(_.getString(1).nonEmpty)
       .map { r =>
         val (a, b, shared) = (r.getString(0), r.getString(1), r.getLong(2))
@@ -1528,7 +1542,8 @@ object Dedup {
           r4(shared.toDouble / na), r4(shared.toDouble / nb),
           r4(shared.toDouble / (na + nb - shared)))
       }
-      .sortBy(t => (t._1, t._2)).toSeq
+      .sortBy(t => (t._1, t._2))(
+        Ordering.Tuple2(utf8Ord, utf8Ord)).toSeq
       .toDF("src_a", "src_b", "shared", "n_a", "n_b",
         "containment_a", "containment_b", "jaccard")
   }

@@ -542,14 +542,20 @@ object IncrementalAnn {
       // QUIET-NIGHT GATE (round-14 verdict #1): when the persisted
       // decision watermark matches the store's current probe, nothing
       // was ingested since the last maintain() — the drift/accretion
-      // answer CANNOT have moved, so skip the corpus-sized load
+      // MEASUREMENTS cannot have moved, so skip the corpus-sized load
       // entirely (measured 5.34 s of occupancy scan for
       // arrivedBatches=0 at toy scale; at 100 TB a nightly full scan
-      // for an answer that cannot change). Any mismatch or doubt
-      // falls through to the full path below.
+      // for an answer that cannot change). The DECISION is still
+      // re-evaluated against the CALLER's thresholds using the
+      // watermarked measurements: a tightened rebuildDrift /
+      // reorganizeBatches must take effect on the next pass even with
+      // no new data — only a decision that would still be "none"
+      // short-circuits. Any mismatch or doubt falls through to the
+      // full path below.
       (maintainProbe(), readWatermark()) match {
         case (Some(p @ (mb, _, _)), Some((wmb, wmt, wml, d, b)))
-            if p == ((wmb, wmt, wml)) =>
+            if p == ((wmb, wmt, wml)) &&
+              d <= rebuildDrift && b <= reorganizeBatches =>
           return MaintainReport("none", d, b,
             unchangedSinceBatch = Some(mb))
         case _ => ()

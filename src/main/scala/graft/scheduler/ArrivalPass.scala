@@ -210,8 +210,15 @@ object ArrivalPass {
       * the per-batch deadline IS its admission control. The atomic
       * stages (ann_maintain's rebuild, a compaction merge group) keep
       * the cost gate: they are the ones that cannot stop midway. */
+    /** `statsExempt`: evaluated AFTER the body — true means this run's
+      * duration must NOT feed the stage history even though it "ran"
+      * (the quiet-night fast paths: a near-zero watermark-skip sample
+      * would drag the IC:706 mean under the real cost and the IC:677
+      * gate would then admit an atomic rebuild it should refuse — the
+      * same reasoning that already excludes skip statuses). */
     def stage(name: String, hasWork: => Boolean = true,
-        resumable: Boolean = false)(
+        resumable: Boolean = false,
+        statsExempt: () => Boolean = () => false)(
         body: => (String, String)): Unit = {
       // heartbeat the pass lease once per stage (a usurped lease —
       // someone broke it as stale mid-run — aborts the pass loudly
@@ -248,7 +255,7 @@ object ArrivalPass {
           val sec = math.round(durMs / 10.0) / 100.0
           results += StageResult(name, status, sec, detail)
           audit(name, status, sec, detail)
-          if (status == "ran") stats.record(name, durMs)
+          if (status == "ran" && !statsExempt()) stats.record(name, durMs)
       }
     }
 
@@ -267,12 +274,23 @@ object ArrivalPass {
     val vecsLanded = graft.Main.hasLandedFiles(spark, vecsDir)
     def newUnder(src: String, ckpt: String): Boolean =
       !graft.streaming.Streams.nothingNewLanded(spark, src, ckpt)
+    // a pending UNEXPLAINED VANISH counts as work (the integrity
+    // tier's quiet-gate bypass, mirrored — round-15 review): the
+    // vanish candidates are by definition files NOT on disk, so a
+    // landing whose only pending work vanished reads "nothing new"
+    // and would stay quiet forever, hiding the loss. Running the
+    // stream commits the planned batch (the replay skips the missing
+    // file), surfaces vanished_unexplained in the drain detail once,
+    // and the next pass is genuinely quiet.
+    def pendingWork(src: String, ckpt: String): Boolean =
+      newUnder(src, ckpt) || graft.streaming.Streams
+        .vanishedUnexplained(spark, src, ckpt).nonEmpty
     val docsNew = docsLanded &&
-      newUnder(docsDir, s"${cfg.checkpointRoot}/dedup")
+      pendingWork(docsDir, s"${cfg.checkpointRoot}/dedup")
     val vecsNew = vecsLanded &&
-      newUnder(vecsDir, s"${cfg.checkpointRoot}/ann")
+      pendingWork(vecsDir, s"${cfg.checkpointRoot}/ann")
     val oovNew = docsLanded &&
-      newUnder(docsDir, s"${cfg.checkpointRoot}/oov_ckpt")
+      pendingWork(docsDir, s"${cfg.checkpointRoot}/oov_ckpt")
     def annStoreExists: Boolean = {
       val hp = new org.apache.hadoop.fs.Path(cfg.annStorePath)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -358,8 +376,14 @@ object ArrivalPass {
 
     // hasWork evaluated HERE (by-name), after a possible bootstrap by
     // this very pass's ann_ingest stage — a pass-start snapshot would
-    // cost-gate the first-ever maintain on an index that now exists
-    stage("ann_maintain", hasWork = annStoreExists) {
+    // cost-gate the first-ever maintain on an index that now exists.
+    // A quiet-night watermark skip keeps its "ran" status (specs and
+    // operators read the decision) but is stats-EXEMPT: its ~0 s
+    // sample must not drag the IC:677 estimate under a real
+    // measured-pass/rebuild cost.
+    var maintainQuiet = false
+    stage("ann_maintain", hasWork = annStoreExists,
+        statsExempt = () => maintainQuiet) {
       // the reference's nightly job runs IndexOptimize right after the
       // integrity checks (MS:7821 ff. creates both jobs); the vector
       // tier's analog is the monitor→action loop — measured drift
@@ -379,6 +403,7 @@ object ArrivalPass {
         // quiet-night fast path (round-14 verdict #1): the decision
         // watermark matched — nothing ingested since the last
         // maintain, store scan skipped entirely
+        maintainQuiet = r.unchangedSinceBatch.isDefined
         val un = r.unchangedSinceBatch.fold("")(b =>
           s" (unchanged since batch $b; store scan skipped)")
         ("ran", s"action=${r.action}$un maxDrift=${r.maxDrift} " +

@@ -220,8 +220,14 @@ object IncrementalScheduler {
 
         // a vanish-flagged table bypasses the quiet gate: the stream
         // must replay (and COMMIT) the planned batch so the vanish is
-        // reported exactly once — left quiet, the uncommitted batch
-        // would re-flag the same loss every pass forever
+        // reported exactly once per LOSS — left quiet, the uncommitted
+        // batch would re-flag it every pass forever. Under a
+        // chronically exhausted budget the admission gates below can
+        // still refuse the table, in which case the same loss
+        // re-reports each pass until a pass has budget — intentional:
+        // the data is still lost AND still unvalidated, and a loud
+        // re-alert beats a one-shot flag that scrolls away before
+        // anyone ran with budget.
         if (vanished.isEmpty &&
             graft.streaming.Streams.nothingNewLanded(spark, o.path,
             ckpt)) {

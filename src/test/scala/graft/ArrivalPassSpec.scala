@@ -153,6 +153,20 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(report2.stages.find(_.stage == "ann_maintain").get
       .detail.contains("unchanged since batch"),
       report2.stages.find(_.stage == "ann_maintain").get.detail)
+    // ...and the quiet skip did NOT feed the stage duration history
+    // (round-15 review): its ~0 s sample would drag the IC:677 mean
+    // under a real rebuild's cost. Pass 1's measured run is the only
+    // ann_maintain entry.
+    val statsTxt = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$base/ckpt/stage_stats.json")
+      val fs2 = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs2.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(""""ann_maintain":\{"n":1,""".r
+      .findFirstIn(statsTxt).isDefined, statsTxt)
     assert(ann.load().get.count() === 80L)
 
     // audit trail: one ARRIVAL_STAGE row per stage per pass (two
@@ -308,6 +322,66 @@ class ArrivalPassSpec extends AnyFunSuite {
     val ann2 = report2.stages.find(_.stage == "ann_ingest").get
     assert(ann2.status === "ran" && ann2.detail.contains("drained=3"),
       ann2.detail)
+  }
+
+  test("a vanished planned file on an otherwise-quiet landing is NOT " +
+      "hidden by the ingest stage's quiet gate (round-15 review): the " +
+      "stage runs, surfaces vanished_unexplained in its detail, " +
+      "commits the planned batch, and the NEXT pass is genuinely quiet") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-vanish").toString
+    (1L to 3L).foreach { i =>
+      Seq((200L + i, "web", s"vanishing backlog document number $i"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$base/landing/documents")
+    }
+    val log = new CommandLog(spark, None)
+    val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"))
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = Map.empty,
+      timeLimitSeconds = Some(10L),
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann",
+      maxFilesPerBatch = 1)
+    // pass 1: mid-drain stop — batches 0,1 commit, batch 2 is planned
+    // then refused, leaving one planned-but-uncommitted file
+    try {
+      graft.streaming.Streams.onDedupPairsWritten =
+        _ => clock.advance(6000L)
+      ArrivalPass.run(spark, cfg, log, clock)
+    } finally graft.streaming.Streams.onDedupPairsWritten = _ => ()
+    // the pending file VANISHES with no compaction record
+    val seen = graft.streaming.Streams.seenFiles(spark,
+      s"$base/ckpt/dedup")
+    val pending = graft.streaming.Streams.listDataFiles(spark,
+      s"$base/landing/documents").filterNot(seen.contains)
+    assert(pending.size === 1, pending.toString)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(pending.head), false))
+
+    // pass 2, fresh budget: without the round-15 bypass the landing
+    // reads "nothing new" (the vanish candidate is not on disk) and
+    // the loss stays hidden behind skipped_empty forever
+    val report2 = ArrivalPass.run(spark,
+      cfg.copy(timeLimitSeconds = None), log,
+      new ManualClock(Instant.parse("2026-01-02T00:00:00Z")))
+    val d2 = report2.stages.find(_.stage == "dedup_ingest").get
+    assert(d2.status === "ran", d2.toString)
+    assert(d2.detail.contains("vanished_unexplained=1"), d2.detail)
+    // the store holds exactly the two drained docs; nothing invented
+    assert(new graft.pipeline.IncrementalDedup.SigStore(
+      spark, s"$base/sigs").load().get.count() === 2L)
+
+    // pass 3: the planned batch committed in pass 2, so the landing is
+    // GENUINELY quiet — the vanish is not re-reported
+    val report3 = ArrivalPass.run(spark,
+      cfg.copy(timeLimitSeconds = None), log,
+      new ManualClock(Instant.parse("2026-01-03T00:00:00Z")))
+    val d3 = report3.stages.find(_.stage == "dedup_ingest").get
+    assert(d3.status === "skipped_empty", d3.toString)
+    assert(!d3.detail.contains("vanished"), d3.detail)
   }
 
   test("deadline expires mid-drain on the ANN tier too: the vector " +

@@ -527,12 +527,21 @@ class IncrementalAnnSpec extends AnyFunSuite {
       s"quiet maintain ran ${jobs.get()} Spark job(s); the watermark " +
         "fast path must not touch the store")
 
+    // the gate honors the CALLER's thresholds (round-15 review): with
+    // the same quiet store, a tightened reorganizeBatches must NOT
+    // short-circuit to the watermarked "none" — the stored batches=1
+    // now exceeds the threshold, so the full path runs and reorganizes
+    val rTight = store.maintain(reorganizeBatches = 0L)
+    assert(rTight.action === "reorganize", rTight.toString)
+    assert(rTight.unchangedSinceBatch.isEmpty)
+    assert(store.load().get.count() === 240L)
+
     // an arrival invalidates the watermark: the next maintain is a
     // REAL measured pass again (max batch id moved)
     store.ingest(vecs(241L to 260L), batchId = 2L)
     val r3 = store.maintain()
     assert(r3.unchangedSinceBatch.isEmpty)
-    assert(r3.arrivedBatches === 2L)
+    assert(r3.arrivedBatches === 1L)
 
     // a rebuild swaps the generation (old watermark dies with the old
     // root) and re-arms the gate against the POST-swap state: the
