@@ -110,6 +110,25 @@ object Compaction {
     rows.toDF("table_name", "file", "bytes")
   }
 
+  /** Driver-side NECESSARY-condition precheck: can this table's listing
+    * possibly plan a merge? A merge group needs ≥2 sub-target files, so
+    * fewer than two smalls can never merge. Lets the nightly pass skip
+    * the per-table lease + plan job on the (common) HEALTHY table — a
+    * 20k-table inventory otherwise pays 20k tiny Spark jobs a night for
+    * all-noop plans, the same quiet-night cost class the stream stages'
+    * probe eliminated in round 14. Conservative by construction: true
+    * may still plan zero merges (smalls separated into different
+    * segments by at-target files), false NEVER misses a merge. One
+    * listStatus, zero Spark jobs. */
+  def worthPlanning(spark: SparkSession, tableDir: String,
+      targetBytes: Long): Boolean = {
+    val dirPath = new Path(tableDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dirPath).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getLen < targetBytes) >= 2
+  }
+
   /** Direct-children file listing of ONE table dir (files only — a nested
     * dir named *.parquet is a dataset, not a compaction member). Shared
     * by compact() and the CLI's plan echo so both see identical members

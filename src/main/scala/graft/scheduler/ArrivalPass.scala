@@ -502,6 +502,7 @@ object ArrivalPass {
           var merged = 0
           var budgetSkipped = 0
           var leaseSkipped = 0
+          var healthy = 0
           inv.databases().foreach { db =>
             inv.objects(db).foreach { o =>
               val p = new org.apache.hadoop.fs.Path(o.path)
@@ -516,7 +517,15 @@ object ArrivalPass {
                 // re-checks per merge group (IC:644)
                 if (deadline.exists(d => !clock.observe().isBefore(d)))
                   budgetSkipped += 1
-                else {
+                else if (!graft.maintenance.Compaction.worthPlanning(
+                    spark, o.path, tb)) {
+                  // quiet-night fast path (round-15): a table with <2
+                  // sub-target files can never plan a merge — skip its
+                  // lease + plan job entirely (one driver listing,
+                  // zero Spark jobs; 20k healthy tables otherwise pay
+                  // 20k all-noop plan jobs a night)
+                  healthy += 1
+                } else {
                   dirTables += 1
                   val r = graft.maintenance.Compaction.compact(spark,
                     o.path, graft.maintenance.Compaction.tableFiles(
@@ -537,8 +546,11 @@ object ArrivalPass {
           val ls = if (leaseSkipped == 0) ""
             else s" lease_skipped=$leaseSkipped table(s) (another " +
               "compactor holds the lease)"
+          val hl = if (healthy == 0) ""
+            else s" healthy=$healthy table(s) (no merge candidates; " +
+              "plan skipped)"
           ("ran", s"merged=$merged group(s) across $dirTables dir " +
-            s"table(s) (target=$tb bytes)$sk$ls")
+            s"table(s) (target=$tb bytes)$sk$ls$hl")
       }
     }
 

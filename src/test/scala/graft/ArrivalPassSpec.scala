@@ -618,8 +618,12 @@ class ArrivalPassSpec extends AnyFunSuite {
       s"$base/ckpt/integrity/corpus/documents/summaries")
     assert(sums.agg(org.apache.spark.sql.functions.sum("rows_checked"))
       .first().getLong(0) >= 80L) // originals (pass 1) + merged (pass 2)
-    assert(report2.stages.find(_.stage == "table_compact").get
-      .detail.contains("merged=0"))
+    val tc2 = report2.stages.find(_.stage == "table_compact").get
+    assert(tc2.detail.contains("merged=0"))
+    // the now-healthy table (one merged file) never reaches the
+    // planner: the driver-side precheck skips its lease + plan job
+    // (round-15 quiet-night polish) and the detail says so
+    assert(tc2.detail.contains("healthy=1"), tc2.detail)
   }
 
   test("overlapping passes are refused LOUDLY by the pass-level " +

@@ -109,9 +109,15 @@ class CompactionSpec extends AnyFunSuite {
 
     val totalBytes = Compaction.listFiles(spark, base.toString)
       .collect().map(_.getAs[Long]("bytes")).sum
+    // the nightly pass's quiet-table precheck: a fragmented table IS
+    // worth planning...
+    assert(Compaction.worthPlanning(spark, dir, totalBytes))
     val merged = Compaction.compact(spark, dir, targetBytes = totalBytes)
     assert(merged.merged >= 1)
     assert(!merged.leaseSkipped)
+    // ...and the compacted one is not (<2 sub-target files can never
+    // merge) — the nightly pass skips its lease + plan job entirely
+    assert(!Compaction.worthPlanning(spark, dir, totalBytes))
 
     // same rows, fewer files, staging dir gone
     assert(spark.read.parquet(dir).count() === before)
