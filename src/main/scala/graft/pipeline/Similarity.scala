@@ -1143,12 +1143,18 @@ object Similarity {
       .groupBy("cluster")
       .agg(sum(lit(1L) - col("is_new")).as("n_resident"),
         sum("is_new").as("n_arriving"))
-      .materialized
-    val tot = per.agg(sum("n_resident").as("tr"), sum("n_arriving").as("ta"))
+    // the occupancy totals ride a window over the K-ROW aggregate
+    // (constant partition key — the frame is k rows, bounded by autoK)
+    // instead of the round-14 checkpoint + separate totals agg +
+    // broadcast crossJoin: same k rows move once either way, three
+    // fewer jobs of scheduling floor (round-15 job audit)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
     val shiftRaw = col("n_arriving").cast("double") /
       nullif(col("ta").cast("double"), lit(0.0)) -
       col("n_resident").cast("double") / col("tr")
-    per.crossJoin(broadcast(tot))
+    per
+      .withColumn("tr", sum("n_resident").over(wAll))
+      .withColumn("ta", sum("n_arriving").over(wAll))
       .select(col("cluster"), col("n_resident"), col("n_arriving"),
         StableRound.r4(col("n_resident").cast("double") / col("tr"))
           .as("share_resident"),
@@ -1230,13 +1236,19 @@ object Similarity {
        |FROM u GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
     val all = quantVecs(s, d)
     val resident = all.filter(!isNewVec)
-    val arrivals = all.filter(isNewVec)
     // bootstrap: train on residents only; the centroids are the frozen
     // index (driver-literal — the only state the ingest path needs)
     val centroids = lloydCentroids(resident)
-    assignAgainst(resident, centroids).withColumn("arrived", lit(0L))
-      .union(assignAgainst(arrivals, centroids)
-        .withColumn("arrived", lit(1L)))
+    // ONE tagged assignment pass over the whole corpus: residents and
+    // arrivals rank against the SAME frozen centroids, so the old
+    // two-filtered-scans-plus-union spelling read the code relation
+    // twice and paid a union for a distinction a single in-row tag
+    // expresses (round-15 job audit) — the persisted store's ingest
+    // stays a separate batch-only projection, unchanged
+    all.select(col("vec_id"),
+        array_min(distStructs(col("qv"), centroids))
+          .getField("cluster").as("cluster"),
+        when(isNewVec, 1L).otherwise(0L).as("arrived"))
       .groupBy("cluster")
       .agg(sum(lit(1L) - col("arrived")).as("n_resident"),
         sum("arrived").as("n_arrived"),
