@@ -567,6 +567,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(slices.size >= 4 && streamed.nonEmpty)
   }
 
+  test("vanishedUnexplained parser edges: plain listings past the last " +
+      "commit flag missing files; a .compact past the commit is " +
+      "IGNORED (it folds committed history the log cleaner may have " +
+      "pruned — flagging from it could mis-report an archived " +
+      "committed file as lost); compaction records explain vanishes") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vanparse").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = s"$base/table"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    def put(p: String, body: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      out.writeBytes(body); out.close()
+    }
+    // one real data file on disk; two referenced-but-missing ones
+    put(s"$src/present.parquet", "x")
+    val ckpt = s"$base/ckpt"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/sources/0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ckpt/commits"))
+    // batch 0: committed (its listing never flags, even though its
+    // file is absent — committed = validated, archival is legal)
+    put(s"$ckpt/sources/0/0",
+      s"""v1\n{"path":"file://$src/archived.parquet","timestamp":1,"batchId":0}""")
+    put(s"$ckpt/commits/0", "v1\n{}")
+    // batch 1: PLANNED only — two missing files, one explained by a
+    // compaction record below, one not
+    put(s"$ckpt/sources/0/1",
+      s"""v1\n{"path":"file://$src/lost.parquet","timestamp":2,"batchId":1}\n""" +
+        s"""{"path":"file://$src/compacted.parquet","timestamp":2,"batchId":1}\n""" +
+        s"""{"path":"file://$src/present.parquet","timestamp":2,"batchId":1}""")
+    // batch 2: a .compact PAST the last commit — its entries must be
+    // ignored wholesale even though the file is missing
+    put(s"$ckpt/sources/0/2.compact",
+      s"""v1\n{"path":"file://$src/foldedaway.parquet","timestamp":3,"batchId":2}""")
+    put(s"$src/${graft.maintenance.Compaction.RecordDirName}/merge-a.json",
+      s"""{"merged": "$src/merged-1.parquet", "supersedes": """ +
+        s"""["file://$src/compacted.parquet"]}""")
+    val flagged = graft.streaming.Streams.vanishedUnexplained(
+      spark, src, ckpt)
+    assert(flagged === Seq(s"$src/lost.parquet"), flagged.toString)
+    // supersededPaths round-trips escaped exotic paths (quotes,
+    // backslashes, \uXXXX control chars — the jstr escape the writer
+    // applies); built by concatenation so the Scala lexer cannot
+    // pre-process the escapes we are testing
+    val weirdJson = "{\"merged\": \"m\", \"supersedes\": " +
+      "[\"/t/we\\\"ird\\\\name\\" + "u0009.parquet\"]}"
+    put(s"$src/${graft.maintenance.Compaction.RecordDirName}/merge-b.json",
+      weirdJson)
+    val sup = graft.maintenance.Compaction.supersededPaths(spark, src)
+    assert(sup.contains("/t/we\"ird\\name\t.parquet"), sup.toString)
+    assert(sup.contains(s"$src/compacted.parquet"), sup.toString)
+  }
+
   test("session_window built-in agrees with the lag-based sessionization") {
     // two independent implementations of 30-min-gap sessions must agree on
     // (user, session_start, session_end, n_events)
