@@ -279,10 +279,10 @@ object Main {
           "give --compact TABLE_DIR")
       if (arrivalDir.isEmpty &&
           Seq("--sig-store", "--dedup-out", "--ann-store",
-            "--max-files-per-batch", "--compact-tables")
+            "--compact-tables")
             .exists(seen.contains))
         usage("--sig-store/--dedup-out/--ann-store/" +
-          "--max-files-per-batch/--compact-tables only ride the " +
+          "--compact-tables only ride the " +
           "composed arrival job; give --arrival LANDING_DIR")
       if (dbs.isEmpty)
         usage("--print-schedule requires at least one --db (the echoed " +
@@ -303,9 +303,13 @@ object Main {
       println("# arrived-data incremental check, every 15 minutes")
       println("# (O(new files) per pass — see --incremental; a given")
       println("# --time-limit rides along so the job cannot overrun")
-      println("# its slot — IC:592's per-table budget check):")
+      println("# its slot — IC:592's per-table budget check, and a")
+      println("# given --max-files-per-batch bounds each table's")
+      println("# micro-batches so the deadline has check points):")
+      val mfbArg0 = maxFilesPerBatch.fold("")(n =>
+        s" --max-files-per-batch $n")
       println(s"*/15 * * * * $submit $dbArgs --incremental " +
-        s"--checkpoint $checkpointRoot$tlArg$logArg")
+        s"--checkpoint $checkpointRoot$tlArg$mfbArg0$logArg")
       arrivalDir.foreach { landing =>
         // the COMPOSED nightly arrival pass (integrity + dedup ingest +
         // ANN ingest + OOV QC under one budget — see --arrival); the
@@ -370,14 +374,20 @@ object Main {
     if (incremental) {
       // --time-limit rides along: a 15-minute cron pass must not
       // overrun its slot — IC:592's per-table budget check applies to
-      // the incremental tier exactly as to the batch scheduler
+      // the incremental tier exactly as to the batch scheduler.
+      // --max-files-per-batch rides along too (round-15 fix: the run
+      // path honored it since round 14 — IncrementalScheduler forwards
+      // it into the per-table streams as the deadline's granularity
+      // knob — but this allow-list still rejected the combination, so
+      // the documented `--incremental ... --max-files-per-batch N`
+      // invocation errored at the flag matrix)
       val allowed = Set("--incremental", "--db", "--checkpoint", "--log",
-        "--time-limit")
+        "--time-limit", "--max-files-per-batch")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         "--incremental checks arrived files only; full-run flag(s) given: " +
           s"${stray.mkString(", ")} (allowed with --incremental: --db, " +
-          "--checkpoint, --log, --time-limit)")
+          "--checkpoint, --log, --time-limit, --max-files-per-batch)")
       if (dbs.isEmpty) usage("--incremental requires at least one --db")
     }
     if (arrivalDir.isDefined) {
@@ -416,9 +426,9 @@ object Main {
     } else if (arrivalDir.isEmpty && seen.contains("--ann-store"))
       usage("--ann-store only applies to --ann-ingest or --arrival runs")
     if (arrivalDir.isEmpty && dedupSrc.isEmpty && annSrc.isEmpty &&
-        seen.contains("--max-files-per-batch"))
+        !incremental && seen.contains("--max-files-per-batch"))
       usage("--max-files-per-batch only applies to " +
-        "--arrival/--dedup-ingest/--ann-ingest runs")
+        "--incremental/--arrival/--dedup-ingest/--ann-ingest runs")
     if (arrivalDir.isEmpty && seen.contains("--compact-tables"))
       usage("--compact-tables only applies to --arrival runs " +
         "(standalone compaction is --compact TABLE_DIR)")

@@ -695,6 +695,10 @@ class ArrivalPassSpec extends AnyFunSuite {
     val inc = out.linesIterator.find(_.startsWith("*/15 * * * * ")).get
     assert(nightly.contains("--time-limit 3600"), nightly)
     assert(inc.contains("--time-limit 3600"), inc)
+    // --max-files-per-batch rides the incremental line too (round-15
+    // fix: the run path honored it since round 14 but the flag matrix
+    // rejected the combination and the echo dropped it)
+    assert(inc.contains("--max-files-per-batch 500"), inc)
     // the WHOLE maintenance surface is echoed (MS:7821 ff. creates the
     // IndexOptimize job too): a given --compact produces the weekly
     // compaction line, carrying its target size AND the time limit
