@@ -306,10 +306,10 @@ object Main {
       println("# its slot — IC:592's per-table budget check, and a")
       println("# given --max-files-per-batch bounds each table's")
       println("# micro-batches so the deadline has check points):")
-      val mfbArg0 = maxFilesPerBatch.fold("")(n =>
+      val mfbArg = maxFilesPerBatch.fold("")(n =>
         s" --max-files-per-batch $n")
       println(s"*/15 * * * * $submit $dbArgs --incremental " +
-        s"--checkpoint $checkpointRoot$tlArg$mfbArg0$logArg")
+        s"--checkpoint $checkpointRoot$tlArg$mfbArg$logArg")
       arrivalDir.foreach { landing =>
         // the COMPOSED nightly arrival pass (integrity + dedup ingest +
         // ANN ingest + OOV QC under one budget — see --arrival); the
@@ -325,8 +325,6 @@ object Main {
         println("# tier owns its seen-set. Cost: an arrived file is")
         println("# CHECKTABLE'd once per tier — double coverage, never")
         println("# missed coverage.")
-        val mfbArg = maxFilesPerBatch.fold("")(n =>
-          s" --max-files-per-batch $n")
         val ctArg = compactTables.fold("")(n => s" --compact-tables $n")
         println(s"37 2 * * * $submit $dbArgs --arrival $landing " +
           s"--checkpoint $checkpointRoot --sig-store $sigStorePath " +

@@ -333,9 +333,25 @@ object ArrivalPass {
       }
     }
 
+    // an EMPTIED landing whose only pending data vanished (round-15
+    // second review): hasLandedFiles is false so the stream cannot run
+    // (schema inference needs a file) and its planned batch can never
+    // commit — surface the loss LOUDLY in the skip detail on every
+    // pass until either new data lands (the stream then commits the
+    // tombstone batch and the alert clears) or an operator remediates.
+    // Re-alerting is intentional: the data is still gone.
+    def emptiedVanish(src: String, ckpt: String): String = {
+      val n = graft.streaming.Streams.vanishedUnexplained(spark, src,
+        s"${cfg.checkpointRoot}/$ckpt").size
+      if (n == 0) ""
+      else s" BUT vanished_unexplained=$n planned file(s) missing " +
+        "with no compaction record — pending data vanished before " +
+        "ingest"
+    }
     stage("dedup_ingest", hasWork = docsNew, resumable = true) {
       if (!docsLanded)
-        ("skipped_empty", s"no arrivals under $docsDir")
+        ("skipped_empty", s"no arrivals under $docsDir" +
+          emptiedVanish(docsDir, "dedup"))
       else if (!docsNew)
         ("skipped_empty", "no NEW document files since the last pass " +
           s"under $docsDir (checkpoint covers the landing; stream " +
@@ -358,7 +374,8 @@ object ArrivalPass {
 
     stage("ann_ingest", hasWork = vecsNew, resumable = true) {
       if (!vecsLanded)
-        ("skipped_empty", s"no arrivals under $vecsDir")
+        ("skipped_empty", s"no arrivals under $vecsDir" +
+          emptiedVanish(vecsDir, "ann"))
       else if (!vecsNew)
         ("skipped_empty", "no NEW vector files since the last pass " +
           s"under $vecsDir (checkpoint covers the landing; stream " +
@@ -419,7 +436,8 @@ object ArrivalPass {
             .exists(hp)
         }
       if (!docsLanded)
-        ("skipped_empty", s"no arrivals under $docsDir")
+        ("skipped_empty", s"no arrivals under $docsDir" +
+          emptiedVanish(docsDir, "oov_ckpt"))
       else resident match {
         case None =>
           ("skipped_no_resident",
@@ -429,6 +447,18 @@ object ArrivalPass {
             s"pass (cumulative report under ${cfg.checkpointRoot}/oov; " +
             "stream spin-up skipped)")
         case Some(res) =>
+          // pre-drain vanish reconciliation, surfaced in THIS stage's
+          // detail (round-15 second review): the oov drain has no
+          // DrainReport, and a vanish pending only on the oov
+          // checkpoint (dedup already committed the file) would
+          // otherwise be consumed silently by the replay — the file
+          // was never QC'd and nothing said so
+          val oovVanished = graft.streaming.Streams.vanishedUnexplained(
+            spark, docsDir, s"${cfg.checkpointRoot}/oov_ckpt").size
+          val vanDetail = if (oovVanished == 0) ""
+            else s" vanished_unexplained=$oovVanished file(s) " +
+              "(planned files missing with no compaction record; " +
+              "never QC'd)"
           // the same checkpointed O(new files) discipline as the ingest
           // stages: only files arrived since the last pass are QC'd
           // (an accumulating landing zone must not be re-scored

@@ -384,6 +384,55 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(!d3.detail.contains("vanished"), d3.detail)
   }
 
+  test("an EMPTIED landing (every file gone, one planned-but-" +
+      "uncommitted vanish) cannot run the stream — the skip detail " +
+      "still surfaces the loss on every pass (round-15 second review: " +
+      "hasLandedFiles short-circuited the vanish bypass)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-emptied").toString
+    (1L to 3L).foreach { i =>
+      Seq((300L + i, "web", s"emptied landing document number $i"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$base/landing/documents")
+    }
+    val log = new CommandLog(spark, None)
+    val clock = new ManualClock(Instant.parse("2026-01-01T00:00:00Z"))
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = Map.empty,
+      timeLimitSeconds = Some(10L),
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann",
+      maxFilesPerBatch = 1)
+    try {
+      graft.streaming.Streams.onDedupPairsWritten =
+        _ => clock.advance(6000L)
+      ArrivalPass.run(spark, cfg, log, clock)
+    } finally graft.streaming.Streams.onDedupPairsWritten = _ => ()
+    // EVERYTHING vanishes: the two committed files legally archived,
+    // the planned-but-uncommitted third lost with no record
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.Streams.listDataFiles(spark,
+        s"$base/landing/documents")
+      .foreach(p => assert(
+        fs.delete(new org.apache.hadoop.fs.Path(p), false)))
+    val report2 = ArrivalPass.run(spark,
+      cfg.copy(timeLimitSeconds = None), log,
+      new ManualClock(Instant.parse("2026-01-02T00:00:00Z")))
+    val d2 = report2.stages.find(_.stage == "dedup_ingest").get
+    // the stream cannot run (no file to infer a schema from), but the
+    // skip is LOUD about the unexplained pending loss — and stays loud
+    // on later passes until remediation (the batch can never commit)
+    assert(d2.status === "skipped_empty", d2.toString)
+    assert(d2.detail.contains("vanished_unexplained=1"), d2.detail)
+    val report3 = ArrivalPass.run(spark,
+      cfg.copy(timeLimitSeconds = None), log,
+      new ManualClock(Instant.parse("2026-01-03T00:00:00Z")))
+    assert(report3.stages.find(_.stage == "dedup_ingest").get
+      .detail.contains("vanished_unexplained=1"))
+  }
+
   test("deadline expires mid-drain on the ANN tier too: the vector " +
       "ingest stops at a batch boundary and resumes from its " +
       "checkpoint next pass") {
