@@ -332,28 +332,25 @@ object Compaction {
           members.map(jstr).mkString(", ") + "]}\n")
           .getBytes("UTF-8"))
       finally mout.close()
-      // land the merged file (unique name — cannot collide), then retire
-      // the originals; abort loudly on any false return
+      // land the merged file (unique name — cannot collide), then
+      // promote the manifest to the DURABLE record dir BEFORE retiring
+      // the originals (round-15 advice): the delete-failure message
+      // below points the operator at the supersession record, and a
+      // pointer into `.compact-tmp` dangles — the staging dir is swept
+      // at the end of any LATER run on this table, destroying the one
+      // artifact the message references. Promoted first, the record
+      // outlives every sweep. A record whose originals still exist
+      // (crash between promotion and the deletes) is harmless: the
+      // reconciliation uses records only to EXPLAIN missing files, and
+      // present files are just duplicated rows — the same loud
+      // (dd01/check_rowcounts) crash window as before, now with the
+      // recovery pointer durable. The promotion is CHECKED like every
+      // other rename here: a false return (how HDFS-style filesystems
+      // signal failure) falls back to a byte copy, and if that fails
+      // too the run aborts LOUDLY with the originals intact.
       if (!fs.rename(part, dest))
         throw new java.io.IOException(
           s"compact: rename $part -> $dest failed; originals intact")
-      members.foreach { p =>
-        if (!fs.delete(new Path(p), false))
-          throw new java.io.IOException(
-            s"compact: delete $p failed after landing $dest — group rows " +
-              s"are duplicated until it is removed (see $manifest)")
-      }
-      // originals gone: promote the manifest to the DURABLE record dir
-      // (unique name — two compact() runs must not overwrite each
-      // other's history) so the integrity tier can forever explain
-      // these paths' absence as compaction, not data loss. A crash
-      // before this rename leaves the manifest in .compact-tmp, which
-      // the reconciliation reader also consults. The promotion is
-      // CHECKED like every other rename here: a false return (how
-      // HDFS-style filesystems signal failure) falls back to a byte
-      // copy, and if that fails too the run aborts LOUDLY — the
-      // end-of-run .compact-tmp cleanup would otherwise silently
-      // destroy the only record explaining the deleted originals.
       if (!fs.exists(recordDir)) fs.mkdirs(recordDir)
       val record = new Path(recordDir,
         s"merge-${java.util.UUID.randomUUID().toString.take(8)}-$i.json")
@@ -364,9 +361,15 @@ object Compaction {
         try out2.write(bytes) finally out2.close()
         if (!fs.exists(record)) throw new java.io.IOException(
           s"compact: could not promote $manifest to $record — aborting " +
-            "before the staging cleanup can destroy the supersession " +
-            "record for the already-deleted originals")
+            "with the originals intact rather than deleting them " +
+            "without a durable supersession record")
         fs.delete(manifest, false)
+      }
+      members.foreach { p =>
+        if (!fs.delete(new Path(p), false))
+          throw new java.io.IOException(
+            s"compact: delete $p failed after landing $dest — group rows " +
+              s"are duplicated until it is removed (see $record)")
       }
       ()
       }

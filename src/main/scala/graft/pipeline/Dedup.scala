@@ -1509,14 +1509,43 @@ object Dedup {
     // same class as the batchParts/centroid collects). The metric
     // arithmetic reproduces StableRound.r4 bit-for-bit:
     // floor(x*10000 + 0.5)/10000 on doubles.
-    val tagged = srcSets
+    val aggF = srcSets
       // kernel pairs+markers expansion (PairExpandSpec pins the concat
       // spelling it replaces — this projection runs once per shingle)
       .select(explode(
         graft.functions.PairExpand.pairsStrTaggedCol(col("srcs"))).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
-      .collect()
+    // driver-memory guard on the bounded collect (round-15 advice): the
+    // aggregate is ≤ |sources|²+|sources| rows — tiny at the documented
+    // ~20-source catalog scale, but `source` cardinality is data-driven,
+    // and a corpus whose source column turned out to be per-crawl (or
+    // per-URL) must fall back to the distributed join/orderBy shape
+    // instead of collecting an unbounded matrix. limit(cap+1) keeps the
+    // probe itself bounded; ≤ cap rows means the collect was COMPLETE.
+    val DriverMatrixCap = 100000 // ≈ 316 sources
+    val tagged = aggF.limit(DriverMatrixCap + 1).collect()
+    if (tagged.length > DriverMatrixCap) {
+      // distributed fallback — the pre-round-15 shape: totals broadcast
+      // back onto the pair rows, metrics and the final sort in the plan
+      val pairsF = aggF.filter(col("src_b") =!= "").materialized
+      val totalsF = aggF.filter(col("src_b") === "")
+        .select(col("src_a").as("src"), col("shared").as("n"))
+      def m(x: org.apache.spark.sql.Column) =
+        graft.functions.StableRound.r4(x)
+      pairsF
+        .join(broadcast(totalsF.select(col("src").as("src_a"),
+          col("n").as("n_a"))), "src_a")
+        .join(broadcast(totalsF.select(col("src").as("src_b"),
+          col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"),
+          col("n_a"), col("n_b"),
+          m(col("shared") / col("n_a")).as("containment_a"),
+          m(col("shared") / col("n_b")).as("containment_b"),
+          m(col("shared") /
+            (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    } else {
     val totals = tagged.filter(_.getString(1).isEmpty)
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
@@ -1546,6 +1575,7 @@ object Dedup {
         Ordering.Tuple2(utf8Ord, utf8Ord)).toSeq
       .toDF("src_a", "src_b", "shared", "n_a", "n_b",
         "containment_a", "containment_b", "jaccard")
+    }
   }
 
   /** Representative selection: turn dd06's near-dup clusters into the

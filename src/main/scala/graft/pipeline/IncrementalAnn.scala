@@ -324,6 +324,26 @@ object IncrementalAnn {
       // direct-child fingerprint; drop the memo so the next read
       // re-infers (round-14 advice)
       graft.tables.Tables.invalidateSchemaMemo(path)
+      // EVERY ingest re-arms the maintain() quiet-night gate by
+      // deleting the decision watermark (round-15 advice): the probe's
+      // (max batch id, meta stat) fingerprint cannot see an IN-PLACE
+      // rewrite of an existing batch_id partition with different
+      // content (a reset checkpoint restarting batch ids against an
+      // existing store), so a probe-match guarantee must come from the
+      // write path itself — no committed write of any kind leaves a
+      // watermark behind (save()/compact() swap the root, which drops
+      // theirs structurally). A batch_id NOT yet in the store also
+      // bumps the probe's max-batch fingerprint, so for the normal
+      // append path this delete is belt-and-braces; it is LOAD-BEARING
+      // only for the same-batch-id rewrite, where an (unlikely, same
+      // FS as the write that just committed) delete failure surfaces
+      // loudly rather than leave the stale skip armed.
+      if (fs.exists(watermarkPath) && !fs.delete(watermarkPath, false))
+        throw new java.io.IOException(
+          s"AnnIndexStore at $path: ingest of batch $batchId committed " +
+            "but the stale maintain watermark could not be removed — " +
+            "a quiet-night skip over it would measure pre-ingest " +
+            "state; delete _graft_maintain.json manually")
       assigned
     }
 

@@ -487,9 +487,18 @@ object ArrivalPass {
               deadline = deadline, clock = clock,
               maxFilesPerBatch = Some(cfg.maxFilesPerBatch),
               heartbeat = () => passLease.renew())
+          // vanDetail rides BOTH ran arms (round-15 advice): the
+          // zero-batch arm is exactly the vanish-only night — the
+          // pending planned batch replayed, skipped its missing file,
+          // and committed, so without the detail here the loss would
+          // be consumed with no report at all. Detail-only like the
+          // ingest stages' drain reports (the violations tally stays
+          // the integrity tier's: the SAME vanished file pends on the
+          // dedup, ann and oov checkpoints at once, and counting it
+          // per checkpoint would triple-bill one loss).
           if (passBatches.isEmpty)
             ("ran", "no new document files since the last pass " +
-              s"(cumulative report under $out)")
+              s"(cumulative report under $out)$vanDetail")
           else {
             import scala.jdk.CollectionConverters._
             val ids = passBatches.asScala.toSeq
@@ -501,7 +510,7 @@ object ArrivalPass {
             val cut = if (!stoppedAtDeadline) ""
               else " stopped-at-deadline (checkpoint resumes next pass)"
             ("ran", s"batches=${ids.size} report_rows=${rows.count()} " +
-              s"flagged=$flagged report=$out resident=$res$cut")
+              s"flagged=$flagged report=$out resident=$res$cut$vanDetail")
           }
       }
     }

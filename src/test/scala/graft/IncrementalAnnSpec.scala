@@ -558,6 +558,37 @@ class IncrementalAnnSpec extends AnyFunSuite {
       r5.toString)
   }
 
+  test("maintain() watermark cannot serve a stale skip over an IN-PLACE " +
+      "rewrite of an existing batch partition (round-15 advice): a " +
+      "reset checkpoint replaying batch id 1 with different content " +
+      "leaves max-batch-id and meta stats unchanged, so the ingest " +
+      "path itself must re-arm the gate") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-annrearm").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    val resident = vecs(1L to 200L)
+    val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+    store.save(cents, IncrementalAnn.assign(resident, cents))
+    store.ingest(vecs(201L to 240L), batchId = 1L)
+    val r1 = store.maintain()
+    assert(r1.action === "none" && r1.unchangedSinceBatch.isEmpty)
+    // the quiet gate is armed; now rewrite batch 1 IN PLACE with a
+    // drifted payload (a deleted/reset stream checkpoint restarting
+    // batch ids against the existing store) — the probe's fingerprint
+    // (max batch id = 1, same meta) cannot distinguish this from quiet
+    def drifted(ids: Seq[Long]): DataFrame =
+      ids.map { i =>
+        (i, (0 until 8).map(d => (100 + ((i + d) % 5)).toLong).toSeq)
+      }.toDF("vec_id", "qv")
+    store.ingest(drifted(201L to 380L), batchId = 1L)
+    val r2 = store.maintain(rebuildDrift = 0.10)
+    assert(r2.unchangedSinceBatch.isEmpty,
+      s"stale quiet skip served over a rewritten batch partition: $r2")
+    // and the re-measure sees the REWRITTEN occupancy: the heavily
+    // drifted replacement payload is far past the rebuild threshold
+    assert(r2.action === "rebuild", r2.toString)
+  }
+
   test("interrupted bootstrap swap completes on recover: a complete " +
       "tmp generation (with metadata) is promoted") {
     val base = java.nio.file.Files
