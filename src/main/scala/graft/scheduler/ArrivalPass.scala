@@ -118,10 +118,17 @@ object ArrivalPass {
     val van = if (r.vanishedUnexplained == 0L) ""
       else s" vanished_unexplained=${r.vanishedUnexplained} file(s) " +
         "(planned files missing with no compaction record)"
+    // mid-drain vanishes COMMIT with their batch, so this detail line
+    // is their one surfacing (Streams.vanishedMidDrain, round-15
+    // verdict #2)
+    val mid = if (r.vanishedMidDrain == 0L) ""
+      else s" vanished_mid_drain=${r.vanishedMidDrain} file(s) " +
+        "(planned and committed this drain, never observed on disk, " +
+        "no compaction record — skipped unprocessed)"
     if (r.stoppedAtDeadline)
       s"drained=${r.drained} remaining≈${r.remainingFiles} files " +
-        s"(budget; checkpoint resumes next pass)$van $normal"
-    else s"drained=${r.drained}$van $normal"
+        s"(budget; checkpoint resumes next pass)$van$mid $normal"
+    else s"drained=${r.drained}$van$mid $normal"
   }
 
   def run(spark: SparkSession, cfg: ArrivalConfig, log: CommandLog,

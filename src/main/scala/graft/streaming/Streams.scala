@@ -480,7 +480,14 @@ object Streams {
       // planned-but-uncommitted files found missing WITHOUT a
       // compaction record before this drain started — see
       // [[vanishedUnexplained]]; 0 = none (the healthy case)
-      vanishedUnexplained: Long = 0L)
+      vanishedUnexplained: Long = 0L,
+      // files a batch COMMITTED during this drain that were never
+      // observed on disk by either bracketing snapshot and carry no
+      // compaction record — the vanished-MID-drain class (see
+      // [[vanishedMidDrain]]); committed with their batch, so this
+      // report is their ONE surfacing (the pre-drain reconciliation
+      // only consults uncommitted listings)
+      vanishedMidDrain: Long = 0L)
 
   /** Control-flow signal for the graceful deadline stop: thrown at a
     * micro-batch HEAD (before any processing), so every batch admitted
@@ -619,9 +626,11 @@ object Streams {
     *    committed history whose originals the metadata-log cleaner may
     *    have removed, and flagging from it could mis-report an archived
     *    COMMITTED file as lost.
-    * Residual window (documented, not closed): a file that vanishes
-    * mid-drain — planned and skipped inside the same pass — commits
-    * with its batch and is only visible in Spark's own log. */
+    * Mid-drain window: a file that vanishes mid-drain — planned and
+    * skipped inside the same pass — commits with its batch and is
+    * invisible to THIS pass (scoped to uncommitted listings) on every
+    * later one; the post-drain [[vanishedMidDrain]] reconciliation
+    * owns that class (round-15 verdict #2). */
   private[graft] def vanishedUnexplained(spark: SparkSession, src: String,
       checkpoint: String): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(checkpoint, "sources/0")
@@ -667,6 +676,100 @@ object Streams {
       graft.maintenance.Compaction.supersededPaths(spark, recDir)
     (missing -- superseded).toSeq.sorted
   }
+
+  /** Newest entry in `<checkpoint>/commits` (-1 when none): the commit
+    * frontier both reconciliations bracket their windows with. */
+  private[graft] def lastCommittedBatch(spark: SparkSession,
+      checkpoint: String): Long = {
+    val commits = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) -1L
+    else fs.listStatus(commits)
+      .flatMap(s => s.getPath.getName.toLongOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Bare URI paths from the PLAIN per-batch offset listings with batch
+    * id in (lo, hi] — `.compact` listings are skipped (they fold
+    * committed history whose originals may be legally archived; parsing
+    * them could mis-flag, so this errs toward not flagging — the same
+    * precision posture as [[vanishedUnexplained]]). */
+  private def plannedIn(spark: SparkSession, checkpoint: String,
+      lo: Long, hi: Long): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint, "sources/0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Set.empty
+    val pathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
+    fs.listStatus(dir).filter { st =>
+      st.isFile && !st.getPath.getName.endsWith(".compact") &&
+        st.getPath.getName.toLongOption.exists(id => id > lo && id <= hi)
+    }.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      pathRe.findAllMatchIn(txt).map { m =>
+        val p = m.group(1).replace("\\/", "/")
+        try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+          .toUri.getPath
+        catch { case _: Exception => p }
+      }
+    }.toSet
+  }
+
+  /** The MID-drain vanish reconciliation (round-15 verdict #2 — the one
+    * vanish class the pre-drain pass cannot see): a file whose batch
+    * COMMITTED during this drain, but which neither the pre-drain disk
+    * snapshot nor the post-drain listing ever observed, and which no
+    * compaction record explains. Such a file was planned (offset
+    * listing written), vanished before its batch processed, and the
+    * `ignoreMissingFiles` tolerance skipped it silently — its batch
+    * commits, so the NEXT pass's pre-drain reconciliation (scoped to
+    * uncommitted listings) can never flag it. Run once per drain, right
+    * after it, against the commit window (preCommitted, now].
+    *
+    * Precision posture, erring away from false alarms exactly like the
+    * pre-drain pass:
+    *  - a file IN the pre-drain snapshot is counted OBSERVED and never
+    *    flagged, even if absent afterward — post-commit archival of
+    *    just-drained files is the operator's legal cleanup, and
+    *    "present at the snapshot, processed or legally removed" cannot
+    *    be told apart from here (the residual precision trade, now
+    *    narrowed from 'every mid-drain vanish' to 'mid-drain vanish of
+    *    a file that was also present pre-drain');
+    *  - a file currently ON disk is never flagged (a snapshot race, or
+    *    it genuinely arrived mid-drain and still exists);
+    *  - `.compact` offset listings in the window contribute nothing.
+    * Driver-side metadata reads only; zero Spark jobs. */
+  private[graft] def vanishedMidDrain(spark: SparkSession, src: String,
+      checkpoint: String, preDisk: Set[String],
+      preCommitted: Long): Seq[String] = {
+    val nowCommitted = lastCommittedBatch(spark, checkpoint)
+    if (nowCommitted <= preCommitted) return Nil
+    val planned = plannedIn(spark, checkpoint, preCommitted, nowCommitted)
+    if (planned.isEmpty) return Nil
+    val candidates = planned -- preDisk
+    if (candidates.isEmpty) return Nil
+    val onDisk = listDataFiles(spark, src).toSet
+    val missing = candidates -- onDisk
+    if (missing.isEmpty) return Nil
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val recDir =
+      try {
+        val sfs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (sfs.exists(srcP) && sfs.getFileStatus(srcP).isFile)
+          srcP.getParent.toString
+        else src
+      } catch { case _: java.io.IOException => src }
+    (missing --
+      graft.maintenance.Compaction.supersededPaths(spark, recDir))
+      .toSeq.sorted
+  }
+
+  /** Test seam: called right after an ingest drain takes its pre-drain
+    * disk snapshot, BEFORE the stream starts — a spec lands a file here
+    * to deterministically exercise the snapshot→planning window the
+    * mid-drain reconciliation covers. No-op in production. */
+  private[graft] var onPreDrainSnapshot: () => Unit = () => ()
 
   /** How many landed files `checkpoint` has NOT yet committed — the
     * deadline-stop report's `remaining≈` estimate, and the quiet-table
@@ -744,8 +847,13 @@ object Streams {
     import graft.pipeline.{Dedup, IncrementalDedup}
     val store = new IncrementalDedup.SigStore(spark, storePath)
     // pre-drain reconciliation (round-14 advice): vanishes the
-    // ignoreMissingFiles tolerance would otherwise swallow silently
-    val vanished = vanishedUnexplained(spark, srcDir, checkpoint).size
+    // ignoreMissingFiles tolerance would otherwise swallow silently.
+    // The disk snapshot + commit frontier also bracket the drain for
+    // the POST-drain mid-drain reconciliation (round-15 verdict #2).
+    val preDisk = listDataFiles(spark, srcDir).toSet
+    val preCommitted = lastCommittedBatch(spark, checkpoint)
+    val vanishedPre = vanishedUnexplained(spark, srcDir, checkpoint)
+    onPreDrainSnapshot()
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     val stopped = store.withLease {
       // Tolerate landed files that vanish between a batch's planning
@@ -805,9 +913,16 @@ object Streams {
         .start()
       awaitDrain(q)
     }
+    // mid-drain reconciliation: committed-this-drain files neither
+    // snapshot observed. A file the PRE-drain pass already flagged
+    // (planned last pass, vanished, now committed by the replay) is
+    // subtracted — it was reported above, once.
+    val mid = (vanishedMidDrain(spark, srcDir, checkpoint, preDisk,
+      preCommitted).toSet -- vanishedPre.toSet).size
     DrainReport(drained.get(), stopped,
       if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L,
-      vanishedUnexplained = vanished)
+      vanishedUnexplained = vanishedPre.size,
+      vanishedMidDrain = mid)
   }
 
   /** Test seam for the crash window between the pair write and the
@@ -842,8 +957,12 @@ object Streams {
       heartbeat: () => Unit = () => ()): DrainReport = {
     import graft.pipeline.IncrementalAnn
     val store = new IncrementalAnn.AnnIndexStore(spark, storePath)
-    // pre-drain reconciliation — see incrementalDedupStream
-    val vanished = vanishedUnexplained(spark, srcDir, checkpoint).size
+    // pre-drain reconciliation + mid-drain brackets — see
+    // incrementalDedupStream
+    val preDisk = listDataFiles(spark, srcDir).toSet
+    val preCommitted = lastCommittedBatch(spark, checkpoint)
+    val vanishedPre = vanishedUnexplained(spark, srcDir, checkpoint)
+    onPreDrainSnapshot()
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     val stopped = store.withLease {
       // vanished-file tolerance: see incrementalDedupStream
@@ -923,9 +1042,12 @@ object Streams {
         .start()
       awaitDrain(q)
     }
+    val mid = (vanishedMidDrain(spark, srcDir, checkpoint, preDisk,
+      preCommitted).toSet -- vanishedPre.toSet).size
     DrainReport(drained.get(), stopped,
       if (stopped) unseenFiles(spark, srcDir, checkpoint) else 0L,
-      vanishedUnexplained = vanished)
+      vanishedUnexplained = vanishedPre.size,
+      vanishedMidDrain = mid)
   }
 
   /** Test seam mirroring [[onDedupPairsWritten]] for the ANN tier:

@@ -384,6 +384,98 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(!d3.detail.contains("vanished"), d3.detail)
   }
 
+  test("delete BETWEEN PLAN AND PROCESS (round-15 verdict #2): a file " +
+      "the drain's own listing planned that vanishes before its batch " +
+      "processes commits WITH its batch — invisible to the pre-drain " +
+      "reconciliation forever — and the post-drain reconciliation " +
+      "surfaces it once as vanished_mid_drain; a file OBSERVED by the " +
+      "pre-drain snapshot is never flagged; the next pass is quiet") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-middrain").toString
+    (1L to 2L).foreach { i =>
+      Seq((300L + i, "web", s"mid drain resident document number $i"))
+        .toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$base/landing/documents")
+    }
+    val docsDir = s"$base/landing/documents"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = Map.empty,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann",
+      maxFilesPerBatch = 1)
+    val preexisting = graft.streaming.Streams
+      .listDataFiles(spark, docsDir).toSet
+    // pass 1: a third file lands in the snapshot→planning window (the
+    // onPreDrainSnapshot seam — after the reconciler's disk snapshot,
+    // before the source's own listing), future-dated so it forms the
+    // LAST micro-batch; the first batch's callback then deletes it —
+    // strictly between its planning and its processing. The
+    // ignoreMissingFiles tolerance skips it and its batch commits.
+    val victim = new java.util.concurrent.atomic.AtomicReference[String]()
+    try {
+      graft.streaming.Streams.onPreDrainSnapshot = () =>
+        if (victim.get == null) {
+          Seq((399L, "web",
+            "document that lands after the snapshot and vanishes " +
+              "before its batch processes"))
+            .toDF("doc_id", "source", "text")
+            .coalesce(1).write.mode("append").parquet(docsDir)
+          val f = graft.streaming.Streams.listDataFiles(spark, docsDir)
+            .filterNot(preexisting.contains).head
+          fs.setTimes(new org.apache.hadoop.fs.Path(f),
+            System.currentTimeMillis() + 3600000L, -1L)
+          victim.set(f)
+        }
+      graft.streaming.Streams.onDedupPairsWritten = _ => {
+        val f = victim.getAndSet("done")
+        if (f != null && f != "done")
+          assert(fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      }
+      val report1 = ArrivalPass.run(spark, cfg, log,
+        new ManualClock(Instant.parse("2026-01-01T00:00:00Z")))
+      val d1 = report1.stages.find(_.stage == "dedup_ingest").get
+      assert(d1.status === "ran", d1.toString)
+      assert(d1.detail.contains("vanished_mid_drain=1"), d1.detail)
+      assert(!d1.detail.contains("vanished_unexplained"), d1.detail)
+    } finally {
+      graft.streaming.Streams.onPreDrainSnapshot = () => ()
+      graft.streaming.Streams.onDedupPairsWritten = _ => ()
+    }
+    // the vanished doc was never ingested; the two observed docs were
+    assert(new graft.pipeline.IncrementalDedup.SigStore(
+      spark, s"$base/sigs").load().get.count() === 2L)
+
+    // pass 2 precision case: a file PRESENT at the pre-drain snapshot
+    // that is removed after its batch commits (mid-drain archival of
+    // just-drained data) is OBSERVED — never flagged
+    Seq((398L, "web", "document archived immediately after its drain"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    val preP2 = graft.streaming.Streams.listDataFiles(spark, docsDir)
+      .filterNot(preexisting.contains)
+    assert(preP2.size === 1)
+    try {
+      graft.streaming.Streams.onDedupPairsWritten = _ =>
+        fs.delete(new org.apache.hadoop.fs.Path(preP2.head), false)
+      val report2 = ArrivalPass.run(spark, cfg, log,
+        new ManualClock(Instant.parse("2026-01-02T00:00:00Z")))
+      val d2 = report2.stages.find(_.stage == "dedup_ingest").get
+      assert(d2.status === "ran", d2.toString)
+      assert(!d2.detail.contains("vanished"), d2.detail)
+    } finally graft.streaming.Streams.onDedupPairsWritten = _ => ()
+
+    // pass 3: everything committed — genuinely quiet, nothing re-flagged
+    val report3 = ArrivalPass.run(spark, cfg, log,
+      new ManualClock(Instant.parse("2026-01-03T00:00:00Z")))
+    val d3 = report3.stages.find(_.stage == "dedup_ingest").get
+    assert(d3.status === "skipped_empty", d3.toString)
+    assert(!d3.detail.contains("vanished"), d3.detail)
+  }
+
   test("an EMPTIED landing (every file gone, one planned-but-" +
       "uncommitted vanish) cannot run the stream — the skip detail " +
       "still surfaces the loss on every pass (round-15 second review: " +
