@@ -166,6 +166,7 @@ object Main {
     var arrivalDir: Option[String] = None
     var maxFilesPerBatch: Option[Int] = None
     var compactTables: Option[Long] = None
+    var forgetPath: Option[String] = None
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -183,7 +184,9 @@ object Main {
           "[--arrival LANDING_DIR [--db ...] [--time-limit SECONDS] " +
           "[--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH] " +
           "[--ann-store PATH] [--max-files-per-batch N] " +
-          "[--compact-tables BYTES] [--log PATH]]")
+          "[--compact-tables BYTES] [--log PATH]] " +
+          "[--forget IDS_PARQUET [--sig-store PATH] [--dedup-out PATH] " +
+          "[--ann-store PATH] [--log PATH]]")
       sys.exit(1)
     }
     var i = 0
@@ -227,6 +230,10 @@ object Main {
         case "--ann-ingest" => annSrc = Some(value("--ann-ingest"))
         case "--ann-store" => annStorePath = value("--ann-store")
         case "--arrival" => arrivalDir = Some(value("--arrival"))
+        // takedown/retention propagation: a parquet file/dir whose
+        // doc_id column drives the signature store + pair sink and
+        // whose vec_id column drives the ANN index (either or both)
+        case "--forget" => forgetPath = Some(value("--forget"))
         // the ingest streams' micro-batch bound = the per-batch
         // deadline check's granularity (see ArrivalConfig)
         case "--max-files-per-batch" =>
@@ -408,10 +415,10 @@ object Main {
           s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
           "--sig-store, --dedup-out, --checkpoint, --time-limit, " +
           "--max-files-per-batch)")
-    } else if (arrivalDir.isEmpty &&
+    } else if (arrivalDir.isEmpty && forgetPath.isEmpty &&
         Seq("--sig-store", "--dedup-out").exists(seen.contains))
-      usage("--sig-store/--dedup-out only apply to --dedup-ingest or " +
-        "--arrival runs")
+      usage("--sig-store/--dedup-out only apply to --dedup-ingest, " +
+        "--arrival or --forget runs")
     if (annSrc.isDefined) {
       val allowed = Set("--ann-ingest", "--ann-store", "--checkpoint",
         "--time-limit", "--max-files-per-batch")
@@ -421,8 +428,10 @@ object Main {
           s"flag(s) given: ${stray.mkString(", ")} (allowed: " +
           "--ann-store, --checkpoint, --time-limit, " +
           "--max-files-per-batch)")
-    } else if (arrivalDir.isEmpty && seen.contains("--ann-store"))
-      usage("--ann-store only applies to --ann-ingest or --arrival runs")
+    } else if (arrivalDir.isEmpty && forgetPath.isEmpty &&
+        seen.contains("--ann-store"))
+      usage("--ann-store only applies to --ann-ingest, --arrival or " +
+        "--forget runs")
     if (arrivalDir.isEmpty && dedupSrc.isEmpty && annSrc.isEmpty &&
         !incremental && seen.contains("--max-files-per-batch"))
       usage("--max-files-per-batch only applies to " +
@@ -434,6 +443,41 @@ object Main {
         arrivalDir.isEmpty && seen.contains("--checkpoint"))
       usage("--checkpoint only applies to " +
         "--incremental/--dedup-ingest/--ann-ingest/--arrival runs")
+    if (forgetPath.isDefined) {
+      // takedown/retention propagation (round-15 verdict #1): remove a
+      // doc/vector id set from every persisted store and the emitted
+      // pair partitions, audited through the command log. The ids file
+      // is parquet with a doc_id and/or vec_id column — its schema
+      // says which tiers the request covers.
+      val allowed = Set("--forget", "--sig-store", "--ann-store",
+        "--dedup-out", "--log")
+      val stray = seen.filterNot(allowed)
+      if (stray.nonEmpty) usage(
+        "--forget is a standalone takedown mode; other flag(s) given: " +
+          s"${stray.mkString(", ")} (allowed: --sig-store, --ann-store, " +
+          "--dedup-out, --log)")
+      val ids = spark.read.parquet(forgetPath.get)
+      val hasDocs = ids.columns.contains("doc_id")
+      val hasVecs = ids.columns.contains("vec_id")
+      if (!hasDocs && !hasVecs) usage(
+        s"--forget ${forgetPath.get} has neither a doc_id nor a vec_id " +
+          "column; nothing to propagate")
+      val logObj = new CommandLog(spark, logPath)
+      val out = pipeline.Forget.run(spark,
+        docIds = if (hasDocs) Some(ids) else None,
+        vecIds = if (hasVecs) Some(ids) else None,
+        sigStorePath = sigStorePath, annStorePath = annStorePath,
+        pairsDir = dedupOut, logObj, SystemClock)
+      logObj.flush()
+      println(s"forgotten: sig_rows=${out.sig.rowsForgotten} " +
+        s"(cells=${out.sig.cellsTouched}) " +
+        s"pairs=${out.pairs.rowsForgotten} " +
+        s"(batch_dirs=${out.pairs.cellsTouched}) " +
+        s"ann_vectors=${out.ann.rowsForgotten} " +
+        s"(cells=${out.ann.cellsTouched})")
+      spark.stop()
+      return
+    }
     if (arrivalDir.isDefined) {
       // the composed nightly pass: integrity + dedup ingest + ANN
       // ingest + OOV QC over ONE landing zone under ONE time budget

@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.executor.CommandLog
+import graft.model.{Clock, CommandLogEntry}
+import graft.pipeline.IncrementalDedup.ForgetReport
+import graft.tables.Checkpoints.CheckpointOps
+
+/** TAKEDOWN / RETENTION propagation across the persisted stores —
+  * round-15 verdict #1, the one first-class operation a production
+  * training-data lake needs that the engine lacked: the pipeline could
+  * ingest forever but never FORGET. Given a doc-id / vec-id set (a
+  * copyright takedown, a PII deletion request, a retention expiry),
+  * this module removes it from
+  *
+  *   - the signature store ([[IncrementalDedup.SigStore.forget]] —
+  *     touched (pb0, pb1) cells only, representatives repaired),
+  *   - the ANN index ([[IncrementalAnn.AnnIndexStore.forget]] —
+  *     touched (batch_id, cluster) cells only, maintain watermark
+  *     re-armed),
+  *   - the emitted pair partitions ([[scrubPairs]] — touched
+  *     `batch_id=<n>` directories only, per-directory swap),
+  *
+  * and reports what was forgotten as audit rows through the command-log
+  * choke point (ref ola/CommandExecute.sql:204-222 — every unit of work
+  * leaves its row; the reference's closest delete analog is the MERGE's
+  * not-matched-by-source soft delete, IntegrityChecks_VLDB.sql:482,
+  * hardened here because derived rows of deleted content must not
+  * survive). Everything is idempotent: re-forgetting a set reports 0
+  * rows and writes nothing, so a failed run is simply re-run.
+  *
+  * What forget does NOT do, on purpose: it never re-emits or retracts
+  * DOWNSTREAM decisions already acted on (a dedup pair consumed last
+  * month chose a survivor; that history is the consumer's). It removes
+  * every row the forgotten ids still contribute to the stores and
+  * reports, so no FUTURE batch, search, or scrub can surface them. */
+object Forget {
+
+  /** What one pair-partition scrub removed: `rowsForgotten` = pair rows
+    * dropped (a pair counts once), `cellsTouched` = batch_id
+    * directories rewritten. */
+  type PairReport = ForgetReport
+
+  /** Remove every pair row with a forgotten endpoint from a pair sink
+    * (the layout the dedup ingest stream emits: one self-contained
+    * parquet directory per `batch_id=<n>`). LOCATE is one partitioned
+    * read pruned to nothing but the two endpoint columns, aggregated to
+    * the touched batch set (≤ |ids| × emitted-batches, collected
+    * bounded); REWRITE swaps each touched directory through a hidden
+    * `.forget-tmp` staging dir with checked renames, so a crash leaves
+    * the directory either old-complete (restored by the entry sweep
+    * below) or new-complete — never half-written. Untouched batch
+    * directories are never read past the locate scan, never rewritten.
+    * Idempotent: a second scrub locates nothing. */
+  def scrubPairs(spark: SparkSession, pairsDir: String,
+      ids: DataFrame): PairReport = {
+    val root = new Path(pairsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return ForgetReport(0L, 0)
+    recoverPairs(fs, root)
+    val idsD = ids.select("doc_id").distinct().materialized
+    val all = graft.tables.Tables.memoizedParquet(spark, pairsDir)
+    val na = idsD.select(col("doc_id").as("doc_a"))
+    val nb = idsD.select(col("doc_id").as("doc_b"))
+    // LOCATE: touched batches + match counts in one bounded aggregate.
+    // The OR-endpoint filter is two broadcast semi-joins unioned
+    // (a row can match both ends — count it once via distinct on the
+    // pair identity riding (batch_id, doc_a, doc_b))
+    val hitRows = all
+      .join(broadcast(na), Seq("doc_a"), "left_semi")
+      .select("batch_id", "doc_a", "doc_b")
+      .unionByName(all.join(broadcast(nb), Seq("doc_b"), "left_semi")
+        .select("batch_id", "doc_a", "doc_b"))
+      .distinct()
+    // partition-value inference types batch_id by its values (int for
+    // small ids) — pin long so the collect below is layout-independent
+    val hit = hitRows.groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (hit.isEmpty) return ForgetReport(0L, 0)
+    hit.map(_._1).sorted.foreach { b =>
+      val sub = new Path(root, s"batch_id=$b")
+      val tmp = new Path(root, s".forget-tmp-$b")
+      val old = new Path(root, s".forget-old-$b")
+      // remaining pairs of THIS directory only (per-dir read keeps the
+      // rewrite bounded by one batch's emission, not the sink)
+      graft.tables.Tables.memoizedParquet(spark, sub.toString)
+        .join(broadcast(na), Seq("doc_a"), "left_anti")
+        .join(broadcast(nb), Seq("doc_b"), "left_anti")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(sub, old))
+        throw new java.io.IOException(
+          s"scrubPairs: could not archive $sub before the swap " +
+            "(concurrent writer?); directory left untouched")
+      if (!fs.rename(tmp, sub)) {
+        if (!fs.exists(sub)) fs.rename(old, sub)
+        throw new java.io.IOException(
+          s"scrubPairs: staged rewrite for $sub vanished before the " +
+            "swap; original restored")
+      }
+      fs.delete(old, true)
+      graft.tables.Tables.invalidateSchemaMemo(sub.toString)
+    }
+    graft.tables.Tables.invalidateSchemaMemo(pairsDir)
+    ForgetReport(hit.map(_._2).sum, hit.length)
+  }
+
+  /** Entry sweep for [[scrubPairs]]' crash windows: an orphaned
+    * `.forget-old-<b>` whose `batch_id=<b>` is missing is the
+    * interrupted swap — restore it (the retry re-scrubs); a leftover
+    * `.forget-tmp-<b>` is pre-swap staging garbage — drop it. */
+  private def recoverPairs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Unit = {
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".forget-old-")) {
+        val b = n.stripPrefix(".forget-old-")
+        val sub = new Path(root, s"batch_id=$b")
+        if (!fs.exists(sub)) fs.rename(st.getPath, sub)
+        else fs.delete(st.getPath, true)
+      } else if (n.startsWith(".forget-tmp-")) {
+        fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** One composed forget pass, audited per target through the command
+    * log (the choke point every mutation in this engine reports
+    * through). `docIds` drives the signature store + the pair sink;
+    * `vecIds` drives the ANN index; either may be absent. Each store's
+    * writer lease is held exactly for its own rewrite. */
+  final case class ForgetOutcome(sig: ForgetReport, pairs: PairReport,
+      ann: ForgetReport)
+
+  def run(spark: SparkSession,
+      docIds: Option[DataFrame], vecIds: Option[DataFrame],
+      sigStorePath: String, annStorePath: String, pairsDir: String,
+      log: CommandLog, clock: Clock): ForgetOutcome = {
+    def audit(target: String, r: ForgetReport, what: String): Unit = {
+      val ts = Timestamp.from(clock.observe())
+      log.append(CommandLogEntry(
+        id = UUID.randomUUID().toString,
+        database_name = "forget",
+        schema_name = "pass",
+        object_name = target,
+        object_type = "STORE",
+        extended_info = s"""{"rows_forgotten":${r.rowsForgotten},""" +
+          s""""cells_touched":${r.cellsTouched}}""",
+        command = s"FORGET $target ($what)",
+        command_type = "FORGET",
+        start_time = ts,
+        end_time = Some(ts),
+        error_number = None,
+        error_message = None))
+    }
+    val sigR = docIds.fold(ForgetReport(0L, 0)) { ids =>
+      val store = new IncrementalDedup.SigStore(spark, sigStorePath)
+      val r = store.withLease(store.forget(ids))
+      audit(sigStorePath, r,
+        s"rows=${r.rowsForgotten} cells=${r.cellsTouched}")
+      r
+    }
+    val pairR = docIds.fold(ForgetReport(0L, 0)) { ids =>
+      val r = scrubPairs(spark, pairsDir, ids)
+      audit(pairsDir, r,
+        s"pairs=${r.rowsForgotten} batch_dirs=${r.cellsTouched}")
+      r
+    }
+    val annR = vecIds.fold(ForgetReport(0L, 0)) { ids =>
+      val store = new IncrementalAnn.AnnIndexStore(spark, annStorePath)
+      val r = store.withLease(store.forget(ids))
+      audit(annStorePath, r,
+        s"vectors=${r.rowsForgotten} cells=${r.cellsTouched}")
+      r
+    }
+    ForgetOutcome(sigR, pairR, annR)
+  }
+}

@@ -89,6 +89,9 @@ object IncrementalAnn {
     private def fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private def metaPath(root: String) = new Path(root, "_graft_meta.json")
+    // crash-safety archive for forget()'s partition overwrite (the one
+    // write here that REMOVES resident rows — see recover's restore)
+    private def bakPath = new Path(path + ".bakparts")
 
     private val lease =
       new graft.tables.StoreLease(spark, path, "AnnIndexStore")
@@ -133,6 +136,10 @@ object IncrementalAnn {
         // rename must stop and restore, never fall through to a
         // delete that could drop the only surviving generation. pOld
         // is trashed only by the racer that COMPLETED the swap.
+        // A forget archive from an older interrupted commit predates
+        // this full rebuild — drop it, never restore it over the
+        // newer generation (the SigStore discipline).
+        if (fs.exists(bakPath)) fs.delete(bakPath, true)
         if (fs.exists(pOld)) fs.delete(pOld, true)
         if (fs.exists(p) && !fs.rename(p, pOld)) return ()
         if (!fs.rename(tmp, p)) {
@@ -156,6 +163,24 @@ object IncrementalAnn {
       // back would make that save fail spuriously
       if (!fs.exists(p) && fs.exists(pOld) && lease.canMaintain)
         fs.rename(pOld, p)
+      if (fs.exists(bakPath) && lease.canMaintain) {
+        // interrupted FORGET commit (the only writer of this archive —
+        // ingest/save never archive, their partitions are replayable):
+        // restore every archived partition the overwrite had removed
+        // but not yet rewritten, exactly the SigStore discipline; the
+        // forget retry then re-removes the forgotten rows.
+        fs.listStatus(bakPath).filter(_.isDirectory).foreach { d0 =>
+          fs.listStatus(d0.getPath).filter(_.isDirectory).foreach { d1 =>
+            val dest = new Path(new Path(p, d0.getPath.getName),
+              d1.getPath.getName)
+            if (!fs.exists(dest)) {
+              fs.mkdirs(dest.getParent)
+              fs.rename(d1.getPath, dest)
+            }
+          }
+        }
+        fs.delete(bakPath, true)
+      }
       if (fs.exists(p) && lease.canMaintain) {
         fs.listStatus(p).filter(s => s.isDirectory &&
             s.getPath.getName.startsWith(".spark-staging"))
@@ -271,6 +296,8 @@ object IncrementalAnn {
       lease.assertStillHeld()
       val p = new Path(path)
       val pOld = new Path(path + ".old")
+      // a stale forget archive predates this new generation
+      if (fs.exists(bakPath)) fs.delete(bakPath, true)
       if (fs.exists(pOld)) fs.delete(pOld, true)
       // every rename checked: an interfering process (e.g. a racing
       // recover that already promoted this tmp) must make the save
@@ -347,6 +374,90 @@ object IncrementalAnn {
       assigned
     }
 
+    /** TAKEDOWN/RETENTION propagation for the vector tier (round-15
+      * verdict #1 — a deleted document's embedding must stop being
+      * searchable, not merely stop being ingested): remove every cell
+      * row of `ids` (a vec_id frame), rewriting ONLY the
+      * (batch_id, cluster) partitions the ids live in. Centroids stay
+      * frozen (they are index GEOMETRY, trained statistics, not
+      * per-vector content — the next drift-triggered maintain()
+      * retrain forgets their statistical residue too). Post-forget the
+      * store holds exactly (previous content − forgotten rows), no
+      * forgotten id is ever served by [[searchTopK]], and
+      * re-forgetting is a no-op — ForgetSpec pins all three.
+      *
+      * Work shape: LOCATE is one column-pruned scan (vec_id + the two
+      * partition columns) aggregated to ≤ |ids| touched cells; REWRITE
+      * reads and rewrites only the touched rectangle under the
+      * archive-then-dynamic-overwrite commit (recover() restores the
+      * archive after a crash; the retry converges — the SigStore
+      * forget discipline, see its doc for the crash caveat). An
+      * emptied cell stays absent after the archive rename. Every
+      * committed forget re-arms the maintain() watermark exactly like
+      * ingest — the occupancy the last decision measured is gone. */
+    def forget(ids: DataFrame): IncrementalDedup.ForgetReport = {
+      recover()
+      lease.assertStillHeld()
+      val loaded = load().getOrElse(
+        return IncrementalDedup.ForgetReport(0L, 0))
+      val idsD = ids.select("vec_id").distinct().materialized
+      val hit = loaded.join(broadcast(idsD), Seq("vec_id"), "left_semi")
+        .groupBy("batch_id", "cluster").agg(count(lit(1)).as("n"))
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2)))
+      if (hit.isEmpty) return IncrementalDedup.ForgetReport(0L, 0)
+      val rows = hit.map(_._2).sum
+      val cells = hit.map(_._1)
+      // EXACT touched-cell scope (the SigStore.forget reasoning): a
+      // takedown's vectors scatter across batches and clusters
+      // independently, so the (batch × cluster) rectangle balloons;
+      // past 1024 cells the predicate tree stops being worth it and
+      // the rectangle takes over
+      val cellPred =
+        if (cells.length <= 1024)
+          cells.map { case (b, c) =>
+            col("batch_id") === lit(b) && col("cluster") === lit(c)
+          }.reduce(_ || _)
+        else
+          col("batch_id").isInCollection(cells.map(_._1).distinct.toSeq) &&
+            col("cluster").isInCollection(cells.map(_._2).distinct.toSeq)
+      val archiveCells: Seq[(Long, Int)] =
+        if (cells.length <= 1024) cells.toSeq
+        else {
+          val bs = cells.map(_._1).distinct.toSeq
+          val cs = cells.map(_._2).distinct.toSeq
+          for (b <- bs; c <- cs) yield (b, c)
+        }
+      val out = loaded
+        .filter(cellPred)
+        .join(broadcast(idsD), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("qv"), col("batch_id"),
+          col("cluster"))
+        .repartition(col("batch_id"), col("cluster"))
+        .materialized
+      fs.mkdirs(bakPath)
+      archiveCells.foreach { case (b, c) =>
+        val part = new Path(path, s"batch_id=$b/cluster=$c")
+        if (fs.exists(part)) {
+          val dest = new Path(bakPath, s"batch_id=$b/cluster=$c")
+          fs.mkdirs(dest.getParent)
+          fs.rename(part, dest)
+        }
+      }
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cluster").parquet(path)
+      graft.tables.Tables.invalidateSchemaMemo(path)
+      fs.delete(bakPath, true)
+      // the content the last maintain() decision measured changed:
+      // re-arm the quiet-night gate (the ingest discipline)
+      if (fs.exists(watermarkPath) && !fs.delete(watermarkPath, false))
+        throw new java.io.IOException(
+          s"AnnIndexStore at $path: forget committed but the stale " +
+            "maintain watermark could not be removed — delete " +
+            "_graft_maintain.json manually")
+      IncrementalDedup.ForgetReport(rows, hit.length)
+    }
+
     /** All cell rows so far: (vec_id, qv, cluster, batch_id). Partition
       * pruning applies on both partition columns — a one-cell probe
       * reads only that cluster's directories. */
@@ -359,10 +470,27 @@ object IncrementalAnn {
       // memoized-schema read (layout protocol-fixed; listing per-read,
       // so a second-ago ingest is visible): no footer-inference job per
       // search/metrics call
-      else Some(graft.tables.Tables.memoizedParquet(spark, root)
+      else try Some(graft.tables.Tables.memoizedParquet(spark, root)
         .select(col("vec_id"), col("qv"),
           col("cluster").cast("int").as("cluster"),
           col("batch_id").cast("long").as("batch_id")))
+      catch {
+        // a store EMPTIED by a whole-corpus forget() holds zero data
+        // files — read as "no generation" (the SigStore discipline);
+        // any other inference failure is corruption and propagates
+        case e: org.apache.spark.sql.AnalysisException
+            if !hasDataFile(root) => None
+      }
+    }
+
+    /** Any leaf parquet file under `root`? (first-hit short-circuit —
+      * only consulted on the load() inference-failure path). */
+    private def hasDataFile(root: String): Boolean = {
+      val it = fs.listFiles(new Path(root), true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
     }
 
     /** Top-k nearest neighbors for `queryVecs` (vec_id, qv) SERVED FROM

@@ -82,6 +82,13 @@ object IncrementalDedup {
       // after the save commits.
       rectCache: Option[DataFrame] = None)
 
+  /** What one [[SigStore.forget]] / [[IncrementalAnn.AnnIndexStore
+    * .forget]] commit removed: `rowsForgotten` = store rows dropped
+    * (0 = nothing matched — the idempotent re-forget), `cellsTouched`
+    * = partition cells the locate pass found the ids in (the rewrite's
+    * work bound). */
+  final case class ForgetReport(rowsForgotten: Long, cellsTouched: Int)
+
   /** Default fan-out for IN-MEMORY store frames (the dd16 gate path,
     * property tests): there the bucket columns are plain row filters
     * with no commit cost, so a fixed moderate fan-out keeps them
@@ -149,6 +156,28 @@ object IncrementalDedup {
     * ((doc_id, m0..m7) — [[Dedup.minhashSig]]'s layout). */
   def initialStore(sigFrame: DataFrame): DataFrame =
     Dedup.sigWithRep(sigFrame)
+
+  /** The FORGET transform's semantic core (round-15 verdict #1 —
+    * takedown/retention propagation; ref analog: the MERGE's
+    * not-matched-by-source soft delete, IntegrityChecks_VLDB.sql:482,
+    * made HARD because takedown/PII removal must leave no derived
+    * row): drop every signature row of the forgotten doc ids and
+    * recompute each surviving class's representative over its
+    * REMAINING members — exactly what [[initialStore]] over
+    * (corpus − forgotten) would build, which the dd17 oracle and
+    * ForgetSpec pin. Pure frame form shared by the oracle gate and
+    * [[SigStore.forget]]'s touched-rectangle rewrite (where `store`
+    * is the pruned rectangle, so the groupBy shuffles touched cells,
+    * never the corpus). */
+  def forgetFrame(store: DataFrame, ids: DataFrame): DataFrame = {
+    val idsD = ids.select("doc_id").distinct()
+    val remaining = store
+      .join(broadcast(idsD), Seq("doc_id"), "left_anti")
+    val reps = remaining.groupBy("sig_key")
+      .agg(min("doc_id").as("rep_new"))
+    remaining.drop("rep").join(reps, "sig_key")
+      .withColumnRenamed("rep_new", "rep")
+  }
 
   /** One arriving batch against the persisted signature state.
     * `newSigs` is [[Dedup.minhashSig]]'s layout — in particular ONE ROW
@@ -573,8 +602,28 @@ object IncrementalDedup {
       // memoized-schema read (generation layout is protocol-fixed):
       // skips the per-call footer-inference job; listing stays per-read
       if (fs.exists(new Path(root)))
-        Some(graft.tables.Tables.memoizedParquet(spark, root))
+        try Some(graft.tables.Tables.memoizedParquet(spark, root))
+        catch {
+          // a store EMPTIED by a whole-corpus forget() keeps its root
+          // (metadata, lock) but holds zero data files — schema
+          // inference fails, and the right reading is "no generation"
+          // (callers bootstrap fresh, exactly as before the first
+          // save). Only the genuinely-empty case is translated; any
+          // other inference failure is real corruption and propagates.
+          case e: org.apache.spark.sql.AnalysisException
+              if !hasDataFile(root) => None
+        }
       else None
+    }
+
+    /** Any leaf parquet file under `root`? (first-hit short-circuit —
+      * only consulted on the load() inference-failure path). */
+    private def hasDataFile(root: String): Boolean = {
+      val it = fs.listFiles(new Path(root), true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
     }
 
     /** Full-generation swap — bootstrap and rebuilds. `storeFrame` may
@@ -750,6 +799,113 @@ object IncrementalDedup {
       ()
     }
 
+    /** TAKEDOWN/RETENTION propagation (round-15 verdict #1): remove
+      * every signature row of `ids` (a doc_id frame — a takedown
+      * notice, PII deletion set, or retention expiry) and repair the
+      * surviving classes' representatives, rewriting ONLY the
+      * partition cells the ids actually live in. The post-forget store
+      * equals [[initialStore]] over (corpus − forgotten) — ForgetSpec
+      * and the ScaleVerify sf1 invariant pin it; re-forgetting the
+      * same set is a no-op (rowsForgotten=0, zero writes).
+      *
+      * Work shape at 100 TB:
+      *  - LOCATE is one column-pruned scan (doc_id + the two partition
+      *    columns — nothing else is read) aggregated to the touched
+      *    (pb0, pb1) cell set, bounded by |ids|. The store has no
+      *    doc→cell inverted index, so one narrow pass is the locate
+      *    floor for an ids-only request; a caller that still has the
+      *    forgotten docs' SIGNATURES can skip even that by pruning
+      *    with [[withStoreBuckets]] itself.
+      *  - REWRITE reads and rewrites only the EXACT touched cells (a
+      *    takedown's ids scatter independently, so the saveIncremental
+      *    rectangle would balloon toward the full grid; the coarser
+      *    rectangle is only the >1024-cell fallback): retained
+      *    co-resident rows re-read through a pruned scan, reps
+      *    recomputed cell-locally (a class lives wholly in its
+      *    signature's cell, so no representative outside the touched
+      *    cells can change), archive-then-dynamic-overwrite commit. A
+      *    cell whose every row is forgotten simply stays absent after
+      *    the archive rename — the takedown can empty cells (a fully
+      *    emptied store reads as absent/bootstrap-ready), which ingest
+      *    never does.
+      *
+      * Crash discipline (the saveIncremental archive, with the one
+      * forget-specific caveat): a crash before the overwrite commits
+      * restores every archived partition via [[recover]] — the store
+      * reverts to its pre-forget content and the caller's RETRY
+      * re-forgets (at-least-once, converging, exactly the ingest
+      * replay posture). A crash between the commit and the archive
+      * cleanup can likewise transiently resurrect emptied cells until
+      * the retry; forget() is therefore not DONE until it returns —
+      * callers treating the takedown as legally binding must re-run
+      * on any failure, which the idempotence makes safe. */
+    def forget(ids: DataFrame): ForgetReport = {
+      recover()
+      assertLeaseStillHeld()
+      val bkts = buckets
+      val loaded = load().getOrElse(return ForgetReport(0L, 0))
+      val idsD = ids.select("doc_id").distinct().materialized
+      // LOCATE: one narrow scan → the touched cells and the match
+      // count, in the same bounded aggregate (≤ |ids| cells)
+      val hit = loaded.join(broadcast(idsD), Seq("doc_id"), "left_semi")
+        .groupBy("pb0", "pb1").agg(count(lit(1)).as("n"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      if (hit.isEmpty) return ForgetReport(0L, 0)
+      val rows = hit.map(_._2).sum
+      val cells = hit.map(_._1)
+      if (cells.length >= bkts * bkts) {
+        // every cell is touched (always at fan-out 1): the generation
+        // swap is cheaper and crash-safe without the archive — same
+        // degenerate arm as saveIncremental
+        writeGeneration(forgetFrame(loaded, idsD), bkts)
+        return ForgetReport(rows, hit.length)
+      }
+      // EXACT touched-cell scope, not the (pb0 × pb1) rectangle: a
+      // takedown's ids scatter independently (unlike a batch's band
+      // keys), so the rectangle of even a few hundred cells approaches
+      // the full grid — exact cells keep the rewrite truly ∝ |ids|.
+      // The disjunction-of-conjunctions is a partition filter (prunes
+      // at the source); past 1024 cells the predicate tree stops being
+      // worth it and the coarser rectangle takes over.
+      val cellPred =
+        if (cells.length <= 1024)
+          cells.map { case (a, b) =>
+            col("pb0") === lit(a) && col("pb1") === lit(b)
+          }.reduce(_ || _)
+        else
+          col("pb0").isInCollection(cells.map(_._1).distinct.toSeq) &&
+            col("pb1").isInCollection(cells.map(_._2).distinct.toSeq)
+      val archiveCells: Seq[(Int, Int)] =
+        if (cells.length <= 1024) cells.toSeq
+        else {
+          val as = cells.map(_._1).distinct.toSeq
+          val bs = cells.map(_._2).distinct.toSeq
+          for (a <- as; b <- bs) yield (a, b)
+        }
+      // rewrite content, materialized BEFORE the archive renames
+      // (nothing below re-reads the moved files). forgetFrame's rep
+      // recompute shuffles only the touched cells' rows.
+      val out = forgetFrame(loaded.filter(cellPred), idsD)
+        .select(storeCols: _*)
+        .repartition(col("pb0"), col("pb1"))
+        .materialized
+      fs.mkdirs(bakPath)
+      archiveCells.foreach { case (a, b) =>
+        val part = new Path(path, s"pb0=$a/pb1=$b")
+        if (fs.exists(part)) {
+          val dest = new Path(bakPath, s"pb0=$a/pb1=$b")
+          fs.mkdirs(dest.getParent)
+          fs.rename(part, dest)
+        }
+      }
+      out.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb0", "pb1").parquet(path)
+      graft.tables.Tables.invalidateSchemaMemo(path)
+      fs.delete(bakPath, true)
+      ForgetReport(rows, hit.length)
+    }
+
     /** Writer lease — the proven round-10/11 semantics, extracted to
       * [[graft.tables.StoreLease]] in round 12 so every persisted
       * store shares ONE hardened implementation (see its doc for the
@@ -828,5 +984,40 @@ object IncrementalDedup {
     inc.pairs.orderBy("doc_a", "doc_b")
   }
 
-  val queries: Seq[Q] = Seq(dd16IncrementalLsh)
+  /** dd17: the FORGET transform, oracle-gated (round-15 verdict #1).
+    * The fixture corpus builds a full signature store; the same
+    * deterministic 20% split dd16 treats as "arriving" is here the
+    * TAKEDOWN set, and the post-forget store — surviving rows with
+    * repaired representatives — must equal what a from-scratch build
+    * over (corpus − forgotten) computes, which the oracle does
+    * monolithically (the restriction-equality contract of
+    * [[forgetFrame]], persisted-path twin pinned cell-for-cell in
+    * ForgetSpec). */
+  val dd17ForgetStore: Q = Q(
+    "dd17_forget_store",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+      |  FROM documents
+      |  WHERE NOT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |    ::BIGINT % 5 = 0)),
+      |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+      |         range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS tok
+      |       FROM toks),
+      |seeds AS (SELECT unnest(range(8)) AS seed),
+      |sig AS (SELECT doc_id, seed,
+      |          min(md5(seed::VARCHAR || '|' || tok)) AS mh
+      |        FROM sh, seeds GROUP BY doc_id, seed),
+      |sigk AS (SELECT doc_id, string_agg(mh, '|' ORDER BY seed) AS sig_key
+      |         FROM sig GROUP BY doc_id),
+      |cls AS (SELECT sig_key, min(doc_id) AS rep FROM sigk GROUP BY sig_key)
+      |SELECT k.doc_id, k.sig_key, c.rep
+      |FROM sigk k JOIN cls c ON k.sig_key = c.sig_key
+      |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+    val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
+    val store = initialStore(Dedup.minhashSig(all))
+    val takedown = all.filter(isNewDoc).select("doc_id")
+    forgetFrame(store, takedown)
+      .select("doc_id", "sig_key", "rep").orderBy("doc_id")
+  }
+
+  val queries: Seq[Q] = Seq(dd16IncrementalLsh, dd17ForgetStore)
 }

@@ -408,7 +408,74 @@ object ScaleVerify {
           f"(retrain $rebSecs%.1f s)")
     }
 
-    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13)
+    // ---- round 16: takedown/retention propagation AT SCALE — the
+    // persisted forget equals a from-scratch build over (corpus −
+    // forgotten) on the signature store, removes searchability on the
+    // ANN store, and its cost is ∝ touched cells (timed against the
+    // full-store bootstrap it replaces) ---------------------------------
+    val r14 = timed("forget_takedown_propagation") {
+      val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      // a REALISTIC takedown: a small scattered id set (~3% of the
+      // corpus), not a bulk split — the work bound under test is
+      // touched-cells, and a bulk set touches everything trivially
+      val isGone = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(31)) === 7
+      val sigs = Dedup.minhashSig(all).materialized
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sv-forget").toString
+      val sigStore = new IncrementalDedup.SigStore(s, s"$base/sigs")
+      val ids = all.filter(isGone).select("doc_id").materialized
+      val nIds = ids.count()
+      val (forgetSecs, bootSecs, report) = sigStore.withLease {
+        val tB = System.nanoTime()
+        // fan-out pinned at 16 (256 cells): the corpus-sized autoK
+        // would pick 1-2 buckets at this sf and the degenerate swap
+        // arm would hide the exact-touched-cell path under test
+        sigStore.save(IncrementalDedup.initialStore(sigs), fanOut = 16)
+        val bootS = (System.nanoTime() - tB) / 1e9
+        val tF = System.nanoTime()
+        val r = sigStore.forget(ids)
+        ((System.nanoTime() - tF) / 1e9, bootS, r)
+      }
+      val cols = Seq("sig_key", "doc_id", "m0", "m1", "m2", "m3",
+        "m4", "m5", "m6", "m7", "rep").map(col)
+      val want = IncrementalDedup.initialStore(
+        sigs.join(ids, Seq("doc_id"), "left_anti")).select(cols: _*)
+      val got = sigStore.load().get.select(cols: _*)
+      val missing = want.exceptAll(got).count()
+      val extra = got.exceptAll(want).count()
+      // idempotent re-forget at scale: zero rows, zero cells
+      val again = sigStore.withLease(sigStore.forget(ids))
+      // ANN side: persisted index forgets the same id set (as vec ids)
+      val codes = Similarity.quantVecs(s, d)
+      val annStore = new IncrementalAnn.AnnIndexStore(s, s"$base/ann")
+      val vecIds = codes.select(col("vec_id"))
+        .filter(pmod(conv(substring(md5(col("vec_id").cast("string")),
+          1, 8), 16, 10).cast("long"), lit(31)) === 7)
+        .materialized
+      val annR = annStore.withLease {
+        val cents = Similarity.lloydCentroids(codes)
+        annStore.save(cents, IncrementalAnn.assign(codes, cents))
+        annStore.forget(vecIds)
+      }
+      val nVecIds = vecIds.count()
+      val annLeft = annStore.load().get
+      val survivors = annLeft.join(vecIds, Seq("vec_id"), "left_semi")
+        .count()
+      val annCount = annLeft.count() == codes.count() - nVecIds
+      (missing == 0L && extra == 0L && report.rowsForgotten == nIds &&
+        again.rowsForgotten == 0L && again.cellsTouched == 0 &&
+        annR.rowsForgotten == nVecIds && survivors == 0L && annCount,
+        s"missing=$missing extra=$extra " +
+          s"sig: rows=${report.rowsForgotten}/$nIds " +
+          s"cells=${report.cellsTouched} reForget=${again.rowsForgotten} " +
+          s"ann: rows=${annR.rowsForgotten}/$nVecIds " +
+          s"cells=${annR.cellsTouched} stillStored=$survivors " +
+          f"(store bootstrap $bootSecs%.1f s vs forget $forgetSecs%.1f s)")
+    }
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14)
   }
 
   /** Driver union-find re-derivation on sampled components: collect the

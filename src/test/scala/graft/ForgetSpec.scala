@@ -1,0 +1,313 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.executor.CommandLog
+import graft.pipeline.{Dedup, Forget, IncrementalAnn, IncrementalDedup}
+
+/** Takedown/retention propagation (round-15 verdict #1): forgetting a
+  * doc/vector set must leave each persisted store EQUAL to a
+  * from-scratch build over (corpus − forgotten), rewrite only the
+  * touched partition cells, be idempotent, and purge the emitted pair
+  * partitions — with every commit audited through the command log. */
+class ForgetSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  /** Synthetic corpus with exact-duplicate classes (i % 7 shares one
+    * text → one signature class), so representative repair is
+    * non-trivial: forgetting a class min promotes a new rep. Class
+    * texts share NO bigram (every token carries the class id), so
+    * signatures can never collide across classes. */
+  private def docs(ids: Seq[Long]): DataFrame =
+    ids.map { i =>
+      val c = i % 7
+      (i, (0 to 9).map(j => s"tok${c}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private def sigCols = Seq("sig_key", "doc_id", "m0", "m1", "m2", "m3",
+    "m4", "m5", "m6", "m7", "rep")
+
+  /** (path → (mtime, len)) of every data file under a store root. */
+  private def leafFiles(root: String): Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath.toUri.getPath ->
+            ((st.getModificationTime, st.getLen))
+      }
+      buf.toMap
+    }
+  }
+
+  test("SigStore.forget: post-forget store equals a from-scratch build " +
+      "over (corpus − forgotten) — rows gone, representatives repaired " +
+      "— rewriting ONLY the touched (pb0, pb1) cells; re-forget is a " +
+      "no-op that writes nothing") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-sig").toString
+    val store = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    val all = (1L to 80L)
+    store.withLease {
+      store.save(IncrementalDedup.initialStore(
+        Dedup.minhashSig(docs(all))), fanOut = 8)
+    }
+    // takedown set: the global class-min (1 — rep of class 1), one
+    // plain member (2), an ENTIRE class (i%7==3), and an id not in the
+    // store at all (999 — must not count or fail)
+    val wholeClass = all.filter(_ % 7 == 3)
+    val forgotten = (Seq(1L, 2L, 999L) ++ wholeClass).distinct
+    val idsDf = forgotten.toDF("doc_id")
+    val before = leafFiles(s"$base/sigs")
+    // the cells the forget is ALLOWED to touch: the forgotten docs'
+    // signature cells (classes live wholly in their signature's cell),
+    // read off the persisted partition values before the forget
+    val touchedRect = store.load().get
+      .filter(col("doc_id").isInCollection(forgotten))
+      .select("pb0", "pb1").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val pbs0 = touchedRect.map(_._1).toSet
+    val pbs1 = touchedRect.map(_._2).toSet
+
+    val r = store.withLease(store.forget(idsDf))
+    assert(r.rowsForgotten === (2 + wholeClass.size).toLong, r.toString)
+    assert(r.cellsTouched === touchedRect.length, r.toString)
+
+    // set-equality with the from-scratch build over the survivors
+    val survivors = all.filterNot(forgotten.contains)
+    val want = IncrementalDedup.initialStore(
+      Dedup.minhashSig(docs(survivors))).select(sigCols.map(col): _*)
+    val got = store.load().get.select(sigCols.map(col): _*)
+    assert(want.exceptAll(got).count() === 0L)
+    assert(got.exceptAll(want).count() === 0L)
+    // the repaired rep is visible: class 1 lost doc 1, so its
+    // surviving min (8) is every member's rep now
+    assert(got.filter(col("doc_id") === 8L).select("rep")
+      .head().getLong(0) === 8L)
+
+    // work ∝ touched cells: every file OUTSIDE the touched rectangle
+    // is byte-for-byte the file it was (same path, mtime, length)
+    val after = leafFiles(s"$base/sigs")
+    def cellOf(p: String): (Int, Int) = {
+      val re = """pb0=(\d+)/pb1=(\d+)""".r
+      re.findFirstMatchIn(p).map(m =>
+        (m.group(1).toInt, m.group(2).toInt)).get
+    }
+    val untouchedBefore = before.filter { case (p, _) =>
+      val (a, b) = cellOf(p); !(pbs0.contains(a) && pbs1.contains(b))
+    }
+    assert(untouchedBefore.nonEmpty,
+      "fixture degenerate: no untouched cells to pin")
+    untouchedBefore.foreach { case (p, stat) =>
+      assert(after.get(p).contains(stat),
+        s"untouched cell file rewritten by forget: $p")
+    }
+
+    // idempotent re-forget: nothing matched, nothing written
+    val r2 = store.withLease(store.forget(idsDf))
+    assert(r2.rowsForgotten === 0L && r2.cellsTouched === 0)
+    assert(leafFiles(s"$base/sigs") === after)
+  }
+
+  test("SigStore.forget can EMPTY the store: forgetting every doc " +
+      "leaves no partition rows, and the emptied store reads as " +
+      "absent (bootstrap-ready), not as corrupt") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-empty").toString
+    val store = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    store.withLease {
+      store.save(IncrementalDedup.initialStore(
+        Dedup.minhashSig(docs(1L to 30L))), fanOut = 4)
+      val r = store.forget((1L to 30L).toDF("doc_id"))
+      assert(r.rowsForgotten === 30L)
+    }
+    // every data file gone; the store reads as "no generation"
+    assert(leafFiles(s"$base/sigs").isEmpty)
+    assert(store.load().isEmpty)
+  }
+
+  test("AnnIndexStore.forget: vectors stop being stored AND searchable, " +
+      "only touched (batch_id, cluster) cells rewrite, the maintain " +
+      "watermark re-arms, and re-forget is a no-op") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-ann").toString
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    def vecs(ids: Seq[Long]): DataFrame =
+      ids.map { i =>
+        val blob = (i % 3).toInt
+        (i, (0 until 8).map(d =>
+          (blob * 40 - 60 + ((i * 31 + d * 17) % 13) - 6).toLong).toSeq)
+      }.toDF("vec_id", "qv")
+    store.withLease {
+      val resident = vecs(1L to 200L)
+      val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+      store.save(cents, IncrementalAnn.assign(resident, cents))
+      store.ingest(vecs(201L to 240L), batchId = 1L)
+      store.ingest(vecs(241L to 280L), batchId = 2L)
+    }
+    // arm the quiet-night watermark, then forget across all three tiers
+    assert(store.maintain().action === "none")
+    val forgotten = Seq(5L, 8L, 201L, 250L, 9999L)
+    val before = leafFiles(s"$base/ann")
+    val hitCells = store.load().get
+      .filter(col("vec_id").isInCollection(forgotten))
+      .select("batch_id", "cluster").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val r = store.withLease(store.forget(forgotten.toDF("vec_id")))
+    assert(r.rowsForgotten === 4L, r.toString)
+    assert(r.cellsTouched === hitCells.length)
+
+    val left = store.load().get
+    assert(left.count() === 280L - 4L)
+    assert(left.filter(col("vec_id").isInCollection(forgotten))
+      .count() === 0L)
+    // not searchable: exhaustive top-k over every probe cell never
+    // returns a forgotten id
+    val near = store.searchTopK(vecs(Seq(5L)), k = 300, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(near.nonEmpty && forgotten.forall(id => !near.contains(id)))
+
+    // untouched cells untouched
+    val after = leafFiles(s"$base/ann")
+    val bIds = hitCells.map(_._1).toSet
+    val cls = hitCells.map(_._2).toSet
+    val re = """batch_id=(\d+)/cluster=(\d+)""".r
+    before.foreach { case (p, stat) =>
+      val m = re.findFirstMatchIn(p).get
+      val inRect = bIds.contains(m.group(1).toLong) &&
+        cls.contains(m.group(2).toInt)
+      if (!inRect) assert(after.get(p).contains(stat),
+        s"untouched cell file rewritten by forget: $p")
+    }
+
+    // the watermark is gone: the next maintain is a MEASURED pass over
+    // the post-forget store, never a stale quiet skip
+    val m2 = store.maintain()
+    assert(m2.unchangedSinceBatch.isEmpty, m2.toString)
+
+    // idempotent
+    val r2 = store.withLease(store.forget(forgotten.toDF("vec_id")))
+    assert(r2.rowsForgotten === 0L && r2.cellsTouched === 0)
+  }
+
+  test("scrubPairs: pairs with a forgotten endpoint vanish from exactly " +
+      "the touched batch_id directories; untouched directories keep " +
+      "their files; a fully-forgotten directory empties; idempotent") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-pairs").toString
+    val out = s"$base/pairs"
+    def writeBatch(id: Long, pairs: Seq[(Long, Long)]): Unit =
+      pairs.toDF("doc_a", "doc_b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+    writeBatch(0L, Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+    writeBatch(1L, Seq((2L, 7L), (8L, 9L)))
+    writeBatch(2L, Seq((10L, 11L)))
+    val before = leafFiles(out)
+
+    val r = Forget.scrubPairs(spark, out, Seq(2L, 6L).toDF("doc_id"))
+    assert(r.rowsForgotten === 3L, r.toString) // (1,2) (5,6) (2,7)
+    assert(r.cellsTouched === 2)
+    val left = spark.read.parquet(out)
+      .select(col("batch_id").cast("long"), col("doc_a"), col("doc_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(left === Set((0L, 3L, 4L), (1L, 8L, 9L), (2L, 10L, 11L)))
+    // dir 2 untouched byte-for-byte
+    val after = leafFiles(out)
+    before.filter(_._1.contains("batch_id=2")).foreach { case (p, st) =>
+      assert(after.get(p).contains(st))
+    }
+    // idempotent
+    val r2 = Forget.scrubPairs(spark, out, Seq(2L, 6L).toDF("doc_id"))
+    assert(r2.rowsForgotten === 0L && r2.cellsTouched === 0)
+
+    // a directory whose every pair is forgotten EMPTIES but stays a
+    // readable member of the sink
+    val r3 = Forget.scrubPairs(spark, out, Seq(10L).toDF("doc_id"))
+    assert(r3.rowsForgotten === 1L && r3.cellsTouched === 1)
+    assert(spark.read.parquet(out)
+      .filter(col("batch_id") === 2L).count() === 0L)
+    assert(spark.read.parquet(out).count() === 2L)
+  }
+
+  test("Forget.run: one composed pass over both stores + the pair sink, " +
+      "one FORGET audit row per target through the command log") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-run").toString
+    val sigStore = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    sigStore.withLease {
+      sigStore.save(IncrementalDedup.initialStore(
+        Dedup.minhashSig(docs(1L to 40L))))
+    }
+    val annStore = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    annStore.withLease {
+      val vs = (1L to 60L).map(i =>
+        (i, (0 until 8).map(d => ((i % 5) * 20 + d).toLong).toSeq))
+        .toDF("vec_id", "qv")
+      val cents = IncrementalAnn.trainCentroids(vs, k = 2)
+      annStore.save(cents, IncrementalAnn.assign(vs, cents))
+    }
+    Seq((1L, 2L), (3L, 7L)).toDF("doc_a", "doc_b").coalesce(1)
+      .write.parquet(s"$base/pairs/batch_id=0")
+    val log = new CommandLog(spark, None)
+    // one ids frame carrying BOTH columns (the CLI's parquet shape)
+    val ids = Seq((7L, 3L), (12L, 60L)).toDF("doc_id", "vec_id")
+    val outcome = Forget.run(spark,
+      docIds = Some(ids), vecIds = Some(ids),
+      sigStorePath = s"$base/sigs", annStorePath = s"$base/ann",
+      pairsDir = s"$base/pairs", log, graft.model.SystemClock)
+    assert(outcome.sig.rowsForgotten === 2L)
+    assert(outcome.ann.rowsForgotten === 2L)
+    assert(outcome.pairs.rowsForgotten === 1L) // (3,7)
+    val rows = log.entries.filter(_.command_type == "FORGET")
+    assert(rows.size === 3, rows.map(_.object_name).toString)
+    assert(rows.forall(_.error_number.isEmpty))
+    assert(sigStore.load().get
+      .filter(col("doc_id").isin(7L, 12L)).count() === 0L)
+    assert(annStore.load().get
+      .filter(col("vec_id").isin(3L, 60L)).count() === 0L)
+  }
+
+  test("interrupted forget commit: recover() restores archived cells " +
+      "(pre-forget content back), and the RETRY converges to the " +
+      "post-forget store — the at-least-once replay discipline") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-crash").toString
+    val store = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    store.withLease {
+      store.save(IncrementalDedup.initialStore(
+        Dedup.minhashSig(docs(1L to 40L))), fanOut = 4)
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: archive one populated cell to
+    // .bakparts and DELETE it from the store (the dynamic overwrite's
+    // delete-before-rename window, frozen mid-flight)
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/sigs"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pb0="))
+    val victim = fs.listStatus(cells.head.getPath)
+      .filter(_.isDirectory).head.getPath
+    val rel = s"${victim.getParent.getName}/${victim.getName}"
+    val bak = new org.apache.hadoop.fs.Path(s"$base/sigs.bakparts/$rel")
+    fs.mkdirs(bak.getParent)
+    assert(fs.rename(victim, bak))
+    val preCount = store.withLease {
+      // recover() (via load) restores the archived cell
+      store.load().get.count()
+    }
+    assert(preCount === 40L,
+      "archived cell not restored by recover()")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/sigs.bakparts")))
+    // the retry then forgets cleanly
+    val r = store.withLease(store.forget(Seq(1L, 2L).toDF("doc_id")))
+    assert(r.rowsForgotten === 2L)
+    assert(store.load().get.count() === 38L)
+  }
+}

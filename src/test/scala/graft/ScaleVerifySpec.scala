@@ -12,10 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleVerifySpec extends AnyFunSuite {
   import SparkTestSession.spark
 
-  test("invariant battery: 13/13 green at sf0.01 (strict-gated scale)") {
+  test("invariant battery: 14/14 green at sf0.01 (strict-gated scale)") {
     val results = graft.pipeline.ScaleVerify.runAll(spark,
       "/root/testdata/sf0.01")
-    assert(results.size === 13)
+    assert(results.size === 14)
     val failed = results.filterNot(_.pass)
     assert(failed.isEmpty,
       failed.map(r => s"${r.name}: ${r.detail}").mkString("; "))
@@ -26,5 +26,7 @@ class ScaleVerifySpec extends AnyFunSuite {
     val dd09 = results.find(_.name == "dd09_autok_pair_stream").get
     assert(dd09.detail.contains("pairs=") &&
       !dd09.detail.startsWith("pairs=0 "), dd09.detail)
+    val fg = results.find(_.name == "forget_takedown_propagation").get
+    assert(!fg.detail.contains("rows=0/0"), fg.detail)
   }
 }
