@@ -573,6 +573,24 @@ object Dedup {
     * pointer-jumping loop below takes over unchanged. Both paths are
     * property-tested against the same reference union-find and against
     * each other (`DedupPropertySpec`). */
+  /** UTF-8 BYTE ordering, not Java's UTF-16 code-unit compareTo: the
+    * driver-side sorts that replace a distributed orderBy (dd13's and
+    * pipe17's catalog-bounded tails) must reproduce binary UTF-8
+    * collation — the spelling DuckDB's ORDER BY and Spark's exchange
+    * sort share — which differs from UTF-16 order for
+    * supplementary-plane strings vs U+E000..U+FFFF ones (the surrogate
+    * range sorts between them in UTF-16). */
+  private[pipeline] val utf8Ordering: Ordering[String] =
+    (x: String, y: String) => {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      var c = 0
+      while (c == 0 && i < a.length && i < b.length) {
+        c = (a(i) & 0xff) - (b(i) & 0xff); i += 1
+      }
+      if (c != 0) c else a.length - b.length
+    }
+
   private[graft] def connectedComponents(pairs: DataFrame,
       smallGraphMaxEdges: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -978,14 +996,18 @@ object Dedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val spreadDocs = Tables.spread(s, docsDf, "doc_id")
+    // the forked chains inherit the caller's job group (thread-local in
+    // Spark — see graft.ThreadGroups)
+    val grp = graft.ThreadGroups.captured(s.sparkContext)
     // the sets checkpoint lives INSIDE the lsh future so the winnow chain
     // overlaps it instead of waiting behind a serial materialization
-    val fLsh = Future {
+    val fLsh = Future(graft.ThreadGroups.withCaptured(s.sparkContext, grp) {
       val sets = shingleSets(spreadDocs).materialized
       (sets, lshPairsOf(minhashSigFromSets(sets))
         .select("doc_a", "doc_b"))
-    }
-    val fWin = Future(winnowPairs(spreadDocs).select("doc_a", "doc_b"))
+    })
+    val fWin = Future(graft.ThreadGroups.withCaptured(s.sparkContext, grp)(
+      winnowPairs(spreadDocs).select("doc_a", "doc_b")))
     val (sets, lsh) = Await.result(fLsh, Duration.Inf)
     val cand = lsh.union(Await.result(fWin, Duration.Inf)).distinct()
     jaccardVerifyFrom(sets, cand).orderBy("doc_a", "doc_b")
@@ -1549,20 +1571,7 @@ object Dedup {
     val totals = tagged.filter(_.getString(1).isEmpty)
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
-    // UTF-8 BYTE ordering, not Java's UTF-16 code-unit compareTo: the
-    // replaced distributed orderBy (and the DuckDB oracle's ORDER BY)
-    // sort by binary UTF-8, which differs for supplementary-plane
-    // source names vs U+E000..U+FFFF ones (surrogate range sorts
-    // between them in UTF-16)
-    implicit val utf8Ord: Ordering[String] = (x: String, y: String) => {
-      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
-      var i = 0
-      var c = 0
-      while (c == 0 && i < a.length && i < b.length) {
-        c = (a(i) & 0xff) - (b(i) & 0xff); i += 1
-      }
-      if (c != 0) c else a.length - b.length
-    }
+    implicit val utf8Ord: Ordering[String] = utf8Ordering
     tagged.filter(_.getString(1).nonEmpty)
       .map { r =>
         val (a, b, shared) = (r.getString(0), r.getString(1), r.getLong(2))
@@ -1693,31 +1702,58 @@ object Dedup {
        |    - CAST(m.n_before AS DOUBLE) / t.tb) * 10000 + 0.5) / 10000
        |    AS share_shift
        |FROM m, t ORDER BY source""".stripMargin) { (s, d) =>
+    import s.implicits._
     val dropped = keepDecision(s, d).filter(col("rk") > 1)
       .select(col("doc_id"), lit(1).as("is_dropped"))
     // count(col) ignores nulls → dropped-per-source from the same scan
-    // two consumers (totals + output) of the |sources|-row aggregate:
-    // checkpoint it so the corpus scan and the decision pipeline run once
-    val per = docs(s, d).select(col("doc_id"), col("source"))
+    val perF = docs(s, d).select(col("doc_id"), col("source"))
       .join(broadcast(dropped), Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_before"),
         count(col("is_dropped")).as("n_dropped"))
-      .withColumn("n_after", col("n_before") - col("n_dropped"))
-      .materialized
-    val totals = per.agg(sum("n_before").as("tb"), sum("n_after").as("ta"))
-    per.crossJoin(broadcast(totals))
-      .select(col("source"), col("n_before"), col("n_after"),
-        graft.functions.StableRound.r4(
-          col("n_dropped").cast("double") / col("n_before")).as("drop_rate"),
-        graft.functions.StableRound.r4(
-          col("n_before").cast("double") / col("tb")).as("share_before"),
-        graft.functions.StableRound.r4(
-          col("n_after").cast("double") / col("ta")).as("share_after"),
-        graft.functions.StableRound.r4(
-          col("n_after").cast("double") / col("ta")
-            - col("n_before").cast("double") / col("tb")).as("share_shift"))
-      .orderBy("source")
+    // The aggregate is CATALOG-bounded (one row per source), so the
+    // totals + shares + sort tail is DRIVER work — the dd13 round-15
+    // recipe (round-16 verdict #4: pipe17's tail paid a checkpoint, a
+    // second aggregate, a broadcast cross-join and a distributed sort
+    // for a frame smaller than this comment). Same guard as dd13: a
+    // data-driven source cardinality past the cap falls back to the
+    // distributed tail; the driver arithmetic reproduces StableRound.r4
+    // bit-for-bit and the sort is binary UTF-8 (collation parity).
+    val DriverSourcesCap = 100000
+    val rows = perF.limit(DriverSourcesCap + 1).collect()
+    if (rows.length > DriverSourcesCap) {
+      val per = perF
+        .withColumn("n_after", col("n_before") - col("n_dropped"))
+        .materialized
+      val totals = per.agg(sum("n_before").as("tb"),
+        sum("n_after").as("ta"))
+      per.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_before"), col("n_after"),
+          graft.functions.StableRound.r4(col("n_dropped").cast("double") /
+            col("n_before")).as("drop_rate"),
+          graft.functions.StableRound.r4(col("n_before").cast("double") /
+            col("tb")).as("share_before"),
+          graft.functions.StableRound.r4(col("n_after").cast("double") /
+            col("ta")).as("share_after"),
+          graft.functions.StableRound.r4(
+            col("n_after").cast("double") / col("ta")
+              - col("n_before").cast("double") / col("tb"))
+            .as("share_shift"))
+        .orderBy("source")
+    } else {
+      def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+      val data = rows.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+      val tb = data.map(_._2).sum.toDouble
+      val ta = data.map(t => t._2 - t._3).sum.toDouble
+      data.map { case (src, nb, nd) =>
+        val na = nb - nd
+        (src, nb, na, r4(nd.toDouble / nb), r4(nb.toDouble / tb),
+          r4(na.toDouble / ta), r4(na.toDouble / ta - nb.toDouble / tb))
+      }.sortBy(_._1)(utf8Ordering).toSeq
+        .toDF("source", "n_before", "n_after", "drop_rate",
+          "share_before", "share_after", "share_shift")
+    }
   }
 
   /** MinHash estimator calibration: for every LSH candidate pair, the

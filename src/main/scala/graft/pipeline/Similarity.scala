@@ -827,8 +827,14 @@ object Similarity {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val fPr = Future(kmeansProbesFrom(vecs, 2).materialized)
-    val fD3 = Future(pqDistFrameFrom(vecs))
+    // the forked chains inherit the caller's job group (thread-local in
+    // Spark): without this, JobCount/cancelJobGroup cannot see the two
+    // trainers' jobs (round-16 sim09 audit)
+    val grp = graft.ThreadGroups.captured(s.sparkContext)
+    val fPr = Future(graft.ThreadGroups.withCaptured(s.sparkContext, grp)(
+      kmeansProbesFrom(vecs, 2).materialized))
+    val fD3 = Future(graft.ThreadGroups.withCaptured(s.sparkContext, grp)(
+      pqDistFrameFrom(vecs)))
     val pr = Await.result(fPr, Duration.Inf)
     val probes = broadcast(pr.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cluster")))
