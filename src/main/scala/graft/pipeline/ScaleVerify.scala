@@ -414,6 +414,7 @@ object ScaleVerify {
     // ANN store, and its cost is ∝ touched cells (timed against the
     // full-store bootstrap it replaces) ---------------------------------
     val r14 = timed("forget_takedown_propagation") {
+      import s.implicits._
       val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
       // a REALISTIC takedown: a small scattered id set (~3% of the
       // corpus), not a bulk split — the work bound under test is
@@ -447,6 +448,17 @@ object ScaleVerify {
       val extra = got.exceptAll(want).count()
       // idempotent re-forget at scale: zero rows, zero cells
       val again = sigStore.withLease(sigStore.forget(ids))
+      // a SPARSE takedown (5 surviving ids) after the bulk one: the
+      // bulk 3% set saturates the 16×16 grid (its scattered signatures
+      // occupy ~every cell, so that rewrite is necessarily
+      // corpus-scale); five ids touch ≤5 of 256 cells, and THIS timing
+      // is the work-∝-touched-cells evidence at sf1
+      val five = got.select("doc_id").orderBy("doc_id").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val t5 = System.nanoTime()
+      val sparse = sigStore.withLease(
+        sigStore.forget(five.toDF("doc_id")))
+      val sparseSecs = (System.nanoTime() - t5) / 1e9
       // ANN side: persisted index forgets the same id set (as vec ids)
       val codes = Similarity.quantVecs(s, d)
       val annStore = new IncrementalAnn.AnnIndexStore(s, s"$base/ann")
@@ -466,13 +478,19 @@ object ScaleVerify {
       val annCount = annLeft.count() == codes.count() - nVecIds
       (missing == 0L && extra == 0L && report.rowsForgotten == nIds &&
         again.rowsForgotten == 0L && again.cellsTouched == 0 &&
+        sparse.rowsForgotten == five.size &&
+        sparse.cellsTouched <= five.size &&
         annR.rowsForgotten == nVecIds && survivors == 0L && annCount,
         s"missing=$missing extra=$extra " +
           s"sig: rows=${report.rowsForgotten}/$nIds " +
           s"cells=${report.cellsTouched} reForget=${again.rowsForgotten} " +
+          s"sparse: rows=${sparse.rowsForgotten} " +
+          s"cells=${sparse.cellsTouched} " +
+          f"secs=$sparseSecs%.1f " +
           s"ann: rows=${annR.rowsForgotten}/$nVecIds " +
           s"cells=${annR.cellsTouched} stillStored=$survivors " +
-          f"(store bootstrap $bootSecs%.1f s vs forget $forgetSecs%.1f s)")
+          f"(store bootstrap $bootSecs%.1f s vs bulk forget " +
+          f"$forgetSecs%.1f s)")
     }
 
     Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14)
