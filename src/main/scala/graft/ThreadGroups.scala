@@ -22,10 +22,15 @@ object ThreadGroups {
 
   /** Run `body` with `props` applied to THIS thread's Spark-local
     * properties — use inside a Future whose jobs belong to the
-    * submitting query's group. */
+    * submitting query's group. The previous values are restored on
+    * exit: execution-context threads are POOLED, and a leaked group
+    * would mislabel whatever unrelated work the pool schedules on this
+    * thread next. */
   def withCaptured[T](sc: SparkContext,
       props: Seq[(String, String)])(body: => T): T = {
+    val prev = Keys.map(k => k -> sc.getLocalProperty(k))
     props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
-    body
+    try body
+    finally prev.foreach { case (k, v) => sc.setLocalProperty(k, v) }
   }
 }

@@ -39,7 +39,12 @@ import graft.tables.Checkpoints.CheckpointOps
   * DOWNSTREAM decisions already acted on (a dedup pair consumed last
   * month chose a survivor; that history is the consumer's). It removes
   * every row the forgotten ids still contribute to the stores and
-  * reports, so no FUTURE batch, search, or scrub can surface them. */
+  * reports, so no FUTURE batch, search, or scrub can surface them.
+  * Aggregate statistics derived before the forget — the frozen ANN
+  * centroids, the per-SOURCE OOV report rows (no per-doc content; one
+  * count row per source) — are geometry/statistics, not stored
+  * content; the centroids' residue is re-tessellated away by the next
+  * drift-triggered maintain() retrain. */
 object Forget {
 
   /** What one pair-partition scrub removed: `rowsForgotten` = pair rows
@@ -160,18 +165,23 @@ object Forget {
         error_number = None,
         error_message = None))
     }
-    val sigR = docIds.fold(ForgetReport(0L, 0)) { ids =>
+    // ONE sig-store lease spans the signature forget AND the pair
+    // scrub: the dedup ingest stream holds this same lease for its
+    // whole drain while writing pair batch dirs, so holding it here is
+    // what makes scrub-vs-ingest interleavings (a replayed batch's dir
+    // overwrite racing a scrub swap of the same dir) impossible — the
+    // pair sink has no lock of its own by design, its writer does.
+    val (sigR, pairR) = docIds.fold((ForgetReport(0L, 0),
+        ForgetReport(0L, 0))) { ids =>
       val store = new IncrementalDedup.SigStore(spark, sigStorePath)
-      val r = store.withLease(store.forget(ids))
-      audit(sigStorePath, r,
-        s"rows=${r.rowsForgotten} cells=${r.cellsTouched}")
-      r
-    }
-    val pairR = docIds.fold(ForgetReport(0L, 0)) { ids =>
-      val r = scrubPairs(spark, pairsDir, ids)
-      audit(pairsDir, r,
-        s"pairs=${r.rowsForgotten} batch_dirs=${r.cellsTouched}")
-      r
+      val (sr, pr) = store.withLease {
+        (store.forget(ids), scrubPairs(spark, pairsDir, ids))
+      }
+      audit(sigStorePath, sr,
+        s"rows=${sr.rowsForgotten} cells=${sr.cellsTouched}")
+      audit(pairsDir, pr,
+        s"pairs=${pr.rowsForgotten} batch_dirs=${pr.cellsTouched}")
+      (sr, pr)
     }
     val annR = vecIds.fold(ForgetReport(0L, 0)) { ids =>
       val store = new IncrementalAnn.AnnIndexStore(spark, annStorePath)

@@ -434,6 +434,19 @@ object IncrementalAnn {
           col("cluster"))
         .repartition(col("batch_id"), col("cluster"))
         .materialized
+      // re-arm the quiet-night gate BEFORE the commit starts (the
+      // content the last maintain() decision measured is about to
+      // change): a crash after the overwrite but before a trailing
+      // delete would leave a stale skip armed over post-forget content
+      // — and the idempotent re-forget (0 rows) returns early, so
+      // nothing would ever heal it. Deleted first, the worst crash
+      // outcome is a spurious full re-measure.
+      if (fs.exists(watermarkPath) && !fs.delete(watermarkPath, false))
+        throw new java.io.IOException(
+          s"AnnIndexStore at $path: could not remove the maintain " +
+            "watermark before the forget commit — a stale quiet-night " +
+            "skip over the rewritten store would serve pre-forget " +
+            "measurements; delete _graft_maintain.json and retry")
       fs.mkdirs(bakPath)
       archiveCells.foreach { case (b, c) =>
         val part = new Path(path, s"batch_id=$b/cluster=$c")
@@ -448,13 +461,6 @@ object IncrementalAnn {
         .partitionBy("batch_id", "cluster").parquet(path)
       graft.tables.Tables.invalidateSchemaMemo(path)
       fs.delete(bakPath, true)
-      // the content the last maintain() decision measured changed:
-      // re-arm the quiet-night gate (the ingest discipline)
-      if (fs.exists(watermarkPath) && !fs.delete(watermarkPath, false))
-        throw new java.io.IOException(
-          s"AnnIndexStore at $path: forget committed but the stale " +
-            "maintain watermark could not be removed — delete " +
-            "_graft_maintain.json manually")
       IncrementalDedup.ForgetReport(rows, hit.length)
     }
 
