@@ -106,6 +106,63 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("forgetFrame == from-scratch build over (corpus − forgotten) on " +
+      "random corpora and random takedown sets (incl. ids not in the " +
+      "store and forget-everything)") {
+    val genCase: Gen[(List[(Long, String)], Set[Long])] = for {
+      n <- Gen.choose(2, 14)
+      docs <- Gen.sequence[List[(Long, String)], (Long, String)](
+        (1 to n).map(i => genDoc(i.toLong)))
+      forgotten <- Gen.someOf(0L to (n + 2).toLong) // strays included
+    } yield (docs, forgotten.toSet)
+    val prop = Prop.forAll(genCase) { case (docs, forgotten) =>
+      import spark.implicits._
+      val store = IncrementalDedup.initialStore(sigsOf(docs))
+      val got = storeKey(IncrementalDedup.forgetFrame(store,
+        forgotten.toSeq.toDF("doc_id")))
+      val want = storeKey(Dedup.sigWithRep(
+        sigsOf(docs.filterNot(d => forgotten(d._1)))))
+      Prop(got == want) :| s"got=$got want=$want forgotten=$forgotten"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("forget composes with later arrivals: ingest after a takedown " +
+      "equals the monolithic chain over ((old − forgotten) ∪ new) — " +
+      "including a takedown of a class REP whose survivor then meets " +
+      "new arrivals") {
+    import spark.implicits._
+    val genCase: Gen[(List[(Long, String)], Int, Set[Long])] = for {
+      n <- Gen.choose(4, 14)
+      docs <- Gen.sequence[List[(Long, String)], (Long, String)](
+        (1 to n).map(i => genDoc(i.toLong)))
+      cut <- Gen.choose(1, n - 1)
+      forgotten <- Gen.someOf(1L to cut.toLong)
+    } yield (docs, cut, forgotten.toSet)
+    val prop = Prop.forAll(genCase) { case (docs, cut, forgotten) =>
+      val (olds, news) = docs.splitAt(cut)
+      if (news.isEmpty) Prop(true)
+      else {
+        val afterForget = IncrementalDedup.forgetFrame(
+          IncrementalDedup.initialStore(sigsOf(olds)),
+          forgotten.toSeq.toDF("doc_id"))
+        val inc = IncrementalDedup.ingest(afterForget, sigsOf(news))
+        val survivors = olds.filterNot(d => forgotten(d._1)) ++ news
+        val storeOk = storeKey(inc.updatedStore) ==
+          storeKey(Dedup.sigWithRep(sigsOf(survivors)))
+        val want = fullRestricted(survivors, news.map(_._1).toSet)
+        val got = pairSet(inc.pairs)
+        (Prop(storeOk) :| "post-forget ingest store != monolithic") &&
+          (Prop(got == want) :| s"pairs got=$got want=$want")
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SigStore: swap round-trip, crash-tmp recovery precedence") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sigstore").toString
