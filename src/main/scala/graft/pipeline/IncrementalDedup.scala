@@ -961,6 +961,29 @@ object IncrementalDedup {
     inc.pairs.orderBy("doc_a", "doc_b")
   }
 
+  /** Bench form of dd17 — the dd16 discipline applied to the takedown:
+    * the gated query builds the FULL-corpus store per sample for
+    * self-containedness, but the number users size takedowns with is
+    * the forget against an EXISTING store (production amortizes the
+    * store across its whole life; a takedown never rebuilds it). The
+    * full store frame is memoized per fixture dir (key suffixed so
+    * dd16's 80% store and this one never collide). */
+  def warmDd17BenchStore(s: SparkSession, d: String): Unit = {
+    benchStores.computeIfAbsent(d + "#full", _ => {
+      val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      initialStore(Dedup.minhashSig(all)).localCheckpoint(true)
+    })
+    ()
+  }
+
+  def dd17ForgetOnly(s: SparkSession, d: String): DataFrame = {
+    warmDd17BenchStore(s, d)
+    val store = benchStores.get(d + "#full")
+    val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
+    forgetFrame(store, all.filter(isNewDoc).select("doc_id"))
+      .select("doc_id", "sig_key", "rep").orderBy("doc_id")
+  }
+
   /** dd16: the incremental chain, oracle-gated. The fixture corpus is
     * split deterministically (md5 bucket % 5 == 0 → the "arriving" 20%);
     * the Spark side builds the store from the old 80%, ingests the new
