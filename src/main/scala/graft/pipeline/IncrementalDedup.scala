@@ -882,13 +882,17 @@ object IncrementalDedup {
           val bs = cells.map(_._2).distinct.toSeq
           for (a <- as; b <- bs) yield (a, b)
         }
-      // rewrite content, materialized BEFORE the archive renames
-      // (nothing below re-reads the moved files). forgetFrame's rep
-      // recompute shuffles only the touched cells' rows.
-      val out = forgetFrame(loaded.filter(cellPred), idsD)
+      // ONE disk read of the touched cells: forgetFrame consumes its
+      // store side twice (the anti-join left and the rep-recompute
+      // groupBy), so the pruned scan is materialized FIRST — both
+      // consumers then read executor-resident blocks, and everything
+      // below (including the write, which runs after the archive
+      // renames) derives from the checkpoint, never from the files
+      // being moved. forgetFrame's rep recompute shuffles only the
+      // touched cells' rows.
+      val out = forgetFrame(loaded.filter(cellPred).materialized, idsD)
         .select(storeCols: _*)
         .repartition(col("pb0"), col("pb1"))
-        .materialized
       fs.mkdirs(bakPath)
       archiveCells.foreach { case (a, b) =>
         val part = new Path(path, s"pb0=$a/pb1=$b")

@@ -74,6 +74,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "store shuffled per batch")
   }
 
+  test("dd17: the takedown id set broadcasts into the anti-join; the " +
+      "pair space is never enumerated; one corpus text scan feeds the " +
+      "signature pipeline") {
+    val p = planOf("dd17_forget_store")
+    // the ids side is |takedown|-sized by construction — it must be
+    // the broadcast build of the LeftAnti join, never a corpus shuffle
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the signature pipeline's text scan is cut by its checkpoint; the
+    // only documents scans left are the takedown-id side's — and
+    // because the rep repair consumes the remaining-rows frame twice,
+    // that NARROW scan may appear once per consumer. What matters at
+    // scale is that every residual scan reads doc_id ALONE with the
+    // takedown filter pushed (the persisted path reads its touched
+    // cells exactly once via an explicit checkpoint —
+    // SigStore.forget)
+    val docScans = p.linesIterator
+      .filter(l => l.contains("documents.parquet")).toSeq
+    assert(docScans.size <= 2, p)
+    docScans.foreach { l =>
+      assert(l.contains("ReadSchema: struct<doc_id:bigint>"), l)
+    }
+  }
+
   test("check_fk_containment: lineitem scanned once for its three FKs") {
     val p = planOf("check_fk_containment")
     assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
