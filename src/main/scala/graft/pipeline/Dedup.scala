@@ -381,7 +381,7 @@ object Dedup {
   /** The dd03 candidate-pair relation (doc_a < doc_b), un-ordered — shared
     * by dd03 and the cluster construction (dd06). */
   private[pipeline] def lshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairsOf(minhashSig(Tables.spread(s, docs(s, d), "doc_id")))
+    lshPairsOf(minhashSigPerRow(Tables.spread(s, docs(s, d), "doc_id")))
 
   /** LSH candidate pairs from a minhash signature frame (doc_id, m0..m7).
     *

@@ -951,7 +951,7 @@ object IncrementalDedup {
   def warmDd16BenchStore(s: SparkSession, d: String): Unit = {
     benchStores.computeIfAbsent(d, dir => {
       val all = Tables.spread(s, Tables.documents(s, dir), "doc_id")
-      initialStore(Dedup.minhashSig(all.filter(!isNewDoc)))
+      initialStore(Dedup.minhashSigPerRow(all.filter(!isNewDoc)))
         .localCheckpoint(true)
     })
     ()
@@ -961,7 +961,7 @@ object IncrementalDedup {
     warmDd16BenchStore(s, d)
     val store = benchStores.get(d)
     val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
-    val inc = ingest(store, Dedup.minhashSig(all.filter(isNewDoc)))
+    val inc = ingest(store, Dedup.minhashSigPerRow(all.filter(isNewDoc)))
     inc.pairs.orderBy("doc_a", "doc_b")
   }
 
@@ -975,7 +975,7 @@ object IncrementalDedup {
   def warmDd17BenchStore(s: SparkSession, d: String): Unit = {
     benchStores.computeIfAbsent(d + "#full", _ => {
       val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
-      initialStore(Dedup.minhashSig(all)).localCheckpoint(true)
+      initialStore(Dedup.minhashSigPerRow(all)).localCheckpoint(true)
     })
     ()
   }
@@ -1006,8 +1006,8 @@ object IncrementalDedup {
        |   OR doc_b IN (SELECT doc_id FROM newdocs)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
-    val store = initialStore(Dedup.minhashSig(all.filter(!isNewDoc)))
-    val inc = ingest(store, Dedup.minhashSig(all.filter(isNewDoc)))
+    val store = initialStore(Dedup.minhashSigPerRow(all.filter(!isNewDoc)))
+    val inc = ingest(store, Dedup.minhashSigPerRow(all.filter(isNewDoc)))
     inc.pairs.orderBy("doc_a", "doc_b")
   }
 
@@ -1040,7 +1040,7 @@ object IncrementalDedup {
       |FROM sigk k JOIN cls c ON k.sig_key = c.sig_key
       |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
     val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
-    val store = initialStore(Dedup.minhashSig(all))
+    val store = initialStore(Dedup.minhashSigPerRow(all))
     val takedown = all.filter(isNewDoc).select("doc_id")
     forgetFrame(store, takedown)
       .select("doc_id", "sig_key", "rep").orderBy("doc_id")

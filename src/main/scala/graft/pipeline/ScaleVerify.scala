@@ -292,12 +292,12 @@ object ScaleVerify {
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long"), lit(5)) === 0
       val tF = System.nanoTime()
-      val full = Dedup.lshPairsOf(Dedup.minhashSig(all))
+      val full = Dedup.lshPairsOf(Dedup.minhashSigPerRow(all))
         .select("doc_a", "doc_b").materialized
       val fullSecs = (System.nanoTime() - tF) / 1e9
       val store = IncrementalDedup
-        .initialStore(Dedup.minhashSig(all.filter(!isNew))).materialized
-      val newSigs = Dedup.minhashSig(all.filter(isNew)).materialized
+        .initialStore(Dedup.minhashSigPerRow(all.filter(!isNew))).materialized
+      val newSigs = Dedup.minhashSigPerRow(all.filter(isNew)).materialized
       val tI = System.nanoTime()
       val inc = IncrementalDedup.ingest(store, newSigs)
         .pairs.materialized
@@ -422,7 +422,7 @@ object ScaleVerify {
       val isGone = pmod(
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long"), lit(31)) === 7
-      val sigs = Dedup.minhashSig(all).materialized
+      val sigs = Dedup.minhashSigPerRow(all).materialized
       val base = java.nio.file.Files
         .createTempDirectory("graft-sv-forget").toString
       val sigStore = new IncrementalDedup.SigStore(s, s"$base/sigs")
