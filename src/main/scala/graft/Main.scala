@@ -462,6 +462,43 @@ object Main {
       if (!hasDocs && !hasVecs) usage(
         s"--forget ${forgetPath.get} has neither a doc_id nor a vec_id " +
           "column; nothing to propagate")
+      // a legally-binding takedown must not silently run against the
+      // default /tmp store paths (round-16 advice): against a wrong or
+      // absent path every tier reports rows=0 and the run "succeeds",
+      // which an operator can mistake for a completed takedown. The
+      // ids file's schema says which tiers the request covers; each
+      // covered tier's store flag must be EXPLICIT, and the targeted
+      // store root must exist.
+      if (hasDocs && !seen.contains("--sig-store")) usage(
+        s"--forget ${forgetPath.get} carries doc_id: give --sig-store " +
+          "PATH explicitly — a takedown must name its target store, " +
+          "not fall back to the default path")
+      if (hasDocs && !seen.contains("--dedup-out")) usage(
+        s"--forget ${forgetPath.get} carries doc_id: give --dedup-out " +
+          "PATH explicitly (the emitted pair partitions are scrubbed " +
+          "too) — a takedown must name its targets, not fall back to " +
+          "the default path")
+      if (hasVecs && !seen.contains("--ann-store")) usage(
+        s"--forget ${forgetPath.get} carries vec_id: give --ann-store " +
+          "PATH explicitly — a takedown must name its target store, " +
+          "not fall back to the default path")
+      def rootExists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hp)
+      }
+      val absent =
+        (if (hasDocs) Seq("--sig-store" -> sigStorePath,
+          "--dedup-out" -> dedupOut) else Nil) ++
+        (if (hasVecs) Seq("--ann-store" -> annStorePath) else Nil)
+      absent.filterNot(t => rootExists(t._2)).foreach { case (f, p) =>
+        System.err.println(s"error: --forget target $f $p does not " +
+          "exist — a takedown against a wrong path would report 0 " +
+          "rows and look complete; fix the path (or create the store " +
+          "root) and re-run")
+        spark.stop()
+        sys.exit(3)
+      }
       val logObj = new CommandLog(spark, logPath)
       val out = pipeline.Forget.run(spark,
         docIds = if (hasDocs) Some(ids) else None,
@@ -475,6 +512,12 @@ object Main {
         s"(batch_dirs=${out.pairs.cellsTouched}) " +
         s"ann_vectors=${out.ann.rowsForgotten} " +
         s"(cells=${out.ann.cellsTouched})")
+      // the retry obligation, stated where the operator reads it
+      // (round-16 advice): a forget is not DONE until this line prints
+      // — a crash mid-commit can transiently restore pre-forget
+      // content until the re-run, which the idempotence makes safe
+      println("takedown complete (a failed or interrupted run must be " +
+        "re-run: forget is idempotent and converges on retry)")
       spark.stop()
       return
     }

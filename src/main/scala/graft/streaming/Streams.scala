@@ -739,6 +739,18 @@ object Streams {
     *  - a file currently ON disk is never flagged (a snapshot race, or
     *    it genuinely arrived mid-drain and still exists);
     *  - `.compact` offset listings in the window contribute nothing.
+    * The one OVER-report case (round-16 advice — the mirror of the
+    * under-report above): a file that ARRIVED mid-drain, was planned,
+    * fully processed and committed, then legally archived before the
+    * post-drain listing is absent from both snapshots with no
+    * compaction record, so it counts as a mid-drain vanish despite
+    * being processed. Accepted: the checkpoint's offset metadata does
+    * not say whether a planned file contributed rows (foreachBatch
+    * sees the union), and archiving mid-drain-arrived files before the
+    * drain ends is an operator pattern this engine documents against
+    * (archive AFTER the pass — the drain report is the signal). The
+    * count errs toward a spurious once-only alert, never a silent
+    * loss.
     * Driver-side metadata reads only; zero Spark jobs. */
   private[graft] def vanishedMidDrain(spark: SparkSession, src: String,
       checkpoint: String, preDisk: Set[String],
@@ -856,6 +868,13 @@ object Streams {
     onPreDrainSnapshot()
     val drained = new java.util.concurrent.atomic.AtomicLong(0L)
     val stopped = store.withLease {
+      // pair-sink crash sweep (round-16 advice): a scrub interrupted
+      // between its two swap renames leaves a batch directory hidden
+      // (dot-prefixed) — sweep it here too, not only at the next
+      // scrub, so readers don't silently miss that batch's pairs
+      // until another forget happens to run. The sig-store lease held
+      // by this drain IS the pair sink's writer lock.
+      graft.pipeline.Forget.recoverPairSink(spark, outPath)
       // Tolerate landed files that vanish between a batch's planning
       // and its execution (same posture as incrementalCheckById, and
       // the reference's TOCTOU re-probe DIC:1615-1635): a

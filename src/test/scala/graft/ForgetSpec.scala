@@ -237,6 +237,139 @@ class ForgetSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 2L)
   }
 
+  test("scrubPairs is LAYOUT-PRESERVING: a multi-file batch directory " +
+      "keeps its data-file multiplicity through the scrub (round-16 " +
+      "verdict #2 — no coalesce(1) serialization of a skewed batch)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-layout").toString
+    val out = s"$base/pairs"
+    // a "skewed" batch: 60 pairs across 3 files, plus a 1-file batch
+    (1L to 60L).map(i => (i, i + 1000L)).toDF("doc_a", "doc_b")
+      .repartition(3).write.parquet(s"$out/batch_id=0")
+    Seq((200L, 201L)).toDF("doc_a", "doc_b").coalesce(1)
+      .write.parquet(s"$out/batch_id=1")
+    def dataFiles(p: String): Int = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles(s"$out/batch_id=0") === 3, "fixture degenerate")
+    val r = Forget.scrubPairs(spark, out, Seq(5L, 6L).toDF("doc_id"))
+    assert(r.rowsForgotten === 2L && r.cellsTouched === 1)
+    // multiplicity survives: the rewritten directory still holds 3
+    // data files (one per pre-scrub file), and the rows are right
+    assert(dataFiles(s"$out/batch_id=0") === 3)
+    assert(dataFiles(s"$out/batch_id=1") === 1)
+    assert(spark.read.parquet(out).count() === 59L)
+    assert(spark.read.parquet(out)
+      .filter(col("doc_a").isin(5L, 6L)).count() === 0L)
+  }
+
+  test("recoverPairSink sweeps scrub-crash residue from ANY writer " +
+      "entry point: a hidden .forget-old batch dir with no live twin " +
+      "is restored, staging garbage is dropped (round-16 advice — the " +
+      "dedup ingest stream runs this at drain start)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-sweep").toString
+    val out = s"$base/pairs"
+    Seq((1L, 2L)).toDF("doc_a", "doc_b").coalesce(1)
+      .write.parquet(s"$out/batch_id=0")
+    Seq((3L, 4L)).toDF("doc_a", "doc_b").coalesce(1)
+      .write.parquet(s"$out/batch_id=5")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: batch 5 archived aside, replacement never renamed
+    // in — the directory is hidden from every reader
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/batch_id=5"),
+      new org.apache.hadoop.fs.Path(s"$out/.forget-old-5")))
+    Seq((9L, 9L)).toDF("doc_a", "doc_b").coalesce(1)
+      .write.parquet(s"$out/.forget-tmp-7")
+    assert(spark.read.parquet(out).count() === 1L) // batch 5 invisible
+    Forget.recoverPairSink(spark, out)
+    // restored and readable again; staging garbage gone
+    assert(spark.read.parquet(out).count() === 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.forget-tmp-7")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/.forget-old-5")))
+  }
+
+  test("post-commit/pre-cleanup forget crash: a leftover .bakparts " +
+      "archive resurrects a fully-EMPTIED cell on recover() (dest " +
+      "absent → restored) but never clobbers a REWRITTEN cell (dest " +
+      "present → archive dropped); the retry re-forgets and converges " +
+      "(round-16 advice)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-postcommit").toString
+    val store = new IncrementalDedup.SigStore(spark, s"$base/sigs")
+    store.withLease {
+      store.save(IncrementalDedup.initialStore(
+        Dedup.minhashSig(docs(1L to 80L))), fanOut = 8)
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pre = store.load().get
+      .select(col("doc_id"), col("pb0"), col("pb1")).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2))))
+    val cellOf = pre.toMap
+    // victim A: the WHOLE cell containing doc 3 (emptied by the forget)
+    val cellA = cellOf(3L)
+    val takedownA = pre.filter(_._2 == cellA).map(_._1).toSeq
+    // victim B: one doc from a DIFFERENT, surviving cell (rewritten)
+    val docB = pre.map(_._1).sorted
+      .find(d => cellOf(d) != cellA &&
+        pre.count(_._2 == cellOf(d)) > 1).get
+    val cellB = cellOf(docB)
+    def cellPath(root: String, c: (Int, Int)) =
+      new org.apache.hadoop.fs.Path(s"$root/pb0=${c._1}/pb1=${c._2}")
+    // keep pre-forget copies of both cells (what the crash's archive
+    // would hold)
+    val keepA = new org.apache.hadoop.fs.Path(s"$base/keepA")
+    val keepB = new org.apache.hadoop.fs.Path(s"$base/keepB")
+    org.apache.hadoop.fs.FileUtil.copy(fs, cellPath(s"$base/sigs", cellA),
+      fs, keepA, false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, cellPath(s"$base/sigs", cellB),
+      fs, keepB, false, conf)
+
+    val takedown = (takedownA :+ docB).distinct
+    val r = store.withLease(store.forget(takedown.toDF("doc_id")))
+    assert(r.rowsForgotten === takedown.size.toLong)
+    assert(!fs.exists(cellPath(s"$base/sigs", cellA)), "cell A not emptied")
+    assert(fs.exists(cellPath(s"$base/sigs", cellB)), "cell B should survive")
+    val postForget = store.load().get.select(sigCols.map(col): _*)
+      .collect().map(_.toString).sorted
+
+    // simulate the crash window: the dynamic overwrite COMMITTED but
+    // the .bakparts cleanup never ran — both cells' pre-forget content
+    // sits in the archive
+    val bak = new org.apache.hadoop.fs.Path(s"$base/sigs.bakparts")
+    org.apache.hadoop.fs.FileUtil.copy(fs, keepA,
+      fs, cellPath(bak.toString, cellA), false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, keepB,
+      fs, cellPath(bak.toString, cellB), false, conf)
+
+    store.withLease {
+      // recover() (via load): emptied cell A resurrects — the
+      // documented transient — while rewritten cell B is NOT clobbered
+      // with pre-forget rows (dest present → archive dropped)
+      val resurrected = store.load().get
+      assert(resurrected.filter(col("doc_id")
+        .isInCollection(takedownA)).count() === takedownA.size.toLong,
+        "emptied cell should transiently resurrect from the archive")
+      assert(resurrected.filter(col("doc_id") === docB).count() === 0L,
+        "rewritten cell must keep its post-forget content")
+      assert(!fs.exists(bak), "archive should be consumed by recover()")
+      // the RETRY converges: re-forget removes exactly the resurrected
+      // rows and the store equals the post-forget state again
+      val r2 = store.forget(takedown.toDF("doc_id"))
+      assert(r2.rowsForgotten === takedownA.size.toLong, r2.toString)
+    }
+    val after = store.load().get.select(sigCols.map(col): _*)
+      .collect().map(_.toString).sorted
+    assert(after.toSeq === postForget.toSeq,
+      "retry did not converge to the post-forget store")
+  }
+
   test("Forget.run: one composed pass over both stores + the pair sink, " +
       "one FORGET audit row per target through the command log") {
     val base = java.nio.file.Files
