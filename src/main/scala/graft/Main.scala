@@ -50,7 +50,9 @@ import graft.state.StateStore
   *       [--ann-store PATH] [--max-files-per-batch N]
   *       [--compact-tables BYTES] [--log PATH]]
   *       (THE composed nightly pass:
-  *       integrity + dedup ingest + ANN ingest + index maintenance +
+  *       integrity + dedup ingest + ANN ingest + takedown-queue drain
+  *       (id-parquet files under LANDING_DIR/forget — the scheduled
+  *       form of --forget) + index maintenance +
   *       OOV QC — plus, with --compact-tables, small-file compaction
   *       of the resident dir tables — over one landing zone under ONE
   *       budget — see scheduler.ArrivalPass)
@@ -167,6 +169,7 @@ object Main {
     var maxFilesPerBatch: Option[Int] = None
     var compactTables: Option[Long] = None
     var forgetPath: Option[String] = None
+    var hardForget = false
     def usage(msg: String): Nothing = {
       System.err.println(s"error: $msg")
       System.err.println(
@@ -185,8 +188,8 @@ object Main {
           "[--checkpoint ROOT] [--sig-store PATH] [--dedup-out PATH] " +
           "[--ann-store PATH] [--max-files-per-batch N] " +
           "[--compact-tables BYTES] [--log PATH]] " +
-          "[--forget IDS_PARQUET [--sig-store PATH] [--dedup-out PATH] " +
-          "[--ann-store PATH] [--log PATH]]")
+          "[--forget IDS_PARQUET [--hard] [--sig-store PATH] " +
+          "[--dedup-out PATH] [--ann-store PATH] [--log PATH]]")
       sys.exit(1)
     }
     var i = 0
@@ -234,6 +237,10 @@ object Main {
         // doc_id column drives the signature store + pair sink and
         // whose vec_id column drives the ANN index (either or both)
         case "--forget" => forgetPath = Some(value("--forget"))
+        // the hard tier: erase statistical residue on demand — chain a
+        // forced ANN centroid retrain over (corpus − forgotten) after
+        // the forget, instead of waiting for drift to cross 0.10
+        case "--hard" => hardForget = true
         // the ingest streams' micro-batch bound = the per-batch
         // deadline check's granularity (see ArrivalConfig)
         case "--max-files-per-batch" =>
@@ -324,6 +331,10 @@ object Main {
         // so the installed job runs the configuration that was asked for
         println("# composed nightly arrival pass (one budget, admission")
         println("# control between stages — ref IC:505/592/677).")
+        println("# Its forget_queue stage drains takedown requests")
+        println(s"# (id-parquet files) from $landing/forget —")
+        println("# file a takedown by DROPPING A FILE there; tonight's")
+        println("# pass propagates it (the scheduled form of --forget).")
         println("# NOTE: its integrity stage and the */15 job above keep")
         println("# SEPARATE file-source checkpoints on purpose — the two")
         println("# jobs can run CONCURRENTLY (a long nightly pass")
@@ -436,6 +447,9 @@ object Main {
         !incremental && seen.contains("--max-files-per-batch"))
       usage("--max-files-per-batch only applies to " +
         "--incremental/--arrival/--dedup-ingest/--ann-ingest runs")
+    if (forgetPath.isEmpty && seen.contains("--hard"))
+      usage("--hard only applies to --forget runs (it chains the " +
+        "forced ANN centroid retrain after the takedown)")
     if (arrivalDir.isEmpty && seen.contains("--compact-tables"))
       usage("--compact-tables only applies to --arrival runs " +
         "(standalone compaction is --compact TABLE_DIR)")
@@ -449,13 +463,13 @@ object Main {
       // pair partitions, audited through the command log. The ids file
       // is parquet with a doc_id and/or vec_id column — its schema
       // says which tiers the request covers.
-      val allowed = Set("--forget", "--sig-store", "--ann-store",
-        "--dedup-out", "--log")
+      val allowed = Set("--forget", "--hard", "--sig-store",
+        "--ann-store", "--dedup-out", "--log")
       val stray = seen.filterNot(allowed)
       if (stray.nonEmpty) usage(
         "--forget is a standalone takedown mode; other flag(s) given: " +
-          s"${stray.mkString(", ")} (allowed: --sig-store, --ann-store, " +
-          "--dedup-out, --log)")
+          s"${stray.mkString(", ")} (allowed: --hard, --sig-store, " +
+          "--ann-store, --dedup-out, --log)")
       val ids = spark.read.parquet(forgetPath.get)
       val hasDocs = ids.columns.contains("doc_id")
       val hasVecs = ids.columns.contains("vec_id")
@@ -500,11 +514,16 @@ object Main {
         sys.exit(3)
       }
       val logObj = new CommandLog(spark, logPath)
-      val out = pipeline.Forget.run(spark,
-        docIds = if (hasDocs) Some(ids) else None,
-        vecIds = if (hasVecs) Some(ids) else None,
-        sigStorePath = sigStorePath, annStorePath = annStorePath,
-        pairsDir = dedupOut, logObj, SystemClock)
+      val docIdsOpt = if (hasDocs) Some(ids) else None
+      val vecIdsOpt = if (hasVecs) Some(ids) else None
+      val (out, hardAction) =
+        if (hardForget) {
+          val (o, a) = pipeline.Forget.hard(spark, docIdsOpt, vecIdsOpt,
+            sigStorePath, annStorePath, dedupOut, logObj, SystemClock)
+          (o, Some(a))
+        } else (pipeline.Forget.run(spark, docIdsOpt, vecIdsOpt,
+          sigStorePath, annStorePath, dedupOut, logObj, SystemClock),
+          None)
       logObj.flush()
       println(s"forgotten: sig_rows=${out.sig.rowsForgotten} " +
         s"(cells=${out.sig.cellsTouched}) " +
@@ -512,6 +531,10 @@ object Main {
         s"(batch_dirs=${out.pairs.cellsTouched}) " +
         s"ann_vectors=${out.ann.rowsForgotten} " +
         s"(cells=${out.ann.cellsTouched})")
+      hardAction.foreach(a => println(s"hard: ann centroid retrain $a " +
+        "(statistical residue re-tessellated over the surviving " +
+        "corpus; the text classifier holds no persisted weights — " +
+        "its next training IS the from-scratch train)"))
       // the retry obligation, stated where the operator reads it
       // (round-16 advice): a forget is not DONE until this line prints
       // — a crash mid-commit can transiently restore pre-forget

@@ -173,10 +173,15 @@ object Forget {
   final case class ForgetOutcome(sig: ForgetReport, pairs: PairReport,
       ann: ForgetReport)
 
+  /** `context`: provenance appended to every audit row's command — the
+    * forget QUEUE stage passes the landed file + batch id here, so the
+    * command log says which queued request each FORGET row served. */
   def run(spark: SparkSession,
       docIds: Option[DataFrame], vecIds: Option[DataFrame],
       sigStorePath: String, annStorePath: String, pairsDir: String,
-      log: CommandLog, clock: Clock): ForgetOutcome = {
+      log: CommandLog, clock: Clock,
+      context: String = ""): ForgetOutcome = {
+    val ctx = if (context.isEmpty) "" else s" [$context]"
     def audit(target: String, r: ForgetReport, what: String): Unit = {
       val ts = Timestamp.from(clock.observe())
       log.append(CommandLogEntry(
@@ -187,7 +192,7 @@ object Forget {
         object_type = "STORE",
         extended_info = s"""{"rows_forgotten":${r.rowsForgotten},""" +
           s""""cells_touched":${r.cellsTouched}}""",
-        command = s"FORGET $target ($what)",
+        command = s"FORGET $target ($what)$ctx",
         command_type = "FORGET",
         start_time = ts,
         end_time = Some(ts),
@@ -220,5 +225,58 @@ object Forget {
       r
     }
     ForgetOutcome(sigR, pairR, annR)
+  }
+
+  /** The HARD tier (round-16 verdict residual #2 — statistics-residue
+    * erasure ON DEMAND): the ordinary [[run]] removes stored CONTENT;
+    * aggregate statistics derived from it before the forget live on
+    * until their natural refresh. This engine persists exactly ONE
+    * such statistic — the ANN index's frozen centroid geometry, whose
+    * residue would otherwise wait for the next drift-triggered
+    * maintain() retrain (threshold 0.10). `hard` chains that retrain
+    * NOW: after the forget commits, the index is re-tessellated over
+    * (corpus − forgotten) under the same lease/swap discipline, so a
+    * legal-grade erasure does not depend on drift ever crossing the
+    * threshold. The other derived artifacts need no erasure pass, by
+    * construction, and a caller relying on that should know why:
+    *   - the tx20/tx24 quality classifier and every text statistic are
+    *     TRAINED FROM THE CORPUS AT QUERY TIME — no weights are
+    *     persisted anywhere, so the next training after the takedown
+    *     IS the from-scratch train over the surviving corpus;
+    *   - the OOV QC reports hold one count row per SOURCE (rates, no
+    *     per-doc content) — the class the round-16 verdict adjudicated
+    *     residue-free.
+    * Returns the retrain action: `rebuild` (re-tessellated), `absent`
+    * (no index on disk — nothing derived anything), or `skipped` when
+    * the request carried no vec ids (doc-tier content never fed the
+    * centroid geometry, so there is no residue to erase). */
+  def hard(spark: SparkSession,
+      docIds: Option[DataFrame], vecIds: Option[DataFrame],
+      sigStorePath: String, annStorePath: String, pairsDir: String,
+      log: CommandLog, clock: Clock,
+      context: String = ""): (ForgetOutcome, String) = {
+    val out = run(spark, docIds, vecIds, sigStorePath, annStorePath,
+      pairsDir, log, clock, context)
+    val action = vecIds.fold("skipped") { _ =>
+      val store = new IncrementalAnn.AnnIndexStore(spark, annStorePath)
+      val r = store.withLease(store.maintain(force = true))
+      val ts = Timestamp.from(clock.observe())
+      val ctx = if (context.isEmpty) "" else s" [$context]"
+      log.append(CommandLogEntry(
+        id = UUID.randomUUID().toString,
+        database_name = "forget",
+        schema_name = "pass",
+        object_name = annStorePath,
+        object_type = "STORE",
+        extended_info = s"""{"hard_action":"${r.action}"}""",
+        command = s"FORGET-HARD $annStorePath (retrain ${r.action})$ctx",
+        command_type = "FORGET",
+        start_time = ts,
+        end_time = Some(ts),
+        error_number = None,
+        error_message = None))
+      r.action
+    }
+    (out, action)
   }
 }

@@ -690,9 +690,17 @@ object IncrementalAnn {
       * Caller is the writer (hold the lease, or run when no writer
       * does — save() enforces it); never run concurrently with an
       * ingesting stream, exactly as [[compact]]. */
+    /** `force = true` (the `--forget --hard` tier, round-16 verdict
+      * missing-#2): retrain UNCONDITIONALLY — skip the quiet-night
+      * gate and take the rebuild arm regardless of measured drift, so
+      * a legal-grade erasure re-tessellates the centroid geometry over
+      * the post-forget corpus NOW instead of waiting for drift to
+      * cross the threshold. Everything else (lease discipline, swap,
+      * post-action watermark) is the ordinary rebuild path. */
     def maintain(rebuildDrift: Double = 0.10,
         reorganizeBatches: Long = 64L,
-        heartbeat: () => Unit = () => ()): MaintainReport = {
+        heartbeat: () => Unit = () => (),
+        force: Boolean = false): MaintainReport = {
       // QUIET-NIGHT GATE (round-14 verdict #1): when the persisted
       // decision watermark matches the store's current probe, nothing
       // was ingested since the last maintain() — the drift/accretion
@@ -706,7 +714,7 @@ object IncrementalAnn {
       // no new data — only a decision that would still be "none"
       // short-circuits. Any mismatch or doubt falls through to the
       // full path below.
-      (maintainProbe(), readWatermark()) match {
+      if (!force) (maintainProbe(), readWatermark()) match {
         case (Some(p @ (mb, _, _)), Some((wmb, wmt, wml, d, b)))
             if p == ((wmb, wmt, wml)) &&
               d <= rebuildDrift && b <= reorganizeBatches =>
@@ -734,7 +742,8 @@ object IncrementalAnn {
         // sweep the in-flight tmp generation).
         heartbeat(); lease.renewIfHeld()
         val report = drift match {
-          case Some(d) if d > rebuildDrift =>
+          case d0 if force || d0.exists(_ > rebuildDrift) =>
+            val d = d0.getOrElse(0.0)
             val vecs = all.select("vec_id", "qv").materialized
             val k = centroids.size
             val cents2 = trainCentroids(vecs, k)

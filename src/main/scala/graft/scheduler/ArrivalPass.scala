@@ -23,7 +23,9 @@ final case class StageResult(stage: String, status: String,
 
 /** Everything one nightly arrival pass needs. `landing` is the landing
   * zone root: arriving documents under `<landing>/documents`, arriving
-  * vectors under `<landing>/embeddings` (either may be absent — the
+  * vectors under `<landing>/embeddings`, queued takedown requests
+  * (id-parquet files with a doc_id and/or vec_id column) under
+  * `<landing>/forget` (any may be absent — the
   * stage skips with an audit row). `dbs` are the resident databases the
   * integrity tier checks (and, when one holds a `documents.parquet`
   * table, the resident corpus the OOV QC compares against). */
@@ -64,16 +66,22 @@ final case class ArrivalReport(stages: Seq[StageResult],
   *      persisted signature store (Streams.incrementalDedupStream);
   *   3. `ann_ingest`            — arriving vectors into the persisted
   *      IVF index (Streams.incrementalAnnStream);
-  *   4. `ann_maintain`          — the index maintenance loop
+  *   4. `forget_queue`          — the takedown queue (round-16
+  *      verdict #1): id-parquet files under `<landing>/forget`, one
+  *      [[graft.pipeline.Forget.run]] per file (checkpointed,
+  *      idempotent replay, quiet path zero jobs), so a takedown filed
+  *      during the day propagates tonight with no human in the loop;
+  *   5. `ann_maintain`          — the index maintenance loop
   *      ([[graft.pipeline.IncrementalAnn]]'s `maintain()`: drift →
   *      retrain, accretion → compact, healthy → no-op), exactly where
-  *      the reference's nightly job runs IndexOptimize;
-  *   5. `oov_qc`                — the arriving documents' vocabulary
+  *      the reference's nightly job runs IndexOptimize — AFTER the
+  *      forget queue, so its measurements see the post-takedown store;
+  *   6. `oov_qc`                — the arriving documents' vocabulary
   *      drift against the resident corpus (TextAnalysis.oovReport —
   *      tx23's exact code path), checkpointed like the ingest stages
   *      (only files arrived since the last pass are QC'd; per-batch
   *      reports under `<checkpointRoot>/oov/batch_id=<n>`);
-  *   6. `table_compact`         — opt-in (`compactTargetBytes`):
+  *   7. `table_compact`         — opt-in (`compactTargetBytes`):
   *      small-file compaction of every resident directory table, the
   *      IndexOptimize-job half of the reference's maintenance surface
   *      run inside the same nightly budget (skipped_empty when not
@@ -298,6 +306,13 @@ object ArrivalPass {
       pendingWork(vecsDir, s"${cfg.checkpointRoot}/ann")
     val oovNew = docsLanded &&
       pendingWork(docsDir, s"${cfg.checkpointRoot}/oov_ckpt")
+    // the takedown QUEUE (round-16 verdict #1): id-parquet files under
+    // <landing>/forget, drained by this pass like every ingest stage —
+    // same probes, so a quiet queue costs a driver listing, zero jobs
+    val forgetDir = s"${cfg.landing}/forget"
+    val forgetLanded = graft.Main.hasLandedFiles(spark, forgetDir)
+    val forgetNew = forgetLanded &&
+      pendingWork(forgetDir, s"${cfg.checkpointRoot}/forget_ckpt")
     def annStoreExists: Boolean = {
       val hp = new org.apache.hadoop.fs.Path(cfg.annStorePath)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -395,6 +410,120 @@ object ArrivalPass {
           deadline, clock, Some(cfg.maxFilesPerBatch),
           heartbeat = () => passLease.renew())
         ("ran", drainDetail(r, s"index=${cfg.annStorePath}"))
+      }
+    }
+
+    // TAKEDOWN QUEUE drain (round-16 verdict #1): `--forget` gave the
+    // engine a manually-invoked takedown; a production lake wants a
+    // QUEUE — a takedown filed at 3pm lands an id-parquet file under
+    // <landing>/forget and the 2am pass propagates it with no human in
+    // the loop (the reference's scheduled-jobs posture,
+    // ola/MaintenanceSolution.sql:7821 ff. — nightly jobs, not manual
+    // procs — composed with the CommandExecute choke point forget
+    // already reports through). Discipline identical to the ingest
+    // stages: checkpointed O(new-files), per-micro-batch deadline
+    // check + pass-lease heartbeat, quiet path zero jobs. Granularity
+    // is per FILE (maxFilesPerBatch=1): one Forget.run — and one
+    // FORGET audit row per touched target, context-stamped with the
+    // queue file — per request, so the command log reads as a
+    // takedown ledger. Replay is safe by forget's own idempotence: a
+    // replayed file re-forgets an already-forgotten set, reports 0,
+    // writes nothing. Runs AFTER the ingest stages (ids ingested
+    // TONIGHT are covered by tonight's queue) and BEFORE ann_maintain
+    // (a forget re-arms the maintain watermark, so the loop's next
+    // measurement — and any drift-triggered retrain — sees the
+    // post-forget store, never a stale quiet skip).
+    stage("forget_queue", hasWork = forgetNew, resumable = true) {
+      if (!forgetLanded)
+        ("skipped_empty", s"no takedown files under $forgetDir" +
+          emptiedVanish(forgetDir, "forget_ckpt"))
+      else if (!forgetNew)
+        ("skipped_empty", "no NEW takedown files since the last pass " +
+          s"under $forgetDir (checkpoint covers the queue; stream " +
+          "spin-up skipped)")
+      else {
+        // a vanished PENDING takedown file is the worst vanish class —
+        // the request it carried was never propagated; surface it on
+        // every pass until remediated (same posture as the ingest
+        // stages, stated more loudly)
+        val vanished = graft.streaming.Streams.vanishedUnexplained(
+          spark, forgetDir, s"${cfg.checkpointRoot}/forget_ckpt").size
+        val vanDetail = if (vanished == 0) ""
+          else s" vanished_unexplained=$vanished takedown file(s) " +
+            "missing with no compaction record — the takedown they " +
+            "carried was NEVER propagated"
+        // files may carry doc_id, vec_id, or both — merge the queue's
+        // schemas so a mixed queue streams under one reader (a file
+        // missing a column reads it as null; the per-batch counts
+        // below route each file to exactly the tiers it targets)
+        val schema = spark.read.option("mergeSchema", "true")
+          .parquet(forgetDir).schema
+        val hasDocCol = schema.fieldNames.contains("doc_id")
+        val hasVecCol = schema.fieldNames.contains("vec_id")
+        if (!hasDocCol && !hasVecCol)
+          ("failed", s"takedown files under $forgetDir carry neither " +
+            "a doc_id nor a vec_id column; nothing to propagate")
+        else {
+          import org.apache.spark.sql.functions.{col, count,
+            input_file_name}
+          val files = new java.util.concurrent.atomic.AtomicLong(0L)
+          val sigRows = new java.util.concurrent.atomic.AtomicLong(0L)
+          val pairRows = new java.util.concurrent.atomic.AtomicLong(0L)
+          val annRows = new java.util.concurrent.atomic.AtomicLong(0L)
+          val stopped = graft.streaming.Streams.incrementalCheckById(
+            spark, forgetDir, schema,
+            (batch, id) => {
+              val b = batch.toDF()
+              val src = b.select(input_file_name().as("f")).distinct()
+                .collect().map(r => new org.apache.hadoop.fs.Path(
+                  r.getString(0)).getName).sorted.mkString(",")
+              // one bounded aggregate says which tiers THIS file
+              // targets (count() skips nulls, so a doc-only file in a
+              // merged-schema queue never pays an ANN store pass)
+              val cnts = b.agg(
+                count(if (hasDocCol) col("doc_id") else
+                  org.apache.spark.sql.functions.lit(null)).as("d"),
+                count(if (hasVecCol) col("vec_id") else
+                  org.apache.spark.sql.functions.lit(null)).as("v"))
+                .head()
+              val docIds = if (cnts.getLong(0) > 0L)
+                Some(b.filter(col("doc_id").isNotNull).select("doc_id"))
+                else None
+              val vecIds = if (cnts.getLong(1) > 0L)
+                Some(b.filter(col("vec_id").isNotNull).select("vec_id"))
+                else None
+              val out = graft.pipeline.Forget.run(spark, docIds, vecIds,
+                cfg.sigStorePath, cfg.annStorePath, cfg.dedupOut,
+                log, clock, context = s"queue file=$src batch=$id")
+              files.incrementAndGet()
+              sigRows.addAndGet(out.sig.rowsForgotten)
+              pairRows.addAndGet(out.pairs.rowsForgotten)
+              annRows.addAndGet(out.ann.rowsForgotten)
+              // the durable per-request outcome record (batch_id
+              // partition = idempotent under replay; a replay's zeros
+              // overwrite honestly — the audit log keeps every run)
+              import spark.implicits._
+              Seq((src, out.sig.rowsForgotten, out.sig.cellsTouched,
+                out.pairs.rowsForgotten, out.pairs.cellsTouched,
+                out.ann.rowsForgotten, out.ann.cellsTouched))
+                .toDF("src_file", "sig_rows", "sig_cells", "pair_rows",
+                  "pair_dirs", "ann_rows", "ann_cells")
+            },
+            s"${cfg.checkpointRoot}/forget_ckpt",
+            s"${cfg.checkpointRoot}/forget",
+            deadline = deadline, clock = clock,
+            maxFilesPerBatch = Some(1),
+            heartbeat = () => passLease.renew())
+          val cut = if (!stopped) ""
+            else s" stopped-at-deadline (remaining≈${
+              graft.streaming.Streams.unseenFiles(spark, forgetDir,
+                s"${cfg.checkpointRoot}/forget_ckpt")} files; " +
+              "checkpoint resumes next pass)"
+          ("ran", s"files=${files.get()} sig_rows=${sigRows.get()} " +
+            s"pairs=${pairRows.get()} ann_vectors=${annRows.get()}" +
+            s"$cut$vanDetail (outcomes under " +
+            s"${cfg.checkpointRoot}/forget)")
+        }
       }
     }
 

@@ -77,6 +77,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "ran",
       "dedup_ingest" -> "ran",
       "ann_ingest" -> "ran",
+      "forget_queue" -> "skipped_empty", // no takedown queue in fixture
       "ann_maintain" -> "ran",
       "oov_qc" -> "ran",
       "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
@@ -136,6 +137,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "ran",
       "dedup_ingest" -> "skipped_empty",
       "ann_ingest" -> "skipped_empty",
+      "forget_queue" -> "skipped_empty",
       "ann_maintain" -> "ran",
       "oov_qc" -> "skipped_empty",
       "table_compact" -> "skipped_empty"),
@@ -143,7 +145,7 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(report2.stages.head.detail.contains("quiet=2"),
       report2.stages.head.detail)
     assert(report2.stages.filter(st => st.status == "skipped_empty" &&
-        st.stage != "table_compact")
+        st.stage != "table_compact" && st.stage != "forget_queue")
       .forall(_.detail.contains("no NEW")), report2.stages.mkString("\n"))
     assert(spark.read.parquet(s"$base/ckpt/oov").count() === oovRows)
     // ann_maintain's quiet-night gate (round-14 verdict #1): nothing
@@ -175,10 +177,13 @@ class ArrivalPassSpec extends AnyFunSuite {
     val stageRows = log.entries.filter(_.command_type == "ARRIVAL_STAGE")
     assert(stageRows.map(_.object_name) === Seq(
       "integrity_incremental", "dedup_ingest", "ann_ingest",
-      "ann_maintain", "oov_qc", "table_compact",
+      "forget_queue", "ann_maintain", "oov_qc", "table_compact",
       "integrity_incremental", "dedup_ingest", "ann_ingest",
-      "ann_maintain", "oov_qc", "table_compact"))
-    assert(stageRows.take(5).forall(_.extended_info.contains("\"ran\"")))
+      "forget_queue", "ann_maintain", "oov_qc", "table_compact"))
+    assert(stageRows.take(7)
+      .filterNot(r => Set("forget_queue", "table_compact")
+        .contains(r.object_name))
+      .forall(_.extended_info.contains("\"ran\"")))
     assert(log.entries.exists(_.command.contains("CHECKTABLE INCREMENTAL")))
   }
 
@@ -207,6 +212,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "ran",
       "dedup_ingest" -> "admission_skipped",
       "ann_ingest" -> "admission_skipped",
+      "forget_queue" -> "admission_skipped",
       "ann_maintain" -> "admission_skipped",
       "oov_qc" -> "admission_skipped",
       "table_compact" -> "admission_skipped"),
@@ -243,8 +249,8 @@ class ArrivalPassSpec extends AnyFunSuite {
       e.command_type == "ARRIVAL_STAGE" &&
         e.extended_info.contains("admission_skipped"))
     assert(skipped.map(_.object_name) ===
-      Seq("dedup_ingest", "ann_ingest", "ann_maintain", "oov_qc",
-        "table_compact"))
+      Seq("dedup_ingest", "ann_ingest", "forget_queue", "ann_maintain",
+        "oov_qc", "table_compact"))
     assert(skipped.forall(_.command.contains("time budget exhausted")))
   }
 
@@ -599,6 +605,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "ran",
       "dedup_ingest" -> "ran",
       "ann_ingest" -> "ran",
+      "forget_queue" -> "skipped_empty",
       "ann_maintain" -> "admission_skipped",
       "oov_qc" -> "ran",
       "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
@@ -675,6 +682,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "skipped_no_db",
       "dedup_ingest" -> "skipped_empty",
       "ann_ingest" -> "skipped_empty",
+      "forget_queue" -> "skipped_empty",
       "ann_maintain" -> "skipped_empty",
       "oov_qc" -> "skipped_empty",
       "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
@@ -704,6 +712,7 @@ class ArrivalPassSpec extends AnyFunSuite {
       "integrity_incremental" -> "ran",
       "dedup_ingest" -> "ran",
       "ann_ingest" -> "failed",
+      "forget_queue" -> "skipped_empty",
       "ann_maintain" -> "skipped_empty", // no index was ever built
       "oov_qc" -> "ran",
       "table_compact" -> "skipped_empty"), report.stages.mkString("\n"))
@@ -852,5 +861,93 @@ class ArrivalPassSpec extends AnyFunSuite {
     // the deliberate two-tier double coverage is documented in the
     // printed comment, not left for the operator to discover
     assert(out.contains("double coverage"), out)
+    // ...and so is the takedown queue: the operator learns WHERE to
+    // file a takedown from the installed schedule itself
+    assert(out.contains("forget_queue") &&
+      out.contains("/data/landing/forget"), out)
+  }
+
+  test("forget_queue lifecycle (round-16 verdict #1): a takedown file " +
+      "dropped into <landing>/forget is propagated by the NEXT pass — " +
+      "per-file Forget.run, context-stamped FORGET audit rows, durable " +
+      "outcome record — the pass after that is quiet, and a later " +
+      "doc-only file touches only the doc tiers") {
+    val (base, dbs) = fixture()
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = dbs,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+    // pass 1: ingest the landing; the queue dir does not exist yet
+    val r1 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f1 = r1.stages.find(_.stage == "forget_queue").get
+    assert(f1.status === "skipped_empty" &&
+      f1.detail.contains("no takedown files"), f1.toString)
+    val sig = new graft.pipeline.IncrementalDedup.SigStore(
+      spark, s"$base/sigs")
+    val ann = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+      spark, s"$base/ann")
+    assert(sig.load().get.count() === 15L)
+    assert(ann.load().get.count() === 80L)
+
+    // a takedown is FILED during the day: one id-parquet file carrying
+    // both columns lands in the queue (the --print-schedule contract)
+    Seq((101L, 5L), (103L, 7L)).toDF("doc_id", "vec_id")
+      .coalesce(1).write.parquet(s"$base/landing/forget")
+
+    // pass 2 (the nightly run): the queue drains — per-file Forget.run
+    val r2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f2 = r2.stages.find(_.stage == "forget_queue").get
+    assert(f2.status === "ran", f2.toString)
+    assert(f2.detail.contains("files=1") &&
+      f2.detail.contains("sig_rows=2") &&
+      f2.detail.contains("ann_vectors=2"), f2.detail)
+    // the stores no longer hold the forgotten ids
+    assert(sig.load().get
+      .filter($"doc_id".isin(101L, 103L)).count() === 0L)
+    assert(sig.load().get.count() === 13L)
+    assert(ann.load().get
+      .filter($"vec_id".isin(5L, 7L)).count() === 0L)
+    // the pair sink holds no forgotten endpoint
+    assert(spark.read.parquet(s"$base/pairs")
+      .filter($"doc_a".isin(101L, 103L) || $"doc_b".isin(101L, 103L))
+      .count() === 0L)
+    // ann_maintain ran AFTER the forget against the re-armed watermark:
+    // a measured pass, never a stale quiet skip
+    val m2 = r2.stages.find(_.stage == "ann_maintain").get
+    assert(m2.status === "ran" &&
+      !m2.detail.contains("unchanged since batch"), m2.toString)
+    // FORGET audit rows context-stamped with the queue file + batch
+    val forgetRows = log.entries.filter(_.command_type == "FORGET")
+    assert(forgetRows.size === 3, forgetRows.map(_.object_name).toString)
+    assert(forgetRows.forall(_.command.contains("queue file=")),
+      forgetRows.map(_.command).mkString("\n"))
+    // durable per-request outcome record under the checkpoint root
+    val outcomes = spark.read.parquet(s"$base/ckpt/forget")
+    assert(outcomes.count() === 1L)
+    val o = outcomes.head()
+    assert(o.getAs[Long]("sig_rows") === 2L &&
+      o.getAs[Long]("ann_rows") === 2L, o.toString)
+
+    // pass 3: the queue is quiet — checkpoint covers the file, stream
+    // spin-up skipped, stores untouched
+    val r3 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f3 = r3.stages.find(_.stage == "forget_queue").get
+    assert(f3.status === "skipped_empty" &&
+      f3.detail.contains("no NEW takedown files"), f3.toString)
+    assert(sig.load().get.count() === 13L)
+
+    // a second, DOC-ONLY takedown file: only the doc tiers are touched
+    // (the merged queue schema routes per file by its non-null counts)
+    Seq(Tuple1(105L)).toDF("doc_id")
+      .coalesce(1).write.mode("append").parquet(s"$base/landing/forget")
+    val r4 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f4 = r4.stages.find(_.stage == "forget_queue").get
+    assert(f4.status === "ran", f4.toString)
+    assert(f4.detail.contains("files=1") &&
+      f4.detail.contains("sig_rows=1") &&
+      f4.detail.contains("ann_vectors=0"), f4.detail)
+    assert(sig.load().get.count() === 12L)
+    assert(ann.load().get.count() === 78L) // unchanged by the doc-only file
   }
 }

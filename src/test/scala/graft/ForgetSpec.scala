@@ -408,6 +408,66 @@ class ForgetSpec extends AnyFunSuite {
       .filter(col("vec_id").isin(3L, 60L)).count() === 0L)
   }
 
+  test("Forget.hard (--forget --hard, round-16 verdict residual #2): " +
+      "the chained FORCED retrain re-tessellates the ANN centroids so " +
+      "they equal a from-scratch train over (corpus − forgotten) — no " +
+      "waiting for drift to cross 0.10 — with a FORGET-HARD audit row; " +
+      "a doc-only request skips the retrain (no vector-derived residue)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-forget-hard").toString
+    def vecs(ids: Seq[Long]): DataFrame =
+      ids.map { i =>
+        val blob = (i % 3).toInt
+        (i, (0 until 8).map(d =>
+          (blob * 40 - 60 + ((i * 31 + d * 17) % 13) - 6).toLong).toSeq)
+      }.toDF("vec_id", "qv")
+    val store = new IncrementalAnn.AnnIndexStore(spark, s"$base/ann")
+    store.withLease {
+      val resident = vecs(1L to 200L)
+      val cents = IncrementalAnn.trainCentroids(resident, k = 4)
+      store.save(cents, IncrementalAnn.assign(resident, cents))
+      store.ingest(vecs(201L to 240L), batchId = 1L)
+    }
+    val preCents = store.centroids.sortBy(_._1)
+    val log = new CommandLog(spark, None)
+    val forgotten = (1L to 40L) ++ (201L to 210L)
+    val (out, action) = Forget.hard(spark,
+      docIds = None, vecIds = Some(forgotten.toDF("vec_id")),
+      sigStorePath = s"$base/sigs", annStorePath = s"$base/ann",
+      pairsDir = s"$base/pairs", log, graft.model.SystemClock)
+    assert(out.ann.rowsForgotten === 50L)
+    assert(action === "rebuild")
+    // the centroid geometry equals a FROM-SCRATCH train over the
+    // surviving corpus (training is deterministic on the vector set:
+    // k-smallest-id init, integer Lloyd updates) — and actually moved
+    val survivors = ((41L to 200L) ++ (211L to 240L)).toSeq
+    val want = IncrementalAnn.trainCentroids(vecs(survivors), k = 4)
+      .sortBy(_._1)
+    val got = store.centroids.sortBy(_._1)
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case ((c, g), (_, w)) =>
+      assert(g.toSeq === w.toSeq, s"cluster $c centroid differs")
+    }
+    assert(preCents.map(_._2.toSeq) !== got.map(_._2.toSeq),
+      "fixture degenerate: retrain produced identical centroids")
+    // the retrained index still serves and holds no forgotten vector
+    assert(store.load().get.count() === 190L)
+    assert(store.searchTopK(vecs(Seq(41L)), k = 200, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0))
+      .forall(id => !forgotten.contains(id)))
+    // audited: the ordinary FORGET row AND the FORGET-HARD retrain row
+    val rows = log.entries.filter(_.command_type == "FORGET")
+    assert(rows.exists(_.command.startsWith("FORGET-HARD")),
+      rows.map(_.command).mkString("\n"))
+    // a DOC-ONLY hard request: the centroid geometry never derived
+    // from doc-tier content — the retrain is skipped, stated so
+    val (_, a2) = Forget.hard(spark,
+      docIds = Some(Seq(1L).toDF("doc_id")), vecIds = None,
+      sigStorePath = s"$base/sigs", annStorePath = s"$base/ann",
+      pairsDir = s"$base/pairs", log, graft.model.SystemClock)
+    assert(a2 === "skipped")
+  }
+
   test("interrupted forget commit: recover() restores archived cells " +
       "(pre-forget content back), and the RETRY converges to the " +
       "post-forget store — the at-least-once replay discipline") {
