@@ -290,7 +290,7 @@ object Bench {
         .mkString("[", ",", "]")
       val qsFull = a.results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${a.total},"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; spark_probe_sec_* is a fixed 32-task shuffle+agg best-of-2 timed in THIS JVM (calibration in BASELINE.md); epoch_health=healthy requires cpu probes >= the gate's healthy_ops AND anchor <= 1.3x its anchor_ref_sec AND min spark_probe <= its spark_probe_gate_sec (pinned container calibration by default, overridable via SPARK_GRAFT_HEALTHY_OPS / SPARK_GRAFT_ANCHOR_REF_SEC / SPARK_GRAFT_SPARK_PROBE_GATE_SEC; effective values in the gate field) — a failing full run is quarantined to BENCH_DEGRADED_LOCAL.json and never overwrites BENCH_FULL_LOCAL.json, and a HEALTHY run overwrites the record only when its total BEATS the committed one (slower healthy samples go to BENCH_HEALTHY_LAST.json); a degraded FULL run gets ONE cool-down re-measure (attempts lists every pass; the emitted line is the better-labeled attempt); dd16_incremental_lsh times INGEST ONLY and dd17_forget_store times the FORGET ONLY, each against a per-session memoized signature store (the gated queries' one-time store build is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,"attempts":$attemptsJson,${a.healthJson}}"""
+      s"""{"metric":"total","value":${a.total},"unit":"sec","queries":$qsFull,"sf":"$sfDir","method":"per-query min of 2 samples; 3rd sample if max>2*min (rescued lists those) or if one sample threw (retried lists those); a query whose samples all threw is listed in failed and omitted from queries/total; probes are tools/cpu_probe.py ops/s run co-resident with this JVM, which costs a constant ~30% vs standalone: healthy epoch reads >= ~7.2e6 here (>= ~10.5e6 standalone); duckdb_anchor_sec is a fixed 4-query same-epoch DuckDB subtotal on the same dir; spark_probe_sec_* is a fixed 32-task shuffle+agg best-of-2 timed in THIS JVM (calibration in BASELINE.md); epoch_health=healthy requires cpu probes >= the gate's healthy_ops AND anchor <= 1.3x its anchor_ref_sec AND min spark_probe <= its spark_probe_gate_sec (pinned container calibration by default, overridable via SPARK_GRAFT_HEALTHY_OPS / SPARK_GRAFT_ANCHOR_REF_SEC / SPARK_GRAFT_SPARK_PROBE_GATE_SEC; effective values in the gate field) — a failing full run is quarantined to BENCH_DEGRADED_LOCAL.json and never overwrites BENCH_FULL_LOCAL.json, and a HEALTHY run overwrites the record only when its total BEATS the committed one (slower healthy samples go to BENCH_HEALTHY_LAST.json); a degraded FULL run gets up to TWO cool-down re-measures (45 s, then 120 s; attempts lists every pass; the emitted line is the best-labeled attempt) and the degraded history file keeps only its last 12 samples; dd16_incremental_lsh times INGEST ONLY and dd17_forget_store times the FORGET ONLY, each against a per-session memoized signature store (the gated queries' one-time store build is amortized in production)","rescued":$resc,"retried":$retr,"failed":$failJson,"attempts":$attemptsJson,${a.healthJson}}"""
     }
 
     /** Persist one attempt under the record/quarantine discipline —
@@ -336,6 +336,17 @@ object Bench {
           try w.println(full) finally w.close()
           val h = new java.io.FileWriter("BENCH_DEGRADED_HISTORY.jsonl", true)
           try h.write(full + "\n") finally h.close()
+          // BOUNDED tail (round-16 verdict #8): a degraded sample's
+          // only value is epoch forensics for RECENT windows — keep the
+          // last 12 and drop the rest, so quarantine noise cannot grow
+          // without bound (the healthy history stays append-only: every
+          // healthy sample is a real measurement of record).
+          val hp = java.nio.file.Paths.get("BENCH_DEGRADED_HISTORY.jsonl")
+          val lines = java.nio.file.Files.readAllLines(hp)
+          if (lines.size > 12) {
+            val keep = lines.subList(lines.size - 12, lines.size)
+            java.nio.file.Files.write(hp, keep)
+          }
         }
       } catch { case _: Throwable => () }
 
@@ -357,7 +368,19 @@ object Bench {
         System.err.println("[bench] epoch gate read degraded; one " +
           "cool-down re-measure in 45 s (round-15 verdict #3)")
         Thread.sleep(45000L)
-        Seq(a1, measure())
+        val a2 = measure()
+        if (a2.epochHealth != "degraded") Seq(a1, a2)
+        else {
+          // second, LONGER cool-down (round-16 verdict #6): the r16
+          // driver artifact stayed degraded through the single 45 s
+          // retry — one more re-measure after 120 s before emitting.
+          // Presentation only: every attempt still persists under the
+          // unchanged record/quarantine logic.
+          System.err.println("[bench] still degraded after the 45 s " +
+            "retry; one final re-measure in 120 s (round-16 verdict #6)")
+          Thread.sleep(120000L)
+          Seq(a1, a2, measure())
+        }
       }
     val attemptsJson = attemptSummary(attempts)
     attempts.foreach(persist(_, attemptsJson))

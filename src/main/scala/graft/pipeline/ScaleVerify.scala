@@ -493,7 +493,110 @@ object ScaleVerify {
           f"$forgetSecs%.1f s)")
     }
 
-    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14)
+    // ---- round 17: forget ⊣ ingest INTERLEAVE at scale (round-16
+    // verdict #7) — ScaleVerify #14 proves forget against a quiescent
+    // store; production interleaves takedowns BETWEEN arrival batches
+    // under the writer lease. Composed sequence through the PERSISTED
+    // store: bootstrap → ingest batch 1 (partition overwrite) → forget
+    // a scattered set spanning resident AND batch-1 docs → ingest
+    // batch 2 → the end state must equal a from-scratch build over the
+    // net corpus ((resident ∪ b1 ∪ b2) − forgotten), reps and all ------
+    val r15 = timed("forget_ingest_interleave_equality") {
+      val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(5))
+      val resident = all.filter(bucket >= 2)       // ~60%
+      val b1 = all.filter(bucket === 0)            // ~20% (batch 1)
+      val b2 = all.filter(bucket === 1)            // ~20% (batch 2)
+      // scattered takedown ids drawn from resident AND batch-1 docs
+      // (~1/13 of that 80%): the interleave under test forgets rows an
+      // EARLIER incremental commit wrote alongside bootstrap rows
+      val gone = all.filter(bucket =!= 1 && pmod(
+        conv(substring(md5(concat(lit("g|"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"), lit(13)) === 3)
+        .select("doc_id").materialized
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sv-interleave").toString
+      val store = new IncrementalDedup.SigStore(s, s"$base/sigs")
+      val fr = store.withLease {
+        store.save(IncrementalDedup.initialStore(
+          Dedup.minhashSigPerRow(resident)), fanOut = 16)
+        val i1 = IncrementalDedup.ingest(store.load().get,
+          Dedup.minhashSigPerRow(b1), buckets = store.buckets,
+          keepRect = true)
+        try store.saveIncremental(i1.touched, i1.touchedParts,
+          rect = i1.rectCache)
+        finally i1.rectCache.foreach(_.unpersist(false))
+        val r = store.forget(gone)
+        val i2 = IncrementalDedup.ingest(store.load().get,
+          Dedup.minhashSigPerRow(b2), buckets = store.buckets,
+          keepRect = true)
+        try store.saveIncremental(i2.touched, i2.touchedParts,
+          rect = i2.rectCache)
+        finally i2.rectCache.foreach(_.unpersist(false))
+        r
+      }
+      val cols = Seq("sig_key", "doc_id", "m0", "m1", "m2", "m3",
+        "m4", "m5", "m6", "m7", "rep").map(col)
+      val want = IncrementalDedup.initialStore(Dedup.minhashSigPerRow(
+        all.join(gone, Seq("doc_id"), "left_anti"))).select(cols: _*)
+      val got = store.load().get.select(cols: _*)
+      val missing = want.exceptAll(got).count()
+      val extra = got.exceptAll(want).count()
+      val nGone = gone.count()
+      (missing == 0L && extra == 0L && fr.rowsForgotten == nGone,
+        s"missing=$missing extra=$extra " +
+          s"forgotten=${fr.rowsForgotten}/$nGone " +
+          s"cells=${fr.cellsTouched} (${got.count()} rows end state)")
+    }
+
+    // ---- round 17: the takedown QUEUE at scale (round-16 verdict #1's
+    // done-bar) — a 5-id file dropped in <landing>/forget is drained by
+    // the composed pass against an sf-sized store; cost is the stream
+    // spin-up + a ≤5-cell forget, NOT a corpus-scale rewrite (timings
+    // in the detail next to the bootstrap they replace), and the next
+    // pass is quiet ------------------------------------------------------
+    val r16 = timed("forget_queue_drain_cost") {
+      import s.implicits._
+      val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sv-queue").toString
+      val store = new IncrementalDedup.SigStore(s, s"$base/sigs")
+      val tB = System.nanoTime()
+      store.withLease {
+        store.save(IncrementalDedup.initialStore(
+          Dedup.minhashSigPerRow(all)), fanOut = 16)
+      }
+      val bootSecs = (System.nanoTime() - tB) / 1e9
+      // file the takedown: five scattered ids, one queue file
+      val five = all.select("doc_id").orderBy(md5(col("doc_id")
+        .cast("string"))).limit(5).collect().map(_.getLong(0)).toSeq
+      five.toDF("doc_id").coalesce(1)
+        .write.parquet(s"$base/landing/forget")
+      val log = new graft.executor.CommandLog(s, None)
+      val cfg = graft.scheduler.ArrivalConfig(
+        landing = s"$base/landing", dbs = Map.empty,
+        checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+      val p1 = graft.scheduler.ArrivalPass.run(s, cfg, log,
+        graft.model.SystemClock)
+      val f1 = p1.stages.find(_.stage == "forget_queue").get
+      val p2 = graft.scheduler.ArrivalPass.run(s, cfg, log,
+        graft.model.SystemClock)
+      val f2 = p2.stages.find(_.stage == "forget_queue").get
+      val leftover = store.load().get
+        .filter(col("doc_id").isInCollection(five)).count()
+      (f1.status == "ran" && f1.detail.contains("sig_rows=5") &&
+        leftover == 0L && f2.status == "skipped_empty",
+        s"drain=${f1.status} ${f1.detail.takeWhile(_ != '(').trim} " +
+          f"stageSecs=${f1.seconds}%.1f vs storeBootstrap=$bootSecs%.1f " +
+          s"rerun=${f2.status} leftover=$leftover")
+    }
+
+    Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
+      r15, r16)
   }
 
   /** Driver union-find re-derivation on sampled components: collect the
