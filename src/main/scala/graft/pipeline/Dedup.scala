@@ -1127,11 +1127,10 @@ object Dedup {
     // size k when the caller didn't pin it
     val kk = k.getOrElse(
       Similarity.autoK(Tables.embeddings(s, d).count()))
-    val pm = Similarity.kmeansProbesFrom(
-      Similarity.quantVecs(s, d), 2, kk)
-      .groupBy("vec_id")
-      .agg(max(when(col("rk") === 1, col("cluster"))).as("c1"),
-        max(when(col("rk") === 2, col("cluster"))).as("c2"))
+    // top-2 probes computed IN-ROW (round-17 job audit): the old
+    // posexplode + groupBy(vec_id) pivot paid an exchange + aggregate
+    // to reassemble what the sorted distance array already held per row
+    val pm = Similarity.kmeansTop2From(Similarity.quantVecs(s, d), kk)
     // one row per (vector, probe): join key `cluster` + both probe ids
     // carried for the first-match-wins suppression — checkpointed so
     // BOTH sides of the self-join read the materialized probe frame
@@ -1140,10 +1139,6 @@ object Dedup {
     // row per VECTOR (the embedding array is the dominant payload);
     // stacking first would store every embedding twice. The stack is a
     // cheap generator each join side re-applies to the checkpointed rows.
-    val perVec = Tables.embeddings(s, d)
-      .withColumn("nrm", VectorOps.norm(col("embedding")))
-      .join(pm, "vec_id")
-      .materialized
     // EXACT-VECTOR STAR COLLAPSE (the dd04/dd05 discipline, completing
     // the round-8 stress finding): identical embeddings always receive
     // identical (c1, c2) probes — the trainer sees the FULL multiset
@@ -1153,8 +1148,20 @@ object Dedup {
     // GenSkew's 5k pile before this). No fixture contains duplicate
     // embeddings, so fixture results are bit-identical; the collapse is
     // pinned by DedupPropertySpec's pile case.
-    val grp = perVec.groupBy("embedding").agg(min("vec_id").as("rep"))
-    val withRep = perVec.join(grp, Seq("embedding")).materialized
+    // rep = min(vec_id) OVER (PARTITION BY embedding) — round-17 job
+    // audit: the old groupBy(embedding)+join-back spelling paid a
+    // second corpus-sized exchange, a join, and a SECOND corpus
+    // checkpoint (the embedding payload stored twice); the window
+    // rides the same embedding shuffle the groupBy needed and folds
+    // the chain to ONE materialization. A mega exact-dup pile lands on
+    // one window partition exactly as it landed on one join key before
+    // — WindowExec's spill-backed buffer, not a new skew class.
+    val withRep = Tables.embeddings(s, d)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .join(pm, "vec_id")
+      .withColumn("rep", min(col("vec_id")).over(
+        Window.partitionBy("embedding")))
+      .materialized
     val star = withRep.filter(col("vec_id") =!= col("rep"))
       .withColumn("cos",
         Similarity.cosineFromNorms(

@@ -542,6 +542,26 @@ object Similarity {
         col("p.cluster").as("cluster"))
   }
 
+  /** Top-2 probe clusters per vector computed IN-ROW — (vec_id, c1, c2)
+    * with no explode and no pivot shuffle. The round-17 dd09 job audit
+    * found the (vec_id, cluster, rk) posexplode + groupBy(vec_id) pivot
+    * re-aggregating — through a full exchange — exactly what the sorted
+    * in-row distance array already held. c2 is null when fewer than two
+    * centroids survive training (every caller trains k ≥ 8; the
+    * when-guard keeps ANSI element_at from throwing on a degenerate
+    * one-cluster corpus). Values are bit-identical to the pivot of
+    * [[kmeansProbesFrom]](vecs, 2, k): same sorted array, same
+    * (dist2, cluster) tiebreak. */
+  private[pipeline] def kmeansTop2From(vecs: DataFrame,
+      k: Int = 8): DataFrame = {
+    val centroids = lloydCentroids(vecs, k)
+    val sorted = slice(array_sort(distStructs(col("qv"), centroids)), 1, 2)
+    vecs.select(col("vec_id"),
+      element_at(sorted, 1).getField("cluster").as("c1"),
+      when(size(sorted) >= 2, element_at(sorted, 2).getField("cluster"))
+        .as("c2"))
+  }
+
   /** The k-means assignment frame (vec_id, cluster) after 3 iterations —
     * the Spark twin of `kmeansCte`'s `a3`, shared by sim07, pipe12 and
     * the semantic-dedup blocker (dd09). */
