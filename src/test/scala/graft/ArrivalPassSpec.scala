@@ -950,4 +950,30 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(sig.load().get.count() === 12L)
     assert(ann.load().get.count() === 78L) // unchanged by the doc-only file
   }
+
+  test("forget_queue with a malformed queue (readable parquet, neither " +
+      "doc_id nor vec_id): the stage FAILS loudly with an error audit " +
+      "row — a takedown request that cannot target anything must never " +
+      "read as a clean pass — and the rest of the pass continues") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-badforget").toString
+    new java.io.File(s"$base/landing").mkdirs()
+    Seq(Tuple1("not-an-id-column")).toDF("who_knows")
+      .coalesce(1).write.parquet(s"$base/landing/forget")
+    val log = new CommandLog(spark, None)
+    val report = ArrivalPass.run(spark,
+      ArrivalConfig(landing = s"$base/landing", dbs = Map.empty,
+        checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs", annStorePath = s"$base/ann"),
+      log, SystemClock)
+    val f = report.stages.find(_.stage == "forget_queue").get
+    assert(f.status === "failed", f.toString)
+    assert(f.detail.contains("neither"), f.detail)
+    val row = log.entries.find(e =>
+      e.command_type == "ARRIVAL_STAGE" &&
+        e.object_name == "forget_queue").get
+    assert(row.error_number === Some(50000))
+    // stage isolation held: later stages still reported
+    assert(report.stages.map(_.stage).contains("table_compact"))
+  }
 }
