@@ -531,7 +531,7 @@ object Similarity {
     centroids
   }
 
-  private[pipeline] def kmeansProbesFrom(vecs: DataFrame,
+  private[graft] def kmeansProbesFrom(vecs: DataFrame,
       nprobe: Int, k: Int = 8): DataFrame = {
     val centroids = lloydCentroids(vecs, k)
     // final pass: nprobe nearest centroids per vector, ranked in-row
@@ -552,7 +552,7 @@ object Similarity {
     * one-cluster corpus). Values are bit-identical to the pivot of
     * [[kmeansProbesFrom]](vecs, 2, k): same sorted array, same
     * (dist2, cluster) tiebreak. */
-  private[pipeline] def kmeansTop2From(vecs: DataFrame,
+  private[graft] def kmeansTop2From(vecs: DataFrame,
       k: Int = 8): DataFrame = {
     val centroids = lloydCentroids(vecs, k)
     val sorted = slice(array_sort(distStructs(col("qv"), centroids)), 1, 2)

@@ -268,6 +268,29 @@ class DedupPropertySpec extends AnyFunSuite {
       cos(vecs(a), vecs(b)) >= 0.35 - 1e-9 })
   }
 
+  test("kmeansTop2From equals the explode+pivot spelling it replaced " +
+      "(round-17 dd09 shave): same (c1, c2) per vector on random " +
+      "vectors including duplicate piles — tiebreaks and all") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(1742)
+    // random quantized vectors + a duplicate pile (ties in dist2 across
+    // vectors) + near-centroid points (tight dist2 races)
+    val vecs = ((1L to 400L).map(i =>
+        (i, Seq.fill(8)((rnd.nextInt(121) - 60).toLong))) ++
+      (401L to 430L).map(i => (i, Seq.fill(8)(7L))))
+      .toDF("vec_id", "qv")
+    val want = graft.pipeline.Similarity
+      .kmeansProbesFrom(vecs, 2, 8)
+      .groupBy("vec_id")
+      .agg(max(when(col("rk") === 1, col("cluster"))).as("c1"),
+        max(when(col("rk") === 2, col("cluster"))).as("c2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val got = graft.pipeline.Similarity.kmeansTop2From(vecs, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
   test("dd02: the broadcast-tier guard refuses an over-budget corpus loudly") {
     // a 1 KiB budget is below any real corpus — the probe must throw
     // BEFORE collecting anything, and the message must name the scale path
