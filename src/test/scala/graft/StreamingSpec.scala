@@ -159,6 +159,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$out/batch_id=2")))
   }
 
+  test("incrementalDedupStream sweeps scrub-crash residue at drain " +
+      "start (round-16 advice): a batch dir hidden by an interrupted " +
+      "forget swap is restored BEFORE the drain, so the pair sink " +
+      "never serves with a silently missing batch") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-incdd-sweep").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val cp = s"$base/cp"; val out = s"$base/out"
+    def land(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val stage = s"$base/stage-$n"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), Paths.get(s"$src/arrival-$n.parquet"))
+      ()
+    }
+    val schema = Seq((1L, "x")).toDF("doc_id", "text").schema
+    land(1, Seq((10L, "alpha beta alpha"), (11L, "alpha beta alpha")))
+    Streams.incrementalDedupStream(spark, src, schema, s"$base/sigs",
+      cp, out)
+    assert(spark.read.parquet(out).count() === 1L) // (10, 11)
+    // an interrupted scrub hid batch 0 (crash between the two renames)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$out/batch_id=0"),
+      new org.apache.hadoop.fs.Path(s"$out/.forget-old-0")))
+    // next drain (new arrival) restores it before ingesting
+    land(2, Seq((12L, "gamma delta gamma")))
+    Streams.incrementalDedupStream(spark, src, schema, s"$base/sigs",
+      cp, out)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/batch_id=0")),
+      "hidden batch dir not restored by the drain-start sweep")
+    assert(spark.read.parquet(out)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((10L, 11L)))
+  }
+
   test("Main --dedup-ingest source probe: an empty landing dir skips " +
       "gracefully; a PARTITIONED landing layout (date=.../part.parquet) " +
       "is detected by the recursive probe and reaches the stream") {
