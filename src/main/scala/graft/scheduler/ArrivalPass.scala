@@ -24,8 +24,9 @@ final case class StageResult(stage: String, status: String,
 /** Everything one nightly arrival pass needs. `landing` is the landing
   * zone root: arriving documents under `<landing>/documents`, arriving
   * vectors under `<landing>/embeddings`, queued takedown requests
-  * (id-parquet files with a doc_id and/or vec_id column) under
-  * `<landing>/forget` (any may be absent — the
+  * (id-parquet files with a doc_id and/or vec_id column; an optional
+  * boolean `hard` column requests the forced-retrain erasure tier)
+  * under `<landing>/forget` (any may be absent — the
   * stage skips with an audit row). `dbs` are the resident databases the
   * integrity tier checks (and, when one holds a `documents.parquet`
   * table, the resident corpus the OOV QC compares against). */
@@ -460,16 +461,23 @@ object ArrivalPass {
           .parquet(forgetDir).schema
         val hasDocCol = schema.fieldNames.contains("doc_id")
         val hasVecCol = schema.fieldNames.contains("vec_id")
+        // a queue file may carry a boolean `hard` column: any true row
+        // requests the HARD tier for that file — the forced ANN
+        // centroid retrain over (corpus − forgotten) chains right
+        // after the forget (Forget.hard), so a legal-grade erasure is
+        // ALSO just a file drop, no CLI run needed
+        val hasHardCol = schema.fieldNames.contains("hard")
         if (!hasDocCol && !hasVecCol)
           ("failed", s"takedown files under $forgetDir carry neither " +
             "a doc_id nor a vec_id column; nothing to propagate")
         else {
-          import org.apache.spark.sql.functions.{col, count,
+          import org.apache.spark.sql.functions.{col, count, lit, when,
             input_file_name}
           val files = new java.util.concurrent.atomic.AtomicLong(0L)
           val sigRows = new java.util.concurrent.atomic.AtomicLong(0L)
           val pairRows = new java.util.concurrent.atomic.AtomicLong(0L)
           val annRows = new java.util.concurrent.atomic.AtomicLong(0L)
+          val hardRetrains = new java.util.concurrent.atomic.AtomicLong(0L)
           val stopped = graft.streaming.Streams.incrementalCheckById(
             spark, forgetDir, schema,
             (batch, id) => {
@@ -479,12 +487,16 @@ object ArrivalPass {
                   r.getString(0)).getName).sorted.mkString(",")
               // one bounded aggregate says which tiers THIS file
               // targets (count() skips nulls, so a doc-only file in a
-              // merged-schema queue never pays an ANN store pass)
+              // merged-schema queue never pays an ANN store pass) and
+              // whether it requests the hard tier
               val cnts = b.agg(
                 count(if (hasDocCol) col("doc_id") else
-                  org.apache.spark.sql.functions.lit(null)).as("d"),
+                  lit(null)).as("d"),
                 count(if (hasVecCol) col("vec_id") else
-                  org.apache.spark.sql.functions.lit(null)).as("v"))
+                  lit(null)).as("v"),
+                count(if (hasHardCol)
+                  when(col("hard") === lit(true), lit(1))
+                  else lit(null)).as("h"))
                 .head()
               val docIds = if (cnts.getLong(0) > 0L)
                 Some(b.filter(col("doc_id").isNotNull).select("doc_id"))
@@ -492,9 +504,17 @@ object ArrivalPass {
               val vecIds = if (cnts.getLong(1) > 0L)
                 Some(b.filter(col("vec_id").isNotNull).select("vec_id"))
                 else None
-              val out = graft.pipeline.Forget.run(spark, docIds, vecIds,
-                cfg.sigStorePath, cfg.annStorePath, cfg.dedupOut,
-                log, clock, context = s"queue file=$src batch=$id")
+              val ctx = s"queue file=$src batch=$id"
+              val (out, hardAction) =
+                if (cnts.getLong(2) > 0L) {
+                  val (o, a) = graft.pipeline.Forget.hard(spark, docIds,
+                    vecIds, cfg.sigStorePath, cfg.annStorePath,
+                    cfg.dedupOut, log, clock, context = ctx)
+                  if (a == "rebuild") hardRetrains.incrementAndGet()
+                  (o, a)
+                } else (graft.pipeline.Forget.run(spark, docIds, vecIds,
+                  cfg.sigStorePath, cfg.annStorePath, cfg.dedupOut,
+                  log, clock, context = ctx), "")
               files.incrementAndGet()
               sigRows.addAndGet(out.sig.rowsForgotten)
               pairRows.addAndGet(out.pairs.rowsForgotten)
@@ -505,9 +525,9 @@ object ArrivalPass {
               import spark.implicits._
               Seq((src, out.sig.rowsForgotten, out.sig.cellsTouched,
                 out.pairs.rowsForgotten, out.pairs.cellsTouched,
-                out.ann.rowsForgotten, out.ann.cellsTouched))
+                out.ann.rowsForgotten, out.ann.cellsTouched, hardAction))
                 .toDF("src_file", "sig_rows", "sig_cells", "pair_rows",
-                  "pair_dirs", "ann_rows", "ann_cells")
+                  "pair_dirs", "ann_rows", "ann_cells", "hard_action")
             },
             s"${cfg.checkpointRoot}/forget_ckpt",
             s"${cfg.checkpointRoot}/forget",
@@ -519,9 +539,11 @@ object ArrivalPass {
               graft.streaming.Streams.unseenFiles(spark, forgetDir,
                 s"${cfg.checkpointRoot}/forget_ckpt")} files; " +
               "checkpoint resumes next pass)"
+          val hard = if (hardRetrains.get() == 0L) ""
+            else s" hard_retrains=${hardRetrains.get()}"
           ("ran", s"files=${files.get()} sig_rows=${sigRows.get()} " +
             s"pairs=${pairRows.get()} ann_vectors=${annRows.get()}" +
-            s"$cut$vanDetail (outcomes under " +
+            s"$hard$cut$vanDetail (outcomes under " +
             s"${cfg.checkpointRoot}/forget)")
         }
       }

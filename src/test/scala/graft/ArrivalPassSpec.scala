@@ -951,6 +951,41 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(ann.load().get.count() === 78L) // unchanged by the doc-only file
   }
 
+  test("forget_queue hard tier by FILE DROP: a queue file with " +
+      "hard=true chains the forced ANN centroid retrain after its " +
+      "forget — the legal-grade erasure needs no CLI run either") {
+    val (base, dbs) = fixture()
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = dbs,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+    ArrivalPass.run(spark, cfg, log, SystemClock) // bootstraps stores
+    val ann = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+      spark, s"$base/ann")
+    val preCents = ann.centroids.sortBy(_._1).map(c => c._2.toSeq)
+    // a HARD takedown is filed: vec ids + the hard flag
+    Seq((10L, true), (11L, true)).toDF("vec_id", "hard")
+      .coalesce(1).write.parquet(s"$base/landing/forget")
+    val r2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f2 = r2.stages.find(_.stage == "forget_queue").get
+    assert(f2.status === "ran", f2.toString)
+    assert(f2.detail.contains("ann_vectors=2") &&
+      f2.detail.contains("hard_retrains=1"), f2.detail)
+    // the retrain really happened: FORGET-HARD audit row, outcome
+    // record carries the action, centroid geometry re-tessellated
+    assert(log.entries.exists(e => e.command_type == "FORGET" &&
+      e.command.startsWith("FORGET-HARD") &&
+      e.command.contains("queue file=")),
+      log.entries.filter(_.command_type == "FORGET")
+        .map(_.command).mkString("\n"))
+    val o = spark.read.parquet(s"$base/ckpt/forget").head()
+    assert(o.getAs[String]("hard_action") === "rebuild", o.toString)
+    assert(ann.centroids.sortBy(_._1).map(_._2.toSeq) !== preCents,
+      "centroids unchanged by the hard retrain")
+    assert(ann.load().get.filter($"vec_id".isin(10L, 11L)).count() === 0L)
+  }
+
   test("forget_queue with a malformed queue (readable parquet, neither " +
       "doc_id nor vec_id): the stage FAILS loudly with an error audit " +
       "row — a takedown request that cannot target anything must never " +
