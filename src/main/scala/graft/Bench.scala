@@ -36,6 +36,13 @@ object Bench {
       // cheaper side of that trade here.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The library's bounded cap-probe collects (componentsLocal, the
+      // dd13/pipe17 driver tails) sit on top of an already-computed
+      // shuffle, so CollectLimit's incremental 1-partition-then-rescan
+      // staging is pure scheduling floor: scan all reduce partitions in
+      // one pass. Scale-honest — the probes' caps bound what ships to
+      // the driver regardless of how many partitions one job touches.
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

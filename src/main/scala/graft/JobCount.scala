@@ -14,38 +14,43 @@ import org.apache.spark.sql.SparkSession
 object JobCount {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val name = args.headOption.getOrElse("dd16_incremental_lsh")
+    // comma-separated list (round-18: one JVM censuses a whole batch —
+    // a per-query sbt launch costs ~40 s of pure JVM start-up)
+    val names = args.headOption.getOrElse("dd16_incremental_lsh")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one-pass bounded-probe collects — see Bench.scala's note
+      .config("spark.sql.limit.initialNumPartitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dd16 measures INGEST ONLY against the memoized store — the same
-    // form the bench times (the one-time bootstrap is amortized in
-    // production); every other query runs its registered form
-    val fn: () => Unit =
-      if (name == "dd16_incremental_lsh") { () =>
-        graft.pipeline.IncrementalDedup.warmDd16BenchStore(spark, sfDir)
-        graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir)
-          .count(); ()
-      } else if (name == "dd17_forget_store") { () =>
-        // forget-only against the memoized store — the bench's form
-        graft.pipeline.IncrementalDedup.warmDd17BenchStore(spark, sfDir)
-        graft.pipeline.IncrementalDedup.dd17ForgetOnly(spark, sfDir)
-          .count(); ()
-      } else {
-        val q = SparkEntry.queries.getOrElse(name,
-          sys.error(s"unknown query: $name (names are SparkEntry" +
-            ".queries keys)"))
-        () => { q(spark, sfDir).count(); () }
-      }
-    fn() // untimed warm-up: the measured pass prices steady state
-    val jobs = new java.util.concurrent.atomic.AtomicLong
-    val stages = new java.util.concurrent.atomic.AtomicLong
-    val group = "graft-jobcount-" + java.util.UUID.randomUUID()
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
+    names.foreach { name =>
+      // dd16 measures INGEST ONLY against the memoized store — the same
+      // form the bench times (the one-time bootstrap is amortized in
+      // production); every other query runs its registered form
+      val fn: () => Unit =
+        if (name == "dd16_incremental_lsh") { () =>
+          graft.pipeline.IncrementalDedup.warmDd16BenchStore(spark, sfDir)
+          graft.pipeline.IncrementalDedup.dd16IngestOnly(spark, sfDir)
+            .count(); ()
+        } else if (name == "dd17_forget_store") { () =>
+          // forget-only against the memoized store — the bench's form
+          graft.pipeline.IncrementalDedup.warmDd17BenchStore(spark, sfDir)
+          graft.pipeline.IncrementalDedup.dd17ForgetOnly(spark, sfDir)
+            .count(); ()
+        } else {
+          val q = SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown query: $name (names are SparkEntry" +
+              ".queries keys)"))
+          () => { q(spark, sfDir).count(); () }
+        }
+      fn() // untimed warm-up: the measured pass prices steady state
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val group = "graft-jobcount-" + java.util.UUID.randomUUID()
+      val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           if (j.properties != null &&
@@ -59,13 +64,18 @@ object JobCount {
           }
           ()
         }
-      })
-    spark.sparkContext.setJobGroup(group, s"measured $name")
-    try fn()
-    finally spark.sparkContext.clearJobGroup()
-    Thread.sleep(1500) // let the async bus drain the group's events
-    println(s"JOBCOUNT query=$name jobs=${jobs.get()} " +
-      s"stages=${stages.get()}")
+      }
+      spark.sparkContext.addSparkListener(listener)
+      spark.sparkContext.setJobGroup(group, s"measured $name")
+      val t0 = System.nanoTime()
+      try fn()
+      finally spark.sparkContext.clearJobGroup()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let the async bus drain the group's events
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"JOBCOUNT query=$name jobs=${jobs.get()} " +
+        f"stages=${stages.get()} warm_sec=$sec%.2f")
+    }
     spark.stop()
   }
 }

@@ -593,13 +593,30 @@ object Dedup {
 
   private[graft] def connectedComponents(pairs: DataFrame,
       smallGraphMaxEdges: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // two consumers per iteration (neighbor-min join + convergence test)
+    // SMALL-GRAPH FAST PATH (round-18 job audit): probe-and-collect the
+    // PAIR stream in ONE limit-bounded job. The previous spelling
+    // materialized a doubled (src,dst ∪ dst,src) edge checkpoint, ran a
+    // count against it, and then collected it — three jobs and a 2×-row
+    // checkpoint to learn what one limit(cap+1) collect already proves
+    // (LSH graphs are sparse by construction, so the small path is the
+    // norm; union-find is direction-agnostic, so the reversed copies
+    // carried no information). The limit keeps the driver surface
+    // bounded exactly as the old count gate did.
+    componentsLocal(pairs, (smallGraphMaxEdges / 2).toInt) match {
+      case Some(labels) =>
+        val s = pairs.sparkSession
+        import s.implicits._
+        return labels.toSeq.toDF("doc_id", "cluster_id")
+      case None => ()
+    }
+    // LARGE GRAPH: the distributed propagation loop, over a single-width
+    // pair checkpoint (the reversed direction is derived lazily per
+    // consumer — two narrow reads of a 1×-row checkpoint instead of one
+    // read of a 2×-row one)
+    val p = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .materialized
-    // the count is served from the checkpoint just materialized
-    if (edges.count() <= smallGraphMaxEdges)
-      return smallGraphComponents(edges)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
     // seed with min(self, direct neighbors) — one groupBy, and the common
     // component shapes (cliques from same-bucket groups) converge in the
     // FIRST loop round instead of the second
@@ -656,13 +673,25 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** Driver-side component labels for a small (collected) edge list:
+  /** Probe-and-collect the pair stream for the driver-side component
+    * path: ONE job, limit-bounded to `maxPairs + 1` rows. Returns the
+    * per-vertex (doc_id, cluster_id) labels (doc_id-sorted) when the
+    * graph fits, None when it exceeds the cap (callers fall back to the
+    * distributed loop). Union-find is direction-agnostic, so undirected
+    * pairs carry the full graph — no doubled edge list needed. */
+  private[pipeline] def componentsLocal(pairs: DataFrame,
+      maxPairs: Int = 500000): Option[Array[(Long, Long)]] = {
+    val rows = pairs.select(col("doc_a"), col("doc_b"))
+      .limit(maxPairs + 1).collect()
+    if (rows.length > maxPairs) None
+    else Some(unionFindLabels(rows.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
+  /** Driver-side component labels for a small (collected) pair list:
     * union-find with path compression, then cluster_id = min member per
     * component — identical semantics to the distributed loop. */
-  private def smallGraphComponents(edges: DataFrame): DataFrame = {
-    val s = edges.sparkSession
-    import s.implicits._
-    val es: Array[(Long, Long)] = edges.as[(Long, Long)].collect()
+  private def unionFindLabels(es: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -681,8 +710,7 @@ object Dedup {
     val verts = parent.keys.toArray
     val byRoot = verts.groupBy(find)
     val minOf = byRoot.map { case (r, vs) => r -> vs.min }
-    verts.sorted.map(v => (v, minOf(find(v)))).toSeq
-      .toDF("doc_id", "cluster_id")
+    verts.sorted.map(v => (v, minOf(find(v))))
   }
 
   /** SimHash (16-bit): bit b of md5's leading hex digits votes ±1 per
@@ -1612,23 +1640,54 @@ object Dedup {
     * longest member, doc_id tiebreak). dd14 aggregates this; pipe17 uses
     * rk > 1 as the drop list. */
   private def keepDecision(s: SparkSession, d: String): DataFrame = {
-    val labels = connectedComponents(lshPairs(s, d))
-    val sized = labels.join(
-      docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-      .materialized
-    // Both consumers (dd14, pipe17) use the rank ONLY as keep-vs-drop
-    // membership, so the per-cluster row_number window (a giant dup
-    // cluster = one sorting reducer) reduces to the argmax — min of
-    // struct(-n_chars, doc_id), a partial-aggregable fold — joined back;
-    // rk carries the two-valued keep flag in the old column's shape.
-    val best = sized.groupBy("cluster_id")
-      .agg(min(struct((-col("n_chars")).as("neg"),
-        col("doc_id").as("d"))).as("b"))
-      .select(col("cluster_id"), col("b.d").as("keep_doc"))
-    sized.join(best, "cluster_id")
-      .withColumn("rk",
-        when(col("doc_id") === col("keep_doc"), 1).otherwise(2))
-      .drop("keep_doc")
+    import s.implicits._
+    val pairs = lshPairs(s, d)
+    componentsLocal(pairs) match {
+      case Some(labels) =>
+        // DRIVER TAIL (round-18 job audit, the dd13/pipe17-tail recipe):
+        // the matched set is exactly the pair graph's vertices — already
+        // driver-resident and cap-bounded by componentsLocal — so the
+        // only distributed fact still needed is each matched doc's
+        // n_chars: ONE broadcast-semi-joined collect of the narrow
+        // (doc_id, n_chars) projection. The old spelling paid a labels
+        // join + a sized checkpoint + the argmax groupBy + a join-back
+        // (dd14 measured 16 jobs; the whole tail after the components
+        // collect was distributed work on a vertex-bounded frame). The
+        // argmax semantics are unchanged: keep = min by (-n_chars,
+        // doc_id) per cluster — integer comparisons, engine-exact.
+        val lbl = labels.toMap
+        val ids = labels.map(_._1).toSeq.toDF("doc_id")
+        val sized: Array[(Long, Long, Long)] = docs(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .join(broadcast(ids), Seq("doc_id"), "left_semi")
+          .collect().map(r => {
+            val id = r.getLong(0)
+            (lbl(id), id, r.getLong(1))
+          })
+        val keepOf = sized.groupBy(_._1).map { case (c, rows) =>
+          c -> rows.minBy(t => (-t._3, t._2))._2
+        }
+        sized.toSeq.map { case (c, id, n) =>
+          (c, id, n, if (id == keepOf(c)) 1 else 2)
+        }.toDF("cluster_id", "doc_id", "n_chars", "rk")
+      case None =>
+        // distributed fallback (graph past the driver cap): the
+        // pre-round-18 shape, argmax via partial-aggregable fold.
+        // connectedComponents re-probes (one extra bounded collect) —
+        // only on the rare past-cap path, where the loop's cost dwarfs it
+        val labels = connectedComponents(pairs)
+        val sized = labels.join(
+          docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+          .materialized
+        val best = sized.groupBy("cluster_id")
+          .agg(min(struct((-col("n_chars")).as("neg"),
+            col("doc_id").as("d"))).as("b"))
+          .select(col("cluster_id"), col("b.d").as("keep_doc"))
+        sized.join(best, "cluster_id")
+          .withColumn("rk",
+            when(col("doc_id") === col("keep_doc"), 1).otherwise(2))
+          .drop("keep_doc")
+    }
   }
 
   /** SQL twin of [[keepDecision]]: components of the LSH pair graph plus

@@ -503,32 +503,92 @@ object Similarity {
         case (r, i) => i -> r.getSeq[Long](1).toArray
       }
     // Lloyd iterations, MLlib-style: assignment is a pure projection over
-    // the literal centroids (zero shuffles); the update aggregates
-    // (cluster, d) partial sums map-side and round-trips ≤ k·dims longs
-    // through the driver — the same driver-resident footprint any
-    // distributed k-means carries, at any corpus size. Two updates +
+    // the literal centroids (zero shuffles, codegen'd CodeDists kernel);
+    // the update folds each partition's (sum per dim, count) per cluster
+    // in ONE shuffle-free job and combines the ≤ |partitions| bounded
+    // maps on the driver — the treeAggregate shape MLlib's k-means
+    // ships. Round-18 job audit: the previous groupBy(cluster, d)
+    // spelling posexploded every code vector (dims× the rows), paid a
+    // shuffle, and under AQE cost TWO scheduled jobs per iteration; the
+    // fold is one job and moves the same ≤ k·(dims+1) longs per
+    // partition. Integer sums are associative/commutative, so the
+    // result is bit-identical under any partitioning. Two updates +
     // final ranking = 3 assignment passes, matching the oracle's
     // unrolled 3-iteration CTE chain exactly (integer arithmetic, same
     // floor(sum/count + 0.5) update, same (dist2, cluster) tiebreak).
     for (_ <- 1 to 2) {
-      val sums = vecs
-        .select(array_min(distStructs(col("qv"), centroids))
-            .getField("cluster").as("cluster"),
-          posexplode(col("qv")).as(Seq("d", "q")))
-        .groupBy("cluster", "d")
-        .agg(sum("q").as("sm"), count(lit(1)).as("n"))
-        .collect()
+      val sums = clusterSums(vecs.select(
+        array_min(distStructs(col("qv"), centroids))
+          .getField("cluster").as("cluster"), col("qv")))
       // a cluster that lost every member drops out — same as the oracle,
       // where it simply has no centroid rows next iteration
-      centroids = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .map { case (cl, rows) =>
-          val dims = rows.sortBy(_.getInt(1))
-          cl -> dims.map(r =>
-            math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5).toLong)
-            .toArray
-        }
+      centroids = sums.toSeq.sortBy(_._1).map { case (cl, (sm, n)) =>
+        cl -> sm.map(s => math.floor(s.toDouble / n + 0.5).toLong)
+      }
     }
     centroids
+  }
+
+  /** One-job per-cluster (dim-wise sum, count) fold over an assigned
+    * (cluster, qv) frame: partition-local accumulation, driver combine —
+    * zero shuffles, zero row explosion. Shared by both Lloyd trainers. */
+  private def clusterSums(assigned: DataFrame)
+      : Map[Int, (Array[Long], Long)] = {
+    val parts = assigned.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[Int, (Array[Long], Array[Long])] // (dim sums, count box)
+      it.foreach { r =>
+        val c = r.getInt(0)
+        val qv = r.getSeq[Long](1)
+        val e = acc.getOrElseUpdate(c,
+          (new Array[Long](qv.length), new Array[Long](1)))
+        var i = 0
+        while (i < qv.length) { e._1(i) += qv(i); i += 1 }
+        e._2(0) += 1L
+      }
+      Iterator.single(acc.iterator
+        .map { case (c, (sm, n)) => (c, sm, n(0)) }.toArray)
+    }.collect()
+    val merged = scala.collection.mutable.HashMap
+      .empty[Int, (Array[Long], Array[Long])]
+    parts.foreach(_.foreach { case (c, sm, n) =>
+      val e = merged.getOrElseUpdate(c,
+        (new Array[Long](sm.length), new Array[Long](1)))
+      var i = 0
+      while (i < sm.length) { e._1(i) += sm(i); i += 1 }
+      e._2(0) += n
+    })
+    merged.iterator.map { case (c, (sm, n)) => c -> ((sm, n(0))) }.toMap
+  }
+
+  /** [[clusterSums]] keyed by (sub, cluster) — the PQ trainer's fold. */
+  private def subClusterSums(assigned: DataFrame)
+      : Map[(Int, Int), (Array[Long], Long)] = {
+    val parts = assigned.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(Int, Int), (Array[Long], Array[Long])]
+      it.foreach { r =>
+        val key = (r.getInt(0), r.getInt(1))
+        val sv = r.getSeq[Long](2)
+        val e = acc.getOrElseUpdate(key,
+          (new Array[Long](sv.length), new Array[Long](1)))
+        var i = 0
+        while (i < sv.length) { e._1(i) += sv(i); i += 1 }
+        e._2(0) += 1L
+      }
+      Iterator.single(acc.iterator
+        .map { case (k, (sm, n)) => (k, sm, n(0)) }.toArray)
+    }.collect()
+    val merged = scala.collection.mutable.HashMap
+      .empty[(Int, Int), (Array[Long], Array[Long])]
+    parts.foreach(_.foreach { case (k, sm, n) =>
+      val e = merged.getOrElseUpdate(k,
+        (new Array[Long](sm.length), new Array[Long](1)))
+      var i = 0
+      while (i < sm.length) { e._1(i) += sm(i); i += 1 }
+      e._2(0) += n
+    })
+    merged.iterator.map { case (k, (sm, n)) => k -> ((sm, n(0))) }.toMap
   }
 
   private[graft] def kmeansProbesFrom(vecs: DataFrame,
@@ -649,28 +709,38 @@ object Similarity {
        |${iter(3)}""".stripMargin
   }
 
-  /** PQ training, Spark side: the final-iteration distance frame
-    * (vec_id, sub, cluster, dist2), localCheckpoint'ed — the corpus code
-    * assignment (per-(vec, sub) argmin) and the query ADC lookup tables
-    * both derive from it, so every consumer shares ONE training run.
-    * Twin of `pqCte`'s `pd3`. */
-  private[pipeline] def pqDistFrame(s: SparkSession, d: String): DataFrame =
-    pqDistFrameFrom(quantVecs(s, d))
+  /** PQ training, Spark side — the final-iteration state, one row per
+    * (vec_id, sub), localCheckpoint'ed: `cluster` is the corpus code
+    * (the per-(vec, sub) argmin, computed IN-ROW — round-18 job audit:
+    * the old (vec_id, sub, cluster, dist2) distance frame carried k
+    * rows per (vec, sub) through a checkpoint and re-derived the argmin
+    * with a row_number window over the 16×-bigger frame, re-sorting
+    * what the in-row struct min already knew), and `lut` is the full
+    * per-cluster distance array — the queries' exact ADC lookup table —
+    * kept ONLY for rows passing `queryPred` (null elsewhere, so the
+    * checkpoint stays ~m rows per vector, not m·k). Values are
+    * bit-identical to the oracle's pd3/pa3: same integer distances,
+    * same (dist2, cluster) tiebreak. */
+  private[pipeline] def pqCodesFrame(s: SparkSession, d: String,
+      queryPred: Column): DataFrame =
+    pqCodesFrameFrom(quantVecs(s, d), queryPred)
 
   /** Same, over an already-materialized code relation (see
     * [[kmeansProbesFrom]]). */
-  private[pipeline] def pqDistFrameFrom(vecs: DataFrame): DataFrame = {
+  private[pipeline] def pqCodesFrameFrom(vecs: DataFrame,
+      queryPred: Column): DataFrame = {
     val m = 8
     val k = 16
     // init: the k smallest vec_ids' code vectors, sliced per subspace —
     // collected once (k rows); subDim falls out of the data
     val initRows = vecs.orderBy("vec_id").limit(k).collect()
     if (initRows.isEmpty)
-      // empty corpus → empty distance frame (same shape), not a head-of-
+      // empty corpus → empty codes frame (same shape), not a head-of-
       // empty crash at codebook seeding
       return vecs.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0).as("sub"),
-          lit(0).as("cluster"), lit(0L).as("dist2"))
+          lit(0).as("cluster"), array()
+            .cast("array<struct<dist2:bigint,cluster:int>>").as("lut"))
     val subDim = initRows.head.getSeq[Long](1).length / m
     // per-subspace codebooks: sub -> Seq[(cluster, centroid)]
     var centroids: Map[Int, Seq[(Int, Array[Long])]] =
@@ -692,32 +762,31 @@ object Similarity {
       graft.functions.CodeDists.l2SubCol(col("sv"), col("sub"),
         (0 until m).map(cent))
     // same MLlib-style recurrence as kmeansProbes, keyed by subspace:
-    // assignment in-row over literal codebooks, update = one map-side-
-    // combined aggregate collecting ≤ m·k·subDim longs to the driver
+    // assignment in-row over literal codebooks, update = the one-job
+    // shuffle-free partition fold (see lloydCentroids — round-18: the
+    // posexplode + groupBy(sub, cluster, dl) spelling cost a shuffle
+    // and two AQE jobs per iteration for the same ≤ m·k·subDim longs)
     for (_ <- 1 to 2) {
-      val sums = subRows
-        .select(col("sub"),
-          array_min(dists(centroids)).getField("cluster").as("cluster"),
-          posexplode(col("sv")).as(Seq("dl", "q")))
-        .groupBy("sub", "cluster", "dl")
-        .agg(sum("q").as("sm"), count(lit(1)).as("n"))
-        .collect()
-      centroids = sums.groupBy(_.getInt(0)).map { case (sb, rows) =>
-        sb -> rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
-          .map { case (cl, dims) =>
-            cl -> dims.sortBy(_.getInt(2)).map(r =>
-              math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong)
-              .toArray
-          }
+      val sums = subClusterSums(subRows.select(col("sub"),
+        array_min(dists(centroids)).getField("cluster").as("cluster"),
+        col("sv")))
+      centroids = sums.groupBy(_._1._1).map { case (sb, bySub) =>
+        sb -> bySub.toSeq.map { case ((_, cl), (sm, n)) =>
+          cl -> sm.map(s => math.floor(s.toDouble / n + 0.5).toLong)
+        }.sortBy(_._1)
       }
     }
-    // final distance frame (vec_id, sub, cluster, dist2) = the oracle's
-    // pd3: consumed at least twice (corpus codes via argmin + the query
-    // LUT) — materialize it once
-    subRows.select(col("vec_id"), col("sub"),
-        explode(dists(centroids)).as("p"))
-      .select(col("vec_id"), col("sub"), col("p.cluster").as("cluster"),
-        col("p.dist2").as("dist2"))
+    // final state, one row per (vec, sub): the code = in-row argmin of
+    // the distance structs (bit-equal to the oracle pa3's row_number
+    // rk=1 — same (dist2, cluster) struct order), plus the full
+    // distance array ONLY for query rows (the oracle lut's pd3 slice).
+    // Consumed at least twice (corpus codes + the query LUT) —
+    // materialize once; the checkpoint is ~m rows per vector instead of
+    // the old m·k distance rows, and no window re-sorts it afterwards.
+    subRows.select(col("vec_id"), col("sub"), dists(centroids).as("ds"))
+      .select(col("vec_id"), col("sub"),
+        array_min(col("ds")).getField("cluster").as("cluster"),
+        when(queryPred, col("ds")).as("lut"))
       .materialized
   }
 
@@ -729,7 +798,7 @@ object Similarity {
     * k=16 Lloyd codebook (3 iterations) over the int8 codes — the same
     * integer-exact recurrence as sim07, keyed by (sub, cluster), so the
     * whole train+encode+search pipeline is bit-reproducible and the
-    * oracle replays it unrolled (`pqCte`/`pqDistFrame`). Search:
+    * oracle replays it unrolled (`pqCte`/`pqCodesFrame`). Search:
     * asymmetric distance — the query's exact per-(sub, cluster) distance
     * table IS the final iteration's distance frame; broadcast the
     * ≤ |q|·m·k-row LUT against the m-codes-per-vector corpus, sum per
@@ -764,15 +833,16 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, rk, neighbor_id, dist_est FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
-      val d3 = pqDistFrame(s, d)
-      val codes = d3.withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id", "sub")
-            .orderBy(col("dist2"), col("cluster"))))
-        .filter(col("rk") === 1)
+      val cf = pqCodesFrame(s, d, col("vec_id") < 10)
+      // corpus codes came out of the checkpoint pre-argmin'd (in-row) —
+      // no window re-sort of a k×-bigger distance frame (round-18)
+      val codes = cf
         .select(col("vec_id").as("neighbor_id"), col("sub"), col("cluster"))
-      val lut = broadcast(d3.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("sub"), col("cluster"),
-          col("dist2")))
+      val lut = broadcast(cf.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("sub"),
+          explode(col("lut")).as("p"))
+        .select(col("query_id"), col("sub"), col("p.cluster").as("cluster"),
+          col("p.dist2").as("dist2")))
       lut.join(codes, Seq("sub", "cluster"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .groupBy("query_id", "neighbor_id")
@@ -854,7 +924,7 @@ object Similarity {
     val fPr = Future(graft.ThreadGroups.withCaptured(s.sparkContext, grp)(
       kmeansProbesFrom(vecs, 2).materialized))
     val fD3 = Future(graft.ThreadGroups.withCaptured(s.sparkContext, grp)(
-      pqDistFrameFrom(vecs)))
+      pqCodesFrameFrom(vecs, col("vec_id") < 10)))
     val pr = Await.result(fPr, Duration.Inf)
     val probes = broadcast(pr.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("cluster")))
@@ -863,15 +933,16 @@ object Similarity {
     val cand = probes.join(coarse, "cluster")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    val d3 = Await.result(fD3, Duration.Inf)
-    val codes = d3.withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id", "sub")
-          .orderBy(col("dist2"), col("cluster"))))
-      .filter(col("rk") === 1)
+    val cf = Await.result(fD3, Duration.Inf)
+    // corpus codes pre-argmin'd in-row at the checkpoint (round-18) —
+    // the old row_number window re-sorted a k×-bigger distance frame
+    val codes = cf
       .select(col("vec_id").as("neighbor_id"), col("sub"), col("cluster"))
-    val lut = broadcast(d3.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("sub"), col("cluster"),
-        col("dist2")))
+    val lut = broadcast(cf.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        explode(col("lut")).as("p"))
+      .select(col("query_id"), col("sub"), col("p.cluster").as("cluster"),
+        col("p.dist2").as("dist2")))
     codes.join(cand, "neighbor_id")
       .join(lut, Seq("query_id", "sub", "cluster"))
       .groupBy("query_id", "neighbor_id")
