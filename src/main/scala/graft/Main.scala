@@ -501,9 +501,14 @@ object Main {
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(hp)
       }
+      // only the STORE roots hard-fail when absent: a pair sink that
+      // never emitted is a legitimate empty target (scrubPairs handles
+      // it as ForgetReport(0,0)) — round-17 advice: a first takedown
+      // on a deployment that never produced pairs must not be blocked
+      // on creating an empty directory. It still warns loudly, since
+      // a TYPO'd --dedup-out would silently skip the scrub.
       val absent =
-        (if (hasDocs) Seq("--sig-store" -> sigStorePath,
-          "--dedup-out" -> dedupOut) else Nil) ++
+        (if (hasDocs) Seq("--sig-store" -> sigStorePath) else Nil) ++
         (if (hasVecs) Seq("--ann-store" -> annStorePath) else Nil)
       absent.filterNot(t => rootExists(t._2)).foreach { case (f, p) =>
         System.err.println(s"error: --forget target $f $p does not " +
@@ -513,6 +518,11 @@ object Main {
         spark.stop()
         sys.exit(3)
       }
+      if (hasDocs && !rootExists(dedupOut))
+        System.err.println(s"warning: --dedup-out $dedupOut does not " +
+          "exist — treating it as a pair sink that never emitted " +
+          "(scrub skipped, 0 pairs); if pairs WERE emitted elsewhere, " +
+          "re-run with the right path")
       val logObj = new CommandLog(spark, logPath)
       val docIdsOpt = if (hasDocs) Some(ids) else None
       val vecIdsOpt = if (hasVecs) Some(ids) else None

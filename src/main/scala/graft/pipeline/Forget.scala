@@ -89,6 +89,7 @@ object Forget {
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (hit.isEmpty) return ForgetReport(0L, 0)
+    val droppedOf = hit.toMap
     hit.map(_._1).sorted.foreach { b =>
       val sub = new Path(root, s"batch_id=$b")
       val tmp = new Path(root, s".forget-tmp-$b")
@@ -102,14 +103,26 @@ object Forget {
       // and degrade later scan parallelism over the rewritten file.
       // Most batch dirs hold one file (the ingest stream's emission
       // shape), where the narrow no-shuffle coalesce is kept.
+      // Round-17 advice: the preserved multiplicity is CAPPED by the
+      // surviving fraction — a scrub that removes most of a multi-file
+      // dir must not shuffle the survivors into N near-empty files
+      // (target = preFiles · remaining/preRows, floor 1; the survivor
+      // count is one bounded per-dir job the rewrite would pay anyway).
       val preFiles = math.max(1, fs.listStatus(sub).count(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet")))
       val remaining = graft.tables.Tables
         .memoizedParquet(spark, sub.toString)
         .join(broadcast(na), Seq("doc_a"), "left_anti")
         .join(broadcast(nb), Seq("doc_b"), "left_anti")
-      val shaped = if (preFiles == 1) remaining.coalesce(1)
-        else remaining.repartition(preFiles)
+      val target = if (preFiles == 1) 1 else {
+        val rem = remaining.count()
+        val preRows = rem + droppedOf(b)
+        math.min(preFiles.toLong, math.max(1L,
+          math.ceil(preFiles.toDouble * rem / math.max(1L, preRows))
+            .toLong)).toInt
+      }
+      val shaped = if (target == 1) remaining.coalesce(1)
+        else remaining.repartition(target)
       shaped.write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(sub, old))
         throw new java.io.IOException(
@@ -258,25 +271,37 @@ object Forget {
     val out = run(spark, docIds, vecIds, sigStorePath, annStorePath,
       pairsDir, log, clock, context)
     val action = vecIds.fold("skipped") { _ =>
-      val store = new IncrementalAnn.AnnIndexStore(spark, annStorePath)
-      val r = store.withLease(store.maintain(force = true))
-      val ts = Timestamp.from(clock.observe())
-      val ctx = if (context.isEmpty) "" else s" [$context]"
-      log.append(CommandLogEntry(
-        id = UUID.randomUUID().toString,
-        database_name = "forget",
-        schema_name = "pass",
-        object_name = annStorePath,
-        object_type = "STORE",
-        extended_info = s"""{"hard_action":"${r.action}"}""",
-        command = s"FORGET-HARD $annStorePath (retrain ${r.action})$ctx",
-        command_type = "FORGET",
-        start_time = ts,
-        end_time = Some(ts),
-        error_number = None,
-        error_message = None))
-      r.action
+      hardRetrain(spark, annStorePath, log, clock, context)
     }
     (out, action)
+  }
+
+  /** The hard tier's retrain alone: ONE forced re-tessellation over
+    * (corpus − forgotten) plus its FORGET-HARD audit row. [[hard]]
+    * keeps the CLI's single-request shape; the takedown QUEUE calls
+    * this once at DRAIN TAIL instead of per file (round-17 verdict #1:
+    * a forced retrain is the most expensive maintenance action the
+    * engine has — N hard files landing in one night must not run N
+    * corpus-sized `trainCentroids` passes). */
+  def hardRetrain(spark: SparkSession, annStorePath: String,
+      log: CommandLog, clock: Clock, context: String = ""): String = {
+    val store = new IncrementalAnn.AnnIndexStore(spark, annStorePath)
+    val r = store.withLease(store.maintain(force = true))
+    val ts = Timestamp.from(clock.observe())
+    val ctx = if (context.isEmpty) "" else s" [$context]"
+    log.append(CommandLogEntry(
+      id = UUID.randomUUID().toString,
+      database_name = "forget",
+      schema_name = "pass",
+      object_name = annStorePath,
+      object_type = "STORE",
+      extended_info = s"""{"hard_action":"${r.action}"}""",
+      command = s"FORGET-HARD $annStorePath (retrain ${r.action})$ctx",
+      command_type = "FORGET",
+      start_time = ts,
+      end_time = Some(ts),
+      error_number = None,
+      error_message = None))
+    r.action
   }
 }

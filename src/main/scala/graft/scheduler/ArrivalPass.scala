@@ -314,11 +314,23 @@ object ArrivalPass {
     val forgetLanded = graft.Main.hasLandedFiles(spark, forgetDir)
     val forgetNew = forgetLanded &&
       pendingWork(forgetDir, s"${cfg.checkpointRoot}/forget_ckpt")
-    def annStoreExists: Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(cfg.annStorePath)
+    def rootExists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(hp)
     }
+    def annStoreExists: Boolean = rootExists(cfg.annStorePath)
+    // hard-retrain marker (round-17 verdict #1): a hard takedown file
+    // sets this INSIDE its micro-batch (before the batch's checkpoint
+    // commit), and the ONE forced retrain at drain tail clears it — so
+    // a crash between the last checkpoint commit and the deferred
+    // retrain is recovered by the marker arm on the next pass, never
+    // silently lost. Driver-side existence probe, zero jobs.
+    val forgetHardMarker = new org.apache.hadoop.fs.Path(
+      s"${cfg.checkpointRoot}/forget_hard_pending")
+    def forgetHardFs = forgetHardMarker
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def forgetHardPending: Boolean = forgetHardFs.exists(forgetHardMarker)
 
     // resumable: per-table checkpoints + the per-table IC:592/677
     // gates INSIDE the stage are its admission control — a stage-level
@@ -434,8 +446,21 @@ object ArrivalPass {
     // (a forget re-arms the maintain watermark, so the loop's next
     // measurement — and any drift-triggered retrain — sees the
     // post-forget store, never a stale quiet skip).
-    stage("forget_queue", hasWork = forgetNew, resumable = true) {
-      if (!forgetLanded)
+    stage("forget_queue", hasWork = forgetNew || forgetHardPending,
+        resumable = true) {
+      if (!forgetNew && forgetHardPending) {
+        // CRASH-RECOVERY arm: a prior pass committed a hard file's
+        // forget (checkpoint advanced past it) but died before the
+        // drain-tail retrain — the marker survived; run the owed
+        // retrain now, quiet queue or not
+        val action = graft.pipeline.Forget.hardRetrain(spark,
+          cfg.annStorePath, log, clock,
+          context = "queue drain tail (recovered pending marker)")
+        forgetHardFs.delete(forgetHardMarker, false)
+        ("ran", "files=0 hard_retrains=1 (recovered a pending hard " +
+          s"retrain from a prior interrupted pass; action=$action)")
+      }
+      else if (!forgetLanded)
         ("skipped_empty", s"no takedown files under $forgetDir" +
           emptiedVanish(forgetDir, "forget_ckpt"))
       else if (!forgetNew)
@@ -456,20 +481,50 @@ object ArrivalPass {
         // files may carry doc_id, vec_id, or both — merge the queue's
         // schemas so a mixed queue streams under one reader (a file
         // missing a column reads it as null; the per-batch counts
-        // below route each file to exactly the tiers it targets)
-        val schema = spark.read.option("mergeSchema", "true")
-          .parquet(forgetDir).schema
+        // below route each file to exactly the tiers it targets).
+        // Round-18: the probe reads footers of the UNSEEN files only —
+        // over the whole dir it was O(queue history) per drain, paying
+        // for every request ever landed; drained files' columns are
+        // irrelevant to a stream that will only read the new ones.
+        // (Empty unseen set = a vanish-only drain — the stream runs
+        // just to commit the tombstone batch; any file's footer serves.)
+        val newFiles = graft.streaming.Streams.unseenFileList(
+          spark, forgetDir, s"${cfg.checkpointRoot}/forget_ckpt")
+        val schema = (if (newFiles.isEmpty)
+            spark.read.option("mergeSchema", "true").parquet(forgetDir)
+          else spark.read.option("mergeSchema", "true")
+            .parquet(newFiles: _*)).schema
         val hasDocCol = schema.fieldNames.contains("doc_id")
         val hasVecCol = schema.fieldNames.contains("vec_id")
         // a queue file may carry a boolean `hard` column: any true row
         // requests the HARD tier for that file — the forced ANN
-        // centroid retrain over (corpus − forgotten) chains right
-        // after the forget (Forget.hard), so a legal-grade erasure is
-        // ALSO just a file drop, no CLI run needed
+        // centroid retrain over (corpus − forgotten), run ONCE at the
+        // drain tail however many hard files landed tonight
+        // (Forget.hardRetrain) — so a legal-grade erasure is ALSO just
+        // a file drop, no CLI run needed
         val hasHardCol = schema.fieldNames.contains("hard")
         if (!hasDocCol && !hasVecCol)
           ("failed", s"takedown files under $forgetDir carry neither " +
             "a doc_id nor a vec_id column; nothing to propagate")
+        // ABSENT-STORE guard (round-17 advice, mirroring the CLI
+        // --forget's exit(3)): a takedown drained while a targeted
+        // store root is absent/misconfigured would run Forget as a
+        // rows=0 no-op, advance the checkpoint, and permanently
+        // consume the request — the exact '0 rows looks complete'
+        // hazard. Fail WITHOUT advancing the checkpoint; the operator
+        // fixes the config and the same files drain next pass. (An
+        // absent PAIR sink is legitimately empty — scrubPairs handles
+        // it — so only the sig/ann store roots gate.)
+        else if (hasDocCol && !rootExists(cfg.sigStorePath))
+          ("failed", s"takedown files under $forgetDir target doc_id " +
+            s"but the signature store root ${cfg.sigStorePath} does " +
+            "not exist — draining would consume the request as a " +
+            "no-op; checkpoint NOT advanced")
+        else if (hasVecCol && !rootExists(cfg.annStorePath))
+          ("failed", s"takedown files under $forgetDir target vec_id " +
+            s"but the ANN store root ${cfg.annStorePath} does not " +
+            "exist — draining would consume the request as a no-op; " +
+            "checkpoint NOT advanced")
         else {
           import org.apache.spark.sql.functions.{col, count, lit, when,
             input_file_name}
@@ -477,7 +532,9 @@ object ArrivalPass {
           val sigRows = new java.util.concurrent.atomic.AtomicLong(0L)
           val pairRows = new java.util.concurrent.atomic.AtomicLong(0L)
           val annRows = new java.util.concurrent.atomic.AtomicLong(0L)
-          val hardRetrains = new java.util.concurrent.atomic.AtomicLong(0L)
+          val emptyFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+          // hard-file provenance for the drain-tail FORGET-HARD row
+          val hardFiles = new java.util.concurrent.ConcurrentLinkedQueue[String]()
           val stopped = graft.streaming.Streams.incrementalCheckById(
             spark, forgetDir, schema,
             (batch, id) => {
@@ -504,17 +561,35 @@ object ArrivalPass {
               val vecIds = if (cnts.getLong(1) > 0L)
                 Some(b.filter(col("vec_id").isNotNull).select("vec_id"))
                 else None
+              // a file whose id cells are ALL null under the merged
+              // schema (e.g. a misspelled 'docid' column beside valid
+              // files) — consumed, but flagged LOUDLY in the stage
+              // detail instead of passing as a silent no-op (round-17
+              // advice)
+              if (docIds.isEmpty && vecIds.isEmpty)
+                emptyFiles.incrementAndGet()
               val ctx = s"queue file=$src batch=$id"
-              val (out, hardAction) =
-                if (cnts.getLong(2) > 0L) {
-                  val (o, a) = graft.pipeline.Forget.hard(spark, docIds,
-                    vecIds, cfg.sigStorePath, cfg.annStorePath,
-                    cfg.dedupOut, log, clock, context = ctx)
-                  if (a == "rebuild") hardRetrains.incrementAndGet()
-                  (o, a)
-                } else (graft.pipeline.Forget.run(spark, docIds, vecIds,
-                  cfg.sigStorePath, cfg.annStorePath, cfg.dedupOut,
-                  log, clock, context = ctx), "")
+              val out = graft.pipeline.Forget.run(spark, docIds, vecIds,
+                cfg.sigStorePath, cfg.annStorePath, cfg.dedupOut,
+                log, clock, context = ctx)
+              // HARD tier (round-17 verdict #1): a forced retrain is
+              // the most expensive maintenance action the engine has —
+              // N hard files in one drain must not run N corpus-sized
+              // re-tessellations. The file's forget runs above like
+              // any other; the retrain is DEFERRED to the drain tail
+              // (one per drain). The marker write lands BEFORE this
+              // batch's checkpoint commit, so a crash anywhere before
+              // the tail retrain replays into the recovery arm.
+              // Doc-only hard files keep the documented residue-free
+              // adjudication: no centroid geometry ever derived from
+              // doc-tier content, so there is nothing to erase.
+              val hardAction =
+                if (cnts.getLong(2) > 0L && vecIds.isDefined) {
+                  if (!forgetHardFs.exists(forgetHardMarker))
+                    forgetHardFs.create(forgetHardMarker, true).close()
+                  hardFiles.add(src)
+                  "requested"
+                } else if (cnts.getLong(2) > 0L) "skipped" else ""
               files.incrementAndGet()
               sigRows.addAndGet(out.sig.rowsForgotten)
               pairRows.addAndGet(out.pairs.rowsForgotten)
@@ -539,11 +614,34 @@ object ArrivalPass {
               graft.streaming.Streams.unseenFiles(spark, forgetDir,
                 s"${cfg.checkpointRoot}/forget_ckpt")} files; " +
               "checkpoint resumes next pass)"
-          val hard = if (hardRetrains.get() == 0L) ""
-            else s" hard_retrains=${hardRetrains.get()}"
+          // DRAIN TAIL: the one hard retrain this drain owes. A
+          // deadline-stopped drain defers it (marker persists — the
+          // next pass finishes the queue and retrains at ITS tail, so
+          // a backlogged night still pays exactly one retrain, and the
+          // recovery arm covers the no-new-files case).
+          val hard =
+            if (!forgetHardPending) ""
+            else if (stopped)
+              " hard_retrain_deferred (deadline; marker persists — " +
+                "the next pass retrains at its drain tail)"
+            else {
+              val names = hardFiles.toArray(Array.empty[String])
+                .sorted.mkString(",")
+              val ctx = if (names.isEmpty)
+                "queue drain tail (recovered pending marker)"
+                else s"queue file=$names drain tail"
+              graft.pipeline.Forget.hardRetrain(spark, cfg.annStorePath,
+                log, clock, context = ctx)
+              forgetHardFs.delete(forgetHardMarker, false)
+              " hard_retrains=1"
+            }
+          val noop = if (emptyFiles.get() == 0L) ""
+            else s" EMPTY_NOOP_FILES=${emptyFiles.get()} (id cells " +
+              "all null under the merged schema — misspelled column? " +
+              "outcome records name the files)"
           ("ran", s"files=${files.get()} sig_rows=${sigRows.get()} " +
             s"pairs=${pairRows.get()} ann_vectors=${annRows.get()}" +
-            s"$hard$cut$vanDetail (outcomes under " +
+            s"$hard$noop$cut$vanDetail (outcomes under " +
             s"${cfg.checkpointRoot}/forget)")
         }
       }

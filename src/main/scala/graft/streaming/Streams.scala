@@ -790,9 +790,17 @@ object Streams {
     * by design: a file the source would age out (maxFileAge) still
     * counts, erring toward running the stream. */
   private[graft] def unseenFiles(spark: SparkSession, src: String,
-      checkpoint: String): Long = {
+      checkpoint: String): Long =
+    unseenFileList(spark, src, checkpoint).size.toLong
+
+  /** The landed files `checkpoint` has NOT yet committed, as paths —
+    * the forget-queue drain bounds its mergeSchema probe to this set
+    * (round-18: footer reads of every file EVER landed made each
+    * drain's schema probe O(queue history), not O(new)). */
+  private[graft] def unseenFileList(spark: SparkSession, src: String,
+      checkpoint: String): Seq[String] = {
     val seen = seenFiles(spark, checkpoint)
-    listDataFiles(spark, src).count(p => !seen.contains(p)).toLong
+    listDataFiles(spark, src).filterNot(seen.contains)
   }
 
   /** Quiet-table probe: the checkpoint has committed at least one

@@ -952,8 +952,8 @@ class ArrivalPassSpec extends AnyFunSuite {
   }
 
   test("forget_queue hard tier by FILE DROP: a queue file with " +
-      "hard=true chains the forced ANN centroid retrain after its " +
-      "forget — the legal-grade erasure needs no CLI run either") {
+      "hard=true chains the forced ANN centroid retrain at the drain " +
+      "tail — the legal-grade erasure needs no CLI run either") {
     val (base, dbs) = fixture()
     val log = new CommandLog(spark, None)
     val cfg = ArrivalConfig(
@@ -972,18 +972,169 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(f2.status === "ran", f2.toString)
     assert(f2.detail.contains("ann_vectors=2") &&
       f2.detail.contains("hard_retrains=1"), f2.detail)
-    // the retrain really happened: FORGET-HARD audit row, outcome
-    // record carries the action, centroid geometry re-tessellated
+    // the retrain really happened: FORGET-HARD audit row (at drain
+    // tail, stamped with the queue file), outcome record carries the
+    // request, centroid geometry re-tessellated, marker cleared
     assert(log.entries.exists(e => e.command_type == "FORGET" &&
       e.command.startsWith("FORGET-HARD") &&
-      e.command.contains("queue file=")),
+      e.command.contains("queue file=") &&
+      e.command.contains("drain tail")),
       log.entries.filter(_.command_type == "FORGET")
         .map(_.command).mkString("\n"))
     val o = spark.read.parquet(s"$base/ckpt/forget").head()
-    assert(o.getAs[String]("hard_action") === "rebuild", o.toString)
+    assert(o.getAs[String]("hard_action") === "requested", o.toString)
+    assert(!new java.io.File(s"$base/ckpt/forget_hard_pending").exists(),
+      "hard marker not cleared after the drain-tail retrain")
     assert(ann.centroids.sortBy(_._1).map(_._2.toSeq) !== preCents,
       "centroids unchanged by the hard retrain")
     assert(ann.load().get.filter($"vec_id".isin(10L, 11L)).count() === 0L)
+  }
+
+  test("forget_queue hard tier, N hard files = ONE retrain (round-17 " +
+      "verdict #1): a queue holding two hard files drains with " +
+      "hard_retrains=1 and exactly one FORGET-HARD row at the drain " +
+      "tail; the per-file FORGET ledger rows are unchanged") {
+    val (base, dbs) = fixture()
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = dbs,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+    ArrivalPass.run(spark, cfg, log, SystemClock) // bootstraps stores
+    val ann = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+      spark, s"$base/ann")
+    // TWO hard takedowns filed the same day (separate request files)
+    Seq((10L, true)).toDF("vec_id", "hard")
+      .coalesce(1).write.mode("append").parquet(s"$base/landing/forget")
+    Seq((11L, true)).toDF("vec_id", "hard")
+      .coalesce(1).write.mode("append").parquet(s"$base/landing/forget")
+    val r2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f2 = r2.stages.find(_.stage == "forget_queue").get
+    assert(f2.status === "ran", f2.toString)
+    assert(f2.detail.contains("files=2") &&
+      f2.detail.contains("ann_vectors=2") &&
+      f2.detail.contains("hard_retrains=1"), f2.detail)
+    // exactly ONE FORGET-HARD row, context-stamped with BOTH files
+    val hardRows = log.entries.filter(e => e.command_type == "FORGET" &&
+      e.command.startsWith("FORGET-HARD"))
+    assert(hardRows.size === 1,
+      hardRows.map(_.command).mkString("\n"))
+    assert(hardRows.head.command.contains("drain tail"),
+      hardRows.head.command)
+    // per-file FORGET ledger rows unchanged: one ANN-store row per file
+    val annForgets = log.entries.filter(e =>
+      e.command_type == "FORGET" && !e.command.startsWith("FORGET-HARD")
+        && e.object_name == s"$base/ann")
+    assert(annForgets.size === 2,
+      annForgets.map(_.command).mkString("\n"))
+    // both outcome records carry the request; both ids gone
+    val outs = spark.read.parquet(s"$base/ckpt/forget")
+      .select("hard_action").collect().map(_.getString(0))
+    assert(outs.toSeq === Seq("requested", "requested"), outs.toSeq)
+    assert(ann.load().get.filter($"vec_id".isin(10L, 11L)).count() === 0L)
+    assert(!new java.io.File(s"$base/ckpt/forget_hard_pending").exists())
+  }
+
+  test("forget_queue hard-marker crash recovery: a pass that committed " +
+      "a hard file's forget but died before the drain-tail retrain " +
+      "leaves the marker; the NEXT pass runs the owed retrain even on " +
+      "a quiet queue") {
+    val (base, dbs) = fixture()
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = dbs,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+    ArrivalPass.run(spark, cfg, log, SystemClock) // bootstraps stores
+    val ann = new graft.pipeline.IncrementalAnn.AnnIndexStore(
+      spark, s"$base/ann")
+    val preCents = ann.centroids.sortBy(_._1).map(c => c._2.toSeq)
+    // simulate the crash window: the forget committed (checkpoint
+    // advanced, store already scrubbed), the marker persisted, the
+    // retrain never ran
+    import spark.implicits._
+    ann.withLease(ann.forget(Seq(10L, 11L).toDF("vec_id")))
+    new java.io.File(s"$base/ckpt/forget_hard_pending").createNewFile()
+    val r2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f2 = r2.stages.find(_.stage == "forget_queue").get
+    assert(f2.status === "ran" &&
+      f2.detail.contains("hard_retrains=1") &&
+      f2.detail.contains("recovered"), f2.toString)
+    assert(log.entries.exists(e => e.command_type == "FORGET" &&
+      e.command.startsWith("FORGET-HARD") &&
+      e.command.contains("recovered pending marker")),
+      log.entries.filter(_.command_type == "FORGET")
+        .map(_.command).mkString("\n"))
+    assert(ann.centroids.sortBy(_._1).map(_._2.toSeq) !== preCents,
+      "recovered retrain did not re-tessellate")
+    assert(!new java.io.File(s"$base/ckpt/forget_hard_pending").exists())
+    // the pass after that is fully quiet again
+    val r3 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    assert(r3.stages.find(_.stage == "forget_queue").get
+      .status === "skipped_empty")
+  }
+
+  test("forget_queue absent-store guard (round-17 advice): a takedown " +
+      "file draining against a missing store root FAILS without " +
+      "advancing the checkpoint — the request is preserved and drains " +
+      "once the store exists") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-arrival-absentstore").toString
+    new java.io.File(s"$base/landing").mkdirs()
+    Seq(Tuple1(101L)).toDF("doc_id")
+      .coalesce(1).write.parquet(s"$base/landing/forget")
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(landing = s"$base/landing", dbs = Map.empty,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+    // no documents ever ingested → no sig store on disk
+    val r1 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f1 = r1.stages.find(_.stage == "forget_queue").get
+    assert(f1.status === "failed" &&
+      f1.detail.contains("does not exist") &&
+      f1.detail.contains("checkpoint NOT advanced"), f1.toString)
+    // documents land; the next pass's dedup_ingest bootstraps the sig
+    // store, and forget_queue (later in the SAME pass) drains the
+    // preserved request — proving the checkpoint never advanced
+    Seq((101L, "web", "the quick brown fox doc one"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(s"$base/landing/documents")
+    val r2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f2 = r2.stages.find(_.stage == "forget_queue").get
+    assert(f2.status === "ran" && f2.detail.contains("files=1"),
+      f2.toString)
+    val sig = new graft.pipeline.IncrementalDedup.SigStore(
+      spark, s"$base/sigs")
+    assert(sig.load().get.filter($"doc_id" === 101L).count() === 0L)
+  }
+
+  test("forget_queue flags an all-null-id file loudly (round-17 " +
+      "advice): a misspelled id column beside valid files is consumed " +
+      "but surfaces EMPTY_NOOP_FILES in the stage detail, never a " +
+      "silent clean pass") {
+    val (base, dbs) = fixture()
+    val log = new CommandLog(spark, None)
+    val cfg = ArrivalConfig(
+      landing = s"$base/landing", dbs = dbs,
+      checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+      dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+    ArrivalPass.run(spark, cfg, log, SystemClock) // bootstraps stores
+    // a valid file and a misspelled one land the same day: the merged
+    // schema carries doc_id (from the valid file), so the misspelled
+    // file's doc_id cells read all-null
+    Seq(Tuple1(101L)).toDF("doc_id")
+      .coalesce(1).write.mode("append").parquet(s"$base/landing/forget")
+    Seq(Tuple1(103L)).toDF("docid")
+      .coalesce(1).write.mode("append").parquet(s"$base/landing/forget")
+    val r2 = ArrivalPass.run(spark, cfg, log, SystemClock)
+    val f2 = r2.stages.find(_.stage == "forget_queue").get
+    assert(f2.status === "ran", f2.toString)
+    assert(f2.detail.contains("files=2") &&
+      f2.detail.contains("EMPTY_NOOP_FILES=1"), f2.detail)
+    // the valid request still propagated
+    val sig = new graft.pipeline.IncrementalDedup.SigStore(
+      spark, s"$base/sigs")
+    assert(sig.load().get.filter($"doc_id" === 101L).count() === 0L)
   }
 
   test("forget_queue with a malformed queue (readable parquet, neither " +

@@ -264,6 +264,17 @@ class ForgetSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 59L)
     assert(spark.read.parquet(out)
       .filter(col("doc_a").isin(5L, 6L)).count() === 0L)
+
+    // ...but the multiplicity is CAPPED by the surviving fraction
+    // (round-17 advice): a scrub that removes nearly all of the
+    // 3-file dir must not spread the couple of survivors across 3
+    // near-empty files
+    val r2 = Forget.scrubPairs(spark, out,
+      (1L to 57L).toDF("doc_a").select(col("doc_a").as("doc_id")))
+    assert(r2.rowsForgotten === 55L, r2.toString) // 5,6 already gone
+    assert(spark.read.parquet(s"$out/batch_id=0").count() === 3L)
+    assert(dataFiles(s"$out/batch_id=0") === 1,
+      "near-emptied dir should collapse its file count")
   }
 
   test("recoverPairSink sweeps scrub-crash residue from ANY writer " +
