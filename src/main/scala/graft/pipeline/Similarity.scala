@@ -1071,64 +1071,63 @@ object Similarity {
       .withColumn("rel", StableRound.r4(
         cosineFromNorms(VectorOps.dot(col("qe"), col("ce")),
           col("qn"), col("cn"))))
-    // four consumers (pair matrix + three greedy rounds): checkpoint the
-    // 8-per-query candidate frame so the corpus scan runs exactly once
-    val cand = scored
+    // Round-18 job audit (17 jobs → a handful): the greedy loop used to
+    // be unrolled as a RELATIONAL chain — two localCheckpoints (the
+    // 8-per-query candidate frame + its 56-per-query pair matrix), two
+    // broadcast-join rounds and a final 3-way union, every stage keyed
+    // by query_id over frames that are ≤8 rows per query BY
+    // CONSTRUCTION. All of it folds into ONE in-row projection: the
+    // top-8 window's exchange (hashpartitioning(query_id)) is the only
+    // shuffle the algorithm fundamentally needs, the groupBy below
+    // reuses it, and the 8×8 sim matrix + three greedy argmaxes run on
+    // the collected per-query array (HOF transform/filter over ≤8
+    // structs; FloatDot evaluates inside the lambda). Selection math is
+    // UNCHANGED expression-for-expression: the same rounded cosines,
+    // the same 0.7·rel − 0.3·sim blend of identically-rounded doubles,
+    // and argmax = array_max over struct(score, −cand_id) — max score,
+    // ties to the SMALLEST cand_id, exactly row_number's (score DESC,
+    // cand_id) order. Per-pick sub-arrays shrink monotonically, so a
+    // query with <3 candidates emits exactly the picks the old m2/m3
+    // joins produced (array_max of an empty array is null → filtered).
+    val cands = scored
       .withColumn("rk", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("rel").desc, col("cand_id"))))
       .filter(col("rk") <= 8)
-      .select("query_id", "cand_id", "ce", "cn", "rel", "rk")
-      .materialized
-    val pairs = cand
-      .select(col("query_id"), col("cand_id").as("ca"),
-        col("ce").as("ea"), col("cn").as("na"))
-      .join(cand.select(col("query_id"), col("cand_id").as("cb"),
-        col("ce").as("eb"), col("cn").as("nb")), Seq("query_id"))
-      .filter(col("ca") =!= col("cb"))
-      .withColumn("sim", StableRound.r4(
-        cosineFromNorms(VectorOps.dot(col("ea"), col("eb")),
-          col("na"), col("nb"))))
-      .select("query_id", "ca", "cb", "sim")
-      .materialized
-    // one row per query — broadcastable at ANY corpus scale (the picked
-    // sets grow with |queries|, not |corpus|), so the hint is structural,
-    // not a fixture-size bet
-    val s1 = broadcast(cand.filter(col("rk") === 1)
-      .select(col("query_id"), col("cand_id").as("s1_id"),
-        col("rel").as("s1_rel")))
-    val m2 = cand.join(s1, "query_id")
-      .filter(col("cand_id") =!= col("s1_id"))
-      .join(pairs.select(col("query_id"), col("ca").as("cand_id"),
-        col("cb").as("s1_id"), col("sim")),
-        Seq("query_id", "cand_id", "s1_id"))
-      .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("sim"))
-    val s2 = broadcast(m2
-      .withColumn("rk2", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("cand_id"))))
-      .filter(col("rk2") === 1)
-      .select(col("query_id"), col("cand_id").as("s2_id"),
-        col("rel").as("s2_rel")))
-    val m3 = cand.join(s1, "query_id").join(s2, "query_id")
-      .filter(col("cand_id") =!= col("s1_id") &&
-        col("cand_id") =!= col("s2_id"))
-      .join(pairs.select(col("query_id"), col("ca").as("cand_id"),
-        col("cb"), col("sim")), Seq("query_id", "cand_id"))
-      .filter(col("cb") === col("s1_id") || col("cb") === col("s2_id"))
-      .groupBy("query_id", "cand_id", "rel")
-      .agg(max("sim").as("maxsim"))
-      .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
-    val s3 = m3
-      .withColumn("rk3", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("cand_id"))))
-      .filter(col("rk3") === 1)
-      .select(col("query_id"), col("cand_id").as("s3_id"),
-        col("rel").as("s3_rel"))
-    s1.select(col("query_id"), lit(1).as("pick"),
-        col("s1_id").as("neighbor_id"), col("s1_rel").as("rel"))
-      .union(s2.select(col("query_id"), lit(2).as("pick"),
-        col("s2_id").as("neighbor_id"), col("s2_rel").as("rel")))
-      .union(s3.select(col("query_id"), lit(3).as("pick"),
-        col("s3_id").as("neighbor_id"), col("s3_rel").as("rel")))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        col("rk"), col("cand_id"), col("ce"), col("cn"), col("rel"))))
+        .as("cs"))
+    def simTo(cd: Column, s: Column): Column = StableRound.r4(
+      cosineFromNorms(VectorOps.dot(cd.getField("ce"), s.getField("ce")),
+        cd.getField("cn"), s.getField("cn")))
+    def argmax(arr: Column): Column = array_max(arr).getField("cd")
+    val picked = cands
+      .withColumn("s1", element_at(col("cs"), 1))
+      .withColumn("rest2", expr("slice(cs, 2, size(cs) - 1)"))
+      .withColumn("s2", argmax(transform(col("rest2"), cd =>
+        struct((lit(0.7) * cd.getField("rel") -
+          lit(0.3) * simTo(cd, col("s1"))).as("score"),
+          (-cd.getField("cand_id")).as("neg"), cd.as("cd")))))
+      .withColumn("s3", argmax(transform(
+        filter(col("rest2"), cd =>
+          cd.getField("cand_id") =!= col("s2").getField("cand_id")),
+        cd => struct((lit(0.7) * cd.getField("rel") - lit(0.3) *
+          greatest(simTo(cd, col("s1")), simTo(cd, col("s2")))).as("score"),
+          (-cd.getField("cand_id")).as("neg"), cd.as("cd")))))
+    picked
+      .select(col("query_id"), explode(filter(array(
+        struct(lit(1).as("pick"),
+          col("s1").getField("cand_id").as("neighbor_id"),
+          col("s1").getField("rel").as("rel")),
+        struct(lit(2).as("pick"),
+          col("s2").getField("cand_id").as("neighbor_id"),
+          col("s2").getField("rel").as("rel")),
+        struct(lit(3).as("pick"),
+          col("s3").getField("cand_id").as("neighbor_id"),
+          col("s3").getField("rel").as("rel"))),
+        p => p.getField("neighbor_id").isNotNull)).as("p"))
+      .select(col("query_id"), col("p.pick"), col("p.neighbor_id"),
+        col("p.rel"))
       .orderBy("query_id", "pick")
   }
 

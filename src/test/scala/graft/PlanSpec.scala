@@ -491,15 +491,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet"))
   }
 
-  test("sim11: greedy rounds reuse the checkpointed candidates; picked sets broadcast") {
+  test("sim11: the whole greedy MMR loop is ONE in-row projection " +
+      "riding the top-8 window's single query_id exchange (round-18 " +
+      "audit: the relational unroll paid 2 checkpoints + 2 broadcast " +
+      "rounds + a 3-way union over ≤8-rows-per-query frames — measured " +
+      "17 → 4 jobs)") {
     val p = planOf("sim11_mmr_topk")
-    // the corpus scan ran ONCE into the candidate checkpoint — no greedy
-    // round re-reads the parquet
-    assert("embeddings\\.parquet".r.findAllIn(p).size === 0)
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4)
+    // q + corpus scans only; no checkpoint round-trips survive
+    assert("embeddings\\.parquet".r.findAllIn(p).size === 2)
+    assert(!p.contains("Scan ExistingRDD"))
     assert(!p.contains("CartesianProduct"))
-    // s1/s2 (one row per query) join broadcast into rounds 2 and 3
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    // no join after the candidate stage: the greedy rounds are
+    // projections over the per-query collected array
+    assert(!p.contains("BroadcastHashJoin"))
+    // exactly two shuffles: the window/groupBy key exchange + the
+    // final presentation sort
+    assert("\\+- Exchange".r.findAllIn(p).size === 2)
+    // the top-8 prune runs map-side before the exchange
+    assert(p.contains("WindowGroupLimit"))
   }
 
   test("pipe17: ONE per-source aggregation; the catalog-bounded tail " +
