@@ -595,8 +595,80 @@ object ScaleVerify {
           s"rerun=${f2.status} leftover=$leftover")
     }
 
+    // ---- round 18: MULTI-FILE queue drain (round-17 verdict #6) — ten
+    // takedown files (six doc-only, three vec-only, ONE vec+hard in the
+    // middle) land the same night; the drain is files-proportional (ten
+    // bounded forgets, never a corpus-scale rewrite) and the hard tier
+    // re-tessellates ONCE at the drain tail regardless of where the
+    // hard file sat in the queue (round-17 verdict #1: N hard files
+    // must not mean N forced corpus-sized retrains) ----------------------
+    val r17 = timed("forget_queue_multifile_one_retrain") {
+      import s.implicits._
+      val all = Tables.spread(s, Tables.documents(s, d), "doc_id")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sv-queue10").toString
+      val store = new IncrementalDedup.SigStore(s, s"$base/sigs")
+      store.withLease {
+        store.save(IncrementalDedup.initialStore(
+          Dedup.minhashSigPerRow(all)), fanOut = 16)
+      }
+      val codes = Similarity.quantVecs(s, d)
+      val annStore = new IncrementalAnn.AnnIndexStore(s, s"$base/ann")
+      annStore.withLease {
+        val cents = Similarity.lloydCentroids(codes)
+        annStore.save(cents, IncrementalAnn.assign(codes, cents))
+      }
+      val preCents = annStore.centroids.sortBy(_._1).map(_._2.toSeq)
+      // 30 scattered doc ids -> six 5-id doc files; 20 scattered vec
+      // ids -> three 5-id vec files + one 5-id HARD file written 4th
+      val docIds = all.select("doc_id")
+        .orderBy(md5(col("doc_id").cast("string"))).limit(30)
+        .collect().map(_.getLong(0)).toSeq
+      val vecIds = codes.select("vec_id")
+        .orderBy(md5(col("vec_id").cast("string"))).limit(20)
+        .collect().map(_.getLong(0)).toSeq
+      val qdir = s"$base/landing/forget"
+      docIds.take(15).grouped(5).foreach(g => g.toDF("doc_id")
+        .coalesce(1).write.mode("append").parquet(qdir))
+      vecIds.take(5).map((_, true)).toDF("vec_id", "hard")
+        .coalesce(1).write.mode("append").parquet(qdir)
+      docIds.drop(15).grouped(5).foreach(g => g.toDF("doc_id")
+        .coalesce(1).write.mode("append").parquet(qdir))
+      vecIds.drop(5).grouped(5).foreach(g => g.toDF("vec_id")
+        .coalesce(1).write.mode("append").parquet(qdir))
+      val log = new graft.executor.CommandLog(s, None)
+      val cfg = graft.scheduler.ArrivalConfig(
+        landing = s"$base/landing", dbs = Map.empty,
+        checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+      val p1 = graft.scheduler.ArrivalPass.run(s, cfg, log,
+        graft.model.SystemClock)
+      val f1 = p1.stages.find(_.stage == "forget_queue").get
+      val hardRows = log.entries.count(e =>
+        e.command_type == "FORGET" && e.command.startsWith("FORGET-HARD"))
+      val sigLeft = store.load().get
+        .filter(col("doc_id").isInCollection(docIds)).count()
+      val annLeft = annStore.load().get
+        .filter(col("vec_id").isInCollection(vecIds)).count()
+      val centsChanged =
+        annStore.centroids.sortBy(_._1).map(_._2.toSeq) != preCents
+      val p2 = graft.scheduler.ArrivalPass.run(s, cfg, log,
+        graft.model.SystemClock)
+      val f2 = p2.stages.find(_.stage == "forget_queue").get
+      (f1.status == "ran" && f1.detail.contains("files=10") &&
+        f1.detail.contains("sig_rows=30") &&
+        f1.detail.contains("ann_vectors=20") &&
+        f1.detail.contains("hard_retrains=1") && hardRows == 1 &&
+        sigLeft == 0L && annLeft == 0L && centsChanged &&
+        f2.status == "skipped_empty",
+        s"drain=${f1.status} ${f1.detail.takeWhile(_ != '(').trim} " +
+          f"stageSecs=${f1.seconds}%.1f perFile≈${f1.seconds / 10}%.2f " +
+          s"forgetHardRows=$hardRows centroidsRetrained=$centsChanged " +
+          s"leftover sig=$sigLeft ann=$annLeft rerun=${f2.status}")
+    }
+
     Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
-      r15, r16)
+      r15, r16, r17)
   }
 
   /** Driver union-find re-derivation on sampled components: collect the
