@@ -213,7 +213,12 @@ object Bench {
           def sample(): Option[Double] = {
             if (name == "scheduler_state_after_run")
               graft.scheduler.SchedulerQueries.clearRealRunCache()
-            time(benchFn)
+            // guide §1.5: label the jobs so a UI/event-log trace of a
+            // 151-query run maps back to queries (thread-local, cleared
+            // with the group below; no effect on the measurement)
+            spark.sparkContext.setJobDescription(s"bench: $name")
+            try time(benchFn)
+            finally spark.sparkContext.setJobDescription(null)
           }
           // best-of-2, plus a rescue attempt when the two samples
           // disagree by >2× — the run was hit by an external
