@@ -26,23 +26,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // NOTE: AQE's coalescePartitions.parallelismFirst stays at the
-      // default (true). Measured with false: post-shuffle stages coalesce
-      // to 1 partition at this data size and every compute-heavy window/
-      // agg serializes (ev03 0.4s → 2.1s) — task-scheduling floor is the
-      // cheaper side of that trade here.
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // The library's bounded cap-probe collects (componentsLocal, the
-      // dd13/pipe17 driver tails) sit on top of an already-computed
-      // shuffle, so CollectLimit's incremental 1-partition-then-rescan
-      // staging is pure scheduling floor: scan all reduce partitions in
-      // one pass. Scale-honest — the probes' caps bound what ships to
-      // the driver regardless of how many partitions one job touches.
-      .config("spark.sql.limit.initialNumPartitions", cpus)
+    // NOTE: AQE's coalescePartitions.parallelismFirst stays at the
+    // default (true). Measured with false: post-shuffle stages coalesce
+    // to 1 partition at this data size and every compute-heavy window/
+    // agg serializes (ev03 0.4s → 2.1s) — task-scheduling floor is the
+    // cheaper side of that trade here.
+    val spark = SessionDefaults(SparkSession.builder()
+        .master(s"local[$cpus]"), cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

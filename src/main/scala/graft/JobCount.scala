@@ -18,12 +18,8 @@ object JobCount {
     // a per-query sbt launch costs ~40 s of pure JVM start-up)
     val names = args.headOption.getOrElse("dd16_incremental_lsh")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // one-pass bounded-probe collects — see Bench.scala's note
-      .config("spark.sql.limit.initialNumPartitions", "32")
+    val spark = SessionDefaults(
+        SparkSession.builder().master("local[32]"), "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
@@ -50,17 +46,37 @@ object JobCount {
       val jobs = new java.util.concurrent.atomic.AtomicLong
       val stages = new java.util.concurrent.atomic.AtomicLong
       val group = "graft-jobcount-" + java.util.UUID.randomUUID()
+      // SPARK_GRAFT_JOBCOUNT_TIMELINE=1: per-job [start,end] wall
+      // intervals (ms, relative to the measured pass) — the overlap
+      // evidence for queries that submit concurrent job chains (dd08's
+      // two candidate generators; round-18 verdict #5 asked for exactly
+      // this trace). Group-filtered like the counters, so warm-up events
+      // cannot pollute the timeline.
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val timeline = sys.env.contains("SPARK_GRAFT_JOBCOUNT_TIMELINE")
+      val measT0 = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           if (j.properties != null &&
               group == j.properties.getProperty("spark.jobGroup.id")) {
             jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+            measT0.accumulateAndGet(j.time, math.min)
+            starts.put(j.jobId, j.time)
             // per-job provenance so a shave targets the right job: the
             // stage names + stage count of each scheduled job
             if (sys.env.contains("SPARK_GRAFT_JOBCOUNT_VERBOSE"))
               println(s"JOB ${j.jobId} stages=${j.stageInfos.size} " +
                 j.stageInfos.map(_.name).mkString(" | "))
+          }
+          ()
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          if (timeline && starts.containsKey(j.jobId)) {
+            val s: Long = starts.get(j.jobId)
+            println(s"TIMELINE job=${j.jobId} " +
+              s"t0=${s - measT0.get()} t1=${j.time - measT0.get()}")
           }
           ()
         }

@@ -17,10 +17,8 @@ object PlanAudit {
       (parts(0), if (parts.length > 1) parts(1) else "plan")
     }
     out.foreach { case (dir, _) => new java.io.File(dir).mkdirs() }
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = SessionDefaults(
+        SparkSession.builder().master("local[8]"), "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.allQueries

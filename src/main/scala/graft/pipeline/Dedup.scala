@@ -108,10 +108,17 @@ object Dedup {
         explode(graft.functions.Shingles.distinctBigramsCol(col("text")))
           .as("shingle"))
       .materialized
-    // Admission probe: one count-only aggregate, BEFORE any collect.
-    val probe = sh.agg(countDistinct("doc_id").as("n_docs"),
-      countDistinct("shingle").as("vocabulary")).first()
-    val (nDocs, vocabSize) = (probe.getLong(0), probe.getLong(1))
+    // Admission probe: two count-only aggregates, BEFORE any collect —
+    // per-BUCKET distinct-shingle counts (whose sum is the vocabulary
+    // size, and which become the dictionary offsets below) plus the
+    // distinct doc count.
+    val P = 64
+    val bCol = pmod(xxhash64(col("shingle")), lit(P)).cast("int")
+    val bucketCounts = sh.select(col("shingle")).distinct()
+      .groupBy(bCol.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val vocabSize = bucketCounts.map(_._2).sum
+    val nDocs = sh.agg(countDistinct("doc_id")).first().getLong(0)
     val estBytes = nDocs * ((vocabSize / 64 + 1) * 8 + 48)
     if (estBytes > maxBroadcastBytes) throw new IllegalStateException(
       s"dd02 is the exact small/medium-N tier: $nDocs docs x " +
@@ -120,13 +127,30 @@ object Dedup {
         "generate candidates with dd03 (MinHash+LSH) or dd07 (winnowing) " +
         "and confirm them exactly with Dedup.jaccardVerify — no " +
         "driver-resident state, same Jaccard semantics")
-    // Global shingle dictionary: dense ids 1..V (deterministic order).
+    // Global shingle dictionary: dense ids 1..V. Round-19 (r18 verdict
+    // #6): the whole-vocabulary `row_number().over(orderBy(shingle))` was
+    // the engine's one unbounded single-reducer sort — every distinct
+    // shingle through one WindowExec partition. PARTITIONED rank instead:
+    // hash-bucket the vocabulary P ways, rank within each bucket in
+    // parallel, add the bucket's exclusive-prefix-sum offset (driver-side
+    // over the ≤P probe rows). The numbering is a different dense
+    // bijection than the lexicographic one, which changes nothing
+    // downstream: bit indices only feed |A∩B| popcounts, invariant under
+    // any permutation of the dictionary.
+    val offsets = new Array[Long](P)
+    var offAcc = 0L
+    bucketCounts.foreach { case (b, c) => offsets(b) = offAcc; offAcc += c }
+    import s.implicits._
+    val offDf = bucketCounts.map { case (b, _) => (b, offsets(b)) }
+      .toSeq.toDF("b", "off")
     val rank = sh.select(col("shingle")).distinct()
-      .select(col("shingle"),
-        row_number().over(Window.orderBy("shingle")).as("rk"))
+      .withColumn("b", bCol)
+      .withColumn("r",
+        row_number().over(Window.partitionBy("b").orderBy("shingle")))
+      .join(broadcast(offDf), "b")
+      .select(col("shingle"), (col("off") + col("r")).cast("int").as("rk"))
     // ONE action: per-doc dictionary-encoded shingle sets (one row per
     // doc, ~50 ints each — admission-checked above).
-    import s.implicits._
     val sets: Array[(Long, Array[Int])] = sh.join(broadcast(rank), "shingle")
       .groupBy("doc_id").agg(collect_list(col("rk")).as("rks"))
       .as[(Long, Array[Int])].collect().sortBy(_._1)

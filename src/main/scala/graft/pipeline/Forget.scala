@@ -76,7 +76,14 @@ object Forget {
     // LOCATE: touched batches + match counts in one bounded aggregate.
     // The OR-endpoint filter is two broadcast semi-joins unioned
     // (a row can match both ends — count it once via distinct on the
-    // pair identity riding (batch_id, doc_a, doc_b))
+    // pair identity riding (batch_id, doc_a, doc_b)).
+    // The distinct is exact, not an estimate (round-18 advice): each
+    // batch dir's pair set is duplicate-free BY CONSTRUCTION —
+    // lshPairsFromRep emits star edges (unique per non-rep doc) union
+    // in-bucket rep pairs (one band-0 bucket per doc; band 1 suppresses
+    // band-0 re-emissions via prev_key), so droppedOf(b) below equals
+    // the physical rows removed and preRows = remaining + dropped is a
+    // physical row count, not an identity-vs-rows mix.
     val hitRows = all
       .join(broadcast(na), Seq("doc_a"), "left_semi")
       .select("batch_id", "doc_a", "doc_b")

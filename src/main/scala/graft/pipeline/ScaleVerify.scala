@@ -58,11 +58,9 @@ object ScaleVerify {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("local-data/sf1")
     val sampleOut = args.lift(1)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SessionDefaults(
+        SparkSession.builder().master(s"local[$cpus]"), cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -667,8 +665,58 @@ object ScaleVerify {
           s"leftover sig=$sigLeft ann=$annLeft rerun=${f2.status}")
     }
 
+    // ---- round 19: drained-queue ARCHIVAL bounds the listing (round-18
+    // verdict #1 — the last O(history) surface on the maintenance
+    // path). 50 takedown files drain in one pass and are archived at
+    // its tail; the queue listing every later pass pays is then O(new):
+    // 0 files post-drain, 1 file once one new request lands — never the
+    // 51-file history — and a relocated file never re-plans (the next
+    // drain reports files=1, not files=51). Ids are absent from the
+    // store on purpose: the surface being measured is per-FILE listing
+    // cost, not scrub cost. --------------------------------------------
+    val r18 = timed("forget_queue_archival_bounds_listing") {
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sv-queue-arch").toString
+      val store = new IncrementalDedup.SigStore(s, s"$base/sigs")
+      store.withLease {
+        store.save(IncrementalDedup.initialStore(
+          Dedup.minhashSigPerRow(Tables.documents(s, d).limit(64))),
+          fanOut = 1)
+      }
+      val qdir = s"$base/landing/forget"
+      (1 to 50).foreach(i => Seq(Tuple1(-i.toLong)).toDF("doc_id")
+        .coalesce(1).write.mode("append").parquet(qdir))
+      val log = new graft.executor.CommandLog(s, None)
+      val cfg = graft.scheduler.ArrivalConfig(
+        landing = s"$base/landing", dbs = Map.empty,
+        checkpointRoot = s"$base/ckpt", sigStorePath = s"$base/sigs",
+        dedupOut = s"$base/pairs", annStorePath = s"$base/ann")
+      val p1 = graft.scheduler.ArrivalPass.run(s, cfg, log,
+        graft.model.SystemClock)
+      val f1 = p1.stages.find(_.stage == "forget_queue").get
+      val postDrainListing = graft.streaming.Streams
+        .listDataFiles(s, qdir).size
+      Seq(Tuple1(-51L)).toDF("doc_id").coalesce(1)
+        .write.mode("append").parquet(qdir)
+      val withNewListing = graft.streaming.Streams
+        .listDataFiles(s, qdir).size
+      val p2 = graft.scheduler.ArrivalPass.run(s, cfg, log,
+        graft.model.SystemClock)
+      val f2 = p2.stages.find(_.stage == "forget_queue").get
+      (f1.status == "ran" && f1.detail.contains("files=50") &&
+        f1.detail.contains("archived=50 drained file(s)") &&
+        postDrainListing == 0 && withNewListing == 1 &&
+        f2.status == "ran" && f2.detail.contains("files=1") &&
+        f2.detail.contains("archived=1 drained file(s)"),
+        s"drain1=${f1.status} ${f1.detail.takeWhile(_ != '(').trim} " +
+          s"postDrainListing=$postDrainListing (want 0) " +
+          s"withNewListing=$withNewListing (want 1) " +
+          s"drain2=${f2.status} ${f2.detail.takeWhile(_ != '(').trim}")
+    }
+
     Seq(r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14,
-      r15, r16, r17)
+      r15, r16, r17, r18)
   }
 
   /** Driver union-find re-derivation on sampled components: collect the

@@ -448,6 +448,21 @@ object ArrivalPass {
     // post-forget store, never a stale quiet skip).
     stage("forget_queue", hasWork = forgetNew || forgetHardPending,
         resumable = true) {
+      // drained-file ARCHIVAL (round-18 verdict #1 — the last
+      // O(history) surface on the maintenance path): once a takedown
+      // file's batch has committed AND its outcome record is durable,
+      // the file's only remaining cost is being listed by every later
+      // pass's probes, forever. Move committed files to the hidden
+      // `<landing>/forget/_archived/` component (same-directory rename,
+      // skipped by every lister via the shared hidden-component
+      // discipline, so a relocated file never re-plans) at each drain
+      // tail; the quiet and recovery arms sweep leftovers from a pass
+      // that crashed between its commit and its archival.
+      def archiveDrained(): Long = graft.streaming.Streams
+        .archiveDrained(spark, forgetDir,
+          s"${cfg.checkpointRoot}/forget_ckpt")
+      def archivedDetail(n: Long): String =
+        if (n == 0L) "" else s" archived=$n drained file(s)"
       if (!forgetNew && forgetHardPending) {
         // CRASH-RECOVERY arm: a prior pass committed a hard file's
         // forget (checkpoint advanced past it) but died before the
@@ -458,7 +473,8 @@ object ArrivalPass {
           context = "queue drain tail (recovered pending marker)")
         forgetHardFs.delete(forgetHardMarker, false)
         ("ran", "files=0 hard_retrains=1 (recovered a pending hard " +
-          s"retrain from a prior interrupted pass; action=$action)")
+          s"retrain from a prior interrupted pass; action=$action)" +
+          archivedDetail(archiveDrained()))
       }
       else if (!forgetLanded)
         ("skipped_empty", s"no takedown files under $forgetDir" +
@@ -466,7 +482,7 @@ object ArrivalPass {
       else if (!forgetNew)
         ("skipped_empty", "no NEW takedown files since the last pass " +
           s"under $forgetDir (checkpoint covers the queue; stream " +
-          "spin-up skipped)")
+          "spin-up skipped)" + archivedDetail(archiveDrained()))
       else {
         // a vanished PENDING takedown file is the worst vanish class —
         // the request it carried was never propagated; surface it on
@@ -503,6 +519,14 @@ object ArrivalPass {
         // (Forget.hardRetrain) — so a legal-grade erasure is ALSO just
         // a file drop, no CLI run needed
         val hasHardCol = schema.fieldNames.contains("hard")
+        // vanish-only drain (round-18 advice): with an empty unseen
+        // set the stream runs only to COMMIT the tombstone batch —
+        // nothing will be scrubbed, and the guard columns above came
+        // from already-drained historical files — so the absent-store
+        // guard must not apply (a store root removed after those files
+        // drained would otherwise wedge the stage on every pass and
+        // the tombstone batch could never commit)
+        val vanishOnly = newFiles.isEmpty
         if (!hasDocCol && !hasVecCol)
           ("failed", s"takedown files under $forgetDir carry neither " +
             "a doc_id nor a vec_id column; nothing to propagate")
@@ -514,13 +538,14 @@ object ArrivalPass {
         // hazard. Fail WITHOUT advancing the checkpoint; the operator
         // fixes the config and the same files drain next pass. (An
         // absent PAIR sink is legitimately empty — scrubPairs handles
-        // it — so only the sig/ann store roots gate.)
-        else if (hasDocCol && !rootExists(cfg.sigStorePath))
+        // it — so only the sig/ann store roots gate, and only when the
+        // drain has NEW files to scrub — see vanishOnly above.)
+        else if (!vanishOnly && hasDocCol && !rootExists(cfg.sigStorePath))
           ("failed", s"takedown files under $forgetDir target doc_id " +
             s"but the signature store root ${cfg.sigStorePath} does " +
             "not exist — draining would consume the request as a " +
             "no-op; checkpoint NOT advanced")
-        else if (hasVecCol && !rootExists(cfg.annStorePath))
+        else if (!vanishOnly && hasVecCol && !rootExists(cfg.annStorePath))
           ("failed", s"takedown files under $forgetDir target vec_id " +
             s"but the ANN store root ${cfg.annStorePath} does not " +
             "exist — draining would consume the request as a no-op; " +
@@ -535,6 +560,12 @@ object ArrivalPass {
           val emptyFiles = new java.util.concurrent.atomic.AtomicLong(0L)
           // hard-file provenance for the drain-tail FORGET-HARD row
           val hardFiles = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          // a marker already set at stage ENTRY is a retrain OWED from
+          // a prior pass (committed forget, retrain never ran) — its
+          // erasure window must not widen again (round-18 advice): the
+          // tail retrain below is exempt from the deadline deferral
+          // when the debt predates tonight
+          val owedAtEntry = forgetHardPending
           val stopped = graft.streaming.Streams.incrementalCheckById(
             spark, forgetDir, schema,
             (batch, id) => {
@@ -618,10 +649,15 @@ object ArrivalPass {
           // deadline-stopped drain defers it (marker persists — the
           // next pass finishes the queue and retrains at ITS tail, so
           // a backlogged night still pays exactly one retrain, and the
-          // recovery arm covers the no-new-files case).
+          // recovery arm covers the no-new-files case) — UNLESS the
+          // marker predates tonight (owedAtEntry): a retrain already
+          // deferred once runs now, deadline or not, so a chronically
+          // backlogged queue bounds the legal-erasure window to one
+          // pass instead of pushing it out night after night
+          // (round-18 advice).
           val hard =
             if (!forgetHardPending) ""
-            else if (stopped)
+            else if (stopped && !owedAtEntry)
               " hard_retrain_deferred (deadline; marker persists — " +
                 "the next pass retrains at its drain tail)"
             else {
@@ -633,16 +669,24 @@ object ArrivalPass {
               graft.pipeline.Forget.hardRetrain(spark, cfg.annStorePath,
                 log, clock, context = ctx)
               forgetHardFs.delete(forgetHardMarker, false)
-              " hard_retrains=1"
+              if (stopped)
+                " hard_retrains=1 (deadline-exempt: retrain owed from " +
+                  "a prior pass)"
+              else " hard_retrains=1"
             }
           val noop = if (emptyFiles.get() == 0L) ""
             else s" EMPTY_NOOP_FILES=${emptyFiles.get()} (id cells " +
               "all null under the merged schema — misspelled column? " +
               "outcome records name the files)"
+          // archive what COMMITTED tonight (plus any leftovers); on a
+          // deadline-stopped drain the uncommitted remainder stays in
+          // place for the next pass by construction (only seen files
+          // move)
+          val archived = archiveDrained()
           ("ran", s"files=${files.get()} sig_rows=${sigRows.get()} " +
             s"pairs=${pairRows.get()} ann_vectors=${annRows.get()}" +
-            s"$hard$noop$cut$vanDetail (outcomes under " +
-            s"${cfg.checkpointRoot}/forget)")
+            s"$hard$noop$cut$vanDetail${archivedDetail(archived)} " +
+            s"(outcomes under ${cfg.checkpointRoot}/forget)")
         }
       }
     }

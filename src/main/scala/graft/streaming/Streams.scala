@@ -803,6 +803,53 @@ object Streams {
     listDataFiles(spark, src).filterNot(seen.contains)
   }
 
+  /** Archive every COMMITTED data file still sitting under `src` into
+    * the hidden `_archived/` component beneath it — the round-18
+    * verdict's last O(history) surface on the maintenance path: drained
+    * takedown files accumulated under `<landing>/forget` forever, so
+    * every pass's listing probes (hasLandedFiles, unseenFileList,
+    * vanishedUnexplained's disk reconciliation) paid for every request
+    * EVER landed. Moving a file whose batch has committed is the legal
+    * removal class those reconciliations already document ("COMMITTED
+    * files absent from disk are never flagged"), and `_archived/` is a
+    * hidden path component, so every lister in the engine (the
+    * streaming source, listDataFiles, hasLandedFiles, schema reads of
+    * the dir) skips it by the shared hidden-component discipline — a
+    * relocated file can never re-plan. Same-directory rename: no
+    * cross-filesystem copy, atomic per file on any sane fs. A file
+    * that fails its rename (concurrent reader holding it, permissions)
+    * is left in place and retried next pass — archival is best-effort
+    * hygiene, never a drain-blocking step. Driver-side metadata only;
+    * zero Spark jobs. Returns how many files moved. */
+  private[graft] def archiveDrained(spark: SparkSession, src: String,
+      checkpoint: String): Long = {
+    val onDisk = listDataFiles(spark, src)
+    if (onDisk.isEmpty) return 0L
+    val seen = seenFiles(spark, checkpoint)
+    val drained = onDisk.filter(seen.contains)
+    if (drained.isEmpty) return 0L
+    val root = new org.apache.hadoop.fs.Path(src)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(root, "_archived")
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    var moved = 0L
+    drained.foreach { p =>
+      val srcP = new org.apache.hadoop.fs.Path(p)
+      // basename collisions (same-named files from different landing
+      // subdirs, or a re-landed name already archived): deterministic
+      // numeric suffix — archival must never overwrite an audit trail
+      var target = new org.apache.hadoop.fs.Path(dst, srcP.getName)
+      var n = 1
+      while (fs.exists(target)) {
+        target = new org.apache.hadoop.fs.Path(dst, s"${srcP.getName}.$n")
+        n += 1
+      }
+      try { if (fs.rename(srcP, target)) moved += 1 }
+      catch { case _: java.io.IOException => () }
+    }
+    moved
+  }
+
   /** Quiet-table probe: the checkpoint has committed at least one
     * batch AND no currently-landed file is outside its committed
     * seen-set — so a stream spin-up would plan and drain NOTHING. A

@@ -902,6 +902,14 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(f2.detail.contains("files=1") &&
       f2.detail.contains("sig_rows=2") &&
       f2.detail.contains("ann_vectors=2"), f2.detail)
+    // round-18 verdict #1: the COMMITTED request file is archived at
+    // the drain tail — the queue dir stops accruing O(history) listing
+    // work — and the move is reported on the stage row
+    assert(f2.detail.contains("archived=1 drained file(s)"), f2.detail)
+    val archivedDir = new java.io.File(s"$base/landing/forget/_archived")
+    assert(archivedDir.isDirectory &&
+      archivedDir.listFiles().exists(_.getName.endsWith(".parquet")),
+      "drained takedown file not moved to _archived/")
     // the stores no longer hold the forgotten ids
     assert(sig.load().get
       .filter($"doc_id".isin(101L, 103L)).count() === 0L)
@@ -929,12 +937,16 @@ class ArrivalPassSpec extends AnyFunSuite {
     assert(o.getAs[Long]("sig_rows") === 2L &&
       o.getAs[Long]("ann_rows") === 2L, o.toString)
 
-    // pass 3: the queue is quiet — checkpoint covers the file, stream
-    // spin-up skipped, stores untouched
+    // pass 3: the queue is quiet — the drained file was ARCHIVED at
+    // pass 2's tail, so the dir holds no visible data files at all and
+    // the pass pays the cheapest skip (empty-dir probe, no checkpoint
+    // read, no per-historical-file listing); stores untouched. A
+    // relocated file never re-plans: the drain below sees only the new
+    // doc-only file (files=1).
     val r3 = ArrivalPass.run(spark, cfg, log, SystemClock)
     val f3 = r3.stages.find(_.stage == "forget_queue").get
     assert(f3.status === "skipped_empty" &&
-      f3.detail.contains("no NEW takedown files"), f3.toString)
+      f3.detail.contains("no takedown files"), f3.toString)
     assert(sig.load().get.count() === 13L)
 
     // a second, DOC-ONLY takedown file: only the doc tiers are touched
@@ -949,6 +961,13 @@ class ArrivalPassSpec extends AnyFunSuite {
       f4.detail.contains("ann_vectors=0"), f4.detail)
     assert(sig.load().get.count() === 12L)
     assert(ann.load().get.count() === 78L) // unchanged by the doc-only file
+    // the second drain archives ITS file too; the first stays archived
+    // (basename collisions get a numeric suffix, never an overwrite)
+    assert(f4.detail.contains("archived=1 drained file(s)"), f4.detail)
+    assert(archivedDir.listFiles()
+      .count(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")) === 2,
+      archivedDir.listFiles().map(_.getName).mkString(","))
   }
 
   test("forget_queue hard tier by FILE DROP: a queue file with " +

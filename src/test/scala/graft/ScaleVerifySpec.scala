@@ -12,10 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleVerifySpec extends AnyFunSuite {
   import SparkTestSession.spark
 
-  test("invariant battery: 17/17 green at sf0.01 (strict-gated scale)") {
+  test("invariant battery: 18/18 green at sf0.01 (strict-gated scale)") {
     val results = graft.pipeline.ScaleVerify.runAll(spark,
       "/root/testdata/sf0.01")
-    assert(results.size === 17)
+    assert(results.size === 18)
     val failed = results.filterNot(_.pass)
     assert(failed.isEmpty,
       failed.map(r => s"${r.name}: ${r.detail}").mkString("; "))

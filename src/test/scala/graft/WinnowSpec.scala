@@ -49,8 +49,13 @@ class WinnowSpec extends AnyFunSuite {
       cs <- Gen.listOfN(n, Gen.frequency(
         8 -> Gen.alphaNumChar, 3 -> Gen.const('a'), 1 -> Gen.const('é')))
     } yield cs.mkString
-    val prop = Prop.forAll(genText, Gen.choose(1, 10), Gen.choose(1, 20)) {
-      (t, k, w) => kernel(t, k, w, 8) == direct(t, k, w, 8)
+    // maxPieces spans BOTH recorder tiers: the bounded insertion array
+    // (≤64) and the unbounded buffer (winnowPairs' Int.MaxValue)
+    val genMax = Gen.oneOf(Gen.choose(1, 12), Gen.const(65),
+      Gen.const(Int.MaxValue))
+    val prop = Prop.forAll(genText, Gen.choose(1, 10), Gen.choose(1, 20),
+      genMax) { (t, k, w, mp) =>
+      kernel(t, k, w, mp) == direct(t, k, w, mp)
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
