@@ -108,17 +108,23 @@ object Dedup {
         explode(graft.functions.Shingles.distinctBigramsCol(col("text")))
           .as("shingle"))
       .materialized
-    // Admission probe: two count-only aggregates, BEFORE any collect —
+    // Admission probe: ONE count-only action, BEFORE any collect — the
     // per-BUCKET distinct-shingle counts (whose sum is the vocabulary
-    // size, and which become the dictionary offsets below) plus the
-    // distinct doc count.
+    // size, and which become the dictionary offsets below) unioned with
+    // the distinct doc count (sentinel bucket −1), so both probes ride
+    // a single job over the checkpointed shingle frame.
     val P = 64
     val bCol = pmod(xxhash64(col("shingle")), lit(P)).cast("int")
-    val bucketCounts = sh.select(col("shingle")).distinct()
+    val probeRows = sh.select(col("shingle")).distinct()
       .groupBy(bCol.as("b")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .unionByName(sh.agg(countDistinct("doc_id").as("c"))
+        .select(lit(-1).as("b"), col("c")))
+      .collect()
+    val bucketCounts = probeRows.filter(_.getInt(0) >= 0)
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val vocabSize = bucketCounts.map(_._2).sum
-    val nDocs = sh.agg(countDistinct("doc_id")).first().getLong(0)
+    val nDocs = probeRows.find(_.getInt(0) < 0)
+      .map(_.getLong(1)).getOrElse(0L)
     val estBytes = nDocs * ((vocabSize / 64 + 1) * 8 + 48)
     if (estBytes > maxBroadcastBytes) throw new IllegalStateException(
       s"dd02 is the exact small/medium-N tier: $nDocs docs x " +
