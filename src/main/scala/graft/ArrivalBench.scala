@@ -61,11 +61,9 @@ object ArrivalBench {
     val arms = if (args.length > 2) args(2).split(",").toSeq
       else if (mode == "ann") Seq("ingest", "retrain")
       else Seq("bucketed", "flat")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = SessionDefaults(SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"),
+        "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

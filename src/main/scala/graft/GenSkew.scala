@@ -32,11 +32,9 @@ object GenSkew {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = SessionDefaults(SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"),
+        "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

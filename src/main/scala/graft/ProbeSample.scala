@@ -12,8 +12,8 @@ import org.apache.spark.sql.SparkSession
   * (mostly single-threaded) — this is the multi-core JVM instrument. */
 object ProbeSample {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SessionDefaults(
+        SparkSession.builder().master("local[32]"), "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id % 7)").collect()

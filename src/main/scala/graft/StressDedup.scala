@@ -53,11 +53,9 @@ object StressDedup {
     val dir = args(0)
     val modes = if (args.length > 1) args(1).split(",").toSeq
       else Seq("throw", "truncate")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = SessionDefaults(SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"),
+        "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
